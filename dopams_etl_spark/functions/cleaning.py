@@ -1,0 +1,50 @@
+"""Null/blank normalization, coercion, truncation (SURVEY §2.2 P2/P3).
+
+Reference behaviors reproduced as pure column expressions:
+- ``normalize_blank``: '' and 'na'/'n/a'/'none'/'null' tokens → NULL
+  (``etl-properties/etl_properties.py:617–623``).
+- ``truncate_str``: VARCHAR(n) manual truncation parity
+  (``etl-persons/etl_persons.py:1043–1054``).
+- ``coerce_bool``: permissive boolean parsing
+  (``etl-properties/etl_properties.py:578–657``).
+- ``strip_alias``: drop '@alias' suffix from names
+  (``brief_facts_ai/main.py:136–144``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NULL_TOKENS = ("", "na", "n/a", "none", "null", "-")
+
+
+def normalize_blank(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.lower(trimmed).isin(*NULL_TOKENS), F.lit(None)).otherwise(trimmed)
+
+
+def truncate_str(col: Column | str, n: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, n)
+
+
+def collapse_whitespace(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def coerce_bool(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(F.trim(c.cast("string")))
+    return (
+        F.when(lowered.isin("true", "t", "yes", "y", "1"), F.lit(True))
+        .when(lowered.isin("false", "f", "no", "n", "0"), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def strip_alias(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.split(c, "@").getItem(0))

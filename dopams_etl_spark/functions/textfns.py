@@ -1,0 +1,111 @@
+"""Text-analysis column expressions (training-data pipeline surface).
+
+Beyond-reference operators required by the north star: language-ID
+(n-gram/stopword heuristic), quality scoring (length/punct/stopword ratios),
+token counting, shingling for MinHash, document fingerprinting. All pure JVM
+column expressions — at 100 TB these run inside whole-stage codegen with no
+Python boundary.
+
+The reference's closest analogs are its name-normalization and keyword
+heuristics (``brief_facts_ai/main.py:136–233``,
+``etl-persons/etl_persons.py:158–283``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the heuristic language-ID.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "für"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = _c(col)
+    total = F.length(c)
+    stripped = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    return F.when(total > 0, F.round((total - stripped) / total.cast("double"), 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(tokens(col), lambda t: t.isin(words)))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n > 0, F.round(stopword_hits(col, lang) / n.cast("double"), 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language-ID: argmax of per-language stopword hit counts,
+    'und' (undetermined) when no language scores a hit."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    # Deterministic tie-break: language key order.
+    for lang in sorted(STOPWORDS):
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: length sweet-spot + low punctuation +
+    healthy English stopword density (the classic C4-style heuristics)."""
+    n = token_count(col)
+    length_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    punct_ok = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 4.0)
+    stop_ok = F.least(F.lit(1.0), stopword_ratio(col) * 5.0)
+    return F.round(0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok, 6)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles (for MinHash/Jaccard dedup)."""
+    toks = tokens(col)
+    count = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    return F.when(count >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )).otherwise(F.when(count > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array()))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of distinct character n-grams of normalized text."""
+    norm = F.lower(F.regexp_replace(_c(col), r"\s+", " "))
+    length = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
+    return F.when(length >= n, F.array_distinct(
+        F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+    )).otherwise(F.array(norm))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace/case-normalized text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " ")))

@@ -1,0 +1,264 @@
+"""Document deduplication operators (training-data pipeline surface).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection over a
+text column — plus the reference's tiered-fingerprint person dedup (D1)
+generalized. All hot paths are JVM column expressions (higher-order
+functions over token arrays); nothing crosses into Python per row.
+
+Scale notes:
+- MinHash/LSH: cost is O(rows × shingles × num_hashes) map-side, then a
+  shuffle on (band_id, band_hash) — candidate pairs only ever materialize
+  within an LSH bucket, never the full cross product.
+- SimHash: one 64-bit signature per doc; near-dup join is banded (4×16-bit
+  chunks) so hamming comparison also stays within buckets.
+- n-gram Jaccard: explode-join on shingle, groupBy pair — the shuffle key
+  is the shingle; frequent shingles are the skew hazard, so a document
+  frequency cap drops shingles appearing in > ``max_df`` docs (standard
+  trick; also removes useless all-common shingles).
+
+Reference analog: tiered MD5 fingerprint dedup + fuzzy fallback
+(``fix_fullname/create_person_deduplication_table.py:397–660``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.functions.textfns import doc_fingerprint, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint, keep the
+    lowest id per group; emits (kept) rows plus group stats columns."""
+    fp = df.withColumn("fp", doc_fingerprint(text_col))
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _hash_i(col: Column, i: int) -> Column:
+    """i-th hash family member: 32-bit murmur3 with the index mixed in."""
+    return F.hash(col, F.lit(i))
+
+
+def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """Add ``minhash`` array<int> — per hash family member, the min hash over
+    word shingles. Empty docs get an empty signature."""
+    sh = df.withColumn("__sh", word_shingles(text_col, shingle_n))
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__sh"), lambda s, i=i: _hash_i(s, i))) for i in range(num_hashes)]
+    )
+    return sh.withColumn(
+        "minhash", F.when(F.size("__sh") > 0, sig).otherwise(F.array().cast("array<int>"))
+    ).drop("__sh")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature, join within
+    (band_id, band_hash) buckets. Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b, est_jaccard = fraction of agreeing minhashes."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, num_hashes, shingle_n).select(
+        F.col(id_col).alias("id"), "minhash"
+    ).filter(F.size("minhash") > 0)
+
+    banded = sigs.select(
+        "id",
+        "minhash",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("_", *[F.col("minhash").getItem(b * rows_per_band + r).cast("string")
+                                          for r in range(rows_per_band)]))
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v))
+    return pairs.withColumn(
+        "est_jaccard", F.round(agree / F.size("mh_a").cast("double"), 6)
+    ).drop("mh_a", "mh_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
+    threshold: float = 0.5, max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle-inverted-index join.
+
+    explode(shingles) → self-join on shingle → |A∩B| per pair → Jaccard
+    = inter / (|A| + |B| - inter). ``max_df`` drops ubiquitous shingles
+    (skew + noise control at scale)."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("set_size", F.size("sh"))
+    )
+    inv = sh.select("id", "set_size", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"), 6),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Per token: xxhash64; per bit b: +1 if bit set else -1, accumulated over
+    tokens with ``aggregate``+``zip_with``; sign vector re-packed to a long.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    bit_votes = F.aggregate(
+        hashed,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ).cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda vote, b: F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.withColumn(out_col, packed)
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking (4×16-bit chunks — pairs within
+    hamming ≤ 3 share at least one identical chunk by pigeonhole), then exact
+    hamming via bit_count(xor)."""
+    sigs = simhash64(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("int")
+                for i in range(4)
+            ])
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def tiered_fingerprint_dedup(
+    df: DataFrame, id_col: str, tiers: list[list[str]]
+) -> DataFrame:
+    """D1: tiered fingerprint dedup — resolve tier 1 groups, anti-join the
+    remainder into tier 2, etc. Returns (id, canonical_id, tier, confidence).
+
+    Tier N fingerprint = md5 of the tier's column tuple; canonical id =
+    min(id) within the group; confidence decays per tier (parity with
+    ``create_person_deduplication_table.py:397–660``)."""
+    from dopams_etl_spark.functions.ids import fingerprint
+
+    remaining = df
+    results: list[DataFrame] = []
+    for tier_idx, cols in enumerate(tiers, start=1):
+        keyed = remaining.withColumn("__fp", fingerprint(*cols)).filter(
+            F.concat_ws("", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]) != ""
+        )
+        groups = keyed.groupBy("__fp").agg(
+            F.min(F.col(id_col)).alias("canonical_id"), F.count(F.lit(1)).alias("__n")
+        )
+        matched = (
+            keyed.join(groups, "__fp")
+            .filter(F.col("__n") > 1)
+            .select(
+                F.col(id_col),
+                "canonical_id",
+                F.lit(tier_idx).alias("tier"),
+                F.round(F.lit(1.0) - 0.1 * (tier_idx - 1), 2).alias("confidence"),
+            )
+        )
+        results.append(matched)
+        remaining = remaining.join(matched.select(id_col), id_col, "left_anti")
+    singletons = remaining.select(
+        F.col(id_col),
+        F.col(id_col).alias("canonical_id"),
+        F.lit(0).alias("tier"),
+        F.lit(1.0).alias("confidence"),
+    )
+    out = singletons
+    for r in results:
+        out = out.unionByName(r)
+    return out

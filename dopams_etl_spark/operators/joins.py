@@ -1,0 +1,111 @@
+"""Join operators (SURVEY §2.3 J1–J13, §2.5 W1–W4).
+
+Scale notes (the 100 TB posture):
+- Dimension joins are explicit ``F.broadcast`` — never let a 25-row nation
+  table shuffle a 100 TB lineitem (J1/J7).
+- Fuzzy joins broadcast the small side and keep the similarity predicate
+  JVM-side (``F.levenshtein``) so the cross-candidate space never
+  materializes through Python (J8–J10).
+- latest-per-key is a single window pass — no self-join (J13/W1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """J1/J7: fact ⋈ small-dimension with an explicit broadcast hint."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """J5/P5: rows of ``left`` having a match in ``right`` (EXISTS)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """J4: rows of ``left`` with no match in ``right`` (work-queue pattern,
+    ``brief_facts_ai/db.py:49–74``)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order_col: Column | str,
+    tiebreak: Column | str | None = None,
+) -> DataFrame:
+    """J13/W1: DISTINCT ON (keys) ORDER BY order_col DESC NULLS LAST.
+
+    ``tiebreak`` makes the pick deterministic when ``order_col`` ties
+    (the reference relies on Postgres's arbitrary-but-stable heap order;
+    we require determinism for oracle tests).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    order = [oc.desc_nulls_last()]
+    if tiebreak is not None:
+        tc = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        order.append(tc.asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top1_by_score(
+    df: DataFrame, probe_keys: Sequence[str], score_col: str, tiebreak: str | None = None
+) -> DataFrame:
+    """W4: best candidate per probe key by descending score."""
+    return latest_per_key(df, probe_keys, score_col, tiebreak)
+
+
+def fuzzy_join_levenshtein(
+    probe: DataFrame,
+    dim: DataFrame,
+    probe_col: str,
+    dim_col: str,
+    max_distance: int = 3,
+    keep_best: bool = True,
+) -> DataFrame:
+    """J8/J9/J10: broadcast the dictionary, join on a similarity predicate,
+    optionally keep the best (min-distance) match per probe row.
+
+    Mirrors the reference's PS-name / geo / drug-dictionary fuzzy matches
+    (``etl-mongo-to-postgresql/etl_migration.py:145–216``,
+    ``drug_standardization/drug_standardization.py:60–106``) but as a
+    broadcast-nested-loop join with a JVM ``levenshtein`` predicate instead
+    of a per-row Python loop. ``max_distance`` caps the candidate set; at
+    scale add a blocking key (first letter / soundex) to the join condition.
+    """
+    p = F.lower(F.trim(probe[probe_col]))
+    d = F.lower(F.trim(dim[dim_col]))
+    dist = F.levenshtein(p, d)
+    joined = probe.join(F.broadcast(dim), dist <= max_distance, "inner").withColumn(
+        "match_distance", F.levenshtein(p, d)
+    )
+    if not keep_best:
+        return joined
+    w = Window.partitionBy(probe_col).orderBy(
+        F.col("match_distance").asc(), F.lower(F.trim(F.col(dim_col))).asc()
+    )
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def soundex_blocked_candidates(
+    left: DataFrame, right: DataFrame, left_name: str, right_name: str
+) -> DataFrame:
+    """J11: phonetic-blocked candidate pairs for entity resolution —
+    block on ``F.soundex`` so pairwise scoring never crosses blocks
+    (``brief_facts_ai/db.py:147–169``)."""
+    lb = left.withColumn("__blk", F.soundex(F.upper(F.trim(F.col(left_name)))))
+    rb = right.withColumn("__blk", F.soundex(F.upper(F.trim(F.col(right_name)))))
+    return lb.join(rb, on="__blk", how="inner").drop("__blk")

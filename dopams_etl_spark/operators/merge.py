@@ -1,0 +1,120 @@
+"""Upsert / merge operators (SURVEY §2.1 S7/S8, §2.9 I2/I4).
+
+The reference's sinks are psycopg2 ``INSERT ... ON CONFLICT`` statements
+(``etl-crimes/etl_crimes.py:654–789``, ``etl-accused/etl_accused.py:1193–1435``).
+Spark-native restatement: set-oriented merges computed as joins —
+
+- ``upsert_latest_wins``: dedup-union + window "latest wins" — the
+  Delta-less MERGE. One shuffle on the key; in-batch duplicate keys
+  collapse in the same pass (I2 semantics).
+- ``smart_merge``: field-level COALESCE merge — never overwrite non-null
+  with null, designated columns (dates) always taken from the new batch
+  (``etl_accused.py:1349–1388``).
+- ``classify_merge``: inserted/updated/no_change accounting derived from
+  the merge join itself, not rowcounts (A11 stats parity,
+  ``etl_crimes.py:727–773``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.operators.joins import latest_per_key
+
+
+def upsert_latest_wins(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: str | Sequence[str],
+    version_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """S7/I2: union existing+incoming, keep the newest row per key.
+
+    ``incoming`` rows win ties (a re-sent row with equal ``version_col``
+    replaces in place — the reference processes in-chunk duplicates rather
+    than skipping, ``etl_crimes.py:853–871``).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    e = existing.withColumn("__src", F.lit(0))
+    i = incoming.withColumn("__src", F.lit(1))
+    unioned = e.unionByName(i, allowMissingColumns=True)
+    from pyspark.sql import Window
+
+    # Order: version desc nulls last, then incoming over existing, then tiebreak.
+    order = [F.col(version_col).desc_nulls_last(), F.col("__src").desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def smart_merge(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: str | Sequence[str],
+    always_take_new: Sequence[str] = (),
+) -> DataFrame:
+    """S8: field-level smart merge after a full-outer join.
+
+    Per column: new non-null wins; old kept when new is null; columns in
+    ``always_take_new`` (date fields in the reference) always come from the
+    incoming batch when the key matched.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    value_cols = [c for c in incoming.columns if c not in keys]
+    e = existing.select(
+        keys + [F.col(c).alias(f"__old_{c}") for c in value_cols if c in existing.columns]
+    )
+    inc = incoming.withColumn("__has_new", F.lit(True))
+    joined = inc.join(e, on=keys, how="full_outer")
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for c in value_cols:
+        old = F.col(f"__old_{c}") if f"__old_{c}" in joined.columns else F.lit(None)
+        if c in always_take_new:
+            # Incoming batch authoritative for this column whenever the row
+            # appeared in the batch — even if the new value is null.
+            out_cols.append(
+                F.when(F.col("__has_new"), F.col(c)).otherwise(old).alias(c)
+            )
+        else:
+            out_cols.append(F.coalesce(F.col(c), old).alias(c))
+    return joined.select(*out_cols)
+
+
+def classify_merge(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: str | Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """A11: classify each incoming row as inserted / updated / no_change by
+    joining against existing and applying an IS DISTINCT FROM predicate
+    (null-safe inequality) across ``compare_cols``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    e = existing.select(
+        keys + [F.col(c).alias(f"__old_{c}") for c in compare_cols]
+    ).withColumn("__exists", F.lit(True))
+    joined = incoming.join(e, on=keys, how="left")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+    op = (
+        F.when(F.col("__exists").isNull(), F.lit("inserted"))
+        .when(changed, F.lit("updated"))
+        .otherwise(F.lit("no_change"))
+    )
+    drop = ["__exists"] + [f"__old_{c}" for c in compare_cols]
+    return joined.withColumn("merge_op", op).drop(*drop)
+
+
+def merge_stats(classified: DataFrame) -> DataFrame:
+    """Run-stats rollup (A11): operation → count."""
+    return classified.groupBy("merge_op").count()

@@ -1,0 +1,138 @@
+"""Embedding similarity search (training-data pipeline surface).
+
+Brute-force cosine top-k as the exact baseline (JVM ``zip_with``/``aggregate``
+dot products — no Python in the row path), plus an LSH-bucketed approximate
+variant for the 100 TB path (random-hyperplane signatures computed from a
+deterministic seed; candidate pairs only form within a bucket) and an
+embedding-cosine near-dup operator.
+
+Reference analog: the MiniLM embedding resolver with cosine top-3 +
+thresholds (``core/geo_resolver.py:22–272``) — generalized to a
+``similarity_topk(probe, corpus, k)`` operator per SURVEY §7.3 step 7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.col(a) if isinstance(a, str) else a,
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: probe × corpus (corpus broadcast when
+    small; at scale, replace with ``lsh_topk``). Deterministic tie-break on
+    corpus id. Returns (probe_id, corpus_id, cos_sim, rank)."""
+    p = probe.select(F.col(probe_id).alias("p_id"), F.col(vec_col).alias("p_vec"))
+    c = corpus.select(F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    cond = F.lit(True) if include_self else (F.col("p_id") != F.col("c_id"))
+    scored = p.join(F.broadcast(c), cond).withColumn(
+        "cos_sim", F.round(cosine("p_vec", "c_vec"), 6)
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("p_id", "c_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame, id_col: str, vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold).
+    Exact O(n²) within — at scale, run on ``lsh_buckets`` output instead."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy, fixed seed) —
+    broadcast as literals into the plan."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: Column | str, dim: int, planes: int = 12, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of <v, plane_i> packed into
+    an int. Same-bucket vectors are cosine-close with high probability."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    hp = _hyperplanes(dim, planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(hp):
+        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = _dot(v, plane_arr)
+        bucket = bucket + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: join only within LSH buckets — the shuffle is on
+    the bucket id, never the cross product. Recall grows with fewer planes /
+    multiple tables; exactness handed off to ``cosine_topk`` on the bucket."""
+    p = probe.select(
+        F.col(probe_id).alias("p_id"),
+        F.col(vec_col).alias("p_vec"),
+        lsh_bucket(vec_col, dim, planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(vec_col, dim, planes).alias("bucket"),
+    )
+    scored = (
+        p.join(c, "bucket")
+        .filter(F.col("p_id") != F.col("c_id"))
+        .withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("p_id", "c_id", "cos_sim", "rank")
+    )
