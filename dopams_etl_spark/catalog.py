@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -36,10 +37,23 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one catalog table. Schema evolution: mergeSchema on."""
+    """Read one catalog table.
+
+    No ``mergeSchema`` — the testdata schemas are fixed, and footer merging
+    costs a full file listing + footer read per query. Schema evolution is
+    opt-in at the ingest layer, not ambient on every scan.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the scan yields long nanos,
+    converted here to a micros timestamp (truncation — matches DuckDB's
+    ns→us read of the same file).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    return spark.read.option("mergeSchema", "true").parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

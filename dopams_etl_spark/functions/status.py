@@ -16,15 +16,22 @@ from pyspark.sql import functions as F
 
 
 def normalize_status(col: Column | str) -> Column:
-    """Accused-status normalization (F4): ILIKE-cascade → canonical label."""
-    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    """Accused-status normalization (F4): ILIKE-cascade → canonical label.
+
+    Mirrors the reference CASE exactly, in order (``firs_mv.sql:44–52``):
+    'Arrest%' AND NOT 'Arrest Related%' → Arrested; 'Surrendered%' →
+    Arrested; 'Absconding' → Absconding; 'Arrest Related/41A CrPC Pending'
+    → Absconding; '41A Cr.P.C%' → Issued Notice; 'High court directions%'
+    → Issued Notice; else Unknown (other 'Arrest Related%' fall through).
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
     return (
-        F.when(c.isNull(), F.lit("Unknown"))
-        .when(c.like("arrest related%"), F.lit("Pending"))
-        .when(c.like("arrest%"), F.lit("Arrested"))
+        F.when(c.like("arrest%") & ~c.like("arrest related%"), F.lit("Arrested"))
         .when(c.like("surrendered%"), F.lit("Arrested"))
-        .when(c.like("absconding%"), F.lit("Absconding"))
-        .when(c.like("41a cr.p.c%") | c.like("41a crpc%"), F.lit("Issued Notice"))
+        .when(c.like("absconding"), F.lit("Absconding"))
+        .when(c.like("arrest related/41a crpc pending"), F.lit("Absconding"))
+        .when(c.like("41a cr.p.c%"), F.lit("Issued Notice"))
+        .when(c.like("high court directions%"), F.lit("Issued Notice"))
         .otherwise(F.lit("Unknown"))
     )
 

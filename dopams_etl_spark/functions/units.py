@@ -14,47 +14,44 @@ from pyspark.sql import functions as F
 
 # raw unit token → (canonical dimension, factor to canonical base unit)
 # base units: weight → grams, volume → ml, count → units
+# Token sets mirror ``extractor_drugs.py:715–764`` — in particular
+# bottle/bottles are COUNT units there (no invented ml-per-bottle factor).
 UNIT_MAP: dict[str, tuple[str, float]] = {
-    "g": ("weight", 1.0),
-    "gm": ("weight", 1.0),
-    "gms": ("weight", 1.0),
-    "gram": ("weight", 1.0),
-    "grams": ("weight", 1.0),
-    "kg": ("weight", 1000.0),
-    "kgs": ("weight", 1000.0),
-    "mg": ("weight", 0.001),
-    "ml": ("volume", 1.0),
-    "l": ("volume", 1000.0),
-    "ltr": ("volume", 1000.0),
-    "litre": ("volume", 1000.0),
-    "litres": ("volume", 1000.0),
-    "bottle": ("volume", 100.0),
-    "bottles": ("volume", 100.0),
-    "tab": ("count", 1.0),
-    "tabs": ("count", 1.0),
-    "tablet": ("count", 1.0),
-    "tablets": ("count", 1.0),
-    "pcs": ("count", 1.0),
-    "units": ("count", 1.0),
+    **{u: ("weight", 1.0) for u in ("g", "gm", "gms", "gram", "grams", "grm", "grms", "gr")},
+    **{u: ("weight", 1000.0) for u in ("kg", "kgs", "kilogram", "kilograms", "kilo", "kilos")},
+    **{u: ("weight", 0.001) for u in ("mg", "milligram", "milligrams")},
+    **{u: ("volume", 1000.0) for u in ("l", "ltr", "ltrs", "liter", "liters", "litre", "litres")},
+    **{u: ("volume", 1.0) for u in ("ml", "milliliter", "milliliters", "millilitre", "millilitres")},
+    **{
+        u: ("count", 1.0)
+        for u in (
+            "no", "nos", "number", "numbers", "piece", "pieces", "pcs",
+            "tab", "tabs", "tablet", "tablets", "pill", "pills", "strip", "strips",
+            "box", "boxes", "packet", "packets", "sachet", "sachets",
+            "blot", "blots", "dot", "dots", "bottle", "bottles",
+            "unit", "units", "count", "counts",
+            "plant", "plants", "tree", "trees", "sapling", "saplings",
+            "seedling", "seedlings", "bush", "bushes",
+            "cover", "covers", "polythene", "wrap", "bundle", "bundles",
+            "puri", "puris", "katta", "kattas", "pouch", "pouches",
+            "vial", "vials", "ampule", "ampules", "ampoule", "ampoules",
+            "injection", "injections", "capsule", "capsules",
+        )
+    },
 }
 
 LIQUID_FORMS = ("syrup", "injection", "liquid", "solution")
 
 
 def _dimension(unit: Column) -> Column:
-    expr = None
-    for tok, (dim, _) in UNIT_MAP.items():
-        cond = unit == tok
-        expr = F.when(cond, F.lit(dim)) if expr is None else expr.when(cond, F.lit(dim))
-    return expr.otherwise(F.lit("unknown"))
+    # Literal map lookup — one expression, not a 60-branch CASE chain.
+    m = F.create_map(*[F.lit(x) for tok, (dim, _) in UNIT_MAP.items() for x in (tok, dim)])
+    return F.coalesce(m.getItem(unit), F.lit("unknown"))
 
 
 def _factor(unit: Column) -> Column:
-    expr = None
-    for tok, (_, fac) in UNIT_MAP.items():
-        cond = unit == tok
-        expr = F.when(cond, F.lit(fac)) if expr is None else expr.when(cond, F.lit(fac))
-    return expr.otherwise(F.lit(None).cast("double"))
+    m = F.create_map(*[F.lit(x) for tok, (_, fac) in UNIT_MAP.items() for x in (tok, fac)])
+    return m.getItem(unit)
 
 
 def standardize_quantity(
@@ -66,7 +63,11 @@ def standardize_quantity(
     columns. Liquid forms reclassify a weight reading into volume (parity with
     ``extractor_drugs.py:760–811``)."""
     qty = (F.col(qty_col) if isinstance(qty_col, str) else qty_col).cast("double")
-    unit = F.lower(F.trim(F.col(unit_col) if isinstance(unit_col, str) else unit_col))
+    # Strict normalization parity: lowercase, strip, remove non-alpha
+    # (``extractor_drugs.py:713``).
+    unit = F.regexp_replace(
+        F.lower(F.trim(F.col(unit_col) if isinstance(unit_col, str) else unit_col)), "[^a-z]", ""
+    )
     dim = _dimension(unit)
     base = qty * _factor(unit)
 

@@ -41,9 +41,14 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _hash_i(col: Column, i: int) -> Column:
-    """i-th hash family member: 32-bit murmur3 with the index mixed in."""
-    return F.hash(col, F.lit(i))
+def _hasher(i: int):
+    """i-th hash family member as a single-arg transform lambda.
+
+    Must keep arity 1: a two-parameter lambda would make ``F.transform``
+    pass (element, array_index) and the array index would override the
+    captured family index.
+    """
+    return lambda s: F.hash(s, F.lit(i))
 
 
 def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
@@ -51,7 +56,7 @@ def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingl
     word shingles. Empty docs get an empty signature."""
     sh = df.withColumn("__sh", word_shingles(text_col, shingle_n))
     sig = F.array(
-        *[F.array_min(F.transform(F.col("__sh"), lambda s, i=i: _hash_i(s, i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform(F.col("__sh"), _hasher(i))) for i in range(num_hashes)]
     )
     return sh.withColumn(
         "minhash", F.when(F.size("__sh") > 0, sig).otherwise(F.array().cast("array<int>"))
@@ -150,27 +155,31 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
     toks = F.array_distinct(tokens(text_col))
     hashed = F.transform(toks, lambda t: F.xxhash64(t))
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    # Shift amounts must be Python ints (PySpark's shiftright rejects a
+    # Column there), so the 64 bit extractions are unrolled literally.
     bit_votes = F.aggregate(
         hashed,
         zeros,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                    F.lit(-1)
-                ).cast("long"),
+            F.array(
+                *[
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(64)
+                ]
             ),
             lambda a, v: a + v,
         ),
     )
+    # Bit b contributes literal 2^b; b=63 is the sign bit of a signed long.
+    bit_values = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
     packed = F.aggregate(
         F.zip_with(
             bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda vote, b: F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            F.array(*[F.lit(v).cast("long") for v in bit_values]),
+            lambda vote, bv: F.when(vote > 0, bv).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),

@@ -75,29 +75,48 @@ def fuzzy_join_levenshtein(
     dim_col: str,
     max_distance: int = 3,
     keep_best: bool = True,
+    probe_id: str | None = None,
+    block: str | None = "soundex",
 ) -> DataFrame:
     """J8/J9/J10: broadcast the dictionary, join on a similarity predicate,
-    optionally keep the best (min-distance) match per probe row.
+    optionally keep the best (min-distance) match per probe ROW.
 
     Mirrors the reference's PS-name / geo / drug-dictionary fuzzy matches
     (``etl-mongo-to-postgresql/etl_migration.py:145–216``,
     ``drug_standardization/drug_standardization.py:60–106``) but as a
-    broadcast-nested-loop join with a JVM ``levenshtein`` predicate instead
-    of a per-row Python loop. ``max_distance`` caps the candidate set; at
-    scale add a blocking key (first letter / soundex) to the join condition.
+    broadcast join with a JVM ``levenshtein`` predicate instead of a
+    per-row Python loop.
+
+    ``probe_id``: column identifying a probe row; when None a synthetic row
+    id is stamped so duplicate probe *values* never collapse to one output
+    row. ``block``: equality blocking key added to the join condition so the
+    candidate space is |probe|×|bucket| instead of |probe|×|dict| —
+    'soundex' (phonetic) or 'prefix1' (first letter); None disables
+    (full nested loop — only for tiny dictionaries).
     """
+    rid = probe_id
+    if rid is None:
+        rid = "__probe_rid"
+        probe = probe.withColumn(rid, F.monotonically_increasing_id())
     p = F.lower(F.trim(probe[probe_col]))
     d = F.lower(F.trim(dim[dim_col]))
-    dist = F.levenshtein(p, d)
-    joined = probe.join(F.broadcast(dim), dist <= max_distance, "inner").withColumn(
+    cond = F.levenshtein(p, d) <= max_distance
+    if block == "soundex":
+        cond = cond & (F.soundex(F.upper(F.trim(probe[probe_col]))) == F.soundex(F.upper(F.trim(dim[dim_col]))))
+    elif block == "prefix1":
+        cond = cond & (F.substring(p, 1, 1) == F.substring(d, 1, 1))
+    elif block is not None:
+        raise ValueError(f"unknown block strategy {block!r}")
+    joined = probe.join(F.broadcast(dim), cond, "inner").withColumn(
         "match_distance", F.levenshtein(p, d)
     )
     if not keep_best:
-        return joined
-    w = Window.partitionBy(probe_col).orderBy(
+        return joined if probe_id is not None else joined.drop("__probe_rid")
+    w = Window.partitionBy(rid).orderBy(
         F.col("match_distance").asc(), F.lower(F.trim(F.col(dim_col))).asc()
     )
-    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return out if probe_id is not None else out.drop("__probe_rid")
 
 
 def soundex_blocked_candidates(
