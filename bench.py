@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set spans the engine's main physical plans: wide aggregation
+(q1), broadcast star join (regional_revenue), the decorrelated gold MV
+(firs_mv), hash dedup + LSH near-dup (exact/minhash), and bucketed vector
+search (lsh_topk).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "regional_revenue",
+    "firs_mv",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "lsh_topk_embeddings",
+)
+
+
+def main() -> None:
+    from dopams_etl_spark.plans import catalog
+    from dopams_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.queries()
+
+    # warm the JVM/session so q1 doesn't pay startup costs
+    qs["q1_pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

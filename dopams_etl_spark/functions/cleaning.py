@@ -48,3 +48,12 @@ def coerce_bool(col: Column | str) -> Column:
 def strip_alias(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.split(c, "@").getItem(0))
+
+
+def coerce_numeric(col: Column | str) -> Column:
+    """P3 numeric coercion (``etl_properties.py:578–657``): strip currency
+    symbols / thousand separators / spaces, then try-cast — unparseable
+    input becomes NULL, never an error."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.trim(c.cast("string")), r"[,₹$\s]", "")
+    return F.nullif(cleaned, F.lit("")).try_cast("double")

@@ -43,3 +43,23 @@ def overdue_bucket(days_col: Column | str, thresholds: tuple[int, ...] = (60, 18
 def to_ist(col: Column | str) -> Column:
     """Normalize a UTC timestamp to naive-IST semantics (F2)."""
     return F.from_utc_timestamp(_c(col), "Asia/Kolkata")
+
+
+# Multi-format parse order mirrors the reference's try-list
+# (``etl-properties/etl_properties.py:578–657``): ISO first, then the
+# dd/mm and dd-mm variants seen in API payloads.
+DATE_FORMATS = (
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd",
+    "dd/MM/yyyy HH:mm:ss",
+    "dd/MM/yyyy",
+    "dd-MM-yyyy HH:mm:ss",
+    "dd-MM-yyyy",
+)
+
+
+def parse_date_multi(col: Column | str, formats: tuple[str, ...] = DATE_FORMATS) -> Column:
+    """P3/F2: first-match multi-format timestamp parse; unparseable → NULL.
+    ``try_to_timestamp`` per format + COALESCE — all JVM-side."""
+    c = F.trim(_c(col).cast("string"))
+    return F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in formats])

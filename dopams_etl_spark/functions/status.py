@@ -36,6 +36,36 @@ def normalize_status(col: Column | str) -> Column:
     )
 
 
+def parse_accused_status(col: Column | str) -> list[Column]:
+    """D12 accused-status parse (``etl-accused/etl_accused.py:193–221``):
+    free-text flags + 41A issue date extraction.
+
+    Returns [is_41a_crpc, is_41a_pending, is_arrested, is_absconding,
+    date_of_issue_41a] — the date reformatted dd/mm/yyyy → yyyy-mm-dd like
+    the reference.
+    """
+    raw = F.col(col) if isinstance(col, str) else col
+    c = F.lower(raw)
+    has_41a_issued = c.contains("41a") & c.contains("issued")
+    dm = F.regexp_extract(raw, r"(\d{2})/(\d{2})/(\d{4})", 0)
+    date_iso = F.when(
+        has_41a_issued & (dm != ""),
+        F.concat_ws(
+            "-",
+            F.regexp_extract(raw, r"(\d{2})/(\d{2})/(\d{4})", 3),
+            F.regexp_extract(raw, r"(\d{2})/(\d{2})/(\d{4})", 2),
+            F.regexp_extract(raw, r"(\d{2})/(\d{2})/(\d{4})", 1),
+        ),
+    )
+    return [
+        has_41a_issued.alias("is_41a_crpc"),
+        c.contains("pending").alias("is_41a_pending"),
+        c.contains("arrest").alias("is_arrested"),
+        c.contains("abscond").alias("is_absconding"),
+        date_iso.alias("date_of_issue_41a"),
+    ]
+
+
 def rule_cascade(col: Column | str, rules: Sequence[tuple[str, str]], default: str) -> Column:
     """Generic ordered (lowercase LIKE pattern → label) cascade."""
     c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))

@@ -39,14 +39,18 @@ def token_count(col: Column | str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
-def punct_ratio(col: Column | str) -> Column:
-    """Fraction of non-alphanumeric, non-space characters."""
+def punct_ratio_raw(col: Column | str) -> Column:
+    """Unrounded punctuation ratio — raw IEEE division so composites built
+    on it stay bitwise-reproducible across engines."""
     c = _c(col)
     total = F.length(c)
     stripped = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
-    return F.when(total > 0, F.round((total - stripped) / total.cast("double"), 6)).otherwise(
-        F.lit(0.0)
-    )
+    return F.when(total > 0, (total - stripped) / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    return F.round(punct_ratio_raw(col), 6)
 
 
 def stopword_hits(col: Column | str, lang: str = "en") -> Column:
@@ -55,11 +59,13 @@ def stopword_hits(col: Column | str, lang: str = "en") -> Column:
     return F.size(F.filter(tokens(col), lambda t: t.isin(words)))
 
 
-def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+def stopword_ratio_raw(col: Column | str, lang: str = "en") -> Column:
     n = token_count(col)
-    return F.when(n > 0, F.round(stopword_hits(col, lang) / n.cast("double"), 6)).otherwise(
-        F.lit(0.0)
-    )
+    return F.when(n > 0, stopword_hits(col, lang) / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    return F.round(stopword_ratio_raw(col, lang), 6)
 
 
 def lang_id(col: Column | str) -> Column:
@@ -76,14 +82,19 @@ def lang_id(col: Column | str) -> Column:
 
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality score: length sweet-spot + low punctuation +
-    healthy English stopword density (the classic C4-style heuristics)."""
+    healthy English stopword density (the classic C4-style heuristics).
+
+    No rounding anywhere: raw IEEE arithmetic in a fixed evaluation order
+    is bitwise-reproducible across engines, while round() at any digit can
+    land on a .5 tie where engines' rounding modes disagree.
+    """
     n = token_count(col)
     length_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(
         F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
     )
-    punct_ok = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(col) * 4.0)
-    stop_ok = F.least(F.lit(1.0), stopword_ratio(col) * 5.0)
-    return F.round(0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok, 6)
+    punct_ok = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio_raw(col) * 4.0)
+    stop_ok = F.least(F.lit(1.0), stopword_ratio_raw(col) * 5.0)
+    return 0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
+    # Cast per-element BEFORE multiplying: float*float products lose the
+    # precision the double accumulator is supposed to keep (and diverge
+    # from any double-math oracle).
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
@@ -39,6 +42,9 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+MAX_BROADCAST_CORPUS_ROWS = 2_000_000
+
+
 def cosine_topk(
     probe: DataFrame,
     corpus: DataFrame,
@@ -47,10 +53,22 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     include_self: bool = False,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: probe × corpus (corpus broadcast when
-    small; at scale, replace with ``lsh_topk``). Deterministic tie-break on
-    corpus id. Returns (probe_id, corpus_id, cos_sim, rank)."""
+    """Exact brute-force cosine top-k — the small-corpus baseline.
+
+    The corpus is broadcast, so this is size-gated: pass ``corpus_rows``
+    (or let it count) and anything above ``MAX_BROADCAST_CORPUS_ROWS``
+    raises, routing callers to ``lsh_topk`` instead of OOMing the driver.
+    Deterministic tie-break on corpus id. Returns
+    (probe_id, corpus_id, cos_sim, rank).
+    """
+    n = corpus_rows if corpus_rows is not None else corpus.count()
+    if n > MAX_BROADCAST_CORPUS_ROWS:
+        raise ValueError(
+            f"corpus has {n} rows > {MAX_BROADCAST_CORPUS_ROWS}; brute-force "
+            "broadcast would OOM — use lsh_topk for large corpora"
+        )
     p = probe.select(F.col(probe_id).alias("p_id"), F.col(vec_col).alias("p_vec"))
     c = corpus.select(F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
     cond = F.lit(True) if include_self else (F.col("p_id") != F.col("c_id"))
@@ -66,17 +84,36 @@ def cosine_topk(
 
 
 def embedding_near_dups(
-    df: DataFrame, id_col: str, vec_col: str = "embedding", threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes: int = 12,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold).
-    Exact O(n²) within — at scale, run on ``lsh_buckets`` output instead."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+
+    Composed over ``lsh_bucket``: pairs only form within a random-hyperplane
+    bucket, so the shuffle key is the bucket id and there is no unbounded
+    cartesian. High-cosine pairs land in the same bucket with probability
+    (1 - theta/pi)^planes; raise recall by lowering ``planes`` or unioning
+    over several seeds.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(vec_col, dim, planes, seed).alias("bucket"),
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -1,0 +1,562 @@
+"""Relational operator queries (SURVEY §2.1–§2.6, §2.9) with DuckDB oracles.
+
+Each ``@register`` entry exercises one named operator from the inventory on
+the driver testdata. Conventions (see ``plans/catalog.py``): identical
+aliases both sides, money sums via ``decimal(18,2)`` casts (exact,
+partition-order-independent — a raw double sum is not), ratios rounded to
+6, timestamps surfaced as DATE, deterministic tie-breaks everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.operators.aggregates import (
+    collect_distinct_sorted,
+    collect_sorted_structs,
+    count_if,
+    decorrelated_agg,
+    map_agg_entries,
+)
+from dopams_etl_spark.operators.joins import (
+    anti_join,
+    broadcast_dim_join,
+    fuzzy_join_levenshtein,
+    latest_per_key,
+    semi_join,
+    soundex_blocked_candidates,
+    top1_by_score,
+)
+from dopams_etl_spark.operators.merge import (
+    classify_merge,
+    merge_stats,
+    smart_merge,
+    upsert_latest_wins,
+)
+from dopams_etl_spark.operators.quarantine import fk_validate, quarantine_retry
+from dopams_etl_spark.operators.watermark import compute_watermark, incremental_filter
+from dopams_etl_spark.plans.catalog import register, t
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5 flagship aggregate (TPC-H Q1 shape): hash groupBy with map-side
+    partials; decimal sums are exact under any partitioning."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("string").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("string").alias("sum_base_price"),
+        # double sum + round(2): the product has 3-4 decimals, and casting
+        # each to decimal hits .005 ties where the engines' rounding modes
+        # differ; the rounded total is stable (error ~1e-8 vs 0.01 grain).
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "regional_revenue",
+    """
+    SELECT r_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/J7: star join — fact side shuffles once on the join key, every
+    dimension is an explicit broadcast (dims are KB-scale at any SF)."""
+    li = t(spark, sf_dir, "lineitem")
+    fact = li.join(t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
+    fact = broadcast_dim_join(fact, t(spark, sf_dir, "customer"), on=[fact.o_custkey == F.col("c_custkey")])
+    fact = broadcast_dim_join(fact, t(spark, sf_dir, "nation"), on=[fact.c_nationkey == F.col("n_nationkey")])
+    fact = broadcast_dim_join(fact, t(spark, sf_dir, "region"), on=[fact.n_regionkey == F.col("r_regionkey")])
+    return fact.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/P5 left-semi (EXISTS) — ``criminal_profiles_mv.sql:126–128``."""
+    return semi_join(
+        t(spark, sf_dir, "customer"),
+        t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 left-anti (work-queue pattern, ``brief_facts_ai/db.py:49–74``)."""
+    return anti_join(
+        t(spark, sf_dir, "customer"),
+        t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           CAST(o_orderdate AS DATE) AS latest_orderdate
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13/W1 DISTINCT ON / latest-per-key: one window pass, no self-join
+    (``criminal_profiles_mv.sql:56–70``)."""
+    return latest_per_key(
+        t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", tiebreak="o_orderkey"
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderdate").cast("date").alias("latest_orderdate"),
+    )
+
+
+@register(
+    "best_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS best_orderkey, ROUND(o_totalprice, 2) AS best_price
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W4 correlated top-1 by score, decorrelated to a window."""
+    return top1_by_score(
+        t(spark, sf_dir, "orders"), ["o_custkey"], "o_totalprice", tiebreak="o_orderkey"
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("best_orderkey"),
+        F.round("o_totalprice", 2).alias("best_price"),
+    )
+
+
+@register(
+    "order_priority_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3: count, conditional count (``firs_mv.sql:78–83``), exact
+    distinct count."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "latest_finished_order_date",
+    """
+    SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS last_f_date
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    """,
+)
+def latest_finished_order_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 max/latest with pre-filter (``criminal_profiles_mv.sql:90–94``).
+    The status filter is pushed to the parquet scan."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").cast("date").alias("last_f_date"))
+    )
+
+
+@register(
+    "order_lineitems_sorted",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR) || ':' || CAST(CAST(l_quantity AS INT) AS VARCHAR),
+                      ';' ORDER BY l_linenumber, CAST(l_quantity AS INT)) AS items
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def order_lineitems_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 ordered struct-collect (``jsonb_agg(... ORDER BY seq)``,
+    ``firs_mv.sql:43–54``), surfaced as a canonical string for hashing."""
+    li = t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata — qty joins
+    # the sort key so tie order is deterministic on both engines.
+    arr = collect_sorted_structs(
+        ["l_linenumber", F.col("l_quantity").cast("int")],
+        {"ln": F.col("l_linenumber"), "qty": F.col("l_quantity").cast("int")},
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(arr, lambda s: F.concat_ws(":", s["ln"], s["qty"])), ";"
+        ).alias("items")
+    )
+
+
+@register(
+    "order_flags_distinct",
+    """
+    SELECT l_orderkey,
+           COALESCE((SELECT string_agg(f, ',' ORDER BY f)
+                     FROM (SELECT DISTINCT upper(l_returnflag) AS f
+                           FROM lineitem li2
+                           WHERE li2.l_orderkey = li.l_orderkey AND l_returnflag <> 'N')), '')
+             AS flags
+    FROM (SELECT DISTINCT l_orderkey FROM lineitem) li
+    """,
+)
+def order_flags_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 distinct collect with FILTER + COALESCE-to-empty
+    (``firs_mv.sql:55–57``)."""
+    li = t(spark, sf_dir, "lineitem")
+    flags = collect_distinct_sorted(
+        F.when(F.col("l_returnflag") != "N", F.upper("l_returnflag"))
+    )
+    return li.groupBy("l_orderkey").agg(F.array_join(flags, ",").alias("flags"))
+
+
+@register(
+    "customer_status_map",
+    """
+    SELECT o_custkey,
+           string_agg(s || '=' || CAST(n AS VARCHAR), ';' ORDER BY s) AS status_counts
+    FROM (SELECT o_custkey, o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY o_custkey, o_orderstatus)
+    GROUP BY o_custkey
+    """,
+)
+def customer_status_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 map-aggregate (``jsonb_object_agg``, ``firs_mv.sql:90–95``) as a
+    key-sorted entries string."""
+    counts = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    entries = map_agg_entries("o_orderstatus", "n")
+    return counts.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(entries, lambda e: F.concat_ws("=", e["key"], e["value"])), ";"
+        ).alias("status_counts")
+    )
+
+
+@register(
+    "orders_union_branches",
+    """
+    SELECT o_orderkey, 'finished' AS branch FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, 'urgent' AS branch FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def orders_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 UNION ALL branch assembly (``firs_mv.sql:120–166``)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("finished").alias("branch")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("branch")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "customer_order_stats",
+    """
+    SELECT c_custkey, c_name,
+           CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT)
+             AS order_count,
+           CAST(COALESCE((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          FROM orders o WHERE o.o_custkey = c.c_custkey), 0) AS VARCHAR)
+             AS total_spent
+    FROM customer c
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: the core MV rewrite — correlated scalar subqueries (the oracle
+    keeps them correlated) decorrelated into one groupBy + left join."""
+    cust = t(spark, sf_dir, "customer")
+    stats = decorrelated_agg(
+        t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey",
+        {
+            "order_count": F.count(F.lit(1)),
+            "total_spent": F.sum(F.col("o_totalprice").cast(DEC)),
+        },
+    )
+    return cust.join(stats, "c_custkey", "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("order_count", F.lit(0)).alias("order_count"),
+        F.coalesce(F.col("total_spent"), F.lit(0).cast(DEC)).cast("string").alias("total_spent"),
+    )
+
+
+@register(
+    "top50_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+    """,
+)
+def top50_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 global sort + limit — Spark runs this as TakeOrderedAndProject
+    (per-partition top-k, no full sort)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@register(
+    "upsert_latest_wins",
+    """
+    WITH existing AS (SELECT event_id, ts, value FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+    incoming AS (SELECT event_id, ts, value * 2 AS value FROM events WHERE ts >= TIMESTAMP '2024-01-10'),
+    u AS (SELECT *, 0 AS src FROM existing UNION ALL SELECT *, 1 AS src FROM incoming),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC NULLS LAST, src DESC) AS rn FROM u)
+    SELECT event_id, ROUND(value, 2) AS value FROM r WHERE rn = 1
+    """,
+)
+def upsert_latest_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/I2: dedup-union MERGE, latest version wins, incoming wins ties
+    (overlapping-chunk semantics, ``etl_crimes.py:853–871``)."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    existing = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    incoming = ev.filter(F.col("ts") >= F.lit("2024-01-10").cast("timestamp")).withColumn(
+        "value", F.col("value") * 2
+    )
+    merged = upsert_latest_wins(existing, incoming, "event_id", "ts")
+    return merged.select("event_id", F.round("value", 2).alias("value"))
+
+
+@register(
+    "smart_merge_customers",
+    """
+    WITH incoming AS (
+      SELECT c_custkey, c_name || '_new' AS c_name, CAST(NULL AS DOUBLE) AS c_acctbal,
+             'NEWSEG' AS c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT e.c_custkey,
+           COALESCE(i.c_name, e.c_name) AS c_name,
+           ROUND(COALESCE(i.c_acctbal, e.c_acctbal), 2) AS c_acctbal,
+           CASE WHEN i.c_custkey IS NOT NULL THEN i.c_mktsegment ELSE e.c_mktsegment END
+             AS c_mktsegment
+    FROM customer e LEFT JOIN incoming i ON e.c_custkey = i.c_custkey
+    """,
+)
+def smart_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 field-level smart merge: new non-null wins, old kept under new
+    null, ``always_take_new`` columns authoritative from the batch
+    (``etl_accused.py:1349–1388``)."""
+    cust = t(spark, sf_dir, "customer")
+    incoming = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("_new")).alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    merged = smart_merge(cust, incoming, "c_custkey", always_take_new=("c_mktsegment",))
+    return merged.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+@register(
+    "merge_classify_stats",
+    """
+    WITH incoming AS (
+      SELECT o_orderkey, o_totalprice + 10 AS o_totalprice FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 1
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 2)
+    SELECT merge_op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN e.o_orderkey IS NULL THEN 'inserted'
+                  WHEN i.o_totalprice IS DISTINCT FROM e.o_totalprice THEN 'updated'
+                  ELSE 'no_change' END AS merge_op
+      FROM incoming i LEFT JOIN orders e ON i.o_orderkey = e.o_orderkey)
+    GROUP BY merge_op
+    """,
+)
+def merge_classify_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/S7: inserted/updated/no_change accounting derived from the merge
+    join's change predicate, not rowcounts (``etl_crimes.py:727–773``)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    incoming = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+        .unionByName(o.filter(F.col("o_orderkey") % 5 == 1))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 5 == 2).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    classified = classify_merge(o, incoming, "o_orderkey", ["o_totalprice"])
+    return merge_stats(classified).select("merge_op", F.col("count").alias("n"))
+
+
+@register(
+    "fk_validate_lineitems",
+    """
+    SELECT fk_status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+                  THEN 'valid' ELSE 'reject' END AS fk_status
+      FROM lineitem l)
+    GROUP BY fk_status
+    """,
+)
+def fk_validate_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 FK validation split — one left join produces both halves
+    (``etl_crimes.py:661–670``)."""
+    li = t(spark, sf_dir, "lineitem")
+    parent = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    valid, rejects = fk_validate(li, parent, "l_orderkey")
+    return (
+        valid.select(F.lit("valid").alias("fk_status"))
+        .unionByName(rejects.select(F.lit("reject").alias("fk_status")))
+        .groupBy("fk_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "quarantine_retry_stats",
+    """
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus <> 'F')
+                  THEN 'resolved' ELSE 'still_pending' END AS bucket
+      FROM lineitem l WHERE l.l_orderkey % 7 = 0)
+    GROUP BY bucket
+    """,
+)
+def quarantine_retry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 deferred-FK queue replay (``etl_fk_retry_queue.py:38–130``)."""
+    pending = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    parent = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    resolved, still = quarantine_retry(pending, parent, "l_orderkey")
+    return (
+        resolved.select(F.lit("resolved").alias("bucket"))
+        .unionByName(still.select(F.lit("still_pending").alias("bucket")))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "watermark_incremental_events",
+    """
+    SELECT event_id FROM events
+    WHERE ts > (SELECT MAX(ts) FROM events WHERE ts < TIMESTAMP '2024-01-20')
+    """,
+)
+def watermark_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 high-water-mark incremental read: watermark is one scalar agg on
+    the target; the feed filter is an exact predicate pushed to the scan."""
+    ev = t(spark, sf_dir, "events")
+    target = ev.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    wm = compute_watermark(target, "ts", "ts")
+    return incremental_filter(ev, wm, "ts", "ts").select("event_id")
+
+
+@register(
+    "fuzzy_match_event_types",
+    """
+    WITH dict AS (SELECT DISTINCT event_type AS matched FROM events),
+    probe AS (SELECT DISTINCT substr(event_type, 1, length(event_type) - 1) AS token FROM events),
+    cand AS (
+      SELECT p.token, d.matched,
+             CAST(levenshtein(lower(trim(p.token)), lower(trim(d.matched))) AS INT) AS match_distance
+      FROM probe p JOIN dict d
+        ON levenshtein(lower(trim(p.token)), lower(trim(d.matched))) <= 2
+       AND substr(lower(trim(p.token)), 1, 1) = substr(lower(trim(d.matched)), 1, 1)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY token
+                                       ORDER BY match_distance ASC, lower(trim(matched)) ASC) AS rn
+          FROM cand)
+    SELECT token, matched, match_distance FROM r WHERE rn = 1
+    """,
+)
+def fuzzy_match_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/J9/J10 fuzzy dictionary join: broadcast dict + JVM levenshtein with
+    a first-letter block, best match per probe row
+    (``drug_standardization.py:60–106``)."""
+    ev = t(spark, sf_dir, "events")
+    probe = ev.select(
+        F.expr("substring(event_type, 1, length(event_type) - 1)").alias("token")
+    ).distinct()
+    dim = ev.select(F.col("event_type").alias("matched")).distinct()
+    out = fuzzy_join_levenshtein(
+        probe, dim, "token", "matched", max_distance=2, keep_best=True, block="prefix1"
+    )
+    return out.select("token", "matched", F.col("match_distance").cast("int").alias("match_distance"))
+
+
+@register("nation_soundex_pairs", None)  # soundex has no DuckDB analog → rows-only
+def nation_soundex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 phonetic-blocked candidate pairs (``brief_facts_ai/db.py:147–169``).
+    Pairwise comparison never leaves a soundex block."""
+    n = t(spark, sf_dir, "nation")
+    left = n.select(F.col("n_nationkey").alias("id_a"), F.col("n_name").alias("name_a"))
+    right = n.select(F.col("n_nationkey").alias("id_b"), F.col("n_name").alias("name_b"))
+    pairs = soundex_blocked_candidates(left, right, "name_a", "name_b")
+    return pairs.filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")

@@ -1,0 +1,310 @@
+"""Text / dedup / similarity / multimodal queries (SURVEY §2.8 + the
+north-star training-data-pipeline surface) with DuckDB oracles where the
+computation is engine-portable.
+
+Hash-based operators (minhash, simhash, hyperplane LSH) use Spark's hash
+functions which have no DuckDB analog — those entries are registered
+without an oracle (driver records a rows-only check) but their *exact*
+counterparts (n-gram Jaccard, brute-force cosine) are oracle-checked, so
+the approximate operators are validated against the exact ones in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.functions.textfns import (
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from dopams_etl_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    tiered_fingerprint_dedup,
+)
+from dopams_etl_spark.operators.llm_map import llm_map, regex_extract_stub
+from dopams_etl_spark.operators.multimodal import decode_media, stub_decoder
+from dopams_etl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+from dopams_etl_spark.plans.catalog import register, t
+
+_STOP_EN = "'the','and','of','to','a','in','is','it','that','for'"
+_STOP_ES = "'el','la','de','que','y','en','un','una','los','por'"
+_STOP_FR = "'le','la','de','et','les','des','un','une','dans','pour'"
+_STOP_DE = "'der','die','das','und','ist','von','mit','den','ein','für'"
+
+
+@register(
+    "exact_dedup_docs",
+    r"""
+    WITH f AS (SELECT doc_id,
+                      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count
+          FROM f)
+    SELECT doc_id, fp, dup_count FROM r WHERE rn = 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text md5 fingerprint —
+    one shuffle on the 16-byte key, no pairwise comparison."""
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "fp", "dup_count")
+
+
+@register(
+    "doc_token_stats",
+    r"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+                             / CAST(length(text) AS DOUBLE), 6)
+                  ELSE 0.0 END AS punct_ratio,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x IN ({stop}))) AS stop_hits
+      FROM documents)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, punct_ratio,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(stop_hits / CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END
+             AS stop_ratio
+    FROM b
+    """.replace("{stop}", _STOP_EN),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation / stopword ratios — pure JVM expressions
+    inside whole-stage codegen."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({de}))) AS h_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({en}))) AS h_en,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({es}))) AS h_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({fr}))) AS h_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                ELSE 'und' END AS pred_lang
+    FROM h
+    """.replace("{de}", _STOP_DE).replace("{en}", _STOP_EN).replace("{es}", _STOP_ES).replace("{fr}", _STOP_FR),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: per-language stopword hits, argmax with a
+    deterministic key-order tie-break."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "doc_quality_scores",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS pr,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x IN ({stop}))) AS sh
+      FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN n >= 20 AND n <= 10000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END AS length_ok,
+                 1.0 - least(1.0, pr * 4.0) AS punct_ok,
+                 least(1.0, CASE WHEN n > 0 THEN sh / CAST(n AS DOUBLE) ELSE 0.0 END * 5.0) AS stop_ok
+          FROM b)
+    SELECT doc_id, 0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok AS quality
+    FROM s
+    """.replace("{stop}", _STOP_EN),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite quality score (length sweet-spot, punctuation,
+    stopword density)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "ngram_jaccard_dups",
+    r"""
+    WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+          FROM tk),
+    e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+    keep AS (SELECT shingle FROM e GROUP BY shingle HAVING COUNT(*) <= 50),
+    e2 AS (SELECT e.* FROM e JOIN keep USING (shingle)),
+    j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           ROUND(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+    FROM j
+    WHERE ROUND(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) >= 0.5
+    """,
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups via shingle inverted index — the
+    shuffle key is the shingle; ``max_df`` caps document frequency so no
+    ubiquitous-shingle skew."""
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50)
+
+
+@register("minhash_lsh_pairs", None)  # Spark murmur3 hashes: no DuckDB analog
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs — banded signature shuffle; validated
+    against exact n-gram Jaccard in tests/test_dedup.py."""
+    docs = t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
+
+
+@register("simhash_dups", None)  # xxhash64: no DuckDB analog
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups — 4×16-bit banded blocking + exact hamming."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
+
+
+@register(
+    "tiered_dedup_docs",
+    r"""
+    WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    t1 AS (SELECT doc_id,
+                  md5(coalesce(lower(trim(lang)), '') || '|' || coalesce(lower(trim(source)), '')) AS fp
+           FROM base),
+    g1 AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n FROM t1 GROUP BY fp),
+    m1 AS (SELECT t1.doc_id, g1.canonical_id, 1 AS tier, 1.0 AS confidence
+           FROM t1 JOIN g1 USING (fp) WHERE g1.n > 1),
+    rest AS (SELECT b.* FROM base b WHERE NOT EXISTS (SELECT 1 FROM m1 WHERE m1.doc_id = b.doc_id)),
+    t2 AS (SELECT doc_id, md5(coalesce(lower(trim(lang)), '')) AS fp FROM rest),
+    g2 AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n FROM t2 GROUP BY fp),
+    m2 AS (SELECT t2.doc_id, g2.canonical_id, 2 AS tier, 0.9 AS confidence
+           FROM t2 JOIN g2 USING (fp) WHERE g2.n > 1),
+    singles AS (SELECT doc_id, doc_id AS canonical_id, 0 AS tier, 1.0 AS confidence
+                FROM rest WHERE NOT EXISTS (SELECT 1 FROM m2 WHERE m2.doc_id = rest.doc_id))
+    SELECT doc_id, canonical_id, tier, confidence FROM m1
+    UNION ALL SELECT doc_id, canonical_id, tier, confidence FROM m2
+    UNION ALL SELECT doc_id, canonical_id, tier, confidence FROM singles
+    """,
+)
+def tiered_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 tiered fingerprint dedup: tier 1 = (lang, source), tier 2 = (lang);
+    per-tier groupBy + anti-join cascade, no pairwise scoring
+    (``create_person_deduplication_table.py:397–660``)."""
+    docs = t(spark, sf_dir, "documents")
+    out = tiered_fingerprint_dedup(docs, "doc_id", [["lang", "source"], ["lang"]])
+    return out.select("doc_id", "canonical_id", "tier", F.col("confidence").cast("double").alias("confidence"))
+
+
+@register(
+    "cosine_topk_embeddings",
+    """
+    WITH p AS (SELECT vec_id AS p_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT p_id, c_id,
+                 ROUND(list_dot_product(pv, cv)
+                       / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6)
+                   AS cos_sim
+          FROM p JOIN c ON p_id <> c_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY p_id
+                                       ORDER BY cos_sim DESC, c_id ASC) AS rn FROM s)
+    SELECT p_id, c_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
+    """,
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 similarity top-k, exact brute-force baseline: JVM zip_with/aggregate
+    dot products in double precision, broadcast corpus, window top-k."""
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(probe, emb, "vec_id", "vec_id", "embedding", k=3)
+
+
+@register("lsh_topk_embeddings", None)  # hyperplane signs: no DuckDB analog
+def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 at scale: random-hyperplane LSH bucketed top-k — shuffle on bucket
+    id, never the cross product; recall measured in tests vs cosine_topk."""
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(probe, emb, "vec_id", "vec_id", "embedding", k=3, dim=64, planes=6)
+
+
+@register("embedding_near_dup_pairs", None)  # hyperplane signs: no DuckDB analog
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups over LSH buckets (no unbounded cartesian)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.9, dim=64, planes=8)
+
+
+@register(
+    "llm_extract_docs",
+    r"""
+    SELECT doc_id,
+           COALESCE(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z]*er\b'))), ','), '')
+             AS extracted
+    FROM documents
+    """,
+)
+def llm_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5/§2.10 ``llm_map``: Arrow-batched mapInPandas extraction stage with
+    a deterministic regex stub standing in for the LLM provider."""
+    docs = t(spark, sf_dir, "documents")
+    return llm_map(
+        docs,
+        input_cols=["doc_id", "text"],
+        output_schema="extracted string, doc_id long",
+        provider=regex_extract_stub(r"[a-z]*er\b", "text"),
+        passthrough_cols=["doc_id"],
+    ).select("doc_id", "extracted")
+
+
+@register(
+    "media_decode_meta",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 AS INT) AS width,
+           CAST(strlen(text) % 480 AS INT) AS height
+    FROM documents
+    """,
+)
+def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → mapInPandas decode stage
+    (deterministic stub decoder; a real decoder plugs into the same
+    signature). The payload here is the document text encoded as bytes."""
+    docs = t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    out = decode_media(docs, "doc_id", "payload", decoder=stub_decoder)
+    return out.select("doc_id", "n_bytes", "width", "height")
