@@ -46,12 +46,12 @@ LIQUID_FORMS = ("syrup", "injection", "liquid", "solution")
 def _dimension(unit: Column) -> Column:
     # Literal map lookup — one expression, not a 60-branch CASE chain.
     m = F.create_map(*[F.lit(x) for tok, (dim, _) in UNIT_MAP.items() for x in (tok, dim)])
-    return F.coalesce(m.getItem(unit), F.lit("unknown"))
+    return F.coalesce(m[unit], F.lit("unknown"))
 
 
 def _factor(unit: Column) -> Column:
     m = F.create_map(*[F.lit(x) for tok, (_, fac) in UNIT_MAP.items() for x in (tok, fac)])
-    return m.getItem(unit)
+    return m[unit]
 
 
 def standardize_quantity(

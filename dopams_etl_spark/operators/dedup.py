@@ -229,45 +229,63 @@ def simhash_near_dups(
     )
 
 
-def tiered_fingerprint_dedup(
-    df: DataFrame, id_col: str, tiers: list[list[str]]
-) -> DataFrame:
-    """D1: tiered fingerprint dedup — resolve tier 1 groups, anti-join the
-    remainder into tier 2, etc. Returns (id, canonical_id, tier, confidence).
+# Reference tier confidence weights (``create_person_deduplication_table.py:615``).
+TIER_WEIGHTS = {1: 0.95, 2: 0.90, 3: 0.85, 4: 0.75, 5: 0.65}
 
-    Tier N fingerprint = md5 of the tier's column tuple; canonical id =
-    min(id) within the group; confidence decays per tier (parity with
-    ``create_person_deduplication_table.py:397–660``)."""
+
+def tiered_fingerprint_dedup(
+    df: DataFrame,
+    id_col: str,
+    tiers: list[list[str]],
+    tier_weights: dict[int, float] | None = None,
+) -> DataFrame:
+    """D1: tiered fingerprint dedup. Returns (id, canonical_id, tier,
+    confidence).
+
+    Reference semantics (``create_person_deduplication_table.py:516–560``,
+    ``:824–830``): each row is assigned the FIRST tier whose fields are all
+    non-blank (tier = data-completeness cascade, not group size), then rows
+    group by that tier's md5 fingerprint; canonical id = min(id) within the
+    group; confidence = the tier's weight (``:615``). Rows completing no
+    tier keep their own identity (tier 0).
+
+    Scale: one shuffle — a single groupBy on (tier, fingerprint) — instead
+    of a per-tier resolve/anti-join cascade.
+    """
     from dopams_etl_spark.functions.ids import fingerprint
 
-    remaining = df
-    results: list[DataFrame] = []
-    for tier_idx, cols in enumerate(tiers, start=1):
-        keyed = remaining.withColumn("__fp", fingerprint(*cols)).filter(
-            F.concat_ws("", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]) != ""
-        )
-        groups = keyed.groupBy("__fp").agg(
-            F.min(F.col(id_col)).alias("canonical_id"), F.count(F.lit(1)).alias("__n")
-        )
-        matched = (
-            keyed.join(groups, "__fp")
-            .filter(F.col("__n") > 1)
-            .select(
-                F.col(id_col),
-                "canonical_id",
-                F.lit(tier_idx).alias("tier"),
-                F.round(F.lit(1.0) - 0.1 * (tier_idx - 1), 2).alias("confidence"),
-            )
-        )
-        results.append(matched)
-        remaining = remaining.join(matched.select(id_col), id_col, "left_anti")
-    singletons = remaining.select(
-        F.col(id_col),
-        F.col(id_col).alias("canonical_id"),
-        F.lit(0).alias("tier"),
-        F.lit(1.0).alias("confidence"),
+    weights = tier_weights or TIER_WEIGHTS
+
+    def complete(cols: list[str]) -> Column:
+        cond = F.lit(True)
+        for c in cols:
+            v = F.trim(F.col(c).cast("string"))
+            cond = cond & v.isNotNull() & (v != "")
+        return cond
+
+    tier_col = F.lit(0)
+    fp_col = F.lit(None).cast("string")
+    for tier_idx in range(len(tiers), 0, -1):
+        cols = tiers[tier_idx - 1]
+        tier_col = F.when(complete(cols), F.lit(tier_idx)).otherwise(tier_col)
+        fp_col = F.when(complete(cols), fingerprint(*cols)).otherwise(fp_col)
+
+    keyed = df.select(F.col(id_col), tier_col.alias("tier"), fp_col.alias("__fp"))
+    groups = (
+        keyed.filter(F.col("tier") > 0)
+        .groupBy("tier", "__fp")
+        .agg(F.min(F.col(id_col)).alias("canonical_id"))
     )
-    out = singletons
-    for r in results:
-        out = out.unionByName(r)
-    return out
+    conf = F.lit(None).cast("double")
+    for tier_idx, w in weights.items():
+        conf = F.when(F.col("tier") == tier_idx, F.lit(w)).otherwise(conf)
+    conf = F.when(F.col("tier") == 0, F.lit(1.0)).otherwise(F.coalesce(conf, F.lit(0.5)))
+    return (
+        keyed.join(groups, ["tier", "__fp"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+            "tier",
+            F.round(conf, 2).alias("confidence"),
+        )
+    )

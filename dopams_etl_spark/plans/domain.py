@@ -558,6 +558,52 @@ def strip_alias_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("entity_resolution_blocked", None)  # soundex blocking: no DuckDB analog
+def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 entity resolution: soundex-blocked candidates → weighted
+    pairwise score → tier cascade (0.82 merge / 0.60 review). Pairwise
+    scoring never leaves a block; tier thresholds unit-tested in
+    tests/test_resolution.py."""
+    from dopams_etl_spark.operators.joins import soundex_blocked_candidates
+    from dopams_etl_spark.operators.resolution import resolve_canonical, score_pairs
+
+    cust = t(spark, sf_dir, "customer")
+    names = F.array(*[F.lit(x) for x in _NAMES])
+    k = F.col("c_custkey")
+    base = cust.select(
+        k.alias("pid"),
+        names[(k % 8).cast("int")].alias("name"),
+        F.concat(F.lit("district_"), (k % 5).cast("string"), F.lit(" ward "), (k % 11).cast("string")).alias("addr"),
+        (k % 40 + 18).cast("int").alias("age"),
+        F.when(k % 3 == 0, F.lit("chotu")).alias("alias"),
+    )
+    # probes: names with the last char dropped (typos); candidates: the base
+    # roster carrying canonical ids from a "previous run".
+    probe = base.select(
+        F.col("pid"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name_a"),
+        F.col("addr").alias("addr_a"),
+        F.col("age").alias("age_a"),
+        F.col("alias").alias("alias_a"),
+    )
+    cand = base.select(
+        F.col("pid").alias("cand_id"),
+        F.col("name").alias("name_b"),
+        F.col("addr").alias("addr_b"),
+        F.col("age").alias("age_b"),
+        F.col("alias").alias("alias_b"),
+        F.concat(F.lit("canon_"), F.col("pid").cast("string")).alias("canonical_person_id"),
+    )
+    pairs = soundex_blocked_candidates(probe, cand, "name_a", "name_b").filter(
+        F.col("pid") != F.col("cand_id")
+    )
+    scored = score_pairs(pairs, same_ps=F.col("pid") % 2 == F.col("cand_id") % 2)
+    resolved = resolve_canonical(
+        scored, "pid", "canonical_person_id", ("name_a", "addr_a", "age_a")
+    )
+    return resolved.select("pid", "canonical_id", "best_score", "tier", "needs_review")
+
+
 @register(
     "firs_mv",
     """

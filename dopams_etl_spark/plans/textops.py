@@ -202,32 +202,40 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tiered_dedup_docs",
     r"""
-    WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
-    t1 AS (SELECT doc_id,
-                  md5(coalesce(lower(trim(lang)), '') || '|' || coalesce(lower(trim(source)), '')) AS fp
-           FROM base),
-    g1 AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n FROM t1 GROUP BY fp),
-    m1 AS (SELECT t1.doc_id, g1.canonical_id, 1 AS tier, 1.0 AS confidence
-           FROM t1 JOIN g1 USING (fp) WHERE g1.n > 1),
-    rest AS (SELECT b.* FROM base b WHERE NOT EXISTS (SELECT 1 FROM m1 WHERE m1.doc_id = b.doc_id)),
-    t2 AS (SELECT doc_id, md5(coalesce(lower(trim(lang)), '')) AS fp FROM rest),
-    g2 AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n FROM t2 GROUP BY fp),
-    m2 AS (SELECT t2.doc_id, g2.canonical_id, 2 AS tier, 0.9 AS confidence
-           FROM t2 JOIN g2 USING (fp) WHERE g2.n > 1),
-    singles AS (SELECT doc_id, doc_id AS canonical_id, 0 AS tier, 1.0 AS confidence
-                FROM rest WHERE NOT EXISTS (SELECT 1 FROM m2 WHERE m2.doc_id = rest.doc_id))
-    SELECT doc_id, canonical_id, tier, confidence FROM m1
-    UNION ALL SELECT doc_id, canonical_id, tier, confidence FROM m2
-    UNION ALL SELECT doc_id, canonical_id, tier, confidence FROM singles
+    WITH base AS (SELECT doc_id, lang,
+                         CASE WHEN source LIKE '%0' THEN NULL ELSE source END AS source
+                  FROM documents),
+    f AS (SELECT doc_id,
+                 CASE WHEN lang IS NOT NULL AND trim(lang) <> ''
+                           AND source IS NOT NULL AND trim(source) <> '' THEN 1
+                      WHEN lang IS NOT NULL AND trim(lang) <> '' THEN 2
+                      ELSE 0 END AS tier,
+                 CASE WHEN lang IS NOT NULL AND trim(lang) <> ''
+                           AND source IS NOT NULL AND trim(source) <> ''
+                      THEN md5(lower(trim(lang)) || '|' || lower(trim(source)))
+                      WHEN lang IS NOT NULL AND trim(lang) <> ''
+                      THEN md5(lower(trim(lang))) END AS fp
+          FROM base),
+    g AS (SELECT tier, fp, MIN(doc_id) AS canon FROM f WHERE tier > 0 GROUP BY tier, fp)
+    SELECT f.doc_id,
+           COALESCE(g.canon, f.doc_id) AS canonical_id,
+           f.tier,
+           CASE f.tier WHEN 1 THEN 0.95 WHEN 2 THEN 0.9 ELSE 1.0 END AS confidence
+    FROM f LEFT JOIN g ON f.tier = g.tier AND f.fp = g.fp
     """,
 )
 def tiered_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 tiered fingerprint dedup: tier 1 = (lang, source), tier 2 = (lang);
-    per-tier groupBy + anti-join cascade, no pairwise scoring
-    (``create_person_deduplication_table.py:397–660``)."""
-    docs = t(spark, sf_dir, "documents")
+    """D1 tiered fingerprint dedup: tier = first data-complete strategy,
+    one groupBy on (tier, fingerprint)
+    (``create_person_deduplication_table.py:516–560``). `source` ending in
+    '0' is blanked so the tier-2 fallback path is exercised."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "source", F.when(F.col("source").endswith("0"), F.lit(None)).otherwise(F.col("source"))
+    )
     out = tiered_fingerprint_dedup(docs, "doc_id", [["lang", "source"], ["lang"]])
-    return out.select("doc_id", "canonical_id", "tier", F.col("confidence").cast("double").alias("confidence"))
+    return out.select(
+        "doc_id", "canonical_id", "tier", F.col("confidence").cast("double").alias("confidence")
+    )
 
 
 @register(

@@ -1,0 +1,91 @@
+import itertools
+
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+    tiered_fingerprint_dedup,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (3, "completely different text about spark catalyst optimizer and shuffles here"),
+    (4, "The quick  brown fox jumps over the lazy dog again and again today"),
+]
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    kept = exact_dedup(df, "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in kept}
+    assert 4 not in by_id          # doc 4 collapses into doc 1
+    assert by_id[1] == 2
+
+
+def test_minhash_signature_not_degenerate(spark):
+    df = spark.createDataFrame(DOCS[:1], ["doc_id", "text"])
+    sig = minhash_signature(df, "text", num_hashes=16).collect()[0]["minhash"]
+    assert len(set(sig)) > 8  # advisor regression: all entries identical before fix
+
+
+def test_lsh_finds_near_dup_and_est_jaccard_below_one(spark):
+    df = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+             lsh_candidate_pairs(df, "doc_id", "text", num_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert 0.0 < pairs[(1, 2)] <= 1.0
+    assert (1, 3) not in pairs
+
+
+def test_lsh_est_tracks_exact_jaccard(spark):
+    df = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()}
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           lsh_candidate_pairs(df, "doc_id", "text", num_hashes=32, bands=16).collect()}
+    assert abs(est[(1, 2)] - exact[(1, 2)]) < 0.35  # coarse: 32 hashes
+
+
+def test_ngram_jaccard_max_df_drops_ubiquitous_shingles(spark):
+    rows = [(i, "common shingle text here plus unique" + str(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    none_kept = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df=1)
+    assert none_kept.count() == 0  # every shared shingle exceeds max_df=1
+
+
+def test_simhash_near_dups_hamming(spark):
+    df = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df, "text").collect()}
+    assert len(set(sigs.values())) == 3
+    near = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            simhash_near_dups(df, "doc_id", "text", max_hamming=10).collect()}
+    assert (1, 2) in near
+    ham_12 = near[(1, 2)]
+    ham_13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_12 < ham_13  # near-dup pair closer than unrelated pair
+
+
+def test_tiered_dedup_data_completeness_cascade(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ram", "hyd", 30),
+            (2, "ram", "hyd", 30),    # tier-1 dup of 1 (all fields present)
+            (3, "ram", None, 30),     # city missing → tier 2 (name+age)
+            (5, "ram", None, 30),     # tier-2 dup of 3
+            (4, "shyam", "hyd", 40),  # tier-1 singleton
+            (6, None, None, None),    # nothing complete → tier 0
+        ],
+        "pid long, name string, city string, age int",
+    )
+    out = {r["pid"]: r for r in
+           tiered_fingerprint_dedup(df, "pid", [["name", "city", "age"], ["name", "age"]]).collect()}
+    assert out[2]["canonical_id"] == 1 and out[2]["tier"] == 1 and out[2]["confidence"] == 0.95
+    assert out[5]["canonical_id"] == 3 and out[5]["tier"] == 2 and out[5]["confidence"] == 0.9
+    assert out[4]["tier"] == 1 and out[4]["canonical_id"] == 4  # singleton keeps own id
+    assert out[6]["tier"] == 0 and out[6]["canonical_id"] == 6

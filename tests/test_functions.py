@@ -1,0 +1,116 @@
+import datetime
+
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.functions.cleaning import coerce_bool, coerce_numeric, normalize_blank
+from dopams_etl_spark.functions.datetime_utils import overdue_bucket, parse_date_multi
+from dopams_etl_spark.functions.gender import resolve_gender
+from dopams_etl_spark.functions.ids import fingerprint, uuid5_expr
+from dopams_etl_spark.functions.sections import classify_sections
+from dopams_etl_spark.functions.status import normalize_status, parse_accused_status
+from dopams_etl_spark.functions.units import standardize_quantity
+
+
+def _one(spark, cols, data, schema):
+    return spark.createDataFrame(data, schema).select(*cols).collect()
+
+
+def test_normalize_status_reference_parity(spark):
+    cases = {
+        "Arrested on 1/1/21": "Arrested",
+        "Arrest Related/41A CrPC Pending": "Absconding",
+        "Arrest Related other": "Unknown",
+        "Surrendered before court": "Arrested",
+        "Absconding": "Absconding",
+        "Absconding since": "Unknown",  # reference pattern is exact, no wildcard
+        "41A Cr.P.C notice": "Issued Notice",
+        "High court directions x": "Issued Notice",
+        None: "Unknown",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "status string")
+    got = {r["status"]: r["norm"] for r in
+           df.select("status", normalize_status("status").alias("norm")).collect()}
+    assert got == cases
+
+
+def test_parse_accused_status_date_flip(spark):
+    rows = _one(
+        spark,
+        ["*"],
+        [("41A notice issued on 05/03/2024 pending",)],
+        "s string",
+    )
+    df = spark.createDataFrame([("41A notice issued on 05/03/2024 pending",)], "s string")
+    r = df.select(*parse_accused_status("s")).collect()[0]
+    assert r["is_41a_crpc"] and r["is_41a_pending"] and not r["is_arrested"]
+    assert r["date_of_issue_41a"] == "2024-03-05"
+
+
+def test_units_bottles_are_count_and_liquid_reclass(spark):
+    df = spark.createDataFrame(
+        [(2.0, "bottles", "syrup"), (100.0, "grams", "syrup"), (2.0, "KGs.", None)],
+        ["q", "u", "f"],
+    )
+    rows = df.select(*standardize_quantity("q", "u", "f")).collect()
+    assert rows[0]["dimension"] == "count" and rows[0]["count_total"] == 2.0
+    assert rows[1]["dimension"] == "volume" and rows[1]["volume_ml"] == 100.0
+    assert rows[2]["dimension"] == "weight" and rows[2]["weight_g"] == 2000.0
+
+
+def test_gender_resolution_cascade(spark):
+    df = spark.createDataFrame(
+        [
+            ("priya", "xx"),          # invalid api → suffix heuristic
+            ("ramesh kumar", None),   # None api → Unknown api → rule map
+            ("x1", None),             # invalid name
+            ("dev", ""),              # '' api → Unknown, no suffix hit
+            ("anyname", "female"),    # valid api always wins
+        ],
+        ["name", "apig"],
+    )
+    got = {r["name"]: (r["gender"], r["gender_confidence"], r["gender_source"])
+           for r in df.select("name", *resolve_gender("name", "apig")).collect()}
+    assert got["priya"] == ("Female", 0.8, "heuristic")
+    assert got["ramesh kumar"] == ("Male", 0.9, "rule")
+    assert got["x1"] == ("Unknown", 0.0, "invalid_name")
+    assert got["dev"] == ("Unknown", 0.0, "heuristic")
+    assert got["anyname"] == ("Female", 1.0, "api")
+
+
+def test_sections_priority_rollup(spark):
+    df = spark.createDataFrame(
+        [(1, "27-A, 20(b)(ii)(C)"), (2, "20A, 8c"), (3, "12, 29b")],
+        ["k", "secs"],
+    )
+    got = {r["k"]: r["class_classification"] for r in classify_sections(df, "secs", "k").collect()}
+    assert got == {1: "commercial", 2: "cultivation", 3: "intermediate"}
+
+
+def test_cleaning_coercions(spark):
+    df = spark.createDataFrame([("NA", "Yes", "₹1,234.5")], ["s", "b", "n"])
+    r = df.select(
+        normalize_blank("s").alias("s"), coerce_bool("b").alias("b"), coerce_numeric("n").alias("n")
+    ).collect()[0]
+    assert r["s"] is None and r["b"] is True and r["n"] == 1234.5
+
+
+def test_parse_date_multi_formats_and_garbage(spark):
+    df = spark.createDataFrame(
+        [("2024-05-01",), ("01/05/2024",), ("01-05-2024",), ("garbage",)], "raw string"
+    )
+    got = [r["d"] for r in df.select(parse_date_multi("raw").cast("date").alias("d")).collect()]
+    assert got[:3] == [datetime.date(2024, 5, 1)] * 3 and got[3] is None
+
+
+def test_overdue_bucket_edges(spark):
+    df = spark.createDataFrame([(60,), (61,), (180,), (181,), (None,)], "d int")
+    got = [r["b"] for r in df.select(overdue_bucket("d").alias("b")).collect()]
+    assert got == ["within_60", "within_180", "within_180", "over_180", "unknown"]
+
+
+def test_deterministic_ids_shape(spark):
+    df = spark.createDataFrame([("Ravi", "HYD")], ["n", "c"])
+    r = df.select(fingerprint("n", "c").alias("fp"), uuid5_expr("n").alias("u")).collect()[0]
+    assert len(r["fp"]) == 32
+    parts = r["u"].split("-")
+    assert [len(p) for p in parts] == [8, 4, 4, 4, 12] and parts[2][0] == "5"

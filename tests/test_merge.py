@@ -1,0 +1,44 @@
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.operators.merge import classify_merge, smart_merge, upsert_latest_wins
+
+
+def test_upsert_latest_wins_incoming_wins_ties(spark):
+    existing = spark.createDataFrame([(1, 10, "old"), (2, 10, "keep")], ["k", "v", "tag"])
+    incoming = spark.createDataFrame([(1, 10, "new"), (3, 5, "ins")], ["k", "v", "tag"])
+    out = {r["k"]: r["tag"] for r in upsert_latest_wins(existing, incoming, "k", "v").collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_newer_existing_survives(spark):
+    existing = spark.createDataFrame([(1, 20, "old")], ["k", "v", "tag"])
+    incoming = spark.createDataFrame([(1, 10, "stale")], ["k", "v", "tag"])
+    assert upsert_latest_wins(existing, incoming, "k", "v").collect()[0]["tag"] == "old"
+
+
+def test_smart_merge_field_matrix(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 1.0, "d1"), (2, "b", 2.0, "d2")], ["k", "name", "bal", "dt"]
+    )
+    incoming = spark.createDataFrame(
+        [(1, None, 9.0, None), (3, "c", None, "d3")], ["k", "name", "bal", "dt"]
+    )
+    rows = {r["k"]: r for r in smart_merge(existing, incoming, "k", always_take_new=("dt",)).collect()}
+    assert rows[1]["name"] == "a"       # new null never overwrites old non-null
+    assert rows[1]["bal"] == 9.0        # new non-null wins
+    assert rows[1]["dt"] is None        # always_take_new: batch authoritative even when null
+    assert rows[2]["dt"] == "d2"        # untouched row keeps everything
+    assert rows[3]["name"] == "c"       # pure insert
+
+
+def test_classify_merge_stats(spark):
+    existing = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+    incoming = spark.createDataFrame([(1, 10), (2, 99), (3, 30)], ["k", "v"])
+    out = {r["k"]: r["merge_op"] for r in classify_merge(existing, incoming, "k", ["v"]).collect()}
+    assert out == {1: "no_change", 2: "updated", 3: "inserted"}
+
+
+def test_classify_merge_null_safe(spark):
+    existing = spark.createDataFrame([(1, None)], "k int, v int")
+    incoming = spark.createDataFrame([(1, None)], "k int, v int")
+    assert classify_merge(existing, incoming, "k", ["v"]).collect()[0]["merge_op"] == "no_change"

@@ -1,0 +1,71 @@
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.operators.resolution import (
+    age_score,
+    name_similarity,
+    resolve_canonical,
+    score_pairs,
+    token_set_similarity,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "pid long, name_a string, addr_a string, age_a int, alias_a string, "
+        "cand_id long, name_b string, addr_b string, age_b int, alias_b string, "
+        "canonical_person_id string"
+    )
+
+
+def test_identical_pair_merges_tier1(spark):
+    df = _pairs(spark, [(1, "ravi teja", "ward 5 hyd", 30, "chotu",
+                         9, "ravi teja", "ward 5 hyd", 30, "chotu", "canon_9")])
+    scored = score_pairs(df, same_ps=F.lit(True))
+    r = resolve_canonical(scored, "pid", "canonical_person_id", ("name_a", "addr_a", "age_a")).collect()[0]
+    assert r["best_score"] >= 0.82
+    assert r["tier"] == 1 and r["canonical_id"] == "canon_9" and not r["needs_review"]
+
+
+def test_partial_match_tier2_review(spark):
+    # same name, different address/age/alias → lands in the 0.60–0.82 band
+    df = _pairs(spark, [(1, "ravi teja", "odd colony", 30, None,
+                         9, "ravi teja", "far away place", 55, "pinky", "canon_9")])
+    r = resolve_canonical(
+        score_pairs(df), "pid", "canonical_person_id", ("name_a", "addr_a", "age_a")
+    ).collect()[0]
+    assert 0.60 <= r["best_score"] < 0.82
+    assert r["tier"] == 2 and r["needs_review"] and r["canonical_id"] != "canon_9"
+
+
+def test_unrelated_pair_tier3(spark):
+    df = _pairs(spark, [(1, "ravi teja", "hyd", 30, None,
+                         9, "mohammed irfan", "warangal", 55, None, "canon_9")])
+    r = resolve_canonical(
+        score_pairs(df), "pid", "canonical_person_id", ("name_a", "addr_a", "age_a")
+    ).collect()[0]
+    assert r["tier"] == 3 and not r["needs_review"] and r["canonical_id"] != "canon_9"
+
+
+def test_common_single_name_penalty(spark):
+    plain = _pairs(spark, [(1, "mahesh", "x", 30, None, 9, "mahesh", "x", 30, None, "c")])
+    common = _pairs(spark, [(1, "kumar", "x", 30, None, 9, "kumar", "x", 30, None, "c")])
+    s_plain = score_pairs(plain).collect()[0]["score"]
+    s_common = score_pairs(common).collect()[0]["score"]
+    assert s_common < s_plain  # ×0.85 penalty for common single-token names
+
+
+def test_component_similarities(spark):
+    df = spark.createDataFrame([("ravi kumar", "kumar ravi"), ("ravi", "rovi")], ["a", "b"])
+    rows = df.select(
+        F.round(token_set_similarity(F.col("a"), F.col("b")), 2).alias("tok"),
+        F.round(name_similarity(F.col("a"), F.col("b")), 2).alias("name"),
+    ).collect()
+    assert rows[0]["tok"] == 1.0          # token sets identical despite order
+    assert 0.5 <= rows[1]["name"] < 1.0   # one substitution
+
+
+def test_age_score_decay(spark):
+    df = spark.createDataFrame([(30, 30), (30, 33), (30, 45), (None, 30)], "a int, b int")
+    got = [r["s"] for r in
+           df.select(F.round(age_score(F.col("a"), F.col("b")), 2).alias("s")).collect()]
+    assert got == [0.8, 0.7, 0.0, 0.5]

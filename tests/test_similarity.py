@@ -1,0 +1,64 @@
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+
+
+def _vecs(n=30, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    # make 0/1 near-duplicates
+    base[1] = base[0] + rng.standard_normal(dim) * 0.01
+    return [(i, [float(x) for x in row]) for i, row in enumerate(base)]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rows = _vecs()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk(df.filter(F.col("vec_id") < 3), df, "vec_id", "vec_id", k=2)
+    got = {(r["p_id"], r["rank"]): (r["c_id"], r["cos_sim"]) for r in out.collect()}
+
+    mat = np.array([r[1] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    for p in range(3):
+        sims = mat @ mat[p] / (norms * norms[p])
+        sims[p] = -np.inf
+        order = sorted(range(len(rows)), key=lambda i: (-round(sims[i], 6), i))
+        for rank in (1, 2):
+            c_id, cos = got[(p, rank)]
+            assert c_id == order[rank - 1]
+            assert math.isclose(cos, round(float(sims[c_id]), 6), abs_tol=1e-6)
+
+
+def test_cosine_topk_size_gate(spark):
+    rows = _vecs(5)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="lsh_topk"):
+        cosine_topk(df, df, "vec_id", "vec_id", corpus_rows=3_000_000)
+
+
+def test_lsh_topk_recall_on_near_dup(spark):
+    rows = _vecs()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = lsh_topk(df.filter(F.col("vec_id") == 0), df, "vec_id", "vec_id", k=1, dim=8, planes=4)
+    got = out.collect()
+    # near-identical vector 1 shares every hyperplane sign with vector 0
+    assert got and got[0]["c_id"] == 1
+
+
+def test_embedding_near_dups_bucketed(spark):
+    rows = _vecs()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dups(df, "vec_id", threshold=0.99, dim=8, planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    # and the plan has no cartesian: the join is on the bucket key
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
