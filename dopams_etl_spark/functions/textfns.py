@@ -98,13 +98,15 @@ def quality_score(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Array of word n-gram shingles (for MinHash/Jaccard dedup)."""
+    """Array of word n-gram shingles (for MinHash/Jaccard dedup).
+    Blank/whitespace-only text → empty array (splitting '' yields [''])."""
     toks = tokens(col)
     count = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
-    return F.when(count >= n, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )).otherwise(F.when(count > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array()))
+    return F.when(F.trim(_c(col)) == "", F.array().cast("array<string>")).when(
+        count >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:

@@ -41,26 +41,31 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _hasher(i: int):
-    """i-th hash family member as a single-arg transform lambda.
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(id, minhash array<int>) — per hash family member, the min murmur3
+    hash (family index mixed in as a seed column) over word shingles.
 
-    Must keep arity 1: a two-parameter lambda would make ``F.transform``
-    pass (element, array_index) and the array index would override the
-    captured family index.
+    Computed as explode(shingles) → groupBy(id) with one ``min`` per family
+    member. The aggregate boundary matters twice over: (a) map-side partial
+    mins make the shuffle tiny (num_hashes ints per id), and (b) the
+    signature entries become concrete attributes — deriving LSH bands from
+    an *expression-level* array made Catalyst inline the whole
+    32-hash expression once per ``getItem``, a ~32× plan blowup (measured
+    213 s → 7 s at sf0.1).
+
+    Rows with no shingles (empty text) are absent from the output.
     """
-    return lambda s: F.hash(s, F.lit(i))
-
-
-def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
-    """Add ``minhash`` array<int> — per hash family member, the min hash over
-    word shingles. Empty docs get an empty signature."""
-    sh = df.withColumn("__sh", word_shingles(text_col, shingle_n))
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__sh"), _hasher(i))) for i in range(num_hashes)]
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
     )
-    return sh.withColumn(
-        "minhash", F.when(F.size("__sh") > 0, sig).otherwise(F.array().cast("array<int>"))
-    ).drop("__sh")
+    agg = sh.groupBy("id").agg(
+        *[F.min(F.hash("sh", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(
@@ -71,9 +76,7 @@ def lsh_candidate_pairs(
     (band_id, band_hash) buckets. Returns (id_a, id_b, est_jaccard) with
     id_a < id_b, est_jaccard = fraction of agreeing minhashes."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, num_hashes, shingle_n).select(
-        F.col(id_col).alias("id"), "minhash"
-    ).filter(F.size("minhash") > 0)
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
 
     banded = sigs.select(
         "id",

@@ -30,8 +30,14 @@ def test_exact_dedup_normalizes_case_and_whitespace(spark):
 
 def test_minhash_signature_not_degenerate(spark):
     df = spark.createDataFrame(DOCS[:1], ["doc_id", "text"])
-    sig = minhash_signature(df, "text", num_hashes=16).collect()[0]["minhash"]
+    sig = minhash_signature(df, "doc_id", "text", num_hashes=16).collect()[0]["minhash"]
     assert len(set(sig)) > 8  # advisor regression: all entries identical before fix
+
+
+def test_minhash_signature_drops_empty_docs(spark):
+    df = spark.createDataFrame([(1, "hello world text"), (2, "")], ["doc_id", "text"])
+    ids = {r["id"] for r in minhash_signature(df, "doc_id", "text").collect()}
+    assert ids == {1}
 
 
 def test_lsh_finds_near_dup_and_est_jaccard_below_one(spark):
