@@ -1,0 +1,111 @@
+"""NL query planner shell (N1–N3, W5).
+
+Keyword-scored intent detection, table matching against the LIVE Spark
+catalog (``spark.catalog.listTables/listColumns`` — never a hardcoded
+schema), and feature extraction (search terms, aggregation/join needs,
+LIMIT with default 100 / cap 10000). Parity with
+``chatbot/agents/intelligent_query_planner.py:102–340``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+INTENT_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "count_aggregate": ("how many", "count", "number of", "total", "sum", "average"),
+    "retrieve": ("show", "list", "get", "display", "fetch"),
+    "search": ("find", "search", "lookup", "named", "called", "where"),
+    "schema": ("schema", "columns", "structure", "describe", "fields"),
+    "comparison": ("compare", "versus", "vs", "difference between"),
+    "details": ("details", "information about", "tell me about"),
+}
+
+DEFAULT_LIMIT = 100
+MAX_LIMIT = 10_000
+
+# table-name aliases on top of singular/plural matching
+TABLE_ALIASES: dict[str, tuple[str, ...]] = {
+    "orders": ("order", "purchase", "purchases", "crime", "crimes", "fir", "firs"),
+    "customer": ("customers", "client", "clients", "station", "stations"),
+    "lineitem": ("lineitems", "line item", "items", "accused"),
+    "documents": ("document", "docs", "text", "texts"),
+    "events": ("event", "activity", "log", "logs"),
+    "embeddings": ("embedding", "vector", "vectors"),
+}
+
+
+@dataclass
+class QueryPlan:
+    intent: str
+    confidence: float
+    tables: list[str]
+    search_terms: list[str] = field(default_factory=list)
+    needs_aggregation: bool = False
+    needs_join: bool = False
+    limit: int = DEFAULT_LIMIT
+
+
+def detect_intent(question: str) -> tuple[str, float]:
+    """N1: keyword-scored intents; confidence = hits / candidates."""
+    q = question.lower()
+    scores = {
+        intent: sum(1 for kw in kws if kw in q) for intent, kws in INTENT_KEYWORDS.items()
+    }
+    # Ties break by declaration order (count_aggregate outranks search —
+    # "how many X named Y" is a count).
+    order = list(INTENT_KEYWORDS)
+    best = max(scores, key=lambda k: (scores[k], -order.index(k)))
+    total = sum(scores.values())
+    if scores[best] == 0:
+        return "retrieve", 0.25
+    return best, round(scores[best] / max(total, 1), 2)
+
+
+def match_tables(spark: SparkSession, question: str) -> list[str]:
+    """N2: name/alias/singular-plural match vs the live catalog."""
+    q = re.findall(r"[a-z]+", question.lower())
+    qset = set(q) | {" ".join(q)}
+    hits: list[str] = []
+    for tbl in spark.catalog.listTables():
+        name = tbl.name.lower()
+        candidates = {name, name + "s", name.rstrip("s")}
+        candidates.update(TABLE_ALIASES.get(name, ()))
+        if candidates & qset or any(c in " ".join(q) for c in candidates if " " in c):
+            hits.append(tbl.name)
+    return sorted(set(hits))
+
+
+def extract_limit(question: str) -> int:
+    """W5: 'top N / first N / latest N' → LIMIT, default 100, cap 10000."""
+    m = re.search(r"\b(?:top|first|latest|last)\s+(\d+)\b", question.lower())
+    if not m:
+        return DEFAULT_LIMIT
+    return max(1, min(int(m.group(1)), MAX_LIMIT))
+
+
+def extract_search_terms(question: str) -> list[str]:
+    """N3: quoted phrases, long numbers, hex-ish ids."""
+    terms = re.findall(r"'([^']+)'|\"([^\"]+)\"", question)
+    flat = [a or b for a, b in terms]
+    flat += re.findall(r"\b\d{4,}\b", question)
+    flat += re.findall(r"\b[0-9a-f]{16,}\b", question.lower())
+    return flat
+
+
+def plan_query(spark: SparkSession, question: str) -> QueryPlan:
+    intent, conf = detect_intent(question)
+    q = question.lower()
+    tables = match_tables(spark, question)
+    return QueryPlan(
+        intent=intent,
+        confidence=conf,
+        tables=tables,
+        search_terms=extract_search_terms(question),
+        needs_aggregation=intent == "count_aggregate"
+        or any(w in q for w in ("per ", "group", "average", "sum")),
+        needs_join=len(tables) > 1,
+        limit=extract_limit(question),
+    )

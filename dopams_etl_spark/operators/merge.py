@@ -89,6 +89,37 @@ def smart_merge(
     return joined.select(*out_cols)
 
 
+def replace_children(
+    existing: DataFrame, incoming: DataFrame, parent_key: str | Sequence[str]
+) -> DataFrame:
+    """S9: delete-and-replace child sink — drop every existing child of a
+    parent present in the batch, then append the batch wholesale
+    (``etl-ir/ir_etl.py:743–773``, ``etl_chargesheets.py:1244–1427``).
+
+    One anti-join on the parent key (AQE broadcasts the batch's key set
+    when small) + a union — the Spark analog of ``replaceWhere parent_id
+    IN (...)`` partition overwrite.
+    """
+    keys = [parent_key] if isinstance(parent_key, str) else list(parent_key)
+    parents = incoming.select(*keys).dropDuplicates(keys)
+    kept = existing.join(parents, on=keys, how="left_anti")
+    return kept.unionByName(incoming)
+
+
+def insert_if_absent(
+    existing: DataFrame, incoming: DataFrame, keys: str | Sequence[str]
+) -> DataFrame:
+    """S10: ``INSERT ... ON CONFLICT DO NOTHING``
+    (``files_loader.py:113–119``). In-batch duplicate keys also collapse
+    (first wins via min-ordering is NOT guaranteed — callers needing a
+    deterministic pick should pre-dedup with ``latest_per_key``)."""
+    klist = [keys] if isinstance(keys, str) else list(keys)
+    fresh = incoming.dropDuplicates(klist).join(
+        existing.select(*klist), on=klist, how="left_anti"
+    )
+    return existing.unionByName(fresh)
+
+
 def classify_merge(
     existing: DataFrame,
     incoming: DataFrame,

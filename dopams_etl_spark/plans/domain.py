@@ -558,6 +558,278 @@ def strip_alias_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "accuseds_mv",
+    """
+    SELECT CAST(l.l_orderkey AS VARCHAR) || ':' || CAST(l.l_linenumber AS VARCHAR)
+             || ':' || CAST(l.l_partkey AS VARCHAR) AS accused_id,
+           l.l_orderkey AS crime_id,
+           CAST(o.o_orderdate AS DATE) AS fir_date,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS fir_year,
+           c.c_name AS ps_name,
+           n.n_name AS district,
+           p.p_name AS person_name,
+           CASE WHEN l.l_returnflag = 'R' THEN 'Arrested'
+                WHEN l.l_returnflag = 'A' THEN 'Absconding'
+                ELSE 'Issued Notice' END AS status,
+           concat_ws(', ', nullif(trim(p.p_brand), ''), nullif(trim(p.p_type), ''),
+                     nullif(trim(n.n_name), '')) AS address,
+           s.s_name AS drug_source,
+           ROUND(l.l_quantity, 2) AS qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def accuseds_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``accuseds_mv`` gold pipeline (J2 5-way star + J3 left joins + F3
+    address assembly + F4 status; shape of
+    ``/root/reference/accuseds_mv.sql:1–137``): one wide row per accused
+    (lineitem), crime spine joined inner, person/drug dims joined left.
+    Every dimension is a broadcast; the fact table never shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part")
+    sup = t(spark, sf_dir, "supplier")
+    acc_status = (
+        F.when(F.col("l_returnflag") == "R", F.lit("Arrested on 12/01/2024"))
+        .when(F.col("l_returnflag") == "A", F.lit("Absconding"))
+        .otherwise(F.lit("41A Cr.P.C notice issued"))
+    )
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left")
+    )
+    return j.select(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+        ).alias("accused_id"),
+        F.col("l_orderkey").alias("crime_id"),
+        F.col("o_orderdate").cast("date").alias("fir_date"),
+        F.year("o_orderdate").alias("fir_year"),
+        F.col("c_name").alias("ps_name"),
+        F.col("n_name").alias("district"),
+        F.col("p_name").alias("person_name"),
+        normalize_status(acc_status).alias("status"),
+        F.concat_ws(
+            ", ",
+            F.nullif(F.trim("p_brand"), F.lit("")),
+            F.nullif(F.trim("p_type"), F.lit("")),
+            F.nullif(F.trim("n_name"), F.lit("")),
+        ).alias("address"),
+        F.col("s_name").alias("drug_source"),
+        F.round("l_quantity", 2).alias("qty"),
+    )
+
+
+@register(
+    "criminal_profiles_mv",
+    """
+    WITH person_crimes AS (
+      SELECT l.l_partkey, l.l_orderkey, l.l_returnflag, l.l_quantity,
+             o.o_orderdate, o.o_orderkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    latest AS (
+      SELECT l_partkey, o_orderkey AS latest_crime_id,
+             CAST(o_orderdate AS DATE) AS latest_crime_date
+      FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC) AS rn
+            FROM person_crimes)
+      WHERE rn = 1)
+    SELECT p.p_partkey AS person_id,
+           p.p_name AS person_name,
+           CAST((SELECT COUNT(DISTINCT pc.l_orderkey) FROM person_crimes pc
+                 WHERE pc.l_partkey = p.p_partkey) AS BIGINT) AS crime_count,
+           (SELECT CAST(MIN(pc.o_orderdate) AS DATE) FROM person_crimes pc
+            WHERE pc.l_partkey = p.p_partkey) AS first_crime_date,
+           l.latest_crime_id, l.latest_crime_date,
+           (SELECT CAST(MAX(pc.o_orderdate) AS DATE) FROM person_crimes pc
+            WHERE pc.l_partkey = p.p_partkey AND pc.l_returnflag = 'R') AS last_arrest_date,
+           COALESCE((SELECT string_agg(f, ',' ORDER BY f)
+                     FROM (SELECT DISTINCT upper(pc.l_returnflag) AS f FROM person_crimes pc
+                           WHERE pc.l_partkey = p.p_partkey)), '') AS crime_flags,
+           CAST(COALESCE((SELECT SUM(CAST(pc.l_quantity AS DECIMAL(18,2)))
+                          FROM person_crimes pc WHERE pc.l_partkey = p.p_partkey), 0)
+                AS VARCHAR) AS total_qty
+    FROM part p
+    JOIN latest l ON l.l_partkey = p.p_partkey
+    WHERE EXISTS (SELECT 1 FROM person_crimes pc WHERE pc.l_partkey = p.p_partkey)
+    """,
+)
+def criminal_profiles_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``criminal_profiles_mv`` gold pipeline (P5 EXISTS gate + J6
+    decorrelation + W1 DISTINCT ON + A3/A4/A8; shape of
+    ``/root/reference/criminal_profiles_mv.sql:1–129``): one profile row
+    per person with latest-crime pick, exact distinct counts, filtered max,
+    distinct collect — all from ONE groupBy over the person-crime fact plus
+    one window pass, joined to the person dim."""
+    from dopams_etl_spark.operators.joins import latest_per_key, semi_join
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    pc = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
+        "l_partkey", "l_orderkey", "l_returnflag", "l_quantity", "o_orderdate", "o_orderkey"
+    )
+    stats = pc.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("crime_count"),
+        F.min("o_orderdate").cast("date").alias("first_crime_date"),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("o_orderdate")))
+        .cast("date")
+        .alias("last_arrest_date"),
+        F.array_join(F.array_sort(F.collect_set(F.upper("l_returnflag"))), ",").alias(
+            "crime_flags"
+        ),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("string").alias("total_qty"),
+    )
+    latest = latest_per_key(pc, "l_partkey", "o_orderdate", tiebreak="o_orderkey").select(
+        "l_partkey",
+        F.col("o_orderkey").alias("latest_crime_id"),
+        F.col("o_orderdate").cast("date").alias("latest_crime_date"),
+    )
+    persons = semi_join(part, pc.select(F.col("l_partkey").alias("p_partkey")), "p_partkey")
+    return (
+        persons.join(stats, persons.p_partkey == stats.l_partkey).drop("l_partkey")
+        .join(latest, F.col("p_partkey") == latest.l_partkey).drop("l_partkey")
+        .select(
+            F.col("p_partkey").alias("person_id"),
+            F.col("p_name").alias("person_name"),
+            "crime_count",
+            "first_crime_date",
+            "latest_crime_id",
+            "latest_crime_date",
+            "last_arrest_date",
+            "crime_flags",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "advanced_search_firs",
+    """
+    WITH synth AS (
+      SELECT o_orderkey,
+             concat_ws(',', CAST(o_orderkey % 37 AS VARCHAR),
+                       CAST(o_orderkey % 29 AS VARCHAR) || ['a','b','c'][(o_orderkey % 3)::INT + 1],
+                       CASE WHEN o_orderkey % 5 = 0 THEN '20A'
+                            WHEN o_orderkey % 5 = 1 THEN '8-C'
+                            WHEN o_orderkey % 5 = 2 THEN '27(b)' END) AS sections
+      FROM orders),
+    toks AS (SELECT o_orderkey, regexp_replace(lower(trim(tok)), '[^a-z0-9]', '', 'g') AS norm
+             FROM (SELECT o_orderkey, unnest(string_split(sections, ',')) AS tok FROM synth)),
+    cls AS (SELECT o_orderkey,
+                   CASE WHEN regexp_matches(norm, '^[0-9]+$') THEN 'small'
+                        WHEN norm = '8c' THEN 'small'
+                        WHEN norm = '20a' THEN 'cultivation'
+                        WHEN norm LIKE '27%' THEN 'small'
+                        WHEN right(norm, 1) = 'a' THEN 'small'
+                        WHEN right(norm, 1) = 'b' THEN 'intermediate'
+                        WHEN right(norm, 1) = 'c' THEN 'commercial'
+                        ELSE 'small' END AS c
+            FROM toks),
+    best AS (SELECT o_orderkey,
+                    CASE MIN(CASE c WHEN 'cultivation' THEN 0 WHEN 'commercial' THEN 1
+                                    WHEN 'intermediate' THEN 2 WHEN 'small' THEN 3 ELSE 4 END)
+                         WHEN 0 THEN 'cultivation' WHEN 1 THEN 'commercial'
+                         WHEN 2 THEN 'intermediate' ELSE 'small' END AS case_class
+             FROM cls GROUP BY o_orderkey)
+    SELECT o.o_orderkey AS id,
+           c.c_name AS ps_name,
+           n.n_name AS dist_name,
+           CAST(o.o_orderdate AS DATE) AS fir_date,
+           b.case_class,
+           CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS BIGINT)
+             AS n_accused,
+           CASE WHEN b.case_class = 'commercial'
+                THEN CAST(o.o_orderdate AS DATE) + 180
+                ELSE CAST(o.o_orderdate AS DATE) + 60 END AS chargesheet_due_date,
+           CASE WHEN b.case_class = 'commercial' THEN
+                  CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), DATE '2026-01-01') <= 180
+                       THEN 'Within Limit (180 Days)' ELSE 'Overdue (Beyond 180 Days)' END
+                ELSE
+                  CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), DATE '2026-01-01') <= 60
+                       THEN 'Within Limit (60 Days)' ELSE 'Overdue (Beyond 60 Days)' END
+           END AS stipulated_period
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN best b ON b.o_orderkey = o.o_orderkey
+    """,
+)
+def advanced_search_firs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``advanced_search_firs_mv`` analog (shape of
+    ``/root/reference/advanced_search_firs_mv.sql:63–86``): flattened
+    search row with the D9 section classifier feeding the class-conditional
+    chargesheet due date (Commercial → 180 days, else 60) and the
+    stipulated-period label. as-of pinned to 2026-01-01 for determinism."""
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    li = t(spark, sf_dir, "lineitem")
+    letters = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    synth = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            ",",
+            (F.col("o_orderkey") % 37).cast("string"),
+            F.concat(
+                (F.col("o_orderkey") % 29).cast("string"),
+                letters[(F.col("o_orderkey") % 3).cast("int")],
+            ),
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("20A"))
+            .when(F.col("o_orderkey") % 5 == 1, F.lit("8-C"))
+            .when(F.col("o_orderkey") % 5 == 2, F.lit("27(b)")),
+        ).alias("sections"),
+    )
+    case_class = classify_sections(synth, "sections", "o_orderkey").withColumnRenamed(
+        "class_classification", "case_class"
+    )
+    n_acc = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_accused"))
+    d = days_since("o_orderdate", F.lit("2026-01-01").cast("date"))
+    is_comm = F.col("case_class") == "commercial"
+    return (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(case_class, "o_orderkey")
+        .join(n_acc, o.o_orderkey == n_acc.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("c_name").alias("ps_name"),
+            F.col("n_name").alias("dist_name"),
+            F.col("o_orderdate").cast("date").alias("fir_date"),
+            "case_class",
+            F.coalesce("n_accused", F.lit(0)).alias("n_accused"),
+            F.when(is_comm, due_date("o_orderdate", 180))
+            .otherwise(due_date("o_orderdate", 60))
+            .alias("chargesheet_due_date"),
+            F.when(
+                is_comm,
+                F.when(d <= 180, F.lit("Within Limit (180 Days)")).otherwise(
+                    F.lit("Overdue (Beyond 180 Days)")
+                ),
+            )
+            .otherwise(
+                F.when(d <= 60, F.lit("Within Limit (60 Days)")).otherwise(
+                    F.lit("Overdue (Beyond 60 Days)")
+                )
+            )
+            .alias("stipulated_period"),
+        )
+    )
+
+
 @register("entity_resolution_blocked", None)  # soundex blocking: no DuckDB analog
 def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2/D3 entity resolution: soundex-blocked candidates → weighted
@@ -602,6 +874,54 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "pid", "canonical_person_id", ("name_a", "addr_a", "age_a")
     )
     return resolved.select("pid", "canonical_id", "best_score", "tier", "needs_review")
+
+
+@register(
+    "file_paths",
+    """
+    SELECT event_id,
+           CASE WHEN fid IS NOT NULL AND pre IS NOT NULL THEN pre || fid END AS file_path,
+           CASE WHEN fid IS NOT NULL AND pre IS NOT NULL THEN 'file:///media' || pre || fid END
+             AS file_url
+    FROM (SELECT event_id,
+                 CASE event_type
+                      WHEN 'error' THEN '/crimes/'
+                      WHEN 'signup' THEN '/person/media/'
+                      WHEN 'click' THEN '/interrogations/media/'
+                      WHEN 'view' THEN '/chargesheets/'
+                      END AS pre,
+                 CASE WHEN event_id % 9 = 0 THEN NULL
+                      ELSE CAST(event_id AS VARCHAR) END AS fid
+          FROM events)
+    """,
+)
+def file_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 file path/URL generation: (source_type, source_field) routing
+    table, NULL on unknown pairs or NULL ids (``DB-schema.sql:300–376``).
+    'purchase' events map to an unrouted pair → NULL path."""
+    from dopams_etl_spark.functions.paths import generate_file_path, generate_file_url
+
+    ev = t(spark, sf_dir, "events")
+    st = (
+        F.when(F.col("event_type") == "error", F.lit("crime"))
+        .when(F.col("event_type") == "signup", F.lit("person"))
+        .when(F.col("event_type") == "click", F.lit("interrogation"))
+        .when(F.col("event_type") == "view", F.lit("chargesheets"))
+        .otherwise(F.lit("unrouted"))
+    )
+    sf_field = (
+        F.when(F.col("event_type") == "error", F.lit("FIR_COPY"))
+        .when(F.col("event_type") == "signup", F.lit("MEDIA"))
+        .when(F.col("event_type") == "click", F.lit("MEDIA"))
+        .when(F.col("event_type") == "view", F.lit("uploadChargeSheet"))
+        .otherwise(F.lit("NONE"))
+    )
+    fid = F.when(F.col("event_id") % 9 != 0, F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        generate_file_path(st, sf_field, fid).alias("file_path"),
+        generate_file_url(st, sf_field, fid).alias("file_url"),
+    )
 
 
 @register(
@@ -706,10 +1026,15 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast(DEC)).cast("string").alias("total_qty"),
     )
 
-    # --- child aggregate 2: disposal map (two-level: count then map-agg)
-    disp = (
+    # --- child aggregate 2+4 fused: disposal map (A9) and nested
+    # chargesheets (A10) share the (l_orderkey, l_linestatus) first-level
+    # grouping — one sub-aggregate feeds both, saving two lineitem shuffles.
+    disp_cs = (
         li.groupBy("l_orderkey", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("acts"),
+        )
         .groupBy("l_orderkey")
         .agg(
             F.array_join(
@@ -720,7 +1045,16 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda e: F.concat_ws("=", e["s"], e["cnt"]),
                 ),
                 ";",
-            ).alias("disposal_counts")
+            ).alias("disposal_counts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("l_linestatus").alias("ls"), F.col("acts")))
+                    ),
+                    lambda e: F.concat_ws("=", e["ls"], e["acts"]),
+                ),
+                "|",
+            ).alias("chargesheets"),
         )
     )
 
@@ -730,24 +1064,6 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.upper("p_name").alias("pn"))
         .groupBy("l_orderkey")
         .agg(F.array_join(F.array_sort(F.collect_set("pn")), ",").alias("drugs"))
-    )
-
-    # --- child aggregate 4: nested agg-of-agg (A10 chargesheets)
-    cs = (
-        li.groupBy("l_orderkey", "l_linestatus")
-        .agg(F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("acts"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("l_linestatus").alias("ls"), F.col("acts")))
-                    ),
-                    lambda e: F.concat_ws("=", e["ls"], e["acts"]),
-                ),
-                "|",
-            ).alias("chargesheets")
-        )
     )
 
     # --- child aggregate 5: UNION-ALL documents branches (U1)
@@ -785,9 +1101,8 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         spine.join(li_agg, spine.o_orderkey == li_agg.l_orderkey, "left").drop("l_orderkey")
-        .join(disp, F.col("o_orderkey") == disp.l_orderkey, "left").drop("l_orderkey")
+        .join(disp_cs, F.col("o_orderkey") == disp_cs.l_orderkey, "left").drop("l_orderkey")
         .join(drugs, F.col("o_orderkey") == drugs.l_orderkey, "left").drop("l_orderkey")
-        .join(cs, F.col("o_orderkey") == cs.l_orderkey, "left").drop("l_orderkey")
         .join(docs, F.col("o_orderkey") == docs.l_orderkey, "left").drop("l_orderkey")
     )
     return out.select(

@@ -551,6 +551,80 @@ def fuzzy_match_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("token", "matched", F.col("match_distance").cast("int").alias("match_distance"))
 
 
+@register(
+    "replace_children",
+    """
+    WITH incoming AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity + 1000 AS l_quantity
+      FROM lineitem WHERE l_orderkey % 10 = 0 AND l_linenumber <= 2),
+    kept AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM incoming)),
+    merged AS (SELECT * FROM kept UNION ALL SELECT * FROM incoming)
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS total_qty
+    FROM merged GROUP BY l_returnflag
+    """,
+)
+def replace_children_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 delete-and-replace child sink: parents in the batch get their
+    children dropped wholesale, then the batch appends — note the replaced
+    parents end up with FEWER children (2 ≤ old count), which the oracle's
+    totals verify (``etl-ir/ir_etl.py:743–773``)."""
+    from dopams_etl_spark.operators.merge import replace_children
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    incoming = (
+        li.filter((F.col("l_orderkey") % 10 == 0) & (F.col("l_linenumber") <= 2))
+        .withColumn("l_quantity", F.col("l_quantity") + 1000)
+    )
+    merged = replace_children(li, incoming, "l_orderkey")
+    return merged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("string").alias("total_qty"),
+    )
+
+
+@register(
+    "insert_if_absent",
+    """
+    WITH incoming AS (
+      SELECT o_orderkey, 0.0 AS o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 AS o_orderkey, 1.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1),
+    fresh AS (SELECT * FROM incoming i
+              WHERE NOT EXISTS (SELECT 1 FROM orders e WHERE e.o_orderkey = i.o_orderkey)),
+    merged AS (SELECT o_orderkey, o_totalprice FROM orders UNION ALL SELECT * FROM fresh)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM merged
+    """,
+)
+def insert_if_absent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 insert-if-absent (ON CONFLICT DO NOTHING): existing keys keep
+    their rows untouched — the zeroed prices for conflicting keys must NOT
+    appear in the total (``files_loader.py:113–119``)."""
+    from dopams_etl_spark.operators.merge import insert_if_absent
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    incoming = (
+        o.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("o_totalprice", F.lit(0.0))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 4 == 1).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    merged = insert_if_absent(o, incoming, "o_orderkey")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("o_totalprice"), 2).alias("total_price")
+    )
+
+
 @register("nation_soundex_pairs", None)  # soundex has no DuckDB analog → rows-only
 def nation_soundex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 phonetic-blocked candidate pairs (``brief_facts_ai/db.py:147–169``).
