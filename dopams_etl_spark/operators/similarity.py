@@ -89,31 +89,43 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    planes: int = 12,
+    planes: int = 8,
+    tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold).
 
-    Composed over ``lsh_bucket``: pairs only form within a random-hyperplane
-    bucket, so the shuffle key is the bucket id and there is no unbounded
-    cartesian. High-cosine pairs land in the same bucket with probability
-    (1 - theta/pi)^planes; raise recall by lowering ``planes`` or unioning
-    over several seeds.
+    Composed over ``lsh_bucket`` with multi-table OR-amplification: each
+    of ``tables`` independent hyperplane sets buckets the data once, pairs
+    form only within a (table, bucket) key, and the union dedups. No
+    unbounded cartesian ever forms. Recall for a pair at angle θ is
+    1 - (1 - (1-θ/π)^planes)^tables — e.g. cos 0.9, planes=8, tables=4
+    → ~0.75; raise ``tables`` for more.
     """
-    keyed = df.select(
+    exploded = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_bucket(vec_col, dim, planes, seed).alias("bucket"),
-    )
-    a = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(vec_col, dim, planes, seed + 1000 * t).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a = exploded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
+    b = exploded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

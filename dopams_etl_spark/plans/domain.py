@@ -877,6 +877,107 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "name_repair",
+    r"""
+    WITH synth AS (
+      SELECT c_custkey,
+             CASE (c_custkey % 4)::INT
+                  WHEN 0 THEN 'Sri Ramesh Kumar s/o Mohan'
+                  WHEN 1 THEN ' RAVI TEJA @pinky '
+                  WHEN 2 THEN 'Name  Not   Known'
+                  ELSE 'smt. Gita  Devi' END AS raw_name
+      FROM customer),
+    c1 AS (SELECT c_custkey, lower(trim(str_split(raw_name, '@')[1])) AS base FROM synth),
+    c2 AS (SELECT c_custkey,
+                  trim(regexp_replace(
+                    regexp_replace(
+                      regexp_replace(base, '^(?:(?:sri|smt|mr|mrs|ms|shri|kum|dr)\.?\s+)+', ''),
+                      '\s+[sdw]/o\b.*$', ''),
+                    '\s+', ' ', 'g')) AS cleaned
+           FROM c1)
+    SELECT c_custkey,
+           CASE WHEN cleaned IN ('unknown', 'na', 'n/a', 'not known', 'name not known', 'nil', '-', '')
+                THEN NULL ELSE cleaned END AS repaired
+    FROM c2
+    """,
+)
+def name_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14 name repair: honorific strip, kinship-marker strip, alias strip,
+    whitespace collapse, placeholder → NULL
+    (``fix_fullname/fix_person_names.py`` family)."""
+    from dopams_etl_spark.functions.translit import repair_person_name
+
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    raw = (
+        F.when(k % 4 == 0, F.lit("Sri Ramesh Kumar s/o Mohan"))
+        .when(k % 4 == 1, F.lit(" RAVI TEJA @pinky "))
+        .when(k % 4 == 2, F.lit("Name  Not   Known"))
+        .otherwise(F.lit("smt. Gita  Devi"))
+    )
+    return cust.select("c_custkey", repair_person_name(raw).alias("repaired"))
+
+
+@register(
+    "mandal_imputation",
+    r"""
+    WITH geo AS (SELECT DISTINCT lower(trim(n_name)) AS tok FROM nation),
+    synth AS (SELECT c_custkey,
+                     'ward ' || CAST(c_custkey % 9 AS VARCHAR) || ' near nation_'
+                     || CAST(c_custkey % 30 AS VARCHAR) || ' colony' AS addr
+              FROM customer),
+    toks AS (SELECT c_custkey, unnest(string_split_regex(lower(trim(addr)), '\s+')) AS tok
+             FROM synth),
+    hits AS (SELECT t.c_custkey, t.tok FROM toks t JOIN geo g ON t.tok = g.tok),
+    best AS (SELECT c_custkey, tok AS imputed_geo
+             FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                        ORDER BY length(tok) DESC, tok ASC) AS rn FROM hits)
+             WHERE rn = 1)
+    SELECT s.c_custkey, b.imputed_geo
+    FROM synth s LEFT JOIN best b ON s.c_custkey = b.c_custkey
+    """,
+)
+def mandal_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13 geo imputation: address-token containment vs the broadcast geo
+    dim (nation names as the geo reference; keys % 30 ≥ 25 have no match →
+    NULL, the fuzzy-tail routing case)."""
+    from dopams_etl_spark.operators.geo import impute_geo_from_address
+
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    synth = cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("ward "), (k % 9).cast("string"), F.lit(" near nation_"),
+            (k % 30).cast("string"), F.lit(" colony"),
+        ).alias("addr"),
+    )
+    geo = t(spark, sf_dir, "nation")
+    out = impute_geo_from_address(synth, "c_custkey", "addr", geo, "n_name")
+    return out.select("c_custkey", "imputed_geo")
+
+
+@register(
+    "transliterate_names",
+    None,  # Spark-side per-char replace chain has no concise DuckDB analog
+)
+def transliterate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 Indic transliteration (dictionary-free approx): Devanagari /
+    Telugu sample names synthesized per row, transliterated to Latin.
+    Deterministic; exactness asserted in tests/test_functions.py."""
+    from dopams_etl_spark.functions.translit import transliterate_basic
+
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    raw = (
+        F.when(k % 3 == 0, F.lit("राम कुमार"))
+        .when(k % 3 == 1, F.lit("రవి తేజ"))
+        .otherwise(F.lit("ravi latin"))
+    )
+    return cust.select("c_custkey", transliterate_basic(raw).alias("latin_name"))
+
+
+@register(
     "file_paths",
     """
     SELECT event_id,

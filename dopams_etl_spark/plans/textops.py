@@ -272,9 +272,23 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dup_pairs", None)  # hyperplane signs: no DuckDB analog
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dups over LSH buckets (no unbounded cartesian)."""
+    """Embedding near-dups over multi-table LSH buckets (no unbounded
+    cartesian). The testdata's random vectors have no natural near-dups
+    (max pair cosine ≈ 0.48), so the corpus is augmented with
+    deterministic perturbed copies (id + 1e6) whose recovery exercises
+    recall: every (i, i+1e6) pair is a true near-dup the operator must
+    surface."""
     emb = t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.9, dim=64, planes=8)
+    perturbed = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + (i % 7) * 0.002)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(perturbed)
+    return embedding_near_dups(
+        corpus, "vec_id", "embedding", threshold=0.99, dim=64, planes=8, tables=4
+    )
 
 
 @register(

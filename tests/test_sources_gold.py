@@ -1,0 +1,148 @@
+"""Sources (S1-S5, S12), gold refresh (S13), orchestration (I7), D4."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from dopams_etl_spark.pipeline import Stage, normalize_stages, run_pipeline
+from dopams_etl_spark.sources import (
+    RetryPolicy,
+    fetch_chunked,
+    load_csv_reference,
+    media_download_sink,
+    point_lookup_enrich,
+    read_json_dump,
+    should_retry,
+)
+
+SCHEMA = StructType([StructField("id", LongType()), StructField("v", StringType())])
+
+
+def test_fetch_chunked_with_retries(spark):
+    calls = {"n": 0}
+
+    def flaky(start, end):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionError("boom")
+        return [{"id": int(start.day), "v": str(end.day)}]
+
+    chunks = [
+        (datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 6)),
+        (datetime.datetime(2024, 1, 5), datetime.datetime(2024, 1, 10)),
+    ]
+    slept = []
+    out = fetch_chunked(spark, flaky, chunks, SCHEMA, RetryPolicy(2, 1.0), slept.append)
+    assert out.count() == 2
+    assert slept == [1.0]  # 2**0 backoff after the single failure
+
+
+def test_retry_matrix():
+    assert should_retry(None) and should_retry(500) and should_retry(503)
+    assert not should_retry(404) and not should_retry(400)
+
+
+def test_point_lookup_enrich_drops_missing(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (3,)], ["pid"])
+
+    out = point_lookup_enrich(
+        df, "pid", lambda pid: None if pid == 2 else {"name": f"p{pid}"}, "pid long, name string"
+    )
+    rows = {r["pid"]: r["name"] for r in out.collect()}
+    assert rows == {1: "p1", 3: "p3"}  # id 2 dropped, id 3 deduped
+
+
+def test_csv_and_json_sources(spark, tmp_path):
+    csv = tmp_path / "ref.csv"
+    csv.write_text("state,district\nTS,Hyderabad\nAP,Guntur\n")
+    ref = load_csv_reference(spark, str(csv))
+    assert ref.count() == 2 and set(ref.columns) == {"state", "district"}
+
+    js = tmp_path / "dump.json"
+    js.write_text('{"CRIME_ID": 1, "PS_CODE": "x"}\n{"CRIME_ID": 2, "PS_CODE": "y"}\n')
+    dump = read_json_dump(spark, str(js), {"CRIME_ID": "crime_id", "PS_CODE": "ps_code"})
+    assert {r["crime_id"] for r in dump.collect()} == {1, 2}
+
+
+def test_media_download_sink_status(spark, tmp_path):
+    files = spark.createDataFrame(
+        [("u://a", "/crimes/a.bin"), ("u://bad", "/crimes/b.bin")], ["url", "path"]
+    )
+
+    def getter(url):
+        if url.endswith("bad"):
+            raise OSError("404")
+        return b"payload"
+
+    status = {r["url"]: r for r in
+              media_download_sink(files, "url", "path", str(tmp_path), getter, 2).collect()}
+    assert status["u://a"]["is_downloaded"] and status["u://a"]["attempts"] == 1
+    assert not status["u://bad"]["is_downloaded"] and status["u://bad"]["attempts"] == 2
+    assert (tmp_path / "crimes" / "a.bin").read_bytes() == b"payload"
+
+
+def test_gold_refresh_and_udtfs(spark, tmp_path):
+    from dopams_etl_spark.gold import (
+        get_accused_crime_history,
+        refresh_gold,
+        search_person_by_name,
+    )
+
+    out = str(tmp_path / "gold")
+    counts = refresh_gold(spark, "/root/testdata/sf0.001", out,
+                          ("firs_mv", "accuseds_mv", "criminal_profiles_mv"))
+    assert counts["firs_mv"] == 1500 and counts["accuseds_mv"] == 6000
+    hist = get_accused_crime_history(spark, out, 7)
+    assert hist.count() > 0
+    found = search_person_by_name(spark, out, "widget")
+    assert found.count() > 0
+
+
+def test_pipeline_retry_and_refresh_dedup():
+    order = []
+
+    def ok(name):
+        def fn():
+            order.append(name)
+        return fn
+
+    flaky_calls = {"n": 0}
+
+    def flaky():
+        flaky_calls["n"] += 1
+        if flaky_calls["n"] < 2:
+            raise RuntimeError("transient")
+        order.append("flaky")
+
+    stages = [
+        Stage("refresh_views", ok("refresh1"), is_refresh=True),
+        Stage("crimes", ok("crimes")),
+        Stage("flaky", flaky),
+        Stage("refresh_views", ok("refresh2"), is_refresh=True),
+    ]
+    report = run_pipeline(stages, sleeper=lambda _: None)
+    assert report.ok
+    assert order == ["crimes", "flaky", "refresh1"]  # dedup kept first refresh, moved to end
+    assert report.results[1].attempts == 2           # flaky retried once
+
+
+def test_pipeline_stops_on_exhausted_retries():
+    def dead():
+        raise RuntimeError("always")
+
+    report = run_pipeline(
+        [Stage("dead", dead, retries=1), Stage("after", lambda: None)],
+        sleeper=lambda _: None,
+    )
+    assert not report.ok
+    assert [r.name for r in report.results] == ["dead"]
+
+
+def test_transliterate_basic(spark):
+    from dopams_etl_spark.functions.translit import transliterate_basic
+
+    df = spark.createDataFrame([("राम कुमार",), ("రవి",), ("plain",)], ["n"])
+    got = [r["t"] for r in df.select(transliterate_basic("n").alias("t")).collect()]
+    assert got[0] == "ram kumar" and got[1] == "rvi" and got[2] == "plain"
