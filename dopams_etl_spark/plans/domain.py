@@ -64,9 +64,12 @@ _NORMALIZE_SQL = """
 """
 
 
-def _synth_status(col=F.col("event_type")):
+def _synth_status(col=None):
+    # No F.* in default args / module scope: building a Column requires an
+    # active SparkContext, and the driver may enumerate queries() before
+    # it creates one.
     m = F.create_map(*[F.lit(x) for k, v in _STATUS_SYNTH.items() for x in (k, v)])
-    return m[col]
+    return m[col if col is not None else F.col("event_type")]
 
 
 @register(

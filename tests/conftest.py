@@ -10,3 +10,10 @@ def spark():
     s = get_spark("tests", shuffle_partitions=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+
+# session-scoped alias for hypothesis-driven tests (@given can't take a
+# function-scoped fixture)
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark

@@ -63,6 +63,19 @@ def test_plan_query_features(spark):
     assert p.needs_join and p.limit == 10 and "Ravi" in p.search_terms
 
 
+def test_executor_caps_rows_and_rejects(spark):
+    from dopams_etl_spark.nlq.executor import execute_guarded
+
+    r = execute_guarded(spark, "SELECT * FROM orders", max_rows=10)
+    assert r.ok and r.row_count == 10 and r.truncated
+
+    r2 = execute_guarded(spark, "DROP TABLE orders")
+    assert not r2.ok and "rejected" in r2.error
+
+    r3 = execute_guarded(spark, "SELECT nope_col FROM orders")
+    assert not r3.ok and "nope_col" not in r3.error  # sanitized
+
+
 def test_sanitize_error_strips_paths_and_identifiers():
     msg = sanitize_error(Exception("Failure at /opt/spark/x.py: column `secret_col` missing"))
     assert "/opt" not in msg and "secret_col" not in msg
