@@ -39,15 +39,22 @@ def main() -> None:
     # warm the JVM/session so q1 doesn't pay startup costs
     qs["q1_pricing_summary"](spark, SF_DIR).count()
 
+    # Two runs per query, report the steady-state (min): run 1 pays
+    # plan compilation + codegen, run 2 is the recurring cost a pipeline
+    # actually sees. OS page cache holds the parquet either way.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    lineitem_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     print(
         json.dumps(
             {
@@ -56,6 +63,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "lineitem_rows": lineitem_rows,
+                "rows_per_sec_q1": round(lineitem_rows / timings["q1_pricing_summary"]),
             }
         )
     )

@@ -50,6 +50,21 @@ def strip_alias(col: Column | str) -> Column:
     return F.trim(F.split(c, "@").getItem(0))
 
 
+def with_json_overflow(df, known_cols: list[str], overflow_col: str = "additional_json_data"):
+    """Schema-evolution overflow convention (SURVEY §1.3,
+    ``etl_crimes.py:499–524``): keep the known columns typed, pack every
+    unknown column into one JSON-string column so no field is ever
+    dropped. Reader-side schema union (``mergeSchema``) covers additive
+    typed columns; this covers the truly unknown tail."""
+    from pyspark.sql import functions as F  # local to avoid cycle confusion
+
+    unknown = [c for c in df.columns if c not in known_cols]
+    keep = [c for c in known_cols if c in df.columns]
+    if not unknown:
+        return df.select(*keep).withColumn(overflow_col, F.lit(None).cast("string"))
+    return df.select(*keep, F.to_json(F.struct(*unknown)).alias(overflow_col))
+
+
 def coerce_numeric(col: Column | str) -> Column:
     """P3 numeric coercion (``etl_properties.py:578–657``): strip currency
     symbols / thousand separators / spaces, then try-cast — unparseable

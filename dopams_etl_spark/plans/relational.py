@@ -625,6 +625,41 @@ def insert_if_absent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hourly_event_stats",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference event-time tumbling window (the batch shape of
+    ``streaming.windowed_event_counts``): one hash aggregate on
+    (window, key) — window assignment is a pure projection, no shuffle
+    beyond the aggregation itself."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register("approx_distinct_users", None)  # sketch values are engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (SURVEY §7.3 step 7): approximate distinct counts
+    via HyperLogLog++ — at 100 TB an exact countDistinct shuffles every
+    distinct value, a sketch shuffles a few KB per group. Accuracy bound
+    asserted vs exact counts in tests/test_functions.py."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @register("nation_soundex_pairs", None)  # soundex has no DuckDB analog → rows-only
 def nation_soundex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 phonetic-blocked candidate pairs (``brief_facts_ai/db.py:147–169``).

@@ -108,6 +108,29 @@ def test_overdue_bucket_edges(spark):
     assert got == ["within_60", "within_180", "within_180", "over_180", "unknown"]
 
 
+def test_approx_count_distinct_within_rsd(spark):
+    from dopams_etl_spark.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    approx = {r["event_type"]: r["a"] for r in
+              ev.groupBy("event_type").agg(
+                  F.approx_count_distinct("user_id", rsd=0.02).alias("a")).collect()}
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n)
+
+
+def test_with_json_overflow(spark):
+    from dopams_etl_spark.functions.cleaning import with_json_overflow
+
+    df = spark.createDataFrame([(1, "x", 9.5)], ["id", "known", "mystery"])
+    out = with_json_overflow(df, ["id", "known"]).collect()[0]
+    assert out["additional_json_data"] == '{"mystery":9.5}'
+    none = with_json_overflow(df.select("id", "known"), ["id", "known"]).collect()[0]
+    assert none["additional_json_data"] is None
+
+
 def test_deterministic_ids_shape(spark):
     df = spark.createDataFrame([("Ravi", "HYD")], ["n", "c"])
     r = df.select(fingerprint("n", "c").alias("fp"), uuid5_expr("n").alias("u")).collect()[0]
