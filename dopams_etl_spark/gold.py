@@ -21,6 +21,15 @@ GOLD_PIPELINES = (
     "advanced_search_firs",
 )
 
+# Year partitioning on the crime-dated tables: the dominant analytical
+# filter is a date/year range, so partition pruning skips whole years of
+# files — at 100 TB that is the difference between scanning a partition
+# and scanning the table. Profile tables have no natural time key.
+GOLD_PARTITIONING: dict[str, tuple[str, ...]] = {
+    "firs_mv": ("fir_year",),
+    "accuseds_mv": ("fir_year",),
+}
+
 
 def refresh_gold(
     spark: SparkSession,
@@ -28,16 +37,21 @@ def refresh_gold(
     out_dir: str,
     names: tuple[str, ...] = GOLD_PIPELINES,
 ) -> dict[str, int]:
-    """S13: recompute each gold pipeline and overwrite its parquet table.
-    Returns name → row count (the reference's refresh logging analog).
-    Duplicate names collapse (the master dedups repeated refresh steps)."""
+    """S13: recompute each gold pipeline and overwrite its parquet table
+    (partitioned per ``GOLD_PARTITIONING``). Returns name → row count (the
+    reference's refresh logging analog). Duplicate names collapse (the
+    master dedups repeated refresh steps)."""
     from dopams_etl_spark.plans import catalog
 
     qs = catalog.queries()
     counts: dict[str, int] = {}
     for name in dict.fromkeys(names):
         df = qs[name](spark, sf_dir)
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        writer = df.write.mode("overwrite")
+        parts = GOLD_PARTITIONING.get(name)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(f"{out_dir}/{name}")
         counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
     return counts
 
