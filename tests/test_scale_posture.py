@@ -21,6 +21,37 @@ def test_gold_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(fir_year" in plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed by the join key → the join
+    plans with zero Exchange (the bucketing-for-co-location strategy big
+    fact⋈fact joins need at 100 TB)."""
+    from dopams_etl_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    try:
+        load_table(spark, "orders", sf).write.bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).mode("overwrite").saveAsTable("buckets.orders_b")
+        load_table(spark, "lineitem", sf).withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("buckets.lineitem_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("buckets.lineitem_b").join(
+            spark.table("buckets.orders_b"), "o_orderkey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucketing co-locates
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS buckets.orders_b")
+        spark.sql("DROP TABLE IF EXISTS buckets.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS buckets")
+
+
 def test_salted_aggregate_equals_plain(spark):
     rows = [(i % 3, i % 7, float(i)) for i in range(500)]
     df = spark.createDataFrame(rows, "k int, m int, v double")
