@@ -57,7 +57,9 @@ def minhash_signature(
 
     Rows with no shingles (empty text) are absent from the output.
     """
-    sh = df.select(
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    sh = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
     )
     agg = sh.groupBy("id").agg(
@@ -121,8 +123,11 @@ def ngram_jaccard_pairs(
     explode(shingles) → self-join on shingle → |A∩B| per pair → Jaccard
     = inter / (|A| + |B| - inter). ``max_df`` drops ubiquitous shingles
     (skew + noise control at scale)."""
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
     sh = (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
+        ensure_parallelism(df, id_col)
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("set_size", F.size("sh"))
     )
@@ -196,7 +201,11 @@ def simhash_near_dups(
     """SimHash near-dup pairs: banded blocking (4×16-bit chunks — pairs within
     hamming ≤ 3 share at least one identical chunk by pigeonhole), then exact
     hamming via bit_count(xor)."""
-    sigs = simhash64(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    sigs = simhash64(ensure_parallelism(df, id_col), text_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
     chunks = sigs.select(
         "id",
         "simhash",

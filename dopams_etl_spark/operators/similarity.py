@@ -69,7 +69,11 @@ def cosine_topk(
             f"corpus has {n} rows > {MAX_BROADCAST_CORPUS_ROWS}; brute-force "
             "broadcast would OOM — use lsh_topk for large corpora"
         )
-    p = probe.select(F.col(probe_id).alias("p_id"), F.col(vec_col).alias("p_vec"))
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    p = ensure_parallelism(probe).select(
+        F.col(probe_id).alias("p_id"), F.col(vec_col).alias("p_vec")
+    )
     c = corpus.select(F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
     cond = F.lit(True) if include_self else (F.col("p_id") != F.col("c_id"))
     scored = p.join(F.broadcast(c), cond).withColumn(
@@ -102,7 +106,9 @@ def embedding_near_dups(
     1 - (1 - (1-θ/π)^planes)^tables — e.g. cos 0.9, planes=8, tables=4
     → ~0.75; raise ``tables`` for more.
     """
-    exploded = df.select(
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    exploded = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.explode(
@@ -164,12 +170,14 @@ def lsh_topk(
     """Approximate top-k: join only within LSH buckets — the shuffle is on
     the bucket id, never the cross product. Recall grows with fewer planes /
     multiple tables; exactness handed off to ``cosine_topk`` on the bucket."""
-    p = probe.select(
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    p = ensure_parallelism(probe).select(
         F.col(probe_id).alias("p_id"),
         F.col(vec_col).alias("p_vec"),
         lsh_bucket(vec_col, dim, planes).alias("bucket"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         lsh_bucket(vec_col, dim, planes).alias("bucket"),
