@@ -53,6 +53,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Note: the testdata files are single-row-group parquet → 1-partition
+    # scans. Blanket repartition here measured as a net LOSS for the
+    # relational queries (shuffling raw rows costs more than the map side
+    # saves when per-row work is cheap); only the per-row-expensive
+    # text/vector operators repartition, via partitioning.ensure_parallelism.
     return df
 
 
