@@ -647,6 +647,48 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS session_num
+          FROM g)
+    SELECT user_id, CAST(session_num AS INT) AS session_num,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_num
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: gap-based event-time sessionization (30-min
+    inactivity gap) via lag + running sum — two window passes over one
+    partitioning, then a hash aggregate; the whole thing shuffles once on
+    user_id."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_num", F.sum("new_session").over(run).cast("int")
+    )
+    return sessions.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 @register("approx_distinct_users", None)  # sketch values are engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (SURVEY §7.3 step 7): approximate distinct counts

@@ -3,8 +3,14 @@ step 7 — the streaming surface the reference's batch chunking implies)."""
 
 from dopams_etl_spark.streaming.incremental import (
     read_stream_parquet,
+    stateful_sessionize,
     stream_upsert_parquet,
     windowed_event_counts,
 )
 
-__all__ = ["read_stream_parquet", "stream_upsert_parquet", "windowed_event_counts"]
+__all__ = [
+    "read_stream_parquet",
+    "stateful_sessionize",
+    "stream_upsert_parquet",
+    "windowed_event_counts",
+]

@@ -61,6 +61,61 @@ def windowed_event_counts(
     )
 
 
+def stateful_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator (north-star
+    ``applyInPandasWithState``): per-user gap-based sessionization.
+
+    State = the OPEN session (start/last/n, epoch seconds). Each batch
+    folds its events in timestamp order; a gap > ``gap_seconds`` CLOSES
+    the current session (emitted) and opens a new one. The final open
+    session stays in state — exactly the semantics a continuous stream
+    needs (it may still grow). Batch twin: ``user_sessions`` in
+    plans/relational.py (lag + running-sum windows).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        f"{user_col} long, session_start timestamp, session_end timestamp, n_events int"
+    )
+    state_schema = "start long, last long, n int"
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        out: list[tuple] = []
+        ts_all: list = []
+        for pdf in pdfs:
+            ts_all.extend(pdf[ts_col].tolist())
+        for t in sorted(ts_all):
+            sec = int(pd.Timestamp(t).timestamp())
+            if start is None:
+                start, last, n = sec, sec, 1
+            elif sec - last > gap_seconds:
+                out.append(
+                    (user, pd.Timestamp(start, unit="s"), pd.Timestamp(last, unit="s"), n)
+                )
+                start, last, n = sec, sec, 1
+            else:
+                last, n = sec, n + 1
+        state.update((start, last, n))
+        yield pd.DataFrame(
+            out, columns=[user_col, "session_start", "session_end", "n_events"]
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_upsert_parquet(
     stream: DataFrame,
     target_path: str,

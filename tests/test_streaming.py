@@ -49,6 +49,48 @@ def test_windowed_counts_match_batch(spark, tmp_path):
         assert want_full[k] == v
 
 
+def test_stateful_sessionize_closed_sessions(spark, tmp_path):
+    from dopams_etl_spark.streaming import stateful_sessionize
+
+    src = str(tmp_path / "src")
+    ev = _events_subset(spark, 400).select("user_id", "ts")
+    ev.write.parquet(src)
+
+    stream = read_stream_parquet(spark, src, ev.schema)
+    q = (
+        stateful_sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM sessions").collect()
+
+    # Batch truth: total sessions per user; the stream emits all CLOSED
+    # sessions, i.e. total minus the one left open per user.
+    batch = spark.read.parquet(src)
+    w_lag = F.lag(F.col("ts").cast("long")).over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        ).orderBy("ts")
+    )
+    marked = batch.withColumn(
+        "new_s",
+        F.when(
+            w_lag.isNull() | ((F.col("ts").cast("long") - w_lag) > 1800), 1
+        ).otherwise(0),
+    )
+    per_user = {
+        r["user_id"]: r["s"]
+        for r in marked.groupBy("user_id").agg(F.sum("new_s").alias("s")).collect()
+    }
+    want_closed = sum(v - 1 for v in per_user.values())
+    assert len(emitted) == want_closed
+    assert all(r["n_events"] >= 1 for r in emitted)
+
+
 def test_stream_upsert_latest_wins(spark, tmp_path):
     src = str(tmp_path / "src")
     target = str(tmp_path / "target")
