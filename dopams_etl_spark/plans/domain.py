@@ -833,6 +833,38 @@ def advanced_search_firs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "extraction_branch_detect",
+    """
+    SELECT o.o_orderkey AS crime_id,
+           CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+                THEN 'C'
+                WHEN EXISTS (SELECT 1 FROM lineitem l
+                             WHERE l.l_orderkey = o.o_orderkey AND l.l_partkey % 5 <> 0)
+                THEN 'A'
+                ELSE 'B' END AS branch
+    FROM orders o
+    """,
+)
+def extraction_branch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 branch detector (``brief_facts_ai/main.py:377–389``): route each
+    crime to extraction branch A (accused rows with person ids) / B (only
+    stub accused) / C (no accused). One aggregate over the child table —
+    person_id-present simulated as l_partkey % 5 != 0."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    acc = li.groupBy("l_orderkey").agg(
+        F.max((F.col("l_partkey") % 5 != 0).cast("int")).alias("has_person")
+    )
+    return o.join(acc, o.o_orderkey == acc.l_orderkey, "left").select(
+        F.col("o_orderkey").alias("crime_id"),
+        F.when(F.col("has_person").isNull(), F.lit("C"))
+        .when(F.col("has_person") == 1, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("branch"),
+    )
+
+
 @register("entity_resolution_blocked", None)  # soundex blocking: no DuckDB analog
 def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2/D3 entity resolution: soundex-blocked candidates → weighted
