@@ -119,6 +119,46 @@ def fuzzy_join_levenshtein(
     return out if probe_id is not None else out.drop("__probe_rid")
 
 
+def trigram_similarity(a: Column, b: Column) -> Column:
+    """J9: pg_trgm-style similarity — Jaccard over distinct character
+    trigrams of the lowercased strings (``update-state-country.py:288–348``
+    uses Postgres ``similarity()``; same definition). Pure JVM."""
+    from dopams_etl_spark.functions.textfns import char_ngrams
+
+    ta = char_ngrams(a, 3)
+    tb = char_ngrams(b, 3)
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_union(ta, tb))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+
+
+def trigram_join(
+    probe: DataFrame,
+    dim: DataFrame,
+    probe_col: str,
+    dim_col: str,
+    threshold: float = 0.3,
+    probe_id: str | None = None,
+) -> DataFrame:
+    """J9 trigram-similarity best-match join: broadcast dictionary,
+    JVM trigram Jaccard, best (max-similarity) match per probe ROW with a
+    deterministic tie-break. Same row-identity handling as
+    ``fuzzy_join_levenshtein``."""
+    rid = probe_id
+    if rid is None:
+        rid = "__probe_rid"
+        probe = probe.withColumn(rid, F.monotonically_increasing_id())
+    sim = trigram_similarity(probe[probe_col], dim[dim_col])
+    joined = probe.join(F.broadcast(dim), sim >= threshold, "inner").withColumn(
+        "similarity", F.round(trigram_similarity(probe[probe_col], dim[dim_col]), 6)
+    )
+    w = Window.partitionBy(rid).orderBy(
+        F.col("similarity").desc(), F.lower(F.trim(F.col(dim_col))).asc()
+    )
+    out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return out if probe_id is not None else out.drop("__probe_rid")
+
+
 def soundex_blocked_candidates(
     left: DataFrame, right: DataFrame, left_name: str, right_name: str
 ) -> DataFrame:

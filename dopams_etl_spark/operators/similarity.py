@@ -157,6 +157,90 @@ def lsh_bucket(vec_col: Column | str, dim: int, planes: int = 12, seed: int = 42
     return bucket
 
 
+def _nearest_centroids(vec_col: Column | str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids by cosine.
+
+    ONE literal array of (cid, cvec, cnorm) structs traversed by a single
+    ``transform`` — unrolling a per-centroid cosine expression instead
+    made the plan tree ~n_centroids× bigger (measured 12.7 s → ~1 s of
+    analysis/codegen at 32 centroids). Centroid norms are Python-side
+    constants; only the dot products run per row.
+    """
+    import math
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("cv"),
+                F.lit(math.sqrt(sum(x * x for x in cvec))).alias("cn"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    vn = _norm(v)
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (-(_dot(v, c["cv"]) / (vn * c["cn"]))).alias("negcos"), c["cid"].alias("cid")
+        ),
+    )
+    return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, nprobe)
+
+
+def ivf_topk(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    sample_every: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: the scale path alongside ``lsh_topk``.
+
+    Coarse quantizer = ``n_centroids`` vectors sampled deterministically
+    from the corpus (ids at a fixed stride — a kmeans refinement plugs in
+    here without changing the plan shape). Every corpus vector is assigned
+    to its nearest centroid (one pass, centroids are plan literals); a
+    probe searches only its ``nprobe`` nearest cells, so the join key is
+    the cell id and the candidate set is |corpus|·nprobe/n_centroids per
+    probe instead of |corpus|. Exact cosine re-ranks within the probed
+    cells. Recall measured vs ``cosine_topk`` in tests.
+    """
+    rows = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("v"))
+    # pass sample_every to skip the sizing pass (one Spark job saved)
+    stride = sample_every or max(1, rows.count() // n_centroids)
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["v"]])
+        for r in rows.filter((F.col("cid") % stride == 0)).limit(n_centroids).collect()
+    ]
+    assign = _nearest_centroids(vec_col, cents, 1).getItem(0)
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec"), assign.alias("cell")
+    )
+    p = probe.select(
+        F.col(probe_id).alias("p_id"),
+        F.col(vec_col).alias("p_vec"),
+        F.explode(_nearest_centroids(vec_col, cents, nprobe)).alias("cell"),
+    )
+    scored = (
+        p.join(c, "cell")
+        .filter(F.col("p_id") != F.col("c_id"))
+        .withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("p_id", "c_id", "cos_sim", "rank")
+        .dropDuplicates(["p_id", "rank"])
+    )
+
+
 def lsh_topk(
     probe: DataFrame,
     corpus: DataFrame,

@@ -833,6 +833,98 @@ def advanced_search_firs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stub_person_fetcher(pid):
+    """Deterministic stand-in for the per-person API (S2): every 10th id
+    is 'missing' (fetcher returns None → row dropped)."""
+    if pid % 10 == 0:
+        return None
+    return {"name": f"p{pid}", "score": int(pid) % 7}
+
+
+@register(
+    "point_lookup_enrich",
+    """
+    SELECT c_custkey, 'p' || CAST(c_custkey AS VARCHAR) AS name,
+           CAST(c_custkey % 7 AS INT) AS score
+    FROM customer WHERE c_custkey % 10 <> 0
+    """,
+)
+def point_lookup_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 API point-lookup enrichment: per-id fetch inside mapInPandas
+    (partition-parallel, Arrow-batched); ids the fetcher misses are
+    dropped (``etl_persons.py:879–1042``). Deterministic stub fetcher so
+    the oracle can replicate."""
+    from dopams_etl_spark.sources.api import point_lookup_enrich
+
+    cust = t(spark, sf_dir, "customer")
+    return point_lookup_enrich(
+        cust, "c_custkey", _stub_person_fetcher, "c_custkey long, name string, score int"
+    )
+
+
+@register(
+    "ist_timestamps",
+    """
+    SELECT event_id,
+           strftime(ts + INTERVAL '5 hours 30 minutes', '%Y-%m-%d %H:%M:%S') AS ist_time
+    FROM events
+    """,
+)
+def ist_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 timezone normalization: UTC → naive-IST (+05:30) like the
+    reference's ingest edge (``etl_crimes.py:74–101``)."""
+    from dopams_etl_spark.functions.datetime_utils import to_ist
+
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.date_format(to_ist("ts"), "yyyy-MM-dd HH:mm:ss").alias("ist_time")
+    )
+
+
+@register(
+    "trigram_match_event_types",
+    """
+    WITH dict AS (SELECT DISTINCT event_type AS matched FROM events),
+    probe AS (SELECT DISTINCT substr(event_type, 1, 2) || substr(event_type, 4) AS token
+              FROM events),
+    pt AS (SELECT token,
+                  CASE WHEN length(lower(token)) >= 3
+                       THEN list_distinct(list_transform(range(1, length(lower(token)) - 1),
+                                                         i -> lower(token)[i:i+2]))
+                       ELSE [lower(token)] END AS tg
+           FROM probe),
+    dt AS (SELECT matched,
+                  CASE WHEN length(lower(matched)) >= 3
+                       THEN list_distinct(list_transform(range(1, length(lower(matched)) - 1),
+                                                         i -> lower(matched)[i:i+2]))
+                       ELSE [lower(matched)] END AS tg
+           FROM dict),
+    cand AS (SELECT token, matched,
+                    ROUND(len(list_intersect(pt.tg, dt.tg))
+                          / CAST(len(list_distinct(list_concat(pt.tg, dt.tg))) AS DOUBLE), 6)
+                      AS similarity
+             FROM pt, dt),
+    r AS (SELECT *, row_number() OVER (PARTITION BY token
+              ORDER BY similarity DESC, lower(trim(matched)) ASC) AS rn
+          FROM cand WHERE similarity >= 0.2)
+    SELECT token, matched, similarity FROM r WHERE rn = 1
+    """,
+)
+def trigram_match_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 trigram-similarity join (pg_trgm ``similarity()`` semantics):
+    probe tokens are event types with the 3rd char dropped; best match per
+    probe by trigram Jaccard (``update-state-country.py:288–348``)."""
+    from dopams_etl_spark.operators.joins import trigram_join
+
+    ev = t(spark, sf_dir, "events")
+    probe = ev.select(
+        F.expr("substring(event_type, 1, 2) || substring(event_type, 4)").alias("token")
+    ).distinct()
+    dim = ev.select(F.col("event_type").alias("matched")).distinct()
+    out = trigram_join(probe, dim, "token", "matched", threshold=0.2)
+    return out.select("token", "matched", "similarity")
+
+
 @register(
     "extraction_branch_detect",
     """

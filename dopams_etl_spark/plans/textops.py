@@ -270,6 +270,21 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(probe, emb, "vec_id", "vec_id", "embedding", k=3, dim=64, planes=6)
 
 
+@register("ivf_topk_embeddings", None)  # centroid sampling: engine-specific
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 at scale, variant 2: IVF coarse-quantizer ANN — probes search
+    only their nprobe nearest cells; recall vs exact measured in
+    tests/test_similarity.py."""
+    from dopams_etl_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(
+        probe, emb, "vec_id", "vec_id", "embedding",
+        k=3, n_centroids=16, nprobe=4, sample_every=31,
+    )
+
+
 @register("embedding_near_dup_pairs", None)  # hyperplane signs: no DuckDB analog
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups over multi-table LSH buckets (no unbounded

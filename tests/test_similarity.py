@@ -53,6 +53,28 @@ def test_lsh_topk_recall_on_near_dup(spark):
     assert got and got[0]["c_id"] == 1
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    from dopams_etl_spark.operators.similarity import ivf_topk
+
+    rows = _vecs(60, dim=8)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["p_id"], r["rank"]): r["c_id"]
+        for r in cosine_topk(probes, df, "vec_id", "vec_id", k=3).collect()
+    }
+    approx = {
+        (r["p_id"], r["rank"]): r["c_id"]
+        for r in ivf_topk(probes, df, "vec_id", "vec_id", k=3, n_centroids=8, nprobe=4).collect()
+    }
+    exact_sets = {p: {exact[(p, r)] for r in (1, 2, 3)} for p in range(10)}
+    approx_sets = {p: {v for (pp, _), v in approx.items() if pp == p} for p in range(10)}
+    recall = sum(len(exact_sets[p] & approx_sets[p]) for p in range(10)) / 30.0
+    assert recall >= 0.5  # nprobe=4 of 8 cells on random data
+    # near-identical vector 1 must be vector 0's top hit
+    assert approx[(0, 1)] == 1
+
+
 def test_embedding_near_dups_bucketed(spark):
     rows = _vecs()
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
