@@ -19,6 +19,7 @@ GOLD_PIPELINES = (
     "accuseds_mv",
     "criminal_profiles_mv",
     "advanced_search_firs",
+    "advanced_search_accuseds",
 )
 
 # Year partitioning on the crime-dated tables: the dominant analytical

@@ -1352,3 +1352,242 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         due_date("o_orderdate", 180).alias("due_180"),
         days_since("o_orderdate", F.lit("2026-01-01").cast("date")).cast("int").alias("days_pending"),
     )
+
+
+@register(
+    "advanced_search_accuseds",
+    """
+    WITH drug_flat AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CASE WHEN l_partkey % 5 = 0 THEN '  heroin '
+                  WHEN l_partkey % 5 = 1 THEN 'GANJA'
+                  WHEN l_partkey % 5 = 2 THEN 'NO_DRUGS_DETECTED'
+                  WHEN l_partkey % 5 = 3 THEN NULL
+                  ELSE 'Cocaine' END AS dname,
+             CASE WHEN l_linenumber % 4 = 0 THEN CAST(l_quantity AS BIGINT) ELSE 0 END AS kg,
+             CASE WHEN l_linenumber % 4 = 1 THEN l_partkey % 900 ELSE 0 END AS g,
+             CASE WHEN l_linenumber % 4 = 2 THEN l_suppkey % 4 ELSE 0 END AS vl,
+             CASE WHEN l_linenumber % 4 = 2 THEN l_suppkey % 900 ELSE 0 END AS ml,
+             CASE WHEN l_linenumber % 4 = 3 THEN l_linenumber ELSE 0 END AS cnt,
+             COALESCE(CASE WHEN l_partkey % 3 = 0 THEN NULL
+                           ELSE (l_partkey % 997) * 10 END, 0) AS worth
+      FROM lineitem),
+    entries AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, dname,
+             COALESCE(dname, 'null') || '=' ||
+             CASE WHEN kg >= 1 THEN CAST(kg AS VARCHAR) || ' Kg'
+                  WHEN g > 0 THEN CAST(g AS VARCHAR) || ' g'
+                  WHEN vl >= 1 THEN CAST(vl AS VARCHAR) || ' L'
+                  WHEN ml > 0 THEN CAST(ml AS VARCHAR) || ' ml'
+                  WHEN cnt > 0 THEN CAST(cnt AS VARCHAR) || ' Units'
+                  ELSE 'N/A' END || '@' || CAST(worth AS VARCHAR) AS entry
+      FROM drug_flat),
+    crime_details AS (
+      SELECT l_orderkey,
+             string_agg(entry, ';' ORDER BY l_linenumber, l_partkey, entry) AS drug_details
+      FROM entries GROUP BY l_orderkey),
+    crime_types AS (
+      SELECT l_orderkey, string_agg(dn, ',' ORDER BY dn) AS drug_type
+      FROM (SELECT DISTINCT l_orderkey, upper(trim(dname)) AS dn FROM entries
+            WHERE dname IS NOT NULL AND upper(trim(dname)) <> 'NO_DRUGS_DETECTED')
+      GROUP BY l_orderkey),
+    acc AS (
+      SELECT l.*,
+             COALESCE(CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                           WHEN l_linestatus = 'O' THEN 'Arrest Related/41A CrPC Pending'
+                           ELSE 'Surrendered before court' END,
+                      CASE WHEN l_returnflag = 'R' THEN 'Arrested on 12/01/2024'
+                           WHEN l_returnflag = 'A' THEN 'Absconding'
+                           ELSE '41A Cr.P.C notice issued' END) AS s,
+             COALESCE(CASE WHEN l_partkey % 4 = 3 THEN NULL
+                           WHEN l_returnflag = 'R' THEN 'Peddler'
+                           ELSE 'Consumer' END,
+                      CASE WHEN l_returnflag = 'R' THEN 'Accused'
+                           WHEN l_returnflag = 'A' THEN 'Suspect'
+                           ELSE 'Witness' END) AS role
+      FROM lineitem l)
+    SELECT CAST(a.l_orderkey AS VARCHAR) || ':' || CAST(a.l_linenumber AS VARCHAR)
+             || ':' || CAST(a.l_partkey AS VARCHAR) AS accused_id,
+           a.l_orderkey AS crime_id,
+           p.p_name AS person_name,
+           c.c_name AS ps_name,
+           n.n_name AS dist_name,
+           CAST(o.o_orderdate AS DATE) AS fir_date,
+           a.role AS accused_role,
+           CASE WHEN s ILIKE 'Arrest%' AND s NOT ILIKE 'Arrest Related%' THEN 'Arrested'
+                WHEN s ILIKE 'Surrendered%' THEN 'Arrested'
+                WHEN s ILIKE 'Absconding' THEN 'Absconding'
+                WHEN s ILIKE 'Arrest Related/41A CrPC Pending' THEN 'Absconding'
+                WHEN s ILIKE '41A Cr.P.C%' THEN 'Issued Notice'
+                WHEN s ILIKE 'High court directions%' THEN 'Issued Notice'
+                ELSE 'Unknown' END AS accused_status,
+           a.s AS accused_status_raw,
+           concat_ws(', ', NULLIF(trim(p.p_brand), ''), NULLIF(trim(p.p_type), ''),
+                     NULLIF(trim(n.n_name), '')) AS present_address,
+           COALESCE(ct.drug_type, '') AS drug_type,
+           COALESCE(cd.drug_details, '') AS drug_details,
+           CASE WHEN o.o_orderkey % 4 = 0 THEN 'Commercial' ELSE 'Small' END AS case_class,
+           CASE WHEN o.o_orderkey % 4 = 0 THEN CAST(o.o_orderdate AS DATE) + 180
+                ELSE CAST(o.o_orderdate AS DATE) + 60 END AS chargesheet_due_date,
+           CASE WHEN o.o_orderkey % 4 = 0 THEN
+                  CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), DATE '2026-01-01') <= 180
+                       THEN 'Within Limit (180 Days)' ELSE 'Overdue (Beyond 180 Days)' END
+                ELSE
+                  CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), DATE '2026-01-01') <= 60
+                       THEN 'Within Limit (60 Days)' ELSE 'Overdue (Beyond 60 Days)' END
+           END AS stipulated_period
+    FROM acc a
+    JOIN orders o ON a.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN part p ON a.l_partkey = p.p_partkey
+    LEFT JOIN crime_details cd ON cd.l_orderkey = a.l_orderkey
+    LEFT JOIN crime_types ct ON ct.l_orderkey = a.l_orderkey
+    """,
+)
+def advanced_search_accuseds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``advanced_search_accuseds_mv`` gold pipeline — the reference's 5th
+    MV (``/root/reference/advanced_search_accuseds_mv.sql:1–146``): one wide
+    search row per accused with (a) the AI-extraction override
+    ``COALESCE(bfa.status, a.accused_status)`` / ``COALESCE(bfa.accused_type,
+    a.type)`` feeding the F4 status CASE, (b) the per-crime drugType
+    ``array_agg(DISTINCT upper(trim(name))) FILTER (... <> 'NO_DRUGS_DETECTED')``
+    (sql:109–111), (c) drugDetails with the unit cascade Kg→g→L→ml→Units→N/A
+    (sql:112–122), and (d) the class-conditional chargesheet due date
+    (sql:123–140). AI fields are synthesized deterministically from lineitem
+    keys (fixture), identically in the oracle.
+
+    Scale shape: the two drug child aggregates and the accused→crime spine
+    all shuffle on the same key (the crime id), so at 100 TB the exchanges
+    colocate; hierarchy/person dims are broadcast; no row explosion — output
+    grain stays one row per accused.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part")
+
+    ln, pk, sk = F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")
+    dname = (
+        F.when(pk % 5 == 0, "  heroin ")
+        .when(pk % 5 == 1, "GANJA")
+        .when(pk % 5 == 2, "NO_DRUGS_DETECTED")
+        .when(pk % 5 == 3, F.lit(None))
+        .otherwise("Cocaine")
+    )
+    kg = F.when(ln % 4 == 0, F.col("l_quantity").cast("long")).otherwise(F.lit(0))
+    g = F.when(ln % 4 == 1, pk % 900).otherwise(F.lit(0))
+    vl = F.when(ln % 4 == 2, sk % 4).otherwise(F.lit(0))
+    ml = F.when(ln % 4 == 2, sk % 900).otherwise(F.lit(0))
+    cnt = F.when(ln % 4 == 3, ln).otherwise(F.lit(0))
+    worth = F.coalesce(F.when(pk % 3 != 0, (pk % 997) * 10), F.lit(0))
+    qty_label = (
+        F.when(kg >= 1, F.concat(kg.cast("string"), F.lit(" Kg")))
+        .when(g > 0, F.concat(g.cast("string"), F.lit(" g")))
+        .when(vl >= 1, F.concat(vl.cast("string"), F.lit(" L")))
+        .when(ml > 0, F.concat(ml.cast("string"), F.lit(" ml")))
+        .when(cnt > 0, F.concat(cnt.cast("string"), F.lit(" Units")))
+        .otherwise("N/A")
+    )
+    entry = F.concat(
+        F.coalesce(dname, F.lit("null")), F.lit("="), qty_label, F.lit("@"),
+        worth.cast("string"),
+    )
+    # Materialize dname/entry as concrete attributes so Catalyst doesn't
+    # re-inline the CASE cascade into every downstream reference.
+    flat = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        dname.alias("dname"), entry.alias("entry"),
+    )
+    details = flat.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                collect_sorted_structs(
+                    ["l_linenumber", "l_partkey", "entry"], {"e": F.col("entry")}
+                ),
+                lambda s: s["e"],
+            ),
+            ";",
+        ).alias("drug_details")
+    )
+    dn = F.upper(F.trim("dname"))
+    types = (
+        flat.filter(F.col("dname").isNotNull() & (dn != "NO_DRUGS_DETECTED"))
+        .groupBy("l_orderkey")
+        .agg(F.array_join(F.array_sort(F.collect_set(dn)), ",").alias("drug_type"))
+    )
+
+    status_raw = F.coalesce(
+        F.when(ln % 3 == 0, F.lit(None))
+        .when(F.col("l_linestatus") == "O", "Arrest Related/41A CrPC Pending")
+        .otherwise("Surrendered before court"),
+        F.when(F.col("l_returnflag") == "R", "Arrested on 12/01/2024")
+        .when(F.col("l_returnflag") == "A", "Absconding")
+        .otherwise("41A Cr.P.C notice issued"),
+    )
+    role = F.coalesce(
+        F.when(pk % 4 == 3, F.lit(None))
+        .when(F.col("l_returnflag") == "R", "Peddler")
+        .otherwise("Consumer"),
+        F.when(F.col("l_returnflag") == "R", "Accused")
+        .when(F.col("l_returnflag") == "A", "Suspect")
+        .otherwise("Witness"),
+    )
+    acc = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        status_raw.alias("s"), role.alias("role"),
+    )
+
+    is_comm = F.col("o_orderkey") % 4 == 0
+    d = days_since("o_orderdate", F.lit("2026-01-01").cast("date"))
+    # All three orderkey-keyed joins share one shuffle partitioning; the
+    # dim joins broadcast (cust/nat/part are small relative to the fact).
+    j = (
+        acc.join(details, "l_orderkey", "left")
+        .join(types, "l_orderkey", "left")
+        .join(o, acc.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(part), acc.l_partkey == part.p_partkey, "left")
+    )
+    return j.select(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+        ).alias("accused_id"),
+        F.col("l_orderkey").alias("crime_id"),
+        F.col("p_name").alias("person_name"),
+        F.col("c_name").alias("ps_name"),
+        F.col("n_name").alias("dist_name"),
+        F.col("o_orderdate").cast("date").alias("fir_date"),
+        F.col("role").alias("accused_role"),
+        normalize_status(F.col("s")).alias("accused_status"),
+        F.col("s").alias("accused_status_raw"),
+        F.concat_ws(
+            ", ",
+            F.nullif(F.trim("p_brand"), F.lit("")),
+            F.nullif(F.trim("p_type"), F.lit("")),
+            F.nullif(F.trim("n_name"), F.lit("")),
+        ).alias("present_address"),
+        F.coalesce("drug_type", F.lit("")).alias("drug_type"),
+        F.coalesce("drug_details", F.lit("")).alias("drug_details"),
+        F.when(is_comm, "Commercial").otherwise("Small").alias("case_class"),
+        F.when(is_comm, due_date("o_orderdate", 180))
+        .otherwise(due_date("o_orderdate", 60))
+        .alias("chargesheet_due_date"),
+        F.when(
+            is_comm,
+            F.when(d <= 180, F.lit("Within Limit (180 Days)")).otherwise(
+                F.lit("Overdue (Beyond 180 Days)")
+            ),
+        )
+        .otherwise(
+            F.when(d <= 60, F.lit("Within Limit (60 Days)")).otherwise(
+                F.lit("Overdue (Beyond 60 Days)")
+            )
+        )
+        .alias("stipulated_period"),
+    )
