@@ -1228,7 +1228,15 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = t(spark, sf_dir, "nation")
     part = t(spark, sf_dir, "part")
 
-    # --- child aggregate 1: everything derivable from lineitem alone
+    # --- ALL child aggregates fused into ONE groupBy over lineitem.
+    # The part dim is broadcast-joined first (no shuffle), so drug names are
+    # available as a per-row column; disposal_counts and the nested
+    # chargesheets (A9/A10) are computed from one collected
+    # (linestatus, returnflag) array with higher-order functions (groups are
+    # a handful of rows, so the per-group quadratic filter is free); the
+    # UNION-ALL documents branches (U1) become two conditional collect_sets
+    # merged with array_union. Net: ONE wide shuffle of lineitem instead of
+    # four — at 100 TB this is the difference between one exchange and four.
     acc_status = (
         F.when(F.col("l_returnflag") == "R", F.lit("Arrested on 12/01/2024"))
         .when(F.col("l_returnflag") == "A", F.lit("Absconding"))
@@ -1244,7 +1252,27 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "st": normalize_status(acc_status),
         },
     )
-    li_agg = li.groupBy("l_orderkey").agg(
+    # Hash-partition the fact on the aggregation key up front: the heavy
+    # map-side expression work (struct collects, doc sets) then runs with
+    # full parallelism even off a single-row-group scan, and the groupBy
+    # reuses the partitioning — still exactly one exchange end-to-end.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    lip = ensure_parallelism(li, "l_orderkey").join(
+        F.broadcast(part.select("p_partkey", "p_name", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left",
+    )
+    doc1 = F.when(
+        F.col("l_linenumber") % 2 == 0,
+        F.concat(F.lit("file_"), F.col("l_linenumber").cast("string"), F.lit("_"),
+                 F.col("l_partkey").cast("string")),
+    )
+    doc2 = F.when(
+        F.col("l_returnflag") == "R",
+        F.concat(F.lit("cs_"), F.col("l_linenumber").cast("string")),
+    )
+    li_agg = lip.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_accused"),
         F.array_join(
             F.transform(details_arr, lambda s: F.concat_ws(":", s["ln"], s["pk"], s["st"])), ";"
@@ -1252,63 +1280,55 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_if(F.col("l_returnflag") == "R").cast("long").alias("convictions_count"),
         count_if(F.col("l_returnflag") == "A").cast("long").alias("acquittals_count"),
         F.sum(F.col("l_quantity").cast(DEC)).cast("string").alias("total_qty"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.when(F.col("p_size") > 25, F.upper("p_name")))), ","
+        ).alias("drugs"),
+        F.collect_list(
+            F.struct(F.col("l_linestatus").alias("ls"), F.col("l_returnflag").alias("rf"))
+        ).alias("_pairs"),
+        F.array_join(
+            F.array_sort(F.array_union(F.collect_set(doc1), F.collect_set(doc2))), ","
+        ).alias("documents"),
     )
-
-    # --- child aggregate 2+4 fused: disposal map (A9) and nested
-    # chargesheets (A10) share the (l_orderkey, l_linestatus) first-level
-    # grouping — one sub-aggregate feeds both, saving two lineitem shuffles.
-    disp_cs = (
-        li.groupBy("l_orderkey", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("acts"),
-        )
-        .groupBy("l_orderkey")
-        .agg(
-            F.array_join(
+    ls_sorted = F.array_sort(F.array_distinct(F.transform(F.col("_pairs"), lambda x: x["ls"])))
+    li_agg = li_agg.withColumns(
+        {
+            "disposal_counts": F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("l_linestatus").alias("s"), F.col("cnt")))
+                    ls_sorted,
+                    lambda s: F.concat_ws(
+                        "=",
+                        s,
+                        F.size(
+                            F.filter(F.col("_pairs"), lambda x: x["ls"] == s)
+                        ).cast("string"),
                     ),
-                    lambda e: F.concat_ws("=", e["s"], e["cnt"]),
                 ),
                 ";",
-            ).alias("disposal_counts"),
-            F.array_join(
+            ),
+            "chargesheets": F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("l_linestatus").alias("ls"), F.col("acts")))
+                    ls_sorted,
+                    lambda s: F.concat_ws(
+                        "=",
+                        s,
+                        F.array_join(
+                            F.array_sort(
+                                F.array_distinct(
+                                    F.transform(
+                                        F.filter(F.col("_pairs"), lambda x: x["ls"] == s),
+                                        lambda x: x["rf"],
+                                    )
+                                )
+                            ),
+                            ",",
+                        ),
                     ),
-                    lambda e: F.concat_ws("=", e["ls"], e["acts"]),
                 ),
                 "|",
-            ).alias("chargesheets"),
-        )
-    )
-
-    # --- child aggregate 3: drugs via broadcast part join (J1 inside J6)
-    drugs = (
-        li.join(F.broadcast(part.filter(F.col("p_size") > 25)), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", F.upper("p_name").alias("pn"))
-        .groupBy("l_orderkey")
-        .agg(F.array_join(F.array_sort(F.collect_set("pn")), ",").alias("drugs"))
-    )
-
-    # --- child aggregate 5: UNION-ALL documents branches (U1)
-    br1 = li.filter(F.col("l_linenumber") % 2 == 0).select(
-        "l_orderkey",
-        F.concat(F.lit("file_"), F.col("l_linenumber").cast("string"), F.lit("_"),
-                 F.col("l_partkey").cast("string")).alias("d"),
-    )
-    br2 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", F.concat(F.lit("cs_"), F.col("l_linenumber").cast("string")).alias("d")
-    )
-    docs = (
-        br1.unionByName(br2)
-        .dropDuplicates(["l_orderkey", "d"])
-        .groupBy("l_orderkey")
-        .agg(F.array_join(F.array_sort(F.collect_set("d")), ",").alias("documents"))
-    )
+            ),
+        }
+    ).drop("_pairs")
 
     # --- spine + dims (broadcast) + child joins on the shared key
     fir_status_raw = (
@@ -1327,12 +1347,7 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             normalize_status(fir_status_raw).alias("fir_status"),
         )
     )
-    out = (
-        spine.join(li_agg, spine.o_orderkey == li_agg.l_orderkey, "left").drop("l_orderkey")
-        .join(disp_cs, F.col("o_orderkey") == disp_cs.l_orderkey, "left").drop("l_orderkey")
-        .join(drugs, F.col("o_orderkey") == drugs.l_orderkey, "left").drop("l_orderkey")
-        .join(docs, F.col("o_orderkey") == docs.l_orderkey, "left").drop("l_orderkey")
-    )
+    out = spine.join(li_agg, spine.o_orderkey == li_agg.l_orderkey, "left").drop("l_orderkey")
     return out.select(
         F.col("o_orderkey").alias("fir_id"),
         "ps_name",
