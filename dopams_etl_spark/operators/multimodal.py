@@ -77,3 +77,79 @@ def decode_media(
             yield out[[id_col] + [c.split()[0] for c in meta_schema.split(", ")]]
 
     return df.select(id_col, binary_col).mapInPandas(run, schema)
+
+
+# bytes -> resized bytes
+Resizer = Callable[[bytes, int, int], bytes]
+
+
+def stub_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: the 'resized image' is the first
+    ``min(len, width*height // 8)`` bytes of the payload — replicable by an
+    oracle via substring, while exercising the real binary-out plumbing."""
+    return payload[: min(len(payload), (width * height) // 8)]
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int,
+    height: int,
+    resizer: Resizer = stub_resizer,
+) -> DataFrame:
+    """Resize stage over ``mapInPandas``: binary in → binary out plus size
+    metadata, Arrow-batched. A real deployment passes a PIL/opencv-backed
+    ``Resizer`` with the same signature."""
+    schema = f"{id_col} long, resized binary, out_w int, out_h int, n_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            resized = [resizer(bytes(v), width, height) for v in batch[binary_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].values,
+                    "resized": resized,
+                    "out_w": width,
+                    "out_h": height,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema)
+
+
+def stub_frame_count(payload: bytes) -> int:
+    """Deterministic fake 'video length' in frames (1–7)."""
+    return len(payload) % 7 + 1
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, binary_col: str, every_n: int = 2
+) -> DataFrame:
+    """Frame-sampling stage (video analog): one input row fans out to one
+    row per sampled frame — the one-to-many ``mapInPandas`` shape a real
+    ffmpeg-backed sampler needs. Frame k's payload is the k-th equal chunk
+    of the binary (deterministic stub; oracle-replicable via substring)."""
+    import hashlib as _hl
+
+    schema = f"{id_col} long, frame_idx int, frame_bytes long, frame_md5 string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for rid, v in zip(batch[id_col].values, batch[binary_col]):
+                payload = bytes(v)
+                n_frames = stub_frame_count(payload)
+                chunk = len(payload) // n_frames
+                for k in range(0, n_frames, every_n):
+                    frame = payload[k * chunk : (k + 1) * chunk]
+                    ids.append(rid)
+                    idxs.append(k)
+                    sizes.append(len(frame))
+                    sums.append(_hl.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_bytes": sizes, "frame_md5": sums}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema)

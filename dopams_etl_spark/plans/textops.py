@@ -345,3 +345,51 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
     out = decode_media(docs, "doc_id", "payload", decoder=stub_decoder)
     return out.select("doc_id", "n_bytes", "width", "height")
+
+
+@register(
+    "media_resize",
+    """
+    SELECT doc_id,
+           CAST(least(strlen(text), 600) AS BIGINT) AS n_bytes,
+           80 AS out_w, 60 AS out_h,
+           md5(substr(text, 1, 600)) AS resized_md5
+    FROM documents
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: binary in → binary out via mapInPandas
+    (stub resizer truncates to width*height/8 = 600 bytes; a real resizer
+    shares the signature). md5 of the output binary proves the bytes
+    round-tripped Arrow intact."""
+    from dopams_etl_spark.operators.multimodal import resize_media, stub_resizer
+
+    docs = t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    out = resize_media(docs, "doc_id", "payload", width=80, height=60, resizer=stub_resizer)
+    return out.select("doc_id", "n_bytes", "out_w", "out_h", F.md5("resized").alias("resized_md5"))
+
+
+@register(
+    "media_frame_sample",
+    """
+    WITH vids AS (
+      SELECT doc_id, text,
+             strlen(text) % 7 + 1 AS n_frames,
+             strlen(text) // (strlen(text) % 7 + 1) AS chunk
+      FROM documents)
+    SELECT doc_id,
+           CAST(k AS INT) AS frame_idx,
+           CAST(chunk AS BIGINT) AS frame_bytes,
+           md5(substr(text, CAST(k * chunk + 1 AS INT), CAST(chunk AS INT))) AS frame_md5
+    FROM vids, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS k)
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (video analog): one row in → one row per
+    sampled frame out — the one-to-many mapInPandas fan-out a real
+    ffmpeg-backed sampler needs. Deterministic stub: frame k is the k-th
+    equal chunk of the payload, sampled every 2nd frame."""
+    from dopams_etl_spark.operators.multimodal import sample_frames
+
+    docs = t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    return sample_frames(docs, "doc_id", "payload", every_n=2)

@@ -4,6 +4,7 @@ step 7 — the streaming surface the reference's batch chunking implies)."""
 from dopams_etl_spark.streaming.incremental import (
     read_stream_parquet,
     stateful_sessionize,
+    stream_dedup,
     stream_upsert_parquet,
     windowed_event_counts,
 )
@@ -11,6 +12,7 @@ from dopams_etl_spark.streaming.incremental import (
 __all__ = [
     "read_stream_parquet",
     "stateful_sessionize",
+    "stream_dedup",
     "stream_upsert_parquet",
     "windowed_event_counts",
 ]

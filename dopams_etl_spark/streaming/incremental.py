@@ -148,3 +148,19 @@ def stream_upsert_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drop duplicate events by key
+    within the watermark horizon (``dropDuplicatesWithinWatermark``), so
+    state is bounded — old keys age out with the watermark instead of
+    accumulating forever. This is the streaming analog of the batch
+    insert-if-absent / idempotency anti-join (S10/I6): replayed or
+    at-least-once-delivered events collapse to one row.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -109,3 +109,30 @@ def test_stream_upsert_latest_wins(spark, tmp_path):
     final = spark.read.parquet(target)
     assert final.count() == 100                      # no duplicate keys
     assert final.filter(F.col("value") == -1.0).count() == 0  # stale rows replaced
+
+
+def test_stream_dedup_collapses_replays(spark, tmp_path):
+    """At-least-once delivery: events replayed verbatim collapse to exactly
+    one row per key; output matches batch dropDuplicates on the same data."""
+    from dopams_etl_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "dup_src")
+    ev = _events_subset(spark, 100).select("event_id", "event_type", "ts")
+    # duplicate every event (a replay), plus a second replay of half
+    ev.unionByName(ev).unionByName(ev.limit(50)).write.parquet(src)
+
+    stream = read_stream_parquet(spark, src, ev.schema)
+    deduped = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)), "stream emitted duplicate keys"
+    want = {r["event_id"] for r in spark.read.parquet(src).select("event_id").distinct().collect()}
+    assert set(ids) == want
