@@ -168,3 +168,83 @@ def soundex_blocked_candidates(
     lb = left.withColumn("__blk", F.soundex(F.upper(F.trim(F.col(left_name)))))
     rb = right.withColumn("__blk", F.soundex(F.upper(F.trim(F.col(right_name)))))
     return lb.join(rb, on="__blk", how="inner").drop("__blk")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join (Spark has no native one): for each left row, attach the
+    LATEST right row of the same ``key`` with ``right_ts <= left_ts``
+    (inclusive; ties broken by the last ``right_cols`` order position, i.e.
+    the sort below).
+
+    Scale-safe plan: instead of an inequality join (which Spark plans as a
+    nested loop), both sides union into one stream tagged by side, sorted
+    per key by (ts, side, …) inside ONE window pass — right rows carry
+    forward via ``last(..., ignorenulls=True)``. One shuffle on ``key``, no
+    cross product, linear in |left|+|right| per key.
+    """
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    # align schemas: left keeps its columns, right contributes right_cols
+    carry = [f"__r_{c}" for c in right_cols]
+    lt2 = lt.select(
+        key, "__side", "__ts", *[c for c in left.columns if c != key],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(rc) for c, rc in zip(right_cols, carry)],
+    )
+    rt2 = rt.select(
+        key, "__side", "__ts",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != key],
+        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carry)],
+    )
+    # at equal ts the right row sorts first (side 0 < 1) → inclusive <=;
+    # among equal-ts right rows the LAST in carry-column order wins.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *[F.col(c).asc_nulls_first() for c in carry])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lt2.unionByName(rt2)
+    for c in carry:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return (
+        merged.filter(F.col("__side") == 1)
+        .drop("__side", "__ts")
+        .withColumnsRenamed(dict(zip(carry, [f"asof_{c}" for c in right_cols])))
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Range (interval) join: pair each left row with every right row of the
+    same ``key`` whose ``right_ts`` falls in ``[left_ts, left_ts +
+    window_seconds)``.
+
+    A naive ``l.ts <= r.ts < l.ts + w`` predicate plans as a nested loop in
+    Spark. The scale path buckets time into ``window_seconds`` slots: the
+    left row joins buckets b and b+1 (the interval spans at most two), the
+    bucket becomes an EQUI-join key (hash join, shuffle on (key, bucket)),
+    and the exact range predicate filters the ±1-bucket false positives.
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
+    lt = left.withColumn(
+        "__bucket", F.explode(F.array(lb.cast("long"), (lb + 1).cast("long")))
+    )
+    rt = right.withColumn("__bucket", rb.cast("long"))
+    cond = (
+        (F.unix_timestamp(rt[right_ts]) >= F.unix_timestamp(lt[left_ts]))
+        & (F.unix_timestamp(rt[right_ts]) < F.unix_timestamp(lt[left_ts]) + window_seconds)
+    )
+    return lt.join(rt, on=[key, "__bucket"]).filter(cond).drop("__bucket")

@@ -711,3 +711,99 @@ def nation_soundex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = n.select(F.col("n_nationkey").alias("id_b"), F.col("n_name").alias("name_b"))
     pairs = soundex_blocked_candidates(left, right, "name_a", "name_b")
     return pairs.filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+@register(
+    "salted_event_totals",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: ``events.event_type`` has a handful of
+    hot keys (the heavy-hitter GROUP BY shape), so the aggregate runs as
+    the two-phase salted rewrite — partial on (key, salt), final on key —
+    which spreads each hot key over ``salt_buckets`` reduce partitions.
+    The oracle is the PLAIN group-by: salting must be invisible in the
+    result. Sums are integer cents (floor before sum) so the value is
+    partition-order-independent on both engines."""
+    from dopams_etl_spark.operators.skew import salted_aggregate
+
+    ev = t(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        "event_type",
+        {
+            "n": F.count(F.lit(1)),
+            "total_cents": F.sum(F.floor(F.col("value") * 100).cast("long")),
+            "max_value": F.max("value"),
+        },
+        salt_buckets=16,
+    ).select("event_type", F.col("n").cast("long").alias("n"), "total_cents", "max_value")
+
+
+@register(
+    "asof_purchase_last_view",
+    """
+    WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           (SELECT v.view_id FROM v
+             WHERE v.user_id = p.user_id AND v.ts <= p.ts
+             ORDER BY v.ts DESC, v.view_id DESC LIMIT 1) AS asof_view_id
+    FROM p
+    """,
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (a custom operator Spark lacks natively): each purchase
+    gets the user's latest view event at-or-before it. Implemented as the
+    union + carry-forward-window rewrite — one shuffle on user_id, linear
+    per key, no inequality nested loop. The oracle keeps the declarative
+    correlated-subquery form."""
+    from dopams_etl_spark.operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(purchases, views, "user_id", "ts", "ts", ["view_id"])
+    return out.select("event_id", "user_id", F.col("asof_view_id"))
+
+
+@register(
+    "range_error_click_pairs",
+    """
+    SELECT e.event_id AS err_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND CAST(floor(epoch(c.ts)) AS BIGINT) >= CAST(floor(epoch(e.ts)) AS BIGINT)
+     AND CAST(floor(epoch(c.ts)) AS BIGINT) < CAST(floor(epoch(e.ts)) AS BIGINT) + 3600
+    """,
+)
+def range_error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via time bucketing: every click within one
+    hour at-or-after an error by the same user. The inequality predicate
+    becomes an EQUI-join on (user_id, hour-bucket) — left rows probe
+    buckets b and b+1, the exact range filter removes ±1-bucket false
+    positives — a hash join that shuffles on the key instead of the
+    nested loop Spark would plan for the raw inequality."""
+    from dopams_etl_spark.operators.joins import range_join_bucketed
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    out = range_join_bucketed(errors, clicks, "user_id", "err_ts", "click_ts", 3600)
+    return out.select("err_id", "click_id")

@@ -59,3 +59,41 @@ def test_soundex_blocking_pairs_within_block_only(spark):
     }
     assert (1, 4) in pairs and (2, 4) in pairs
     assert (3, 4) not in pairs  # jones never compared against the smith block
+
+
+def test_asof_join_inclusive_and_ties(spark):
+    """Edge semantics: equal-ts right row IS visible (inclusive); among
+    equal-ts right rows the greatest carry value wins; left rows before any
+    right row get null."""
+    from dopams_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p0"), (2, 10, "p2")], "k long, t long, pid string"
+    ).select("k", F.to_timestamp(F.from_unixtime("t")).alias("t"), "pid")
+    right = spark.createDataFrame(
+        [(1, 100, 7), (1, 100, 9), (1, 60, 5), (2, 99, 1)], "k long, t long, rid int"
+    ).select("k", F.to_timestamp(F.from_unixtime("t")).alias("t"), "rid")
+    out = {
+        r["pid"]: r["asof_rid"]
+        for r in asof_join(left, right, "k", "t", "t", ["rid"]).collect()
+    }
+    assert out == {"p1": 9, "p0": None, "p2": None}
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Rows exactly at interval start (included), end (excluded), and in
+    the next bucket but inside the window (the b+1 probe) all behave."""
+    from dopams_etl_spark.operators.joins import range_join_bucketed
+
+    left = spark.createDataFrame([(1, 1000, "L")], "k long, t long, id string").select(
+        "k", F.to_timestamp(F.from_unixtime("t")).alias("lt"), F.col("id").alias("lid")
+    )
+    right = spark.createDataFrame(
+        [(1, 1000, "start"), (1, 1059, "in"), (1, 1060, "end"), (1, 999, "before")],
+        "k long, t long, id string",
+    ).select("k", F.to_timestamp(F.from_unixtime("t")).alias("rt"), F.col("id").alias("rid"))
+    got = {
+        r["rid"]
+        for r in range_join_bucketed(left, right, "k", "lt", "rt", 60).collect()
+    }
+    assert got == {"start", "in"}
