@@ -807,3 +807,64 @@ def range_error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = range_join_bucketed(errors, clicks, "user_id", "err_ts", "click_ts", 3600)
     return out.select("err_id", "click_id")
+
+
+@register(
+    "event_rollup_multigrain",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,
+           CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE), event_type) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE), event_type)
+    """,
+)
+def event_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (the hypertable-rollup shape): one pass
+    produces per-(day, type), per-day, and grand-total rows via ROLLUP —
+    a single aggregation with grouping-set expansion instead of three
+    separate scans/aggregates unioned. Exact integer-cent sums."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "event_type", "gid", "n", "total_cents")
+    )
+
+
+@register(
+    "user_rolling_event_value",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS moving_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based rolling aggregate: per user, the 3-event moving sum of
+    event value (integer cents — partition-order-independent and exactly
+    comparable). One window pass, shuffle on user_id only; the full
+    (ts, event_id) sort key makes the frame deterministic."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_frame"),
+        F.sum(cents).over(w).cast("long").alias("moving_cents"),
+    )
