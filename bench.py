@@ -39,13 +39,13 @@ def main() -> None:
     # warm the JVM/session so q1 doesn't pay startup costs
     qs["q1_pricing_summary"](spark, SF_DIR).count()
 
-    # Two runs per query, report the steady-state (min): run 1 pays
-    # plan compilation + codegen, run 2 is the recurring cost a pipeline
-    # actually sees. OS page cache holds the parquet either way.
+    # Three runs per query, report the steady-state (min): run 1 pays
+    # plan compilation + codegen, later runs are the recurring cost a
+    # pipeline actually sees. OS page cache holds the parquet either way.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
