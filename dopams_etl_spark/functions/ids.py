@@ -26,13 +26,26 @@ def fingerprint(*cols: Column | str, sep: str = "|") -> Column:
 
 
 def uuid5_expr(*cols: Column | str, namespace: str = "dopams") -> Column:
-    """Deterministic uuid5-shaped id from md5(namespace|parts)."""
+    """Deterministic uuid5-shaped id from md5(namespace|parts), with the
+    RFC-4122 version nibble ('5') AND variant bits (clock_seq_hi forced to
+    8–b) set, so the output parses as a valid RFC-4122 UUID. (Python's
+    ``uuid.uuid5`` hashes with SHA-1, which the DuckDB oracle lacks — the
+    md5 name-hash makes values differ from ``uuid.uuid5`` but keeps every
+    RFC structural property and cross-engine determinism.)"""
     digest = fingerprint(F.lit(namespace), *cols)
+    var_src = F.substring(digest, 17, 1)
+    # hex nibble → (nibble & 0x3) | 0x8, i.e. one of 8/9/a/b
+    variant = (
+        F.when(var_src.isin("0", "4", "8", "c"), "8")
+        .when(var_src.isin("1", "5", "9", "d"), "9")
+        .when(var_src.isin("2", "6", "a", "e"), "a")
+        .otherwise("b")
+    )
     return F.concat_ws(
         "-",
         F.substring(digest, 1, 8),
         F.substring(digest, 9, 4),
         F.concat(F.lit("5"), F.substring(digest, 14, 3)),
-        F.substring(digest, 17, 4),
+        F.concat(variant, F.substring(digest, 18, 3)),
         F.substring(digest, 21, 12),
     )

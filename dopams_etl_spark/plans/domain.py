@@ -384,7 +384,12 @@ def drug_unit_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM customer)
     SELECT c_custkey, fp,
            substr(dig, 1, 8) || '-' || substr(dig, 9, 4) || '-5' || substr(dig, 14, 3)
-           || '-' || substr(dig, 17, 4) || '-' || substr(dig, 21, 12) AS uid
+           || '-' ||
+           CASE WHEN substr(dig, 17, 1) IN ('0','4','8','c') THEN '8'
+                WHEN substr(dig, 17, 1) IN ('1','5','9','d') THEN '9'
+                WHEN substr(dig, 17, 1) IN ('2','6','a','e') THEN 'a'
+                ELSE 'b' END || substr(dig, 18, 3)
+           || '-' || substr(dig, 21, 12) AS uid
     FROM d
     """,
 )

@@ -137,3 +137,22 @@ def test_deterministic_ids_shape(spark):
     assert len(r["fp"]) == 32
     parts = r["u"].split("-")
     assert [len(p) for p in parts] == [8, 4, 4, 4, 12] and parts[2][0] == "5"
+
+
+def test_uuid5_expr_is_rfc4122_valid(spark):
+    """Every generated id must PARSE as an RFC-4122 UUID with version 5
+    and a correct variant — uuid.UUID() enforces structure; version/variant
+    are explicit asserts."""
+    import uuid
+
+    from dopams_etl_spark.functions.ids import uuid5_expr
+
+    df = spark.createDataFrame([("alpha",), ("Beta ",), ("",), (None,)], "name string")
+    ids = [r["u"] for r in df.select(uuid5_expr("name").alias("u")).collect()]
+    for s in ids:
+        u = uuid.UUID(s)
+        assert u.version == 5, s
+        assert s.split("-")[3][0] in "89ab", s
+    # deterministic: same input → same id
+    again = [r["u"] for r in df.select(uuid5_expr("name").alias("u")).collect()]
+    assert ids == again
