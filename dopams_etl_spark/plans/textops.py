@@ -393,3 +393,60 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
     return sample_frames(docs, "doc_id", "payload", every_n=2)
+
+
+@register(
+    "training_corpus_build",
+    r"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS pr,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x IN ({en}))) AS sh,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({de}))) AS h_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({es}))) AS h_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({fr}))) AS h_fr
+      FROM documents),
+    s AS (SELECT doc_id, text, n, sh,
+                 0.4 * (CASE WHEN n >= 20 AND n <= 10000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+                 + 0.3 * (1.0 - least(1.0, pr * 4.0))
+                 + 0.3 * least(1.0, CASE WHEN n > 0 THEN sh / CAST(n AS DOUBLE) ELSE 0.0 END * 5.0)
+                   AS quality,
+                 CASE WHEN greatest(h_de, sh, h_es, h_fr) <= 0 THEN 'und'
+                      WHEN h_de = greatest(h_de, sh, h_es, h_fr) THEN 'de'
+                      WHEN sh = greatest(h_de, sh, h_es, h_fr) THEN 'en'
+                      WHEN h_es = greatest(h_de, sh, h_es, h_fr) THEN 'es'
+                      WHEN h_fr = greatest(h_de, sh, h_es, h_fr) THEN 'fr'
+                      ELSE 'und' END AS pred_lang
+          FROM b),
+    kept AS (SELECT * FROM s WHERE quality >= 0.7 AND pred_lang = 'en'),
+    d AS (SELECT *, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM kept),
+    r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count
+          FROM d)
+    SELECT doc_id, fp, dup_count, CAST(n AS INT) AS n_tokens, quality
+    FROM r WHERE rn = 1
+    """.replace("{en}", _STOP_EN).replace("{de}", _STOP_DE)
+       .replace("{es}", _STOP_ES).replace("{fr}", _STOP_FR),
+)
+def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star training-data pipeline as ONE composed job:
+    quality-score filter (C4-style composite ≥ 0.7) → language filter
+    (heuristic lang-ID = 'en') → exact dedup (fingerprint groupBy, keep
+    lowest doc_id) → per-doc corpus stats. Everything is JVM expressions +
+    one window over the fingerprint — the filters run BEFORE the dedup
+    shuffle, so at 100 TB the exchange only carries surviving documents."""
+    docs = t(spark, sf_dir, "documents")
+    kept = docs.withColumn("quality", quality_score("text")).withColumn(
+        "pred_lang", lang_id("text")
+    ).filter((F.col("quality") >= 0.7) & (F.col("pred_lang") == "en"))
+    deduped = exact_dedup(kept, "text", "doc_id")
+    return deduped.select(
+        "doc_id", "fp", "dup_count", token_count("text").cast("int").alias("n_tokens"),
+        "quality",
+    )
