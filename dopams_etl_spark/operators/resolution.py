@@ -28,6 +28,7 @@ matters more than staying JVM-side.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -203,3 +204,65 @@ def resolve_canonical(
         "needs_review",
         (F.col("score") >= review_threshold) & (F.col("score") < merge_threshold),
     ).withColumn("canonical_id", canonical).withColumnRenamed("score", "best_score")
+
+
+def _jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Plain-Python Jaro-Winkler (standard definition: match window
+    max(|a|,|b|)//2 - 1, transpositions halved, ≤4-char common-prefix
+    boost). Used inside the Arrow-batched UDF below."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    jaro = (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3.0
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+def jaro_winkler(a: Column | str, b: Column | str) -> Column:
+    """Jaro-Winkler similarity as an Arrow-batched pandas UDF — the one
+    reference scorer component (``main.py:147–160``: max(SequenceMatcher,
+    jaro_winkler)) with no vectorizable JVM expression. Use only inside
+    blocked candidate pairs; the JVM ``name_similarity`` remains the
+    default hot-path scorer."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _jaro_winkler_py(x, y) if x is not None and y is not None else 0.0
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _jw(ca, cb)

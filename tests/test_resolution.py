@@ -69,3 +69,16 @@ def test_age_score_decay(spark):
     got = [r["s"] for r in
            df.select(F.round(age_score(F.col("a"), F.col("b")), 2).alias("s")).collect()]
     assert got == [0.8, 0.7, 0.0, 0.5]
+
+
+def test_jaro_winkler_known_values(spark):
+    """Textbook values: MARTHA/MARHTA 0.9611, DIXON/DICKSONX 0.8133,
+    identical 1.0, disjoint 0.0."""
+    from dopams_etl_spark.operators.resolution import jaro_winkler
+
+    df = spark.createDataFrame(
+        [("martha", "marhta"), ("dixon", "dicksonx"), ("abc", "abc"), ("abc", "xyz")],
+        "a string, b string",
+    )
+    got = [round(r["jw"], 4) for r in df.select(jaro_winkler("a", "b").alias("jw")).collect()]
+    assert got == [0.9611, 0.8133, 1.0, 0.0]
