@@ -2,11 +2,14 @@
 north-star training-data-pipeline surface) with DuckDB oracles where the
 computation is engine-portable.
 
-Hash-based operators (minhash, simhash, hyperplane LSH) use Spark's hash
-functions which have no DuckDB analog — those entries are registered
-without an oracle (driver records a rows-only check) but their *exact*
-counterparts (n-gram Jaccard, brute-force cosine) are oracle-checked, so
-the approximate operators are validated against the exact ones in tests.
+Operators built on Spark's OWN hash functions (minhash, simhash — murmur3)
+have no DuckDB analog — those entries are registered without an oracle
+(driver records a rows-only check) but their *exact* counterparts (n-gram
+Jaccard, brute-force cosine) are oracle-checked, so the approximate
+operators are validated against the exact ones in tests. The hyperplane-LSH
+operators (lsh_topk, embedding near-dups) ARE fully oracle-checked: their
+planes are seeded-numpy literals DuckDB reproduces bit-for-bit
+(``_lsh_bucket_sql``).
 """
 
 from __future__ import annotations
@@ -261,10 +264,45 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(probe, emb, "vec_id", "vec_id", "embedding", k=3)
 
 
-@register("lsh_topk_embeddings", None)  # hyperplane signs: no DuckDB analog
+def _lsh_bucket_sql(vec_expr: str, dim: int, planes: int, seed: int = 42) -> str:
+    """DuckDB replica of ``similarity.lsh_bucket``: the hyperplanes are
+    deterministic seeded-numpy literals, so the sign-bit bucket is exactly
+    reproducible — same planes, same left-to-right double accumulation."""
+    from dopams_etl_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for i, plane in enumerate(_hyperplanes(dim, planes, seed)):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {arr}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "lsh_topk_embeddings",
+    """
+    WITH p AS (SELECT vec_id AS p_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    pb AS (SELECT *, {bp} AS bucket FROM p),
+    cb AS (SELECT *, {bc} AS bucket FROM c),
+    s AS (SELECT p_id, c_id,
+                 ROUND(list_dot_product(pv, cv)
+                       / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6)
+                   AS cos_sim
+          FROM pb JOIN cb USING (bucket) WHERE p_id <> c_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY p_id
+                                       ORDER BY cos_sim DESC, c_id ASC) AS rn FROM s)
+    SELECT p_id, c_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
+    """.replace("{bp}", _lsh_bucket_sql("pv", 64, 6)).replace(
+        "{bc}", _lsh_bucket_sql("cv", 64, 6)
+    ),
+)
 def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 at scale: random-hyperplane LSH bucketed top-k — shuffle on bucket
-    id, never the cross product; recall measured in tests vs cosine_topk."""
+    id, never the cross product; recall measured in tests vs cosine_topk.
+    Oracle-checked: the seeded hyperplanes are plan literals, so DuckDB
+    reproduces the exact buckets AND the exact ranked output."""
     emb = t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") < 20)
     return lsh_topk(probe, emb, "vec_id", "vec_id", "embedding", k=3, dim=64, planes=6)
@@ -285,7 +323,34 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_near_dup_pairs", None)  # hyperplane signs: no DuckDB analog
+@register(
+    "embedding_near_dup_pairs",
+    """
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding::DOUBLE[], (x, i) -> x * (1.0 + ((i - 1) % 7) * 0.002))
+      FROM embeddings),
+    tb AS (
+      SELECT id, v, 0 AS tbl, {b0} AS bucket FROM base
+      UNION ALL SELECT id, v, 1, {b1} FROM base
+      UNION ALL SELECT id, v, 2, {b2} FROM base
+      UNION ALL SELECT id, v, 3, {b3} FROM base),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+      FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id),
+    s AS (SELECT id_a, id_b,
+                 ROUND(list_dot_product(va, vb)
+                       / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
+                   AS cos_sim
+          FROM pairs)
+    SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.99
+    """.replace("{b0}", _lsh_bucket_sql("v", 64, 8, 42))
+       .replace("{b1}", _lsh_bucket_sql("v", 64, 8, 1042))
+       .replace("{b2}", _lsh_bucket_sql("v", 64, 8, 2042))
+       .replace("{b3}", _lsh_bucket_sql("v", 64, 8, 3042)),
+)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups over multi-table LSH buckets (no unbounded
     cartesian). The testdata's random vectors have no natural near-dups
