@@ -308,11 +308,46 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(probe, emb, "vec_id", "vec_id", "embedding", k=3, dim=64, planes=6)
 
 
-@register("ivf_topk_embeddings", None)  # centroid sampling: engine-specific
+@register(
+    "ivf_topk_embeddings",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+    corpus AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cassign AS (
+      SELECT c_id, v,
+             (SELECT cid FROM cents
+               ORDER BY -(list_dot_product(corpus.v, cents.cv)
+                          / (sqrt(list_dot_product(corpus.v, corpus.v))
+                             * sqrt(list_dot_product(cents.cv, cents.cv)))) ASC, cid ASC
+               LIMIT 1) AS cell
+      FROM corpus),
+    probes AS (SELECT vec_id AS p_id, embedding::DOUBLE[] AS pv FROM embeddings
+               WHERE vec_id < 20),
+    pcells AS (
+      SELECT p_id, pv, cell
+      FROM probes, LATERAL (
+        SELECT cid AS cell FROM cents
+         ORDER BY -(list_dot_product(probes.pv, cents.cv)
+                    / (sqrt(list_dot_product(probes.pv, probes.pv))
+                       * sqrt(list_dot_product(cents.cv, cents.cv)))) ASC, cid ASC
+         LIMIT 4)),
+    s AS (SELECT p_id, c_id,
+                 ROUND(list_dot_product(pv, v)
+                       / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 6)
+                   AS cos_sim
+          FROM pcells JOIN cassign USING (cell) WHERE p_id <> c_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY p_id
+                                       ORDER BY cos_sim DESC, c_id ASC) AS rn FROM s)
+    SELECT p_id, c_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
+    """,
+)
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 at scale, variant 2: IVF coarse-quantizer ANN — probes search
     only their nprobe nearest cells; recall vs exact measured in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. Oracle-checked: the stride-sampled centroids
+    and the (-cos, cid) nearest-cell tie-break are replicated in SQL."""
     from dopams_etl_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
