@@ -1089,9 +1089,26 @@ def mandal_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "imputed_geo")
 
 
+def _translit_sql(expr: str) -> str:
+    """DuckDB replica of ``transliterate_basic``: the same src→dst replace
+    chain in the same order, then strip non-ASCII leftovers."""
+    from dopams_etl_spark.functions.translit import _DEVANAGARI, _TELUGU
+
+    for src, dst in {**_DEVANAGARI, **_TELUGU}.items():
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    return f"regexp_replace({expr}, '[^\\x00-\\x7F]', '', 'g')"
+
+
 @register(
     "transliterate_names",
-    None,  # Spark-side per-char replace chain has no concise DuckDB analog
+    """
+    SELECT c_custkey, {tx} AS latin_name
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_custkey % 3 = 0 THEN 'राम कुमार'
+                      WHEN c_custkey % 3 = 1 THEN 'రవి తేజ'
+                      ELSE 'ravi latin' END AS raw
+          FROM customer)
+    """.replace("{tx}", _translit_sql("raw")),
 )
 def transliterate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 Indic transliteration (dictionary-free approx): Devanagari /
