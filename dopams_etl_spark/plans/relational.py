@@ -868,3 +868,31 @@ def user_rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_frame"),
         F.sum(cents).over(w).cast("long").alias("moving_cents"),
     )
+
+
+@register(
+    "salted_join_user_enrich",
+    """
+    WITH dim AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS first_seen,
+                        CAST(COUNT(*) AS BIGINT) AS lifetime_events
+                 FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, d.first_seen, d.lifetime_events
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+)
+def salted_join_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: events.user_id is low-cardinality (hot
+    keys), so the fact⋈dim enrichment runs through the replicate-and-salt
+    rewrite — the big side salts randomly, the dim side explodes all
+    salts, and the join key becomes (user_id, salt), spreading each hot
+    key over 8 reduce partitions. The oracle is the PLAIN join: salting
+    must be invisible in the result."""
+    from dopams_etl_spark.operators.skew import salted_broadcast_left
+
+    ev = t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_seen"),
+        F.count(F.lit(1)).alias("lifetime_events"),
+    )
+    out = salted_broadcast_left(ev, dim, "user_id", salt_buckets=8)
+    return out.select("event_id", "user_id", "first_seen", "lifetime_events")
