@@ -189,6 +189,12 @@ def asof_join(
     forward via ``last(..., ignorenulls=True)``. One shuffle on ``key``, no
     cross product, linear in |left|+|right| per key.
     """
+    clash = set(left.columns) & set(right_cols)
+    if clash:
+        raise ValueError(
+            f"right_cols {sorted(clash)} collide with left columns — alias "
+            "the right side before the asof join"
+        )
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
     # align schemas: left keeps its columns, right contributes right_cols
