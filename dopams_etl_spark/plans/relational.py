@@ -896,3 +896,37 @@ def salted_join_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = salted_broadcast_left(ev, dim, "user_id", salt_buckets=8)
     return out.select("event_id", "user_id", "first_seen", "lifetime_events")
+
+
+@register(
+    "sliding_event_stats",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                  THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b
+      FROM events),
+    x AS (
+      SELECT event_type, value, ws AS window_start
+      FROM w, LATERAL (SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS ws))
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM x GROUP BY window_start, event_type
+    """,
+)
+def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h wide, 30 min slide): each event lands
+    in exactly two windows; one hash aggregate on (window, key) after the
+    window-assignment projection. The oracle decomposes the slide into
+    half-width buckets and a 2-element unnest — same window set, same
+    exact integer-cent sums."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_cents")
+    )
