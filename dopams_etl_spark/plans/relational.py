@@ -702,7 +702,46 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("nation_soundex_pairs", None)  # soundex has no DuckDB analog → rows-only
+_SX_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SX_CODES = {**{c: "0" for c in "AEIOUY"}, **{c: "7" for c in "HW"},
+             **{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+             **{c: "3" for c in "DT"}, "L": "4", **{c: "5" for c in "MN"}, "R": "6"}
+_SX_MAP = "".join(_SX_CODES[c] for c in _SX_ALPHA)
+
+
+def soundex_sql(e: str) -> str:
+    """DuckDB replica of Spark's ``F.soundex`` (verified char-for-char in
+    tests/test_functions.py::test_soundex_sql_matches_spark): classic
+    American soundex with H/W transparent, vowels AND non-letters resetting
+    the last code, first-char-non-letter returning the input unchanged,
+    zero-padded/truncated to 4. State machine runs as a ``list_reduce``
+    whose accumulator is ``out || last_code``."""
+    u = f"upper({e})"
+    first = f"substr({u}, 1, 1)"
+    acc0 = f"({first} || translate({first}, '{_SX_ALPHA}', '{_SX_MAP}'))"
+    chars = f"list_transform(range(2, length({u}) + 1), i -> substr({u}, CAST(i AS INT), 1))"
+    code = f"(CASE WHEN x BETWEEN 'A' AND 'Z' THEN translate(x, '{_SX_ALPHA}', '{_SX_MAP}') ELSE 'n' END)"
+    step = (
+        f"(CASE WHEN {code} = '7' THEN acc "
+        f"WHEN {code} = '0' OR {code} = 'n' THEN substr(acc, 1, length(acc) - 1) || '0' "
+        f"WHEN {code} = substr(acc, length(acc), 1) THEN acc "
+        f"ELSE (CASE WHEN length(acc) - 1 < 4 "
+        f"THEN substr(acc, 1, length(acc) - 1) || {code} "
+        f"ELSE substr(acc, 1, length(acc) - 1) END) || {code} END)"
+    )
+    reduced = f"list_reduce(list_prepend({acc0}, {chars}), (acc, x) -> {step})"
+    out = f"rpad(substr({reduced}, 1, length({reduced}) - 1), 4, '0')"
+    return f"(CASE WHEN {first} BETWEEN 'A' AND 'Z' THEN {out} ELSE {e} END)"
+
+
+@register(
+    "nation_soundex_pairs",
+    """
+    WITH s AS (SELECT n_nationkey AS id, {sx} AS blk FROM nation)
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+    """.replace("{sx}", soundex_sql("trim(n_name)")),
+)
 def nation_soundex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 phonetic-blocked candidate pairs (``brief_facts_ai/db.py:147–169``).
     Pairwise comparison never leaves a soundex block."""

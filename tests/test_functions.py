@@ -156,3 +156,33 @@ def test_uuid5_expr_is_rfc4122_valid(spark):
     # deterministic: same input → same id
     again = [r["u"] for r in df.select(uuid5_expr("name").alias("u")).collect()]
     assert ids == again
+
+
+def test_soundex_sql_matches_spark(spark):
+    """The DuckDB soundex replica (plans.relational.soundex_sql) must match
+    Spark's F.soundex char-for-char — classic names, H/W transparency,
+    vowel/non-letter resets, non-letter-leading passthrough, and a
+    pseudo-random fuzz corpus."""
+    import random
+    import string
+
+    import duckdb
+
+    from dopams_etl_spark.plans.relational import soundex_sql
+
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + " -'.1"
+    corpus = [
+        "ROBERT", "RUPERT", "ASHCRAFT", "ASHCROFT", "TYMCZAK", "PFISTER",
+        "HONEYMAN", "LLOYD", "O'BRIEN", "MC-DONALD", "ACHCA", "ACWCA",
+        "AC-CA", "HW", "WH", "A", "", "  ", "1ABC", "-A",
+    ] + ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14))) for _ in range(300)]
+
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    got_spark = {r["s"]: r["sx"] for r in df.select("s", F.soundex("s").alias("sx")).collect()}
+
+    con = duckdb.connect()
+    expr = soundex_sql("s")
+    for s in corpus:
+        want = con.execute(f"WITH t AS (SELECT ? AS s) SELECT {expr} FROM t", [s]).fetchone()[0]
+        assert got_spark[s] == want, f"{s!r}: spark={got_spark[s]!r} duckdb={want!r}"
