@@ -962,7 +962,135 @@ def extraction_branch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("entity_resolution_blocked", None)  # soundex blocking: no DuckDB analog
+def _er_oracle_sql() -> str:
+    """DuckDB replica of the full D2/D3 scorer (weights, boosts, penalty,
+    tier cascade) — every component mirrored expression-for-expression from
+    ``operators/resolution.py``, soundex via ``relational.soundex_sql``,
+    uuid5 fallback via the md5+variant-nibble construction of
+    ``functions/ids.py``. All single-row-derived pieces (normalization,
+    first-token soundex, token lists) are precomputed per ROW, not per
+    pair, so the oracle runs in seconds at sf0.01."""
+    from dopams_etl_spark.plans.relational import soundex_sql
+
+    def norm(x):
+        return (
+            "trim(regexp_replace(regexp_replace(regexp_replace("
+            f"split_part(lower(trim({x})), '@', 1), "
+            r"'\\b[sdw]/o\\b', ' ', 'g'), '[^a-z]', ' ', 'g'), "
+            r"'\\s+', ' ', 'g'))"
+        )
+
+    def name_sim(na, nb):
+        return (
+            f"(CASE WHEN greatest(length({na}), length({nb})) = 0 THEN 0.0 "
+            f"ELSE 1.0 - levenshtein({na}, {nb}) "
+            f"/ CAST(greatest(length({na}), length({nb})) AS DOUBLE) END)"
+        )
+
+    names_case = (
+        "(CASE CAST(c_custkey % 8 AS INT) WHEN 0 THEN 'ramesh kumar' WHEN 1 THEN 'sita' "
+        "WHEN 2 THEN 'priya' WHEN 3 THEN 'x1' WHEN 4 THEN 'unknown person' "
+        "WHEN 5 THEN 'venkatesh' WHEN 6 THEN 'dev' ELSE 'anita' END)"
+    )
+    addr_toks = "list_distinct(regexp_extract_all(lower(coalesce({a}, '')), '[a-z0-9]+'))"
+    uuid_dig = (
+        "md5(concat_ws('|', 'dopams', lower(trim(name_a)), lower(trim(addr_a)), "
+        "lower(trim(CAST(age_a AS VARCHAR)))))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT c_custkey AS pid, {names_case} AS name,
+             'district_' || CAST(c_custkey % 5 AS VARCHAR)
+               || ' ward ' || CAST(c_custkey % 11 AS VARCHAR) AS addr,
+             CAST(c_custkey % 40 + 18 AS INT) AS age,
+             CASE WHEN c_custkey % 3 = 0 THEN 'chotu' END AS alias
+      FROM customer),
+    probe AS (SELECT pid, substr(name, 1, length(name) - 1) AS name_a,
+                     addr AS addr_a, age AS age_a, alias AS alias_a FROM base),
+    cand AS (SELECT pid AS cand_id, name AS name_b, addr AS addr_b, age AS age_b,
+                    alias AS alias_b,
+                    'canon_' || CAST(pid AS VARCHAR) AS canonical_person_id FROM base),
+    probe1 AS (SELECT *, {norm("name_a")} AS na, {norm("alias_a")} AS aa FROM probe),
+    probe2 AS MATERIALIZED (
+      SELECT *, {soundex_sql("trim(name_a)")} AS blk,
+             {soundex_sql("string_split(na, ' ')[1]")} AS sx_a,
+             list_distinct(string_split(na, ' ')) AS tok_a,
+             {addr_toks.format(a="addr_a")} AS adr_a
+      FROM probe1),
+    cand1 AS (SELECT *, {norm("name_b")} AS nb, {norm("alias_b")} AS ab FROM cand),
+    cand2 AS MATERIALIZED (
+      SELECT *, {soundex_sql("trim(name_b)")} AS blk,
+             {soundex_sql("string_split(nb, ' ')[1]")} AS sx_b,
+             list_distinct(string_split(nb, ' ')) AS tok_b,
+             {addr_toks.format(a="addr_b")} AS adr_b
+      FROM cand1),
+    pairs AS (
+      SELECT p.pid, p.name_a, p.addr_a, p.age_a, p.alias_a, p.na, p.aa,
+             p.sx_a, p.tok_a, p.adr_a,
+             c.cand_id, c.name_b, c.age_b, c.alias_b, c.nb, c.ab,
+             c.sx_b, c.tok_b, c.adr_b, c.canonical_person_id
+      FROM probe2 p JOIN cand2 c ON p.blk = c.blk AND p.pid <> c.cand_id),
+    comp AS MATERIALIZED (
+      SELECT *,
+        {name_sim("na", "nb")} AS sim_name,
+        (CASE
+           WHEN len(tok_a) = 0 OR len(tok_b) = 0 THEN 0.0
+           WHEN len(list_intersect(tok_a, tok_b)) > 0
+             THEN 2.0 * len(list_intersect(tok_a, tok_b))
+                  / CAST(len(tok_a) + len(tok_b) AS DOUBLE)
+           WHEN len(tok_a) = 1 AND len(tok_b) = 1
+             THEN {name_sim("na", "nb")} * 0.5
+           ELSE 0.0 END) AS sim_token,
+        (CASE WHEN na = '' OR nb = '' THEN 0.0
+              WHEN sx_a = sx_b THEN 1.0
+              WHEN substr(na, 1, 3) = substr(nb, 1, 3) THEN 1.0
+              ELSE 0.0 END) AS sim_phonetic,
+        (CASE WHEN len(adr_a) = 0 OR len(adr_b) = 0 THEN 0.0
+              ELSE len(list_intersect(adr_a, adr_b))
+                   / CAST(len(list_distinct(list_concat(adr_a, adr_b))) AS DOUBLE)
+         END) AS sim_addr,
+        (CASE WHEN age_a IS NULL OR age_b IS NULL THEN 0.5
+              WHEN abs(age_a - age_b) <= 2 THEN 0.8
+              WHEN abs(age_a - age_b) >= 10 THEN 0.0
+              ELSE greatest(0.0, 0.8 - (abs(age_a - age_b) - 2) * (0.8 / 8.0)) END) AS sim_age,
+        (CASE WHEN alias_a IS NULL OR alias_b IS NULL OR aa = '' OR ab = '' THEN 0.0
+              ELSE CAST(aa = ab AS DOUBLE) END) AS sim_alias
+      FROM pairs),
+    scored AS MATERIALIZED (
+      SELECT *,
+        ROUND(least(
+          (CASE WHEN len(tok_a) = 1
+                 AND tok_a[1] IN ('kumar', 'singh', 'khan', 'raju', 'ravi', 'sai')
+                THEN (0.35 * sim_name + 0.20 * sim_token + 0.15 * sim_phonetic
+                      + 0.12 * sim_addr + 0.10 * sim_age + 0.08 * sim_alias
+                      + CASE WHEN pid % 2 = cand_id % 2 THEN 0.05 ELSE 0.0 END) * 0.85
+                ELSE (0.35 * sim_name + 0.20 * sim_token + 0.15 * sim_phonetic
+                      + 0.12 * sim_addr + 0.10 * sim_age + 0.08 * sim_alias
+                      + CASE WHEN pid % 2 = cand_id % 2 THEN 0.05 ELSE 0.0 END) END),
+          1.0), 2) AS score
+      FROM comp),
+    best AS MATERIALIZED (
+      SELECT *, row_number() OVER (PARTITION BY pid
+                 ORDER BY score DESC NULLS LAST, canonical_person_id ASC) AS rn
+      FROM scored),
+    dig AS (SELECT *, {uuid_dig} AS dg FROM best WHERE rn = 1)
+    SELECT pid,
+           CASE WHEN score >= 0.82 THEN canonical_person_id
+                ELSE substr(dg, 1, 8) || '-' || substr(dg, 9, 4)
+                     || '-5' || substr(dg, 14, 3) || '-' ||
+                     CASE WHEN substr(dg, 17, 1) IN ('0','4','8','c') THEN '8'
+                          WHEN substr(dg, 17, 1) IN ('1','5','9','d') THEN '9'
+                          WHEN substr(dg, 17, 1) IN ('2','6','a','e') THEN 'a'
+                          ELSE 'b' END || substr(dg, 18, 3)
+                     || '-' || substr(dg, 21, 12) END AS canonical_id,
+           score AS best_score,
+           CASE WHEN score >= 0.82 THEN 1 WHEN score >= 0.60 THEN 2 ELSE 3 END AS tier,
+           (score >= 0.60 AND score < 0.82) AS needs_review
+    FROM dig
+    """
+
+
+@register("entity_resolution_blocked", _er_oracle_sql())
 def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2/D3 entity resolution: soundex-blocked candidates → weighted
     pairwise score → tier cascade (0.82 merge / 0.60 review). Pairwise
