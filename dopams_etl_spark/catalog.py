@@ -32,8 +32,12 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimensions: always broadcast-join these against fact tables.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Fixed-cardinality dimensions (region=5, nation=25 at ANY scale factor):
+# the only tables safe to broadcast-hint explicitly. customer/part/supplier/
+# orders all grow linearly with SF — at 100 TB they are billions of rows, and
+# an explicit hint would bypass AQE's size check and OOM the executors; their
+# joins stay plain so AQE picks broadcast-vs-shuffle from measured size.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -50,6 +54,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    if name == "events":
+        # Self-sufficient on ANY caller-provided session (the driver builds
+        # its own): this conf is runtime-settable and required to scan the
+        # TIMESTAMP(NANOS) parquet — without it the read raises
+        # PARQUET_TYPE_ILLEGAL before the conversion below can run.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -44,16 +44,22 @@ def refresh_gold(
     master dedups repeated refresh steps)."""
     from dopams_etl_spark.plans import catalog
 
+    from pyspark.sql import Observation
+
     qs = catalog.queries()
     counts: dict[str, int] = {}
     for name in dict.fromkeys(names):
-        df = qs[name](spark, sf_dir)
+        # Row count comes from an Observation piggybacked on the write job —
+        # ONE pass per MV instead of write + re-read + count (the re-read
+        # was a second full scan per refresh).
+        obs = Observation(f"gold_refresh_{name}")
+        df = qs[name](spark, sf_dir).observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
         parts = GOLD_PARTITIONING.get(name)
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(f"{out_dir}/{name}")
-        counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
+        counts[name] = obs.get["rows"]
     return counts
 
 

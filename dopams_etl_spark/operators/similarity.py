@@ -198,26 +198,27 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 32,
     nprobe: int = 4,
-    sample_every: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: the scale path alongside ``lsh_topk``.
 
-    Coarse quantizer = ``n_centroids`` vectors sampled deterministically
-    from the corpus (ids at a fixed stride — a kmeans refinement plugs in
-    here without changing the plan shape). Every corpus vector is assigned
-    to its nearest centroid (one pass, centroids are plan literals); a
-    probe searches only its ``nprobe`` nearest cells, so the join key is
-    the cell id and the candidate set is |corpus|·nprobe/n_centroids per
-    probe instead of |corpus|. Exact cosine re-ranks within the probed
-    cells. Recall measured vs ``cosine_topk`` in tests.
+    Coarse quantizer = ``n_centroids`` corpus vectors picked by the
+    smallest ``md5(cast(id as string))`` — a deterministic pseudo-random
+    sample that needs NO sizing pass, works for any id type (dense ints,
+    sparse ints, strings), and plans as ``TakeOrderedAndProject`` (each
+    partition keeps its top-n, the driver merges — no global sort even at
+    100 TB). A kmeans refinement plugs in here without changing the plan
+    shape. Every corpus vector is assigned to its nearest centroid (one
+    pass, centroids are plan literals); a probe searches only its
+    ``nprobe`` nearest cells, so the join key is the cell id and the
+    candidate set is |corpus|·nprobe/n_centroids per probe instead of
+    |corpus|. Exact cosine re-ranks within the probed cells. Recall
+    measured vs ``cosine_topk`` in tests (incl. non-contiguous ids).
     """
     rows = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("v"))
-    # pass sample_every to skip the sizing pass (one Spark job saved)
-    stride = sample_every or max(1, rows.count() // n_centroids)
-    cents = [
-        (int(r["cid"]), [float(x) for x in r["v"]])
-        for r in rows.filter((F.col("cid") % stride == 0)).limit(n_centroids).collect()
-    ]
+    sel = rows.orderBy(F.md5(F.col("cid").cast("string")).asc(), F.col("cid").asc()).limit(
+        n_centroids
+    )
+    cents = [(r["cid"], [float(x) for x in r["v"]]) for r in sel.collect()]
     assign = _nearest_centroids(vec_col, cents, 1).getItem(0)
     c = corpus.select(
         F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec"), assign.alias("cell")
@@ -250,27 +251,47 @@ def lsh_topk(
     k: int = 5,
     dim: int = 64,
     planes: int = 8,
+    tables: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: join only within LSH buckets — the shuffle is on
-    the bucket id, never the cross product. Recall grows with fewer planes /
-    multiple tables; exactness handed off to ``cosine_topk`` on the bucket."""
+    the bucket id, never the cross product.
+
+    Recall knobs (same OR-amplification scheme as ``embedding_near_dups``):
+    a candidate at angle θ to the probe surfaces with probability
+    1 - (1 - (1-θ/π)^planes)^tables — fewer ``planes`` → bigger buckets
+    (more candidates, more compute), more ``tables`` → independent bucket
+    sets unioned (linear cost in tables, exponential recall gain). With
+    ``tables=1`` this is a single (bucket) equi-join; with tables>1 the
+    join key is (table, bucket) and duplicate (p,c) candidates dedup
+    before ranking. Exact cosine re-ranks candidates either way."""
     from dopams_etl_spark.partitioning import ensure_parallelism
 
-    p = ensure_parallelism(probe).select(
-        F.col(probe_id).alias("p_id"),
-        F.col(vec_col).alias("p_vec"),
-        lsh_bucket(vec_col, dim, planes).alias("bucket"),
-    )
-    c = ensure_parallelism(corpus).select(
-        F.col(corpus_id).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(vec_col, dim, planes).alias("bucket"),
-    )
-    scored = (
-        p.join(c, "bucket")
-        .filter(F.col("p_id") != F.col("c_id"))
-        .withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
-    )
+    def bucketed(df: DataFrame, id_col: str, id_out: str, vec_out: str) -> DataFrame:
+        return ensure_parallelism(df).select(
+            F.col(id_col).alias(id_out),
+            F.col(vec_col).alias(vec_out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(vec_col, dim, planes, seed + 1000 * t).alias("bucket"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_out, vec_out, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    p = bucketed(probe, probe_id, "p_id", "p_vec")
+    c = bucketed(corpus, corpus_id, "c_id", "c_vec")
+    scored = p.join(c, ["tbl", "bucket"]).filter(F.col("p_id") != F.col("c_id"))
+    if tables > 1:
+        # a (p, c) pair can surface from several tables; one shuffle dedups
+        # before ranking (skipped at tables=1 where pairs are unique)
+        scored = scored.dropDuplicates(["p_id", "c_id"])
+    scored = scored.withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
     w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

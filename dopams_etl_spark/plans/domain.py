@@ -597,7 +597,8 @@ def accuseds_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     address assembly + F4 status; shape of
     ``/root/reference/accuseds_mv.sql:1–137``): one wide row per accused
     (lineitem), crime spine joined inner, person/drug dims joined left.
-    Every dimension is a broadcast; the fact table never shuffles."""
+    Only fixed-size nation is broadcast-hinted; orders/customer/part/supplier
+    scale with SF, so AQE picks their join strategy from measured size."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -610,11 +611,11 @@ def accuseds_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("41A Cr.P.C notice issued"))
     )
     j = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left")
+        .join(part, li.l_partkey == part.p_partkey, "left")
+        .join(sup, li.l_suppkey == sup.s_suppkey, "left")
     )
     return j.select(
         F.concat_ws(
@@ -687,7 +688,7 @@ def criminal_profiles_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     part = t(spark, sf_dir, "part")
-    pc = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
+    pc = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_partkey", "l_orderkey", "l_returnflag", "l_quantity", "o_orderdate", "o_orderkey"
     )
     stats = pc.groupBy("l_partkey").agg(
@@ -808,7 +809,7 @@ def advanced_search_firs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = days_since("o_orderdate", F.lit("2026-01-01").cast("date"))
     is_comm = F.col("case_class") == "commercial"
     return (
-        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        o.join(cust, o.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(case_class, "o_orderkey")
         .join(n_acc, o.o_orderkey == n_acc.l_orderkey, "left")
@@ -1370,7 +1371,9 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     subqueries per row); this pipeline is the decorrelated rewrite — four
     groupBy passes over the child table joined back to the spine, each with
     map-side partial aggregation. At 100 TB: the child aggregates and the
-    spine join all shuffle on the same key (o_orderkey), dims broadcast.
+    spine join all shuffle on the same key (o_orderkey); the fixed-size
+    nation dim is broadcast-hinted, while customer/part joins are left to
+    AQE (they scale with SF — a hint would OOM at 100 TB).
     """
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -1379,7 +1382,8 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
 
     # --- ALL child aggregates fused into ONE groupBy over lineitem.
-    # The part dim is broadcast-joined first (no shuffle), so drug names are
+    # The part dim is joined first (AQE broadcasts it at test scale, shuffle
+    # join beyond the size threshold), so drug names are
     # available as a per-row column; disposal_counts and the nested
     # chargesheets (A9/A10) are computed from one collected
     # (linestatus, returnflag) array with higher-order functions (groups are
@@ -1409,7 +1413,7 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dopams_etl_spark.partitioning import ensure_parallelism
 
     lip = ensure_parallelism(li, "l_orderkey").join(
-        F.broadcast(part.select("p_partkey", "p_name", "p_size")),
+        part.select("p_partkey", "p_name", "p_size"),
         F.col("l_partkey") == F.col("p_partkey"),
         "left",
     )
@@ -1480,14 +1484,15 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     ).drop("_pairs")
 
-    # --- spine + dims (broadcast) + child joins on the shared key
+    # --- spine + dims (nation broadcast, customer via AQE) + child joins
+    # on the shared key
     fir_status_raw = (
         F.when(F.col("o_orderstatus") == "O", F.lit("Arrest Related/41A CrPC Pending"))
         .when(F.col("o_orderstatus") == "F", F.lit("Arrested on 10/10/2020"))
         .otherwise(F.lit("High court directions issued"))
     )
     spine = (
-        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        o.join(cust, o.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .select(
             F.col("o_orderkey"),
@@ -1624,8 +1629,8 @@ def advanced_search_accuseds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the two drug child aggregates and the accused→crime spine
     all shuffle on the same key (the crime id), so at 100 TB the exchanges
-    colocate; hierarchy/person dims are broadcast; no row explosion — output
-    grain stays one row per accused.
+    colocate; the fixed-size nation dim is broadcast, SF-scaling dims are
+    left to AQE; no row explosion — output grain stays one row per accused.
     """
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
@@ -1706,15 +1711,15 @@ def advanced_search_accuseds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     is_comm = F.col("o_orderkey") % 4 == 0
     d = days_since("o_orderdate", F.lit("2026-01-01").cast("date"))
-    # All three orderkey-keyed joins share one shuffle partitioning; the
-    # dim joins broadcast (cust/nat/part are small relative to the fact).
+    # All three orderkey-keyed joins share one shuffle partitioning; only
+    # fixed-size nation carries a broadcast hint (cust/part scale with SF).
     j = (
         acc.join(details, "l_orderkey", "left")
         .join(types, "l_orderkey", "left")
         .join(o, acc.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-        .join(F.broadcast(part), acc.l_partkey == part.p_partkey, "left")
+        .join(part, acc.l_partkey == part.p_partkey, "left")
     )
     return j.select(
         F.concat_ws(

@@ -87,11 +87,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J2/J7: star join — fact side shuffles once on the join key, every
-    dimension is an explicit broadcast (dims are KB-scale at any SF)."""
+    """J1/J2/J7: star join — fact side shuffles once on the join key.
+    Only the fixed-cardinality dims (nation=25, region=5) carry an explicit
+    broadcast hint; customer scales with SF, so its join is left to AQE,
+    which broadcasts it at small scale and switches to shuffle join when
+    the measured size outgrows the threshold."""
     li = t(spark, sf_dir, "lineitem")
     fact = li.join(t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
-    fact = broadcast_dim_join(fact, t(spark, sf_dir, "customer"), on=[fact.o_custkey == F.col("c_custkey")])
+    fact = fact.join(t(spark, sf_dir, "customer"), on=[fact.o_custkey == F.col("c_custkey")])
     fact = broadcast_dim_join(fact, t(spark, sf_dir, "nation"), on=[fact.c_nationkey == F.col("n_nationkey")])
     fact = broadcast_dim_join(fact, t(spark, sf_dir, "region"), on=[fact.n_regionkey == F.col("r_regionkey")])
     return fact.groupBy("r_name").agg(

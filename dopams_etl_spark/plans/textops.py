@@ -313,7 +313,7 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cents AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
     corpus AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v FROM embeddings),
     cassign AS (
       SELECT c_id, v,
@@ -346,15 +346,17 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 at scale, variant 2: IVF coarse-quantizer ANN — probes search
     only their nprobe nearest cells; recall vs exact measured in
-    tests/test_similarity.py. Oracle-checked: the stride-sampled centroids
-    and the (-cos, cid) nearest-cell tie-break are replicated in SQL."""
+    tests/test_similarity.py. Oracle-checked: the md5-ordered centroid
+    sample (id-type-agnostic — Spark ``md5(cast(id as string))`` ==
+    DuckDB ``md5(CAST(... AS VARCHAR))``) and the (-cos, cid)
+    nearest-cell tie-break are replicated in SQL."""
     from dopams_etl_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(
         probe, emb, "vec_id", "vec_id", "embedding",
-        k=3, n_centroids=16, nprobe=4, sample_every=31,
+        k=3, n_centroids=16, nprobe=4,
     )
 
 

