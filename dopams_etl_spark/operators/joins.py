@@ -188,6 +188,13 @@ def asof_join(
     per key by (ts, side, …) inside ONE window pass — right rows carry
     forward via ``last(..., ignorenulls=True)``. One shuffle on ``key``, no
     cross product, linear in |left|+|right| per key.
+
+    Skew note: the window partitions by the join key, so one hot key (a
+    bot user, a null-ish default id) serializes onto one task. The sort is
+    linear, which keeps a hot key survivable, but at 100 TB pre-split such
+    keys by a coarse time bucket (partition on (key, date(ts)), carrying
+    the last value of the previous bucket in) or route them through
+    ``operators.skew.salted_broadcast_left`` when the right side is small.
     """
     clash = set(left.columns) & set(right_cols)
     if clash:

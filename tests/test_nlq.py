@@ -79,3 +79,72 @@ def test_executor_caps_rows_and_rejects(spark):
 def test_sanitize_error_strips_paths_and_identifiers():
     msg = sanitize_error(Exception("Failure at /opt/spark/x.py: column `secret_col` missing"))
     assert "/opt" not in msg and "secret_col" not in msg
+
+
+# ---- N6: generation slot + orchestration round-trip ----------------------
+
+
+def test_generate_count_roundtrip(spark):
+    """'how many orders' must produce COUNT SQL whose answer equals the
+    real table count — full plan→generate→validate→execute loop."""
+    from dopams_etl_spark.nlq.generator import answer_question
+
+    ans = answer_question(spark, "How many orders are there?")
+    assert ans.ok and "COUNT(*)" in ans.sql
+    real = spark.table("orders").count()
+    assert ans.result.rows[0]["n"] == real
+
+
+def test_generate_retrieve_with_limit(spark):
+    from dopams_etl_spark.nlq.generator import answer_question
+
+    ans = answer_question(spark, "show top 7 orders")
+    assert ans.ok and ans.sql.endswith("LIMIT 7")
+    assert ans.result.row_count == 7
+
+
+def test_generate_search_term_filter(spark):
+    """Quoted term becomes a LIKE filter over string columns only, and the
+    rows that come back actually contain the term."""
+    from dopams_etl_spark.nlq.generator import answer_question
+
+    ans = answer_question(spark, "find customers named 'Customer#000000001'")
+    assert ans.ok and "LIKE '%customer#000000001%'" in ans.sql
+    assert ans.result.row_count >= 1
+    assert all("Customer#000000001" in r["c_name"] for r in ans.result.rows)
+
+
+def test_generate_schema_intent_zero_rows(spark):
+    from dopams_etl_spark.nlq.generator import answer_question
+
+    ans = answer_question(spark, "describe the schema of the events table")
+    assert ans.ok and ans.result.row_count == 0
+    # the projection's columns ARE the answer
+    assert ans.sql == "SELECT * FROM events WHERE 1 = 0"
+
+
+def test_malicious_generator_is_caught_and_retried(spark):
+    """An untrusted (LLM) generator emitting DROP is rejected by the N4
+    validator; the loop falls back to the deterministic template and still
+    answers."""
+    from dopams_etl_spark.nlq.generator import answer_question
+
+    def evil(spark_, plan, q):
+        return "DROP TABLE orders"
+
+    ans = answer_question(spark, "how many orders", generator=evil, max_attempts=2)
+    assert ans.ok  # template fallback answered
+    assert ans.attempts[0] == "DROP TABLE orders" and "COUNT(*)" in ans.sql
+
+
+def test_injection_term_never_escapes_literal(spark):
+    """A search term carrying a quote cannot terminate the SQL string:
+    either the validator rejects the pattern or the doubled-quote literal
+    executes as a plain (matchless) LIKE."""
+    from dopams_etl_spark.nlq.generator import answer_question
+
+    ans = answer_question(spark, "find customers named 'x'' OR 1=1 --'")
+    if ans.ok:  # quote got doubled; must behave as a literal, match nothing
+        assert ans.result.row_count == 0
+    else:
+        assert "rejected" in (ans.error or "")
