@@ -66,6 +66,11 @@ _PRIORITY: tuple[str, ...] = (
     "media_resize",
     "media_frame_sample",
     "training_corpus_build",
+    "json_dump_roundtrip",
+    "csv_reference_roundtrip",
+    "nlq_count_orders",
+    "nlq_search_customers",
+    "sink_upsert_roundtrip",
     "name_repair",
     "mandal_imputation",
     "transliterate_names",
@@ -101,7 +106,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     # Import side-effect modules that register their queries.
-    from dopams_etl_spark.plans import domain, relational, textops  # noqa: F401
+    from dopams_etl_spark.plans import domain, relational, surfaces, textops  # noqa: F401
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
