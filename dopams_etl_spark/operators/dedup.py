@@ -42,10 +42,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3,
+    hash_fn: str = "murmur3",
 ) -> DataFrame:
-    """(id, minhash array<int>) — per hash family member, the min murmur3
-    hash (family index mixed in as a seed column) over word shingles.
+    """(id, minhash array) — per hash family member, the min hash (family
+    index mixed in as a seed) over word shingles.
+
+    ``hash_fn="murmur3"`` (default): JVM ``F.hash`` ints — the fastest
+    path. ``hash_fn="md5"``: member i is the lexicographic MIN of the
+    32-char hex ``md5(shingle || '|' || i)`` string — ~same shuffle shape,
+    slightly more CPU, but byte-identical in any engine with a standard
+    md5 (DuckDB, Postgres, Trino), which is what lets the registered query
+    carry a value-level SQL oracle instead of a rows-only check. Min over
+    uniformly-distributed fixed-length hex strings is a valid minhash
+    (lexicographic order on hex = numeric order on the 128-bit value).
 
     Computed as explode(shingles) → groupBy(id) with one ``min`` per family
     member. The aggregate boundary matters twice over: (a) map-side partial
@@ -59,12 +69,19 @@ def minhash_signature(
     """
     from dopams_etl_spark.partitioning import ensure_parallelism
 
+    if hash_fn not in ("murmur3", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sh = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
     )
-    agg = sh.groupBy("id").agg(
-        *[F.min(F.hash("sh", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
-    )
+    if hash_fn == "md5":
+        members = [
+            F.min(F.md5(F.concat_ws("|", F.col("sh"), F.lit(str(i))))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        members = [F.min(F.hash("sh", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+    agg = sh.groupBy("id").agg(*members)
     return agg.select(
         "id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("minhash")
     )
@@ -72,13 +89,13 @@ def minhash_signature(
 
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, bands: int = 8,
-    shingle_n: int = 3,
+    shingle_n: int = 3, hash_fn: str = "murmur3",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, join within
     (band_id, band_hash) buckets. Returns (id_a, id_b, est_jaccard) with
     id_a < id_b, est_jaccard = fraction of agreeing minhashes."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
 
     banded = sigs.select(
         "id",
@@ -154,32 +171,75 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+def _hex_nibble(ch: Column) -> Column:
+    """Hex char → 0–15 (lowercase hex only — md5 output)."""
+    c = F.when(ch == "0", F.lit(0))
+    for i, h in enumerate("123456789abcdef", start=1):
+        c = c.when(ch == h, F.lit(i))
+    return c.cast("int")
+
+
+def _md5_vote_array(m: Column) -> Column:
+    """±1 vote per bit of a 64-bit hash derived from an md5 hex string:
+    bit b lives in hex char b//4 (1-based), nibble bit b%4 — char-major
+    order so any engine with a standard md5 reproduces the identical bit
+    stream from substr+strpos arithmetic."""
+    nibs = F.transform(
+        F.sequence(F.lit(1), F.lit(16)), lambda i: _hex_nibble(m.substr(i, F.lit(1)))
+    )
+    bits = F.flatten(
+        F.transform(
+            nibs,
+            lambda n: F.array(
+                n.bitwiseAND(F.lit(1)),
+                F.shiftright(n, 1).bitwiseAND(F.lit(1)),
+                F.shiftright(n, 2).bitwiseAND(F.lit(1)),
+                F.shiftright(n, 3).bitwiseAND(F.lit(1)),
+            ),
+        )
+    )
+    return F.transform(bits, lambda x: (x * 2 - 1).cast("long"))
+
+
+def simhash64(
+    df: DataFrame, text_col: str, out_col: str = "simhash", hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side.
 
-    Per token: xxhash64; per bit b: +1 if bit set else -1, accumulated over
-    tokens with ``aggregate``+``zip_with``; sign vector re-packed to a long.
+    Per token: a 64-bit hash; per bit b: +1 if set else -1, accumulated
+    over tokens with ``aggregate``+``zip_with``; sign vector re-packed to
+    a long. ``hash_fn="xxhash64"`` (default) is the fast engine path;
+    ``hash_fn="md5"`` derives the 64 bits from the first 16 hex chars of
+    ``md5(token)`` so the signature replicates in any engine with a
+    standard md5 (the value-level-oracle path, same trick as
+    ``minhash_signature``).
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = F.array_distinct(tokens(text_col))
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
-    # Shift amounts must be Python ints (PySpark's shiftright rejects a
-    # Column there), so the 64 bit extractions are unrolled literally.
-    bit_votes = F.aggregate(
-        hashed,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
+    if hash_fn == "md5":
+        hashed = F.transform(toks, lambda t: F.md5(t))
+        votes = _md5_vote_array
+    else:
+        hashed = F.transform(toks, lambda t: F.xxhash64(t))
+
+        def votes(h: Column) -> Column:
+            # Shift amounts must be Python ints (PySpark's shiftright
+            # rejects a Column there): 64 extractions unrolled literally.
+            return F.array(
                 *[
                     F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
                     .otherwise(F.lit(-1))
                     .cast("long")
                     for b in range(64)
                 ]
-            ),
-            lambda a, v: a + v,
-        ),
+            )
+
+    bit_votes = F.aggregate(
+        hashed,
+        zeros,
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
     )
     # Bit b contributes literal 2^b; b=63 is the sign bit of a signed long.
     bit_values = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
@@ -196,14 +256,15 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: banded blocking (4×16-bit chunks — pairs within
     hamming ≤ 3 share at least one identical chunk by pigeonhole), then exact
     hamming via bit_count(xor)."""
     from dopams_etl_spark.partitioning import ensure_parallelism
 
-    sigs = simhash64(ensure_parallelism(df, id_col), text_col).select(
+    sigs = simhash64(ensure_parallelism(df, id_col), text_col, hash_fn=hash_fn).select(
         F.col(id_col).alias("id"), "simhash"
     )
     chunks = sigs.select(

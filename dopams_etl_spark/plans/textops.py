@@ -187,19 +187,85 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50)
 
 
-@register("minhash_lsh_pairs", None)  # Spark murmur3 hashes: no DuckDB analog
+@register(
+    "minhash_lsh_pairs",
+    r"""
+    WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+          FROM tk),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+    m AS (SELECT doc_id, f.i, MIN(md5(shingle || '|' || CAST(f.i AS VARCHAR))) AS h
+          FROM e CROSS JOIN range(0, 32) f(i) GROUP BY doc_id, f.i),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS mh FROM m GROUP BY doc_id),
+    banded AS (SELECT doc_id, mh, r.b,
+                      md5(mh[4*r.b+1] || '_' || mh[4*r.b+2] || '_' ||
+                          mh[4*r.b+3] || '_' || mh[4*r.b+4]) AS bh
+               FROM sig CROSS JOIN range(0, 8) r(b)),
+    p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM banded a JOIN banded b2
+            ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+    j AS (SELECT id_a, id_b, sa.mh AS ma, sb.mh AS mb
+          FROM p JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b,
+           ROUND(len(list_filter(range(1, 33), i -> ma[i] = mb[i])) / 32.0, 6)
+             AS est_jaccard
+    FROM j
+    """,
+)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs — banded signature shuffle; validated
-    against exact n-gram Jaccard in tests/test_dedup.py."""
+    against exact n-gram Jaccard in tests/test_dedup.py. Runs the
+    ``hash_fn="md5"`` family so the banded buckets AND the est-Jaccard
+    values replicate in DuckDB (value-level oracle; the murmur3 default
+    stays the scale path for engine-internal use)."""
     docs = t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
+    return lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32, bands=8,
+                               hash_fn="md5")
 
 
-@register("simhash_dups", None)  # xxhash64: no DuckDB analog
+@register(
+    "simhash_dups",
+    r"""
+    WITH tk AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+                FROM documents),
+    tok AS (SELECT doc_id, md5(unnest(toks)) AS m FROM tk),
+    v AS (SELECT doc_id, r.j,
+                 SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                        substr(m, ((r.j-1)//4)+1, 1)) - 1
+                                 >> ((r.j-1)%4)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS vote
+          FROM tok CROSS JOIN range(1, 65) r(j) GROUP BY doc_id, r.j),
+    sig AS (SELECT doc_id, list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY j) AS s
+            FROM v GROUP BY doc_id),
+    ch AS (SELECT doc_id, s, r.c,
+                  array_to_string(list_slice(s, 16*r.c+1, 16*r.c+16), '') AS chunk
+           FROM sig CROSS JOIN range(0, 4) r(c)),
+    p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM ch a JOIN ch b2
+            ON a.c = b2.c AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+    j2 AS (SELECT id_a, id_b, sa.s AS s_a, sb.s AS s_b
+           FROM p JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(1, 65), i -> s_a[i] <> s_b[i])) AS INTEGER)
+             AS hamming
+    FROM j2
+    WHERE len(list_filter(range(1, 65), i -> s_a[i] <> s_b[i])) <= 6
+    """,
+)
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups — 4×16-bit banded blocking + exact hamming."""
+    """SimHash near-dups — 4×16-bit banded blocking + exact hamming.
+    Runs the ``hash_fn="md5"`` bit derivation so DuckDB reproduces the
+    identical 64-bit signatures (substr+strpos nibble arithmetic over the
+    same md5 hex), turning the former rows-only check into a value-level
+    oracle; xxhash64 stays the engine-internal fast path."""
     docs = t(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=6, hash_fn="md5")
 
 
 @register(
