@@ -39,6 +39,22 @@ def token_count(col: Column | str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+# GPT-2-style pre-tokenizer split (shape of the public openai/gpt-2
+# ``encoder.py`` pattern), restated lookahead-free and ASCII-classed so
+# Java regex (Spark) and RE2 (DuckDB/Trino) match identically — RE2 has
+# no lookahead, and \p classes differ subtly across engines. Contractions
+# ('s 'll 've …), letter runs, digit runs, punctuation runs, whitespace.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate LLM token count: number of GPT-2-style pre-tokenizer
+    segments. An upper-bound proxy for BPE token counts (every BPE token
+    boundary is a segment boundary before merges) that needs no vocab —
+    the standard budget heuristic for corpus sizing."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_SPLIT_PATTERN), 0))
+
+
 def punct_ratio_raw(col: Column | str) -> Column:
     """Unrounded punctuation ratio — raw IEEE division so composites built
     on it stay bitwise-reproducible across engines."""

@@ -61,6 +61,8 @@ _PRIORITY: tuple[str, ...] = (
     "doc_token_stats",
     "doc_lang_id",
     "doc_quality_scores",
+    "doc_bpe_token_stats",
+    "doc_winnow_fingerprints",
     "llm_extract_docs",
     "media_decode_meta",
     "media_resize",

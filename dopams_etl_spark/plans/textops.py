@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dopams_etl_spark.functions.textfns import (
+    bpe_token_count,
     lang_id,
     punct_ratio,
     quality_score,
@@ -30,6 +31,7 @@ from dopams_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dups,
     tiered_fingerprint_dedup,
+    winnow_fingerprints,
 )
 from dopams_etl_spark.operators.llm_map import llm_map, regex_extract_stub
 from dopams_etl_spark.operators.multimodal import decode_media, stub_decoder
@@ -561,6 +563,60 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
     return sample_frames(docs, "doc_id", "payload", every_n=2)
+
+
+@register(
+    "doc_bpe_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'))
+             AS INT) AS n_bpe,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+             AS INT) AS n_ws
+    FROM documents
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-budget token counting: GPT-2-style pre-tokenizer segment count
+    (``bpe_token_count`` — lookahead-free so Java regex and RE2 agree)
+    next to the whitespace count; pure JVM expressions."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").cast("int").alias("n_bpe"),
+        token_count("text").cast("int").alias("n_ws"),
+    )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    r"""
+    WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s
+               FROM documents WHERE doc_id < 100),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(length(s) - 8 + 1, 1) + 1),
+                                i -> md5(substr(s, i, 8))) AS hs
+          FROM b),
+    f AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 8 + 1, 1) + 1),
+                   w -> list_min(list_slice(hs, w, w + 7)))) AS fps
+          FROM g)
+    SELECT doc_id, unnest(fps) AS fp FROM f
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints, k=8 window=8 — the
+    local-similarity sketch; md5-hex hashes replicate the exact selected
+    mins in DuckDB. A 100-doc slice keeps the single-threaded DuckDB
+    oracle inside the driver's per-query budget (the operator itself is
+    per-row array math — corpus size only widens the scan)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(docs, "doc_id", "text", k=8, window=8).select(
+        F.col("id").alias("doc_id"), "fp"
+    )
 
 
 @register(

@@ -95,3 +95,42 @@ def test_tiered_dedup_data_completeness_cascade(spark):
     assert out[5]["canonical_id"] == 3 and out[5]["tier"] == 2 and out[5]["confidence"] == 0.9
     assert out[4]["tier"] == 1 and out[4]["canonical_id"] == 4  # singleton keeps own id
     assert out[6]["tier"] == 0 and out[6]["canonical_id"] == 6
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core guarantee: documents sharing a substring of length
+    >= k + window - 1 (here 8+8-1=15) select at least one common
+    fingerprint; the fingerprint count is far below the gram count."""
+    from dopams_etl_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "xxxx yyyy " + shared + " zzzz"),
+        (3, "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=8, window=8)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 15+ char substring must share a fingerprint"
+    # density: ~2/(window+1) of grams get selected, not all of them
+    assert len(by_doc[1]) < len(rows[0][1])
+
+
+def test_bpe_token_count_known_values(spark):
+    """Hand-segmented examples for the GPT-2-style pre-tokenizer count."""
+    from dopams_etl_spark.functions.textfns import bpe_token_count
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("hello world", 2),        # [hello][ world]
+        ("it's fine", 3),          # [it]['s][ fine]
+        ("a1b2", 4),               # [a][1][b][2]
+        ("wait... what?!", 4),     # [wait][...][ what][?!]
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    got = [r["n"] for r in df.select(bpe_token_count("text").alias("n")).collect()]
+    assert got == [n for _, n in rows]
