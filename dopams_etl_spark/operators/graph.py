@@ -1,0 +1,77 @@
+"""Connected components over near-duplicate pair graphs.
+
+The reference's canonical-id resolver collapses pairwise duplicate groups
+(``create_person_deduplication_table.py:560–640``) but never closes
+transitive chains: A~B plus B~C leaves A and C under different canonicals.
+Training-corpus dedup needs the closure — a cluster is a connected
+component of the near-dup pair graph, and one document per component is
+kept. This is the standard last step after MinHash/SimHash/Jaccard pair
+generation.
+
+Spark-first formulation: min-label propagation with plain DataFrame joins.
+Each round is one shuffle on the node id; labels only decrease, so the
+fixpoint is the component-minimum id and the round count equals the
+component diameter. Near-dup clusters are shallow (stars and short chains),
+so diameter rounds beat the constant-factor overhead of the O(log n)
+large-star/small-star scheme (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) — swap that in for adversarially deep
+graphs. ``localCheckpoint`` truncates the growing iterative lineage each
+round (single-process analog of a reliable ``setCheckpointDir``
+checkpoint on a real cluster); without it the plan doubles per iteration
+and Catalyst re-optimizes the whole history every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Label each node of the undirected ``edges`` graph with the minimum
+    node id in its connected component.
+
+    Returns (node, label) rows for every node that appears in an edge;
+    isolated nodes never enter the graph, so callers left-join and
+    ``coalesce`` to the node's own id (see ``dedup_clusters``).
+
+    Convergence is detected with a cheap existence probe (any row whose
+    label still shrank this round), so the loop stops after
+    diameter + 1 rounds regardless of ``max_iter``.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round — scan once
+    )
+    labels = sym.select(F.col("u").alias("node"), F.col("u").alias("label")).distinct()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                labels["node"],
+                F.least(labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        shrank = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if shrank == 0:
+            break
+    return labels

@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_quality_scores",
     "doc_bpe_token_stats",
     "doc_winnow_fingerprints",
+    "dedup_clusters",
     "llm_extract_docs",
     "media_decode_meta",
     "media_resize",

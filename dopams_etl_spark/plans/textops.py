@@ -157,10 +157,11 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
-@register(
-    "ngram_jaccard_dups",
-    r"""
-    WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+# Shared by ngram_jaccard_dups and dedup_clusters (its pair source) so the
+# two oracles cannot drift: tokenize → distinct 3-shingles → inverted index
+# with max_df=50 → pairwise intersection → Jaccard ≥ 0.5.
+_NGRAM_PAIR_CTES = r"""
+    tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
     s AS (SELECT doc_id,
                  CASE WHEN len(toks) >= 3
                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
@@ -174,12 +175,17 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
                  CAST(COUNT(*) AS BIGINT) AS inter
           FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3, 4)
-    SELECT id_a, id_b,
-           ROUND(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
-    FROM j
-    WHERE ROUND(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) >= 0.5
-    """,
+          GROUP BY 1, 2, 3, 4),
+    pairs AS (SELECT id_a, id_b,
+                     ROUND(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+              FROM j
+              WHERE ROUND(inter / CAST(size_a + size_b - inter AS DOUBLE), 6) >= 0.5)
+"""
+
+
+@register(
+    "ngram_jaccard_dups",
+    "WITH " + _NGRAM_PAIR_CTES + "\n    SELECT id_a, id_b, jaccard FROM pairs",
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dups via shingle inverted index — the
@@ -187,6 +193,46 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubiquitous-shingle skew."""
     docs = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50)
+
+
+@register(
+    "dedup_clusters",
+    "WITH RECURSIVE "
+    + _NGRAM_PAIR_CTES
+    + r""",
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT ed.v, r.lbl FROM reach r JOIN edges ed ON ed.u = r.node),
+    cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(cc.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup clustering: near-dup pairs (exact n-gram
+    Jaccard, same parameters as ``ngram_jaccard_dups``) → connected
+    components → every document labeled with its component-minimum
+    ``cluster_id`` (singletons label themselves); keep ``is_canonical``
+    rows for the deduped corpus. Closes the A~B~C chains the reference's
+    pairwise canonical resolver leaves open
+    (``create_person_deduplication_table.py:560–640``). The oracle closes
+    the same graph with a recursive CTE — independent algorithm, same
+    fixpoint."""
+    from dopams_etl_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("cluster_id"),
+        (F.coalesce("label", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+    )
 
 
 @register(

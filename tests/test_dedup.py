@@ -134,3 +134,26 @@ def test_bpe_token_count_known_values(spark):
     df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
     got = [r["n"] for r in df.select(bpe_token_count("text").alias("n")).collect()]
     assert got == [n for _, n in rows]
+
+
+def test_connected_components_chain_cycle_star(spark):
+    """CC fixpoint on a graph with a 4-chain (diameter 3 — needs real
+    propagation, not one hop), a 3-cycle, and a 2-star; labels are the
+    component minimum."""
+    from dopams_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain
+         (10, 11), (11, 12), (12, 10),  # cycle
+         (20, 21), (20, 22)],           # star
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty_edges(spark):
+    from dopams_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
