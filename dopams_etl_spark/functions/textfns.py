@@ -138,3 +138,30 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of whitespace/case-normalized text."""
     return F.md5(F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " ")))
+
+
+# PII scrubbing (training-corpus privacy pass; no reference analog — the
+# reference stores PII on purpose, a training pipeline must strip it).
+# ASCII-only classes and no lookahead/boundaries beyond \b, so Java regex
+# (Spark) and RE2 (DuckDB/Trino) match the same spans. Replacement order
+# matters: emails first (their local part can contain digits), then SSN
+# (3-2-4 digit shape), then phone.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\([0-9]{3}\) [0-9]{3}-[0-9]{4}",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern in the raw text."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(PII_PATTERNS[kind]), 0))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII span with a typed placeholder (``<EMAIL>``,
+    ``<SSN>``, ``<PHONE>``), applied in PII_PATTERNS order."""
+    out = _c(col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

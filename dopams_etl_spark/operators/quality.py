@@ -1,0 +1,94 @@
+"""Document-quality signals beyond scalar ratios.
+
+Complements ``functions.textfns`` (scalar, per-row quality ratios) with the
+repetition family from the Gopher corpus-filtering rules (Rae et al. 2021,
+Table A1) — the standard "remove boilerplate/spam" pass of a training-data
+pipeline. The reference has no analog (its documents are court texts with
+per-field cleaning); this is part of the LLM-pipeline surface the engine
+adds on top of reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token-level restatement of Gopher's repetition fractions:
+
+    - ``top2_frac``: tokens covered by the most frequent 2-gram —
+      ``min(1, 2 * max-2-gram-count / n_tokens)`` (the paper's "fraction
+      of characters in most common n-gram", over tokens; overlapping
+      occurrences can overcount, hence the cap).
+    - ``dup5_frac``: fraction of token *positions* covered by at least one
+      5-gram occurring more than once in the document (the paper's
+      "fraction of characters in duplicated n-grams", exact interval
+      union, not the overcounting sum).
+
+    Plan shape: one explode of per-row derived gram arrays (JVM array
+    math), gram counts as a window over (id, gram) — a single shuffle
+    whose key includes the gram, so frequency skew spreads across
+    reducers; the interval union is explode→distinct→count on (id, pos),
+    bounded by 5× the token count. All whole-stage-codegen expressions;
+    at 100 TB each document's state stays proportional to its own length.
+    """
+    txt = F.trim(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(txt == "", F.array().cast("array<string>")).otherwise(
+            F.split(txt, r"\s+")
+        ).alias("tk"),
+    ).withColumn("n", F.size("tk"))
+
+    def gram(start, width):
+        return F.concat_ws(
+            " ", *[F.element_at(F.col("tk"), start + j) for j in range(width)]
+        )
+
+    g2 = base.filter(F.col("n") >= 2).select(
+        "id", "n",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.col("n") - 1), lambda i: gram(i, 2))
+        ).alias("gram"),
+    )
+    top2 = (
+        g2.groupBy("id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.least(F.lit(1.0), F.max("cnt") * 2.0 / F.first("n")), 6
+            ).alias("top2_frac")
+        )
+    )
+
+    g5 = base.filter(F.col("n") >= 5).select(
+        "id", "n",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), F.col("n") - 4), lambda i: gram(i, 5))
+        ).alias("pos", "gram"),
+    )
+    w = Window.partitionBy("id", "gram")
+    dup5 = (
+        g5.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("cnt") >= 2)
+        .select(
+            "id", "n",
+            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + 5)).alias("p"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.round(F.count(F.lit(1)) / F.first("n"), 6).alias("dup5_frac"))
+    )
+
+    return (
+        base.join(top2, "id", "left")
+        .join(dup5, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n").cast("int").alias("n_tokens"),
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("dup5_frac", F.lit(0.0)).alias("dup5_frac"),
+        )
+    )

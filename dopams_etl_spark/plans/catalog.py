@@ -64,6 +64,8 @@ _PRIORITY: tuple[str, ...] = (
     "doc_bpe_token_stats",
     "doc_winnow_fingerprints",
     "dedup_clusters",
+    "doc_repetition_stats",
+    "doc_pii_redact",
     "llm_extract_docs",
     "media_decode_meta",
     "media_resize",

@@ -666,6 +666,113 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pii_redact",
+    r"""
+    WITH a AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END
+        || CASE WHEN doc_id % 4 = 0
+                THEN ' call (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS txt
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(txt, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+        AS n_email,
+      CAST(len(regexp_extract_all(txt, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
+      CAST(len(regexp_extract_all(txt, '\([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+      md5(regexp_replace(regexp_replace(regexp_replace(txt,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+            '\([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM a
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus PII scrub: per-type span counts + typed-placeholder
+    redaction (md5 of the redacted text proves byte-for-byte equality).
+    The synthetic corpus has no PII, so deterministic emails/phones/SSNs
+    are appended from doc_id (same synthesis in the oracle — the
+    events-table ``_synth_status`` trick); the regexes are ASCII-classed
+    and lookahead-free so Java regex and RE2 agree span-for-span."""
+    from dopams_etl_spark.functions.textfns import pii_count, redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.withColumn(
+        "txt",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(did % 4 == 0,
+                   F.concat(F.lit(" call (555) 010-"),
+                            F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" id 123-45-"),
+                            F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        ),
+    )
+    return aug.select(
+        "doc_id",
+        pii_count("txt", "email").cast("int").alias("n_email"),
+        pii_count("txt", "ssn").cast("int").alias("n_ssn"),
+        pii_count("txt", "phone").cast("int").alias("n_phone"),
+        F.md5(redact_pii("txt")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    r"""
+    WITH b AS (SELECT doc_id,
+                      CASE WHEN trim(text) = '' THEN []
+                           ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+               FROM documents),
+    nn AS (SELECT doc_id, tk, len(tk) AS n FROM b),
+    g2 AS (SELECT doc_id, n,
+                  unnest(list_transform(range(1, n), i -> tk[i] || ' ' || tk[i+1])) AS gram
+           FROM nn WHERE n >= 2),
+    c2 AS (SELECT doc_id, MAX(cnt) AS mc, MAX(n) AS n
+           FROM (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2, 3)
+           GROUP BY doc_id),
+    g5 AS (SELECT doc_id, n, i AS pos,
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+                    AS gram
+           FROM (SELECT doc_id, n, tk, unnest(range(1, n - 3)) AS i FROM nn WHERE n >= 5)),
+    d5 AS (SELECT doc_id, n, pos
+           FROM (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt FROM g5)
+           WHERE cnt >= 2),
+    cov AS (SELECT doc_id, MAX(n) AS n, COUNT(DISTINCT p) AS covered
+            FROM (SELECT doc_id, n, unnest(range(pos, pos + 5)) AS p FROM d5)
+            GROUP BY doc_id)
+    SELECT nn.doc_id,
+           CAST(nn.n AS INT) AS n_tokens,
+           COALESCE(ROUND(LEAST(1.0, c2.mc * 2.0 / nn.n), 6), 0.0) AS top2_frac,
+           COALESCE(ROUND(cov.covered / CAST(nn.n AS DOUBLE), 6), 0.0) AS dup5_frac
+    FROM nn LEFT JOIN c2 USING (doc_id) LEFT JOIN cov USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1): most-
+    common-2-gram coverage and duplicated-5-gram positional coverage per
+    document — the boilerplate/spam signal of a training-corpus pipeline.
+    Exact interval union for dup5 (explode→distinct), capped overcount for
+    top2, mirrored term-for-term in the oracle."""
+    from dopams_etl_spark.operators.quality import repetition_stats
+
+    docs = t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens", "top2_frac", "dup5_frac"
+    )
+
+
+@register(
     "training_corpus_build",
     r"""
     WITH b AS (

@@ -157,3 +157,21 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition fractions on hand-worked examples."""
+    from dopams_etl_spark.operators.quality import repetition_stats
+
+    rows = [
+        (1, "a b a b a"),        # "a b"x2 -> top2=4/5; single 5-gram -> dup5=0
+        (2, "x x x x x x"),      # "x x"x5 -> capped 1.0; dup 5-gram covers all -> 1.0
+        (3, "a b c d e f g"),    # all distinct -> top2=2/7, dup5=0
+        (4, ""),                 # empty -> zeros
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1]["top2_frac"] == 0.8 and got[1]["dup5_frac"] == 0.0
+    assert got[2]["top2_frac"] == 1.0 and got[2]["dup5_frac"] == 1.0
+    assert got[3]["top2_frac"] == round(2 / 7, 6) and got[3]["dup5_frac"] == 0.0
+    assert got[4]["n_tokens"] == 0 and got[4]["top2_frac"] == 0.0 and got[4]["dup5_frac"] == 0.0

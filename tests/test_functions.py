@@ -186,3 +186,33 @@ def test_soundex_sql_matches_spark(spark):
     for s in corpus:
         want = con.execute(f"WITH t AS (SELECT ? AS s) SELECT {expr} FROM t", [s]).fetchone()[0]
         assert got_spark[s] == want, f"{s!r}: spark={got_spark[s]!r} duckdb={want!r}"
+
+
+def test_pii_redaction_known_spans(spark):
+    """redact_pii replaces each PII type with its placeholder; counts match."""
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.functions.textfns import pii_count, redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org or (212) 555-0187"),
+        (2, "ssn 078-05-1120 twice 078-05-1120"),
+        (3, "clean text, no pii at all"),
+        (4, "edge 12@3 not-an-email 12-34-5678 not-an-ssn (12) 34-56 not-a-phone"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_count("t", "email").alias("e"),
+            pii_count("t", "ssn").alias("s"),
+            pii_count("t", "phone").alias("p"),
+            redact_pii("t").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"]) == (1, 1)
+    assert out[1]["red"] == "mail me at <EMAIL> or <PHONE>"
+    assert out[2]["s"] == 2 and out[2]["red"] == "ssn <SSN> twice <SSN>"
+    assert (out[3]["e"], out[3]["s"], out[3]["p"]) == (0, 0, 0)
+    assert (out[4]["e"], out[4]["s"], out[4]["p"]) == (0, 0, 0)
