@@ -972,3 +972,67 @@ def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_cents")
     )
+
+
+@register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.5), 6) AS p50_cents,
+           ROUND(quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.9), 6) AS p90_cents,
+           ROUND(quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.99), 6) AS p99_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family addition: exact interpolated percentiles per group — one
+    hash-partial + sort-based exact percentile per key (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, both linear interpolation
+    at rank p·(n−1); integer-cent inputs keep the interpolation arithmetic
+    bit-identical). At 100 TB the per-key state is the sorted value
+    multiset — for gigarow keys swap in ``percentile_approx`` (t-digest,
+    mergeable partials); that approx variant is deliberately NOT the
+    oracled path since its sketch is engine-specific."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile(cents, F.lit(0.5)), 6).alias("p50_cents"),
+        F.round(F.percentile(cents, F.lit(0.9)), 6).alias("p90_cents"),
+        F.round(F.percentile(cents, F.lit(0.99)), 6).alias("p99_cents"),
+    )
+
+
+@register(
+    "order_status_pivot",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS status_o_cents,
+           SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS status_f_cents,
+           SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS status_p_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab) aggregation: one groupBy with an explicit pivot
+    value list — explicit values keep the plan single-pass (no extra
+    distinct-values job) and the output schema static, which is also the
+    100 TB posture: never let a pivot infer its columns from a full scan.
+    The oracle is the standard conditional-aggregation rewrite."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.withColumn("cents", cents)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("cents"))
+        .withColumnRenamed("O", "status_o_cents")
+        .withColumnRenamed("F", "status_f_cents")
+        .withColumnRenamed("P", "status_p_cents")
+    )
