@@ -412,3 +412,69 @@ def tiered_fingerprint_dedup(
             F.round(conf, 2).alias("confidence"),
         )
     )
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup check: each NEW document against an EXISTING
+    corpus, never corpus×corpus — the nightly-ingest shape at 100 TB
+    (the corpus shingle index is append-only; candidate generation is
+    batch-side shingles probing it, so cost scales with the batch, not
+    the corpus²). Same exact n-gram Jaccard semantics as
+    ``ngram_jaccard_pairs``; ``max_df`` prunes ubiquitous shingles by
+    their CORPUS document frequency (the stable side). Returns the best
+    corpus match per batch doc: (id, dup_of, jaccard), ties broken by
+    lowest corpus id.
+    """
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            ensure_parallelism(df, id_col)
+            .select(
+                F.col(id_col).alias(f"{name}_id"),
+                word_shingles(text_col, shingle_n).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+            .withColumn(f"{name}_sz", F.size("sh"))
+            .select(f"{name}_id", f"{name}_sz", F.explode("sh").alias("shingle"))
+        )
+
+    b = side(batch, "b")
+    c = side(corpus, "c")
+    if max_df is not None:
+        keep = (
+            c.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        c = c.join(keep, "shingle")
+        b = b.join(keep, "shingle")
+    scored = (
+        b.join(c, "shingle")
+        .groupBy("b_id", "c_id", "b_sz", "c_sz")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("b_sz") + F.col("c_sz") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("b_id").orderBy(F.col("jaccard").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("b_id").alias("id"), F.col("c_id").alias("dup_of"), "jaccard")
+    )

@@ -92,3 +92,57 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.coalesce("dup5_frac", F.lit(0.0)).alias("dup5_frac"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-packing step of an LLM training pipeline (context-length
+    budgeting). Chunk k covers tokens [k·stride, k·stride + chunk_tokens)
+    with stride = chunk_tokens − overlap; the last chunk is the remainder
+    (never empty, never duplicated: a doc shorter than one chunk yields
+    exactly one chunk).
+
+    One-to-many fan-out as a JVM array transform + posexplode — no Python
+    boundary, and the explode happens AFTER the scan projection so only
+    (id, tokens) ever shuffles. Returns (id, chunk_idx, n_tokens, chunk)
+    rows; chunk is the space-rejoined token window.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    txt = F.trim(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(txt == "", F.array().cast("array<string>")).otherwise(
+            F.split(txt, r"\s+")
+        ).alias("tk"),
+    ).withColumn("n", F.size("tk"))
+    # number of chunks: 1 + ceil(max(0, n - chunk) / stride); empty doc -> 0
+    n_chunks = F.when(F.col("n") <= 0, F.lit(0)).otherwise(
+        1 + F.ceil(F.greatest(F.col("n") - chunk_tokens, F.lit(0)) / stride).cast("int")
+    )
+    return (
+        base.withColumn("nc", n_chunks)
+        .filter(F.col("nc") > 0)
+        .select(
+            "id", "tk", "n",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("nc") - 1),
+                    lambda k: F.slice(F.col("tk"), k * stride + 1, chunk_tokens),
+                )
+            ).alias("chunk_idx", "ck"),
+        )
+        .select(
+            "id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("ck").cast("int").alias("n_tokens"),
+            F.concat_ws(" ", "ck").alias("chunk"),
+        )
+    )

@@ -66,6 +66,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "doc_repetition_stats",
     "doc_pii_redact",
+    "doc_chunks",
+    "dedup_incremental_batch",
     "llm_extract_docs",
     "media_decode_meta",
     "media_resize",

@@ -666,6 +666,81 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    r"""
+    WITH b AS (SELECT doc_id,
+                      CASE WHEN trim(text) = '' THEN []
+                           ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+               FROM documents),
+    nn AS (SELECT doc_id, tk, len(tk) AS n FROM b),
+    c AS (SELECT doc_id, tk,
+                 CASE WHEN n <= 0 THEN 0
+                      ELSE 1 + CAST(ceil(greatest(n - 50, 0) / 40.0) AS INT) END AS nc
+          FROM nn),
+    x AS (SELECT doc_id, tk, k
+          FROM c, LATERAL (SELECT unnest(range(0, nc)) AS k) WHERE nc > 0),
+    y AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+                 list_slice(tk, k * 40 + 1, k * 40 + 50) AS ck
+          FROM x)
+    SELECT doc_id, chunk_idx, CAST(len(ck) AS INT) AS n_tokens,
+           array_to_string(ck, ' ') AS chunk
+    FROM y
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: 50-token windows, 10-token overlap
+    (stride 40) — the pre-packing fan-out of an LLM training pipeline,
+    as a JVM array transform + posexplode (same one-to-many shape as
+    media_frame_sample, zero Python boundary)."""
+    from dopams_etl_spark.operators.quality import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=50, overlap=10).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "n_tokens", "chunk"
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    "WITH "
+    + _NGRAM_PAIR_CTES
+    + r""",
+    bound AS (SELECT CAST(0.8 * (MAX(doc_id) + 1) AS BIGINT) AS cut FROM documents),
+    ce AS (SELECT e.* FROM e, bound WHERE e.doc_id < bound.cut),
+    be AS (SELECT e.* FROM e, bound WHERE e.doc_id >= bound.cut),
+    keepc AS (SELECT shingle FROM ce GROUP BY shingle HAVING COUNT(*) <= 50),
+    ce2 AS (SELECT ce.* FROM ce JOIN keepc USING (shingle)),
+    be2 AS (SELECT be.* FROM be JOIN keepc USING (shingle)),
+    ji AS (SELECT be2.doc_id AS doc_id, ce2.doc_id AS dup_of,
+                  be2.sz AS bs, ce2.sz AS cs, CAST(COUNT(*) AS BIGINT) AS inter
+           FROM be2 JOIN ce2 USING (shingle) GROUP BY 1, 2, 3, 4),
+    sc AS (SELECT doc_id, dup_of,
+                  ROUND(inter / CAST(bs + cs - inter AS DOUBLE), 6) AS jaccard
+           FROM ji
+           WHERE ROUND(inter / CAST(bs + cs - inter AS DOUBLE), 6) >= 0.5),
+    rr AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY jaccard DESC, dup_of ASC) AS rn FROM sc)
+    SELECT doc_id, dup_of, jaccard FROM rr WHERE rn = 1
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the newest 20% of documents (by id — the
+    nightly batch) near-dup-checked against the existing 80% corpus,
+    batch×corpus candidates only (cost scales with the batch, never
+    corpus²). The 80% boundary is a driver-side scalar (watermark-style);
+    best corpus match per batch doc."""
+    from dopams_etl_spark.operators.dedup import dedup_against_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    cut = int(0.8 * (docs.agg(F.max("doc_id")).collect()[0][0] + 1))
+    batch = docs.filter(F.col("doc_id") >= cut)
+    corpus = docs.filter(F.col("doc_id") < cut)
+    return dedup_against_corpus(
+        batch, corpus, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50
+    ).select(F.col("id").alias("doc_id"), "dup_of", "jaccard")
+
+
+@register(
     "doc_pii_redact",
     r"""
     WITH a AS (

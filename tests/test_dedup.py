@@ -175,3 +175,56 @@ def test_repetition_stats_hand_computed(spark):
     assert got[2]["top2_frac"] == 1.0 and got[2]["dup5_frac"] == 1.0
     assert got[3]["top2_frac"] == round(2 / 7, 6) and got[3]["dup5_frac"] == 0.0
     assert got[4]["n_tokens"] == 0 and got[4]["top2_frac"] == 0.0 and got[4]["dup5_frac"] == 0.0
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk math at the edges: short doc = 1 chunk; exact stride multiple
+    has a full last chunk; remainder chunk carries overlap + leftovers;
+    empty doc yields nothing; reassembling stride slices recovers the doc."""
+    from dopams_etl_spark.operators.quality import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(1, words(7)), (2, words(90)), (3, words(91)), (4, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=50, overlap=10)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["id"], []).append(r)
+    for chunks in by.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+    assert [c["n_tokens"] for c in by[1]] == [7]
+    assert [c["n_tokens"] for c in by[2]] == [50, 50]          # [0..49], [40..89]
+    assert [c["n_tokens"] for c in by[3]] == [50, 50, 11]      # last: [80..90]
+    assert 4 not in by
+    # stride-spliced reassembly recovers the original token stream
+    toks = by[3][0]["chunk"].split()
+    for c in by[3][1:]:
+        toks += c["chunk"].split()[10:]
+    assert toks == words(91).split()
+
+
+def test_dedup_against_corpus_never_pairs_within_sides(spark):
+    """Incremental dedup: batch docs match the corpus only — identical
+    batch docs must NOT pair with each other, and the best (not first)
+    corpus match wins."""
+    from dopams_etl_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta"),
+         (3, "totally unrelated corpus text here")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"),   # exact dup of 1
+         (11, "alpha beta gamma delta epsilon"),   # identical to 10 — must not pair with it
+         (12, "nothing in common with anything")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in
+           dedup_against_corpus(batch, corpus, "doc_id", "text", threshold=0.5).collect()}
+    assert set(got) == {10, 11}
+    assert got[10]["dup_of"] == 1 and got[10]["jaccard"] == 1.0
+    assert got[11]["dup_of"] == 1
