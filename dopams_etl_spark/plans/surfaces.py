@@ -171,3 +171,60 @@ def sink_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink.upsert(b1)
     sink.upsert(b2)
     return sink.read().select("o_orderkey", "batch_tag", "version")
+
+
+@register(
+    "orc_sink_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth beyond parquet: write lineitem to ORC
+    (predicate pushdown + column pruning apply the same way), read it
+    back, aggregate. The oracle computes from the original parquet — the
+    round-trip must be value-lossless, proving the ORC path is a drop-in
+    source/sink."""
+    path = tempfile.mkdtemp(prefix="dopams_orc_") + "/lineitem"
+    t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).write.mode("overwrite").orc(path)
+    li = spark.read.orc(path)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+    )
+
+
+@register(
+    "text_corpus_ingest",
+    r"""
+    SELECT md5(text) AS text_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS INT)
+             AS n_tokens
+    FROM documents
+    GROUP BY text
+    """,
+)
+def text_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text corpus ingestion (the commonest LLM-corpus landing format):
+    dump documents one-per-line to .txt, re-ingest with ``spark.read.text``,
+    and recompute per-distinct-text stats. Line order is not preserved by a
+    distributed text read, so the contract is content-keyed (md5 of the
+    line), not positional — which is also the honest 100 TB posture."""
+    docs = t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dopams_txt_") + "/corpus"
+    docs.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path).withColumnRenamed("value", "text")
+    from dopams_etl_spark.functions.textfns import token_count
+
+    return lines.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first(token_count("text").cast("int")).alias("n_tokens"),
+    ).select(F.md5("text").alias("text_md5"), "n_docs", "n_tokens")
