@@ -146,3 +146,36 @@ def chunk_documents(
             F.concat_ws(" ", "ck").alias("chunk"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified downsampling — the mixture-weighting step
+    of training-corpus assembly (upweight/downweight sources to hit a
+    target composition). Membership is a pure function of the row key:
+    keep a row iff the first two hex chars of ``md5(stratum|id)`` fall
+    below ``round(rate·256)`` — granularity 1/256, no RNG state, no
+    engine-specific sampler, so the sample is reproducible across runs,
+    partitionings, AND engines (``sampleBy`` is seeded but its row walk
+    is engine/partition-dependent; this is the honest distributed
+    contract). Filters are a narrow map — no shuffle; at 100 TB the
+    sample decision rides the scan.
+    """
+    def thr(rate: float) -> str:
+        n = round(rate * 256)
+        # "g" sorts after every hex pair -> keep-all; hex pairs are
+        # compared lexicographically against the 2-char key.
+        return "g" if n >= 256 else format(max(n, 0), "02x")
+
+    key = F.md5(
+        F.concat(F.col(stratum_col).cast("string"), F.lit("|"), F.col(id_col).cast("string"))
+    ).substr(1, 2)
+    expr = F.lit(thr(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(F.col(stratum_col) == stratum, F.lit(thr(rate))).otherwise(expr)
+    return df.filter(key < expr)

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_pii_redact",
     "doc_chunks",
     "dedup_incremental_batch",
+    "corpus_mixture_sample",
     "llm_extract_docs",
     "media_decode_meta",
     "media_resize",

@@ -666,6 +666,33 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'c0'
+                      WHEN 'src2' THEN '80' WHEN 'src3' THEN '40'
+                      WHEN 'src4' THEN '00' ELSE '80' END
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting for corpus assembly: per-source deterministic
+    downsampling by md5-prefix threshold (keep-all src0 → drop-all src4,
+    default 0.5). Membership is a pure function of (source, id) — exactly
+    reproducible across runs, partitionings, and engines, unlike
+    ``sampleBy``'s partition-walk sampler; the filter is a narrow map
+    that rides the scan, no shuffle."""
+    from dopams_etl_spark.operators.quality import mixture_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.0},
+        default_rate=0.5,
+    ).select("doc_id", "source")
+
+
+@register(
     "doc_chunks",
     r"""
     WITH b AS (SELECT doc_id,

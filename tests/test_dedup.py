@@ -228,3 +228,21 @@ def test_dedup_against_corpus_never_pairs_within_sides(spark):
     assert set(got) == {10, 11}
     assert got[10]["dup_of"] == 1 and got[10]["jaccard"] == 1.0
     assert got[11]["dup_of"] == 1
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Per-stratum keep rates land near target (1/256 granularity over
+    md5-uniform keys), rate 0/1 are exact, and membership is identical
+    across repartitionings (pure function of the key, no sampler state)."""
+    from dopams_etl_spark.operators.quality import mixture_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    rates = {"s0": 1.0, "s1": 0.0, "s2": 0.25, "s3": 0.75}
+    kept = mixture_sample(df, "id", "src", rates).groupBy("src").count().collect()
+    by = {r["src"]: r["count"] for r in kept}
+    assert by.get("s0") == 1000 and "s1" not in by
+    assert abs(by["s2"] / 1000 - 0.25) < 0.05 and abs(by["s3"] / 1000 - 0.75) < 0.05
+    a = {r["id"] for r in mixture_sample(df, "id", "src", rates).collect()}
+    b = {r["id"] for r in mixture_sample(df.repartition(13), "id", "src", rates).collect()}
+    assert a == b
