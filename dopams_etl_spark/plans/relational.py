@@ -1036,3 +1036,95 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("F", "status_f_cents")
         .withColumnRenamed("P", "status_p_cents")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-01-01'
+      AND l_shipdate > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_cents DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (top unshipped-revenue orders for one segment):
+    both selective filters reach their scans (PushedFilters on mktsegment
+    and the two date bounds) BEFORE the joins, so the join input is the
+    filtered minority; top-10 is TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort. Integer-cent revenue keeps
+    the double product deterministic under any partitioning."""
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select(
+            "l_orderkey", "revenue_cents",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue_cents DESC
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (6-way join with the customer-nation == supplier-
+    nation co-location predicate): the region filter prunes through the
+    broadcast nation/region dims; fact-side joins stay plain for AQE.
+    The c_nationkey = s_nationkey equality is part of the supplier join
+    key — it cuts the join output 25× before the aggregate."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc())
+    )
