@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "dedup_incremental_batch",
     "corpus_mixture_sample",
+    "streaming_hourly_counts",
     "llm_extract_docs",
     "media_decode_meta",
     "media_resize",

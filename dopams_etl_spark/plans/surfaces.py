@@ -23,6 +23,7 @@ stay self-contained and re-runnable.
 
 from __future__ import annotations
 
+import itertools
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -228,3 +229,50 @@ def text_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.first(token_count("text").cast("int")).alias("n_tokens"),
     ).select(F.md5("text").alias("text_md5"), "n_docs", "n_tokens")
+
+
+_STREAM_SEQ = itertools.count()
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3),
+    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT window_start, window_end, event_type, n
+    FROM agg, wm WHERE window_end <= wm.w
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming IN the correctness gate: the events table
+    replayed through a file-source stream (availableNow — finite,
+    deterministic), watermarked 30 min, tumbling 1 h counts, append mode.
+    Append emits exactly the windows closed at the final watermark
+    (window_end <= max(ts) − 30 min), which the oracle states in SQL — so
+    the late-data/eviction semantics themselves are value-checked, not
+    just the aggregation. (Boundary caveat: Spark truncates the watermark
+    to whole ms; an hour-aligned window end falling inside that same ms
+    of max(ts)−30min could differ — probability ~0 on continuous data.)"""
+    from dopams_etl_spark.streaming import read_stream_parquet, windowed_event_counts
+
+    ev = t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dopams_stream_") + "/events"
+    ev.write.parquet(src)
+    stream = read_stream_parquet(spark, src, ev.schema)
+    counts = windowed_event_counts(
+        stream, "ts", "event_type", window="1 hour", watermark="30 minutes"
+    )
+    name = f"stream_hourly_{next(_STREAM_SEQ)}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
