@@ -179,3 +179,19 @@ def mixture_sample(
     for stratum, rate in sorted(rates.items()):
         expr = F.when(F.col(stratum_col) == stratum, F.lit(thr(rate))).otherwise(expr)
     return df.filter(key < expr)
+
+
+def assign_shards(
+    df: DataFrame, key_cols: list[str], n_shards: int, out_col: str = "shard"
+) -> DataFrame:
+    """Deterministic shard assignment for training-data output: shard =
+    (first two md5 hex nibbles of the '|'-joined key) mod ``n_shards``.
+    Hash-uniform keys spread chunks evenly (each shard within a few
+    percent of mean — asserted in tests), with no RNG, no engine-specific
+    partitioner, so a re-run or a different engine lands every record in
+    the same shard; downstream, ``df.write.partitionBy(out_col)`` makes
+    the shard the physical output unit. Pure projection — rides the scan.
+    """
+    key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]))
+    val = F.conv(key.substr(1, 2), 16, 10).cast("int")
+    return df.withColumn(out_col, (val % n_shards).cast("int"))

@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",
     "corpus_mixture_sample",
     "streaming_hourly_counts",
+    "training_shard_pack",
     "llm_extract_docs",
     "media_decode_meta",
     "media_resize",

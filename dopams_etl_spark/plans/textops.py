@@ -692,13 +692,14 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
-@register(
-    "doc_chunks",
-    r"""
-    WITH b AS (SELECT doc_id,
-                      CASE WHEN trim(text) = '' THEN []
-                           ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
-               FROM documents),
+# Shared by doc_chunks and training_shard_pack (its consumer) so the two
+# oracles cannot drift: tokenize → chunk count 1+ceil((n-50)/40) → 50-token
+# slices at stride 40.
+_CHUNK_CTES = r"""
+    b AS (SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+          FROM documents),
     nn AS (SELECT doc_id, tk, len(tk) AS n FROM b),
     c AS (SELECT doc_id, tk,
                  CASE WHEN n <= 0 THEN 0
@@ -709,6 +710,14 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     y AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
                  list_slice(tk, k * 40 + 1, k * 40 + 50) AS ck
           FROM x)
+"""
+
+
+@register(
+    "doc_chunks",
+    "WITH "
+    + _CHUNK_CTES
+    + r"""
     SELECT doc_id, chunk_idx, CAST(len(ck) AS INT) AS n_tokens,
            array_to_string(ck, ' ') AS chunk
     FROM y
@@ -724,6 +733,45 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=50, overlap=10).select(
         F.col("id").alias("doc_id"), "chunk_idx", "n_tokens", "chunk"
+    )
+
+
+@register(
+    "training_shard_pack",
+    "WITH "
+    + _CHUNK_CTES
+    + r""",
+    h AS (SELECT doc_id, chunk_idx, CAST(len(ck) AS INT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR)) AS hh
+          FROM y),
+    sh AS (SELECT ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) % 8 AS shard,
+                  n_tokens
+           FROM h)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sh GROUP BY shard
+    """,
+)
+def training_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-output sharding: context-length chunks assigned to 8
+    shards by deterministic md5-nibble hash (``assign_shards``), per-shard
+    chunk and token totals proving the balance. At 100 TB the shard column
+    is the ``partitionBy`` of the final write — hash-uniform keys keep
+    every output file within a few percent of the mean with no global
+    sort or repartition-by-range pass."""
+    from dopams_etl_spark.operators.quality import assign_shards, chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=50, overlap=10)
+    return (
+        assign_shards(chunks, ["id", "chunk_idx"], n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
     )
 
 

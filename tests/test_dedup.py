@@ -246,3 +246,18 @@ def test_mixture_sample_rates_and_determinism(spark):
     a = {r["id"] for r in mixture_sample(df, "id", "src", rates).collect()}
     b = {r["id"] for r in mixture_sample(df.repartition(13), "id", "src", rates).collect()}
     assert a == b
+
+
+def test_assign_shards_balance_and_determinism(spark):
+    """Shard assignment is hash-uniform (every shard within 25% of mean on
+    4k keys) and a pure key function (repartition-invariant)."""
+    from dopams_etl_spark.operators.quality import assign_shards
+
+    df = spark.createDataFrame([(i, i * 7) for i in range(4000)], ["a", "b"])
+    out = assign_shards(df, ["a", "b"], n_shards=8)
+    counts = {r["shard"]: r["count"] for r in out.groupBy("shard").count().collect()}
+    assert set(counts) == set(range(8))
+    assert all(abs(c - 500) < 125 for c in counts.values()), counts
+    a = {(r["a"], r["shard"]) for r in out.collect()}
+    b = {(r["a"], r["shard"]) for r in assign_shards(df.repartition(11), ["a", "b"], 8).collect()}
+    assert a == b
