@@ -261,3 +261,76 @@ def test_assign_shards_balance_and_determinism(spark):
     a = {(r["a"], r["shard"]) for r in out.collect()}
     b = {(r["a"], r["shard"]) for r in assign_shards(df.repartition(11), ["a", "b"], 8).collect()}
     assert a == b
+
+
+def _brute_winnow(text, k=5, window=3):
+    import hashlib
+    import re
+
+    s = re.sub(r"\s+", " ", text.lower())
+    n = max(len(s) - k + 1, 1)
+    hs = [hashlib.md5(s[i:i + k].encode()).hexdigest() for i in range(n)]
+    n_win = max(len(hs) - window + 1, 1)
+    return {min(hs[w:w + window]) for w in range(n_win)}
+
+
+def test_winnow_matches_bruteforce_property(spark):
+    """Property (hypothesis): the window-aggregate winnowing formulation
+    equals a per-string brute-force reference on arbitrary short texts —
+    including texts shorter than one gram and whitespace runs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dopams_etl_spark.operators.dedup import winnow_fingerprints
+
+    texts = st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=30), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts)
+    def run(ts):
+        df = spark.createDataFrame(list(enumerate(ts)), ["doc_id", "text"])
+        got = {}
+        for r in winnow_fingerprints(df, "doc_id", "text", k=5, window=3).collect():
+            got.setdefault(r["id"], set()).add(r["fp"])
+        for i, t_ in enumerate(ts):
+            assert got.get(i, set()) == _brute_winnow(t_), (i, t_)
+
+    run()
+
+
+def test_chunk_reassembly_property(spark):
+    """Property (hypothesis): for any token count and any (chunk, overlap),
+    stride-spliced chunks reassemble the exact token stream, chunk sizes
+    are full except the last, and chunk indexes are dense from 0."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dopams_etl_spark.operators.quality import chunk_documents
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.integers(min_value=0, max_value=137),
+           st.integers(min_value=2, max_value=40),
+           st.integers(min_value=0, max_value=20))
+    def run(n, chunk, overlap):
+        if overlap >= chunk:
+            return
+        toks = [f"t{i}" for i in range(n)]
+        df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+        rows = sorted(
+            chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        if n == 0:
+            assert rows == []
+            return
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert all(r["n_tokens"] == chunk for r in rows[:-1])
+        stride = chunk - overlap
+        out = rows[0]["chunk"].split() if rows else []
+        for r in rows[1:]:
+            out += r["chunk"].split()[overlap:]
+        assert out == toks, (n, chunk, overlap)
+
+    run()
