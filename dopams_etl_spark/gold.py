@@ -96,3 +96,56 @@ def search_person_by_name(spark: SparkSession, out_dir: str, name: str) -> DataF
         .filter(F.lower(F.col("person_name")).contains(name.lower()))
         .orderBy(F.col("crime_count").desc(), F.col("person_id").asc())
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Small-files compaction — the maintenance pass every incrementally
+    refreshed table needs at scale (each refresh/upsert leaves one file
+    per task; a year of dailies is thousands of KB-files whose open/footer
+    cost dominates scans). Rewrites the table with files sized toward
+    ``target_file_bytes`` using ``maxRecordsPerFile`` derived from the
+    measured bytes-per-row (no fixed repartition count to outgrow — the
+    writer splits per file, and ``partition_cols`` are preserved so
+    pruning still works). Staged rewrite (write to ``<path>.compact``,
+    then swap) so a failed compaction never corrupts the table — the
+    parquet analog of the reference's transactional refresh.
+
+    Returns {"files_before", "files_after", "rows"}.
+    """
+    import glob
+    import os
+    import shutil
+
+    def file_count(p: str) -> int:
+        return sum(
+            1
+            for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        )
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    before = file_count(path)
+    size_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    per_row = max(size_bytes / max(rows, 1), 1.0)
+    max_records = max(int(target_file_bytes / per_row), 1)
+    staged = path.rstrip("/") + ".compact"
+    writer = (
+        df.coalesce(max(1, min(32, int(size_bytes / target_file_bytes) + 1)))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staged)
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    return {"files_before": before, "files_after": file_count(path), "rows": rows}

@@ -78,3 +78,29 @@ def test_salted_broadcast_left_equals_plain(spark):
         map(tuple, salted_broadcast_left(big, small, "k").select("k", "payload", "tag").collect())
     )
     assert plain == salted
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """Compaction: a fragmented table (one file per task per refresh)
+    collapses to few right-sized files, data identical, partition
+    directories preserved for pruning."""
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.catalog import load_table
+    from dopams_etl_spark.gold import compact_table
+
+    path = str(tmp_path / "frag")
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    # simulate many tiny refresh outputs
+    orders.repartition(40).write.partitionBy("yr").mode("overwrite").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    stats = compact_table(spark, path, target_file_bytes=8 * 1024 * 1024,
+                          partition_cols=("yr",))
+    assert stats["files_after"] < stats["files_before"] / 3
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows == stats["rows"]
+    # partition pruning still works on the compacted layout
+    plan = after.filter(F.col("yr") == 1997)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr" in plan or "yr#" in plan
