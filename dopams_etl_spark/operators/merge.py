@@ -149,3 +149,37 @@ def classify_merge(
 def merge_stats(classified: DataFrame) -> DataFrame:
     """Run-stats rollup (A11): operation → count."""
     return classified.groupBy("merge_op").count()
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Audit diff between two snapshots of a keyed table: one FULL OUTER
+    join on the key, each row classified inserted / deleted / updated
+    (value change in any ``compare_cols``, null-safe); unchanged rows are
+    dropped. The reference detects changes row-at-a-time inside its
+    upsert loop (``etl-crimes/etl_crimes.py:654–789``); as a set
+    operation the diff is one co-partitioned shuffle and also serves as
+    the dry-run preview for any MERGE. Returns key columns + change_type.
+    """
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    cond = [o[k].eqNullSafe(n[k]) for k in keys]
+    j = o.alias("o").join(n.alias("n"), cond, "full_outer")
+    exists_o = F.col(f"o.{keys[0]}").isNotNull()
+    exists_n = F.col(f"n.{keys[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = ne if changed is None else (changed | ne)
+    ct = (
+        F.when(~exists_o, F.lit("inserted"))
+        .when(~exists_n, F.lit("deleted"))
+        .when(changed, F.lit("updated"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
+    return j.select(*out_keys, ct.alias("change_type")).filter(
+        F.col("change_type").isNotNull()
+    )

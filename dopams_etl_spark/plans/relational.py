@@ -1128,3 +1128,43 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("revenue_cents"))
         .orderBy(F.col("revenue_cents").desc())
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+    n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 101 = 0),
+    j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                      WHEN n.o_orderkey IS NULL THEN 'deleted'
+                      WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'updated'
+                 END AS change_type
+          FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot audit diff (the set-operation restatement of
+    the reference's row-at-a-time change detection, and the dry-run
+    preview of any MERGE): the 'new' snapshot is derived deterministically
+    (keys %97 deleted, %13 price-bumped, %101 re-inserted under shifted
+    keys), then one FULL OUTER join classifies inserted/deleted/updated
+    with null-safe value comparison."""
+    from dopams_etl_spark.operators.merge import snapshot_diff
+
+    orders = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    new = orders.filter(key % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(key % 13 == 0, F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        orders.filter(key % 101 == 0).withColumn("o_orderkey", key + 10_000_000)
+    )
+    return snapshot_diff(orders, new, ["o_orderkey"], ["o_totalprice"])

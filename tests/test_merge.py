@@ -42,3 +42,23 @@ def test_classify_merge_null_safe(spark):
     existing = spark.createDataFrame([(1, None)], "k int, v int")
     incoming = spark.createDataFrame([(1, None)], "k int, v int")
     assert classify_merge(existing, incoming, "k", ["v"]).collect()[0]["merge_op"] == "no_change"
+
+
+def test_snapshot_diff_classification(spark):
+    """snapshot_diff: inserted/deleted/updated classification with
+    null-safe value compares; unchanged rows excluded."""
+    from dopams_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"),          # unchanged -> excluded
+         (2, "B"),          # updated
+         (3, "c"),          # null -> value = updated
+         (5, None)],        # inserted (4 deleted)
+        ["k", "v"],
+    )
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {2: "updated", 3: "updated", 4: "deleted", 5: "inserted"}
