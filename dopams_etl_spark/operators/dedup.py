@@ -478,3 +478,53 @@ def dedup_against_corpus(
         .filter(F.col("rn") == 1)
         .select(F.col("b_id").alias("id"), F.col("c_id").alias("dup_of"), "jaccard")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at least
+    ``min_hits`` distinct word n-grams with ANY benchmark/eval document —
+    the standard pre-training hygiene step (the reference has no analog;
+    this is north-star training-data surface).
+
+    Scale shape: the benchmark side is an eval set — MBs at ANY corpus
+    scale — so its distinct-shingle set is explicitly ``F.broadcast``-safe
+    (a genuinely bounded side, unlike the SF-scaling tables the repo
+    de-hinted): corpus shingles stream map-side through a broadcast hash
+    join, no corpus-row shuffle; only the matching (doc, shingle) rows —
+    a tiny fraction — reach the per-doc count. The verdict re-attach is a
+    left join of corpus ids to the (small) contaminated-hit table, which
+    AQE broadcasts.
+
+    Returns every corpus row's verdict: (id, overlap_ngrams, contaminated).
+    """
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    bench_shingles = (
+        benchmark.select(F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    corp = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    exploded = corp.select("id", F.explode("sh").alias("shingle"))
+    hits = (
+        exploded.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    )
+    return (
+        corp.select("id")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

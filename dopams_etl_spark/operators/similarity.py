@@ -316,3 +316,54 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("p_id", "c_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with a coarse quantizer, then drop any
+    vector that has a semantically near-identical (cosine >=
+    ``threshold``) lower-id neighbor IN THE SAME CELL. Pairwise work is
+    confined to each cell, so cost is sum(|cell|^2) instead of |corpus|^2
+    — size ``n_centroids`` ~ N / target_cell_size at scale (cells are the
+    shuffle key; a pathological all-in-one-cell corpus degrades to the
+    brute-force cost, which is why the quantizer seed sample is uniform
+    by md5).
+
+    Quantizer = the same deterministic md5-ordered seed sample as
+    ``ivf_topk`` (id-type-agnostic, TakeOrdered plan, SQL-replicable);
+    assignment tie-break (-cos, cid) matches too, so a DuckDB oracle can
+    reproduce cells bit-for-bit.
+
+    Returns every corpus row: (id, cell, keep) — ``keep`` rows form the
+    deduplicated corpus; determinism: the lowest id in each near-dup
+    group within a cell is the survivor.
+    """
+    rows = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+    sel = rows.orderBy(F.md5(F.col("cid").cast("string")).asc(), F.col("cid").asc()).limit(
+        n_centroids
+    )
+    cents = [(r["cid"], [float(x) for x in r["v"]]) for r in sel.collect()]
+    assign = _nearest_centroids("v", cents, 1).getItem(0)
+    assigned = rows.select(F.col("cid").alias("id"), "v", assign.alias("cell"))
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")),
+        )
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(dropped.withColumn("is_dup", F.lit(True)), "id", "left")
+        .select("id", "cell", F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"))
+    )

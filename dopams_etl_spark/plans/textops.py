@@ -977,3 +977,127 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fp", "dup_count", token_count("text").cast("int").alias("n_tokens"),
         "quality",
     )
+
+
+@register(
+    "decontaminate_docs",
+    r"""
+    WITH tk AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, trim(text) AS tt,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+    s AS (SELECT doc_id, h,
+                 CASE WHEN tt = '' THEN CAST([] AS VARCHAR[])
+                      WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM tk),
+    bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE h LIKE '0%'),
+    corp AS (SELECT doc_id, sh FROM s WHERE h NOT LIKE '0%'),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM corp),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_ngrams
+             FROM e JOIN bench USING (shingle) GROUP BY doc_id)
+    SELECT c.doc_id, COALESCE(ht.overlap_ngrams, 0) AS overlap_ngrams,
+           COALESCE(ht.overlap_ngrams, 0) >= 1 AS contaminated
+    FROM corp c LEFT JOIN hits ht USING (doc_id)
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the eval split is the ~1/16 of documents
+    whose ``md5(doc_id)`` starts with '0' (a stand-in for a real benchmark
+    table); every remaining document is flagged if it shares any word
+    3-gram with the eval set. The eval shingle set is broadcast — it is
+    MB-scale at ANY corpus size — so the corpus side never shuffles its
+    rows (see ``operators.dedup.decontaminate``)."""
+    from dopams_etl_spark.operators.dedup import decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bench = docs.filter(h.startswith("0"))
+    corpus = docs.filter(~h.startswith("0"))
+    return (
+        decontaminate(corpus, bench, "doc_id", "text", shingle_n=3, min_hits=1)
+        .select(F.col("id").alias("doc_id"), "overlap_ngrams", "contaminated")
+    )
+
+
+@register(
+    "semantic_dedup_embeddings",
+    """
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding::DOUBLE[], (x, i) -> x * (1.0 + ((i - 1) % 7) * 0.002))
+      FROM embeddings),
+    cents AS (SELECT id AS cid, v AS cv FROM base
+              ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+    cassign AS (
+      SELECT b.id, b.v,
+             (SELECT cid FROM cents
+               ORDER BY -(list_dot_product(b.v, cents.cv)
+                          / (sqrt(list_dot_product(b.v, b.v))
+                             * sqrt(list_dot_product(cents.cv, cents.cv)))) ASC, cid ASC
+               LIMIT 1) AS cell
+      FROM base b),
+    dropped AS (
+      SELECT DISTINCT a.id
+      FROM cassign a JOIN cassign b2 ON a.cell = b2.cell AND b2.id < a.id
+      WHERE ROUND(list_dot_product(a.v, b2.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b2.v, b2.v))), 6) >= 0.99)
+    SELECT c.id, c.cell, (d.id IS NULL) AS keep
+    FROM cassign c LEFT JOIN dropped d ON d.id = c.id
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus augmented with deterministic
+    perturbed copies (id + 1e6, cosine ~0.99999 to their source — the
+    same recall-exercising augmentation as ``embedding_near_dup_pairs``):
+    every perturbed copy that lands in its source's cell must be dropped
+    (keep = false), originals survive. Oracle replicates the md5-seeded
+    quantizer, the (-cos, cid) assignment tie-break, and the
+    lower-id-neighbor EXISTS rule bit-for-bit."""
+    from dopams_etl_spark.operators.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    perturbed = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + (i % 7) * 0.002)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(perturbed)
+    return semantic_dedup(corpus, "vec_id", "embedding", threshold=0.99, n_centroids=16)
+
+
+@register(
+    "domain_cap_docs",
+    """
+    WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS sample_rank
+               FROM documents)
+    SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 100
+    """,
+)
+def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (CommonCrawl-style curation: no single source may
+    contribute more than N documents): deterministic uniform choice WITHIN
+    each source by md5(doc_id) order — reproducible across runs, engines,
+    and partitionings, unlike rand()-ranked sampling. One window shuffle
+    keyed by source; the md5 rank order means a two-stage top-N (partial
+    per-partition top-N before the final window — Spark's TakeOrdered
+    shape) bounds a hot domain's skew at scale."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 100)
+    )

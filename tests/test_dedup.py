@@ -334,3 +334,41 @@ def test_chunk_reassembly_property(spark):
         assert out == toks, (n, chunk, overlap)
 
     run()
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc sharing a word 3-gram with the benchmark is flagged
+    with the exact distinct-overlap count; disjoint docs report 0; a
+    blank doc reports 0 (no shingles, never a false positive)."""
+    from dopams_etl_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the boiling point of water is one hundred degrees")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, "we measured the boiling point of water in the lab"),  # 3 shared 3-grams
+         (2, "completely unrelated spark catalyst shuffle text"),
+         (3, "   ")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in
+           decontaminate(corpus, bench, "doc_id", "text", shingle_n=3).collect()}
+    assert set(got) == {1, 2, 3}
+    # shared: "the boiling point", "boiling point of", "point of water"
+    assert got[1]["overlap_ngrams"] == 3 and got[1]["contaminated"]
+    assert got[2]["overlap_ngrams"] == 0 and not got[2]["contaminated"]
+    assert got[3]["overlap_ngrams"] == 0 and not got[3]["contaminated"]
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    """min_hits raises the flagging bar without changing the counts."""
+    from dopams_etl_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(100, "alpha beta gamma")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma")],  # exactly one shared shingle
+        ["doc_id", "text"],
+    )
+    got = decontaminate(corpus, bench, "doc_id", "text", min_hits=2).collect()[0]
+    assert got["overlap_ngrams"] == 1 and not got["contaminated"]

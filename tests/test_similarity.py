@@ -172,3 +172,26 @@ def test_ivf_refinement_recall_and_determinism(spark):
     recall = sum(got.get(k2) == v for k2, v in exact.items()) / len(exact)
     assert recall >= 0.5, recall
     assert got == {(r["p_id"], r["rank"]): r["c_id"] for r in run().collect()}
+
+
+def test_semantic_dedup_drops_perturbed_copies(spark):
+    """Perturbed near-copies (cosine ~1 to their source) must be dropped
+    when co-celled with the source; originals all survive (each original's
+    only >=0.99 neighbor has a HIGHER id). Output covers every input row
+    exactly once."""
+    import random
+
+    from dopams_etl_spark.operators.similarity import semantic_dedup
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows += [(i + 1000, [x * 1.0005 for x in v]) for i, v in rows[:20]]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["id"]: r for r in
+           semantic_dedup(df, "vec_id", "embedding", threshold=0.99, n_centroids=4).collect()}
+    assert len(got) == 60
+    assert all(got[i]["keep"] for i in range(40))
+    cell_of = {i: got[i]["cell"] for i in got}
+    for i in range(20):
+        if cell_of[i + 1000] == cell_of[i]:
+            assert not got[i + 1000]["keep"], i
