@@ -195,3 +195,78 @@ def assign_shards(
     key = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]))
     val = F.conv(key.substr(1, 2), 16, 10).cast("int")
     return df.withColumn(out_col, (val % n_shards).cast("int"))
+
+
+def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a corpus-trained bigram LM —
+    the KenLM-style "how typical is this document of the corpus" signal
+    (CCNet, Wenzek et al. 2020) used to rank training data, restated as a
+    self-contained DataFrame job: train the model and score every document
+    in one plan, no external LM artifact.
+
+    Model: add-one-smoothed bigram probabilities
+    ``P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V)`` with V = corpus vocabulary
+    size; document score = mean log-probability over its bigram positions,
+    ``ppl_proxy = exp(-avg_ll)``. Documents with fewer than 2 tokens carry
+    NULL scores (no bigram evidence) rather than a fake perfect score.
+
+    Scale shape: the "model" is two count tables — unigrams (≈vocab) and
+    bigrams (≈distinct word pairs) — built by map-side-combined groupBys
+    whose keys are the grams themselves, so hot-gram skew spreads across
+    reducers. Scoring joins each document's bigram positions to those
+    tables on the gram key (shuffle bounded by corpus token count, NOT
+    corpus²), then one per-doc aggregation. V rides along as a broadcast
+    scalar. Everything is JVM expressions; sums of a few hundred doubles
+    round to 6 well inside IEEE noise.
+    """
+    txt = F.trim(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(txt == "", F.array().cast("array<string>")).otherwise(
+            F.split(txt, r"\s+")
+        ).alias("tk"),
+    ).withColumn("n", F.size("tk"))
+
+    positions = base.filter(F.col("n") >= 2).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tk"), i).alias("w1"),
+                    F.element_at(F.col("tk"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    unigrams = (
+        base.select(F.explode("tk").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
+    bigrams = positions.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+    ll = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    scored = (
+        positions.join(bigrams, ["w1", "w2"])
+        .join(unigrams, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(ll), 6).alias("avg_ll"),
+            F.round(F.exp(-F.avg(ll)), 6).alias("ppl_proxy"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_ll",
+            "ppl_proxy",
+        )
+    )

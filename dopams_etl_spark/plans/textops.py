@@ -1101,3 +1101,101 @@ def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= 100)
     )
+
+
+@register(
+    "bm25_search_docs",
+    r"""
+    WITH base AS (SELECT doc_id AS doc,
+                         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+                  FROM documents),
+    b2 AS (SELECT doc, tk, len(tk) AS dl FROM base),
+    postings AS (SELECT doc, dl, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+                 FROM (SELECT doc, dl, unnest(tk) AS tok FROM b2)
+                 GROUP BY doc, dl, term),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM b2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+    q(query_id, term) AS (VALUES
+        (1, 'spark'), (1, 'batch'), (1, 'stream'),
+        (2, 'window'), (2, 'merge'), (2, 'sort'),
+        (3, 'customer'), (3, 'vector'), (3, 'quality')),
+    scored AS (
+      SELECT q.query_id, p.doc,
+             ROUND(SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl
+                                         / (s.sum_dl::DOUBLE / s.n_docs)))), 6) AS score
+      FROM postings p JOIN dfreq d USING (term) JOIN q ON q.term = p.term
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc),
+    r AS (SELECT query_id, doc AS doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc ASC) AS rank
+          FROM scored)
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked full-text retrieval (BM25 inverted index) over the document
+    corpus for three probe queries — the targeted-sampling / eval-set
+    construction primitive of a training-data pipeline. The oracle
+    recomputes the whole index (postings, document frequencies, exact-int
+    avgdl) and the Lucene-style idf in SQL; scores round to 6 and rank
+    ties break on doc_id, so the top-10 lists are engine-portable. See
+    ``operators/search.py`` for the 100 TB shape (probe side broadcast,
+    postings reusable across query batches)."""
+    from dopams_etl_spark.operators.search import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "spark batch stream"), (2, "window merge sort"),
+         (3, "customer vector quality")],
+        ["query_id", "query_text"],
+    )
+    out = bm25_topk(docs, queries, "doc_id", "text", k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "lm_perplexity_docs",
+    r"""
+    WITH base AS (SELECT doc_id AS id,
+                         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+                  FROM documents),
+    b2 AS (SELECT id, tk, len(tk) AS n FROM base),
+    pos AS (SELECT id,
+                   unnest(list_transform(range(1, n),
+                          i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS bg
+            FROM b2 WHERE n >= 2),
+    p2 AS (SELECT id, bg.w1 AS w1, bg.w2 AS w2 FROM pos),
+    unigrams AS (SELECT tok AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+                 FROM (SELECT unnest(tk) AS tok FROM b2) GROUP BY tok),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM unigrams),
+    bigrams AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM p2 GROUP BY w1, w2),
+    scored AS (
+      SELECT p2.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(AVG(ln((bigrams.c2 + 1.0) / (unigrams.c1 + vocab.v))), 6) AS avg_ll,
+             ROUND(exp(-AVG(ln((bigrams.c2 + 1.0) / (unigrams.c1 + vocab.v)))), 6)
+               AS ppl_proxy
+      FROM p2 JOIN bigrams USING (w1, w2) JOIN unigrams USING (w1)
+      CROSS JOIN vocab
+      GROUP BY p2.id)
+    SELECT b2.id AS doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           s.avg_ll, s.ppl_proxy
+    FROM b2 LEFT JOIN scored s USING (id)
+    """,
+)
+def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity proxy per document (the
+    CCNet-style "rank training data by how typical it is" signal). Model
+    training (unigram/bigram count tables + vocab size) and scoring run
+    in one plan; the oracle retrains the same add-one-smoothed model in
+    SQL. Sub-2-token documents carry NULL scores on both sides."""
+    from dopams_etl_spark.operators.quality import lm_score
+
+    docs = t(spark, sf_dir, "documents")
+    return lm_score(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
