@@ -47,22 +47,33 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     costs a full file listing + footer read per query. Schema evolution is
     opt-in at the ingest layer, not ambient on every scan.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the scan yields long nanos,
-    converted here to a micros timestamp (truncation — matches DuckDB's
-    ns→us read of the same file).
+    ``events.ts`` is TIMESTAMP(NANOS) parquet. Depending on the Spark
+    build/conf it scans as long nanos (``nanosAsLong``), TIMESTAMP_NTZ
+    (native nanos→ntz read, this build), or TIMESTAMP. All three are
+    normalized here to session-zoned TIMESTAMP — NTZ breaks
+    ``withWatermark`` (requires LTZ) and ``cast(ts as bigint)``, and
+    leaving the type session-dependent would make every downstream
+    operator re-handle it. The harness runs UTC, where NTZ→LTZ is
+    value-identical to DuckDB's naive ns→us read of the same file.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     if name == "events":
-        # Self-sufficient on ANY caller-provided session (the driver builds
-        # its own): this conf is runtime-settable and required to scan the
-        # TIMESTAMP(NANOS) parquet — without it the read raises
-        # PARQUET_TYPE_ILLEGAL before the conversion below can run.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Harmless where the native ntz read applies; required on builds
+        # where the TIMESTAMP(NANOS) scan would otherwise raise
+        # PARQUET_TYPE_ILLEGAL. Runtime-settable, so this works on ANY
+        # caller-provided session (the driver builds its own).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # Note: the testdata files are single-row-group parquet → 1-partition
     # scans. Blanket repartition here measured as a net LOSS for the
     # relational queries (shuffling raw rows costs more than the map side

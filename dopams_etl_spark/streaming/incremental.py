@@ -48,6 +48,11 @@ def windowed_event_counts(
         if slide is None
         else F.window(F.col(ts_col), window, slide)
     )
+    # withWatermark requires session-zoned TIMESTAMP; a file-source schema
+    # carrying TIMESTAMP_NTZ (native parquet nanos→ntz read) is cast here
+    # rather than rejected.
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(win.alias("win"), F.col(key_col))
