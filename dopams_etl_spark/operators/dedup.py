@@ -22,10 +22,28 @@ Reference analog: tiered MD5 fingerprint dedup + fuzzy fallback
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dopams_etl_spark.functions.textfns import doc_fingerprint, tokens, word_shingles
+
+# Universal-hash family for hash_fn="md5u": member i maps the shingle's
+# md5-derived words (a, b) to (P[i]·a + Q[i]·b) mod M, M = 2³¹−1 (Mersenne
+# prime). Coefficients are seeded from md5 of a fixed tag so any engine (or
+# a SQL oracle) can regenerate — or simply inline — the identical family.
+# P is kept nonzero mod M so no member degenerates to a constant.
+MINHASH_MOD = (1 << 31) - 1
+
+
+def _seed_coeff(tag: str, i: int, nonzero: bool) -> int:
+    v = int(hashlib.md5(f"dopams-minhash-{tag}-{i}".encode()).hexdigest()[:8], 16)
+    return (v % (MINHASH_MOD - 1)) + 1 if nonzero else v % MINHASH_MOD
+
+
+MINHASH_P: tuple[int, ...] = tuple(_seed_coeff("P", i, True) for i in range(64))
+MINHASH_Q: tuple[int, ...] = tuple(_seed_coeff("Q", i, False) for i in range(64))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -49,13 +67,23 @@ def minhash_signature(
     index mixed in as a seed) over word shingles.
 
     ``hash_fn="murmur3"`` (default): JVM ``F.hash`` ints — the fastest
-    path. ``hash_fn="md5"``: member i is the lexicographic MIN of the
-    32-char hex ``md5(shingle || '|' || i)`` string — ~same shuffle shape,
-    slightly more CPU, but byte-identical in any engine with a standard
-    md5 (DuckDB, Postgres, Trino), which is what lets the registered query
-    carry a value-level SQL oracle instead of a rows-only check. Min over
-    uniformly-distributed fixed-length hex strings is a valid minhash
-    (lexicographic order on hex = numeric order on the 128-bit value).
+    path. ``hash_fn="md5u"``: ONE ``md5(shingle)`` per shingle, split
+    into two 32-bit words (a, b) reduced mod M = 2³¹−1; member i is the
+    degree-1 universal hash (Pᵢ·a + Qᵢ·b) mod M with fixed
+    deterministically-seeded coefficients (``MINHASH_P``/``MINHASH_Q``) —
+    the datasketch-style "one strong hash, then a universal family"
+    construction. Per member the coefficients are independent, so member
+    agreements are the independent Bernoulli(J) trials the est-Jaccard
+    estimator assumes (a plain ``a + i·b`` family is NOT: its argmins are
+    confined to the lower convex hull of the (b, a) point set, ~log n
+    shingles). Products stay < 2⁶² so ANSI long arithmetic never
+    overflows, and the whole family is byte-identical in any engine with
+    a standard md5 (DuckDB, Postgres, Trino), which is what lets the
+    registered query carry a value-level SQL oracle instead of a
+    rows-only check, at ~1/32 the hashing cost of the per-member
+    ``hash_fn="md5"`` legacy scheme (min of the hex string
+    ``md5(shingle || '|' || i)``, kept for oracle-compat of older
+    persisted signatures).
 
     Computed as explode(shingles) → groupBy(id) with one ``min`` per family
     member. The aggregate boundary matters twice over: (a) map-side partial
@@ -69,11 +97,35 @@ def minhash_signature(
     """
     from dopams_etl_spark.partitioning import ensure_parallelism
 
-    if hash_fn not in ("murmur3", "md5"):
+    if hash_fn not in ("murmur3", "md5", "md5u"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    if num_hashes > len(MINHASH_P):
+        raise ValueError(f"num_hashes > {len(MINHASH_P)} needs more seeded coefficients")
     sh = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
     )
+    if hash_fn == "md5u":
+        # Materialize (a, b) as concrete columns BEFORE the aggregate so the
+        # md5 runs once per shingle, not once per family member.
+        ab = sh.select("id", F.md5("sh").alias("__m")).select(
+            "id",
+            (F.conv(F.substring("__m", 1, 8), 16, 10).cast("long") % MINHASH_MOD).alias("__a"),
+            (F.conv(F.substring("__m", 9, 8), 16, 10).cast("long") % MINHASH_MOD).alias("__b"),
+        )
+        members = [
+            F.min(
+                (
+                    (F.lit(MINHASH_P[i]) * F.col("__a")) % MINHASH_MOD
+                    + (F.lit(MINHASH_Q[i]) * F.col("__b")) % MINHASH_MOD
+                )
+                % MINHASH_MOD
+            ).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+        agg = ab.groupBy("id").agg(*members)
+        return agg.select(
+            "id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("minhash")
+        )
     if hash_fn == "md5":
         members = [
             F.min(F.md5(F.concat_ws("|", F.col("sh"), F.lit(str(i))))).alias(f"__h{i}")
@@ -93,13 +145,24 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, join within
     (band_id, band_hash) buckets. Returns (id_a, id_b, est_jaccard) with
-    id_a < id_b, est_jaccard = fraction of agreeing minhashes."""
+    id_a < id_b, est_jaccard = fraction of agreeing minhashes.
+
+    Shuffle discipline: the signature table is persisted once (num_hashes
+    longs per doc — tiny relative to the corpus), the band self-join
+    carries ONLY (id, band_id, band_hash) — dragging the full signature
+    array through the join was measured ~2× slower at sf0.1 and scales
+    with collision count, not survivor count — and the signatures are
+    re-joined just for the deduplicated candidate pairs (a set orders of
+    magnitude smaller than the corpus for any sane banding)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    # One materialization, three consumers (banding + two pair-side
+    # re-joins); without it Spark recomputes the shingle aggregate per
+    # consumer. Spill-safe: MEMORY_AND_DISK is the persist default.
+    sigs = sigs.persist()
 
     banded = sigs.select(
         "id",
-        "minhash",
         F.posexplode(
             F.array(*[
                 F.md5(F.concat_ws("_", *[F.col("minhash").getItem(b * rows_per_band + r).cast("string")
@@ -117,18 +180,17 @@ def lsh_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    joined = (
+        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b")), "id_b")
+    )
     agree = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v))
-    return pairs.withColumn(
+    return joined.withColumn(
         "est_jaccard", F.round(agree / F.size("mh_a").cast("double"), 6)
-    ).drop("mh_a", "mh_b")
+    ).select("id_a", "id_b", "est_jaccard")
 
 
 def ngram_jaccard_pairs(

@@ -26,6 +26,9 @@ from dopams_etl_spark.functions.textfns import (
     token_count,
 )
 from dopams_etl_spark.operators.dedup import (
+    MINHASH_MOD,
+    MINHASH_P,
+    MINHASH_Q,
     exact_dedup,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
@@ -248,12 +251,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE [] END AS sh
           FROM tk),
     e AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
-    m AS (SELECT doc_id, f.i, MIN(md5(shingle || '|' || CAST(f.i AS VARCHAR))) AS h
-          FROM e CROSS JOIN range(0, 32) f(i) GROUP BY doc_id, f.i),
+    ab AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT % __MOD__ AS a,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT % __MOD__ AS b
+           FROM e),
+    m AS (SELECT doc_id, f.i,
+                 MIN(((__P__[f.i+1] * a) % __MOD__ + (__Q__[f.i+1] * b) % __MOD__)
+                     % __MOD__) AS h
+          FROM ab CROSS JOIN range(0, 32) f(i) GROUP BY doc_id, f.i),
     sig AS (SELECT doc_id, list(h ORDER BY i) AS mh FROM m GROUP BY doc_id),
     banded AS (SELECT doc_id, mh, r.b,
-                      md5(mh[4*r.b+1] || '_' || mh[4*r.b+2] || '_' ||
-                          mh[4*r.b+3] || '_' || mh[4*r.b+4]) AS bh
+                      md5(CAST(mh[4*r.b+1] AS VARCHAR) || '_' ||
+                          CAST(mh[4*r.b+2] AS VARCHAR) || '_' ||
+                          CAST(mh[4*r.b+3] AS VARCHAR) || '_' ||
+                          CAST(mh[4*r.b+4] AS VARCHAR)) AS bh
                FROM sig CROSS JOIN range(0, 8) r(b)),
     p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
           FROM banded a JOIN banded b2
@@ -264,17 +275,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(len(list_filter(range(1, 33), i -> ma[i] = mb[i])) / 32.0, 6)
              AS est_jaccard
     FROM j
-    """,
+    """.replace("__MOD__", str(MINHASH_MOD))
+    .replace("__P__", "[" + ",".join(map(str, MINHASH_P[:32])) + "]")
+    .replace("__Q__", "[" + ",".join(map(str, MINHASH_Q[:32])) + "]"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs — banded signature shuffle; validated
     against exact n-gram Jaccard in tests/test_dedup.py. Runs the
-    ``hash_fn="md5"`` family so the banded buckets AND the est-Jaccard
-    values replicate in DuckDB (value-level oracle; the murmur3 default
-    stays the scale path for engine-internal use)."""
+    ``hash_fn="md5u"`` family (ONE md5 per shingle, then a universal-hash
+    family mod 2³¹−1 with seeded coefficients) so the banded buckets AND
+    the est-Jaccard values replicate in DuckDB (value-level oracle; the
+    coefficient lists are inlined into the SQL) at ~1/32 the hashing cost
+    of a per-member md5; the murmur3 default stays the engine-internal
+    scale path."""
     docs = t(spark, sf_dir, "documents")
     return lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=32, bands=8,
-                               hash_fn="md5")
+                               hash_fn="md5u")
 
 
 @register(
