@@ -165,3 +165,49 @@ def redact_pii(col: Column | str) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return out
+
+
+# Hashed-feature linear model scoring ("model inference as a column
+# expression"). A fastText-shaped quality classifier reduces to: hash each
+# token into one of B buckets, look the bucket's weight up in a broadcast
+# table, average, squash. With B small the weight table inlines as an
+# array LITERAL, so scoring is pure whole-stage-codegen arithmetic — no
+# join, no UDF, no shuffle beyond the source scan. Weights here are
+# deterministically seeded (md5 of "qw-<j>") so any engine — or a SQL
+# oracle — regenerates the identical model; a real deployment swaps in
+# trained weights, same plumbing.
+HASHED_MODEL_BUCKETS = 64
+
+
+def hashed_model_weights(buckets: int = HASHED_MODEL_BUCKETS) -> list[float]:
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"qw-{j}".encode()).hexdigest()[:8], 16) % 2001 - 1000) / 1000.0
+        for j in range(buckets)
+    ]
+
+
+def hashed_model_score(col: Column | str, buckets: int = HASHED_MODEL_BUCKETS) -> Column:
+    """Mean bucket weight over the document's tokens, squashed by a
+    logistic; NULL for token-less documents. Bucket = first 32 md5 bits
+    mod ``buckets`` — replicable in any engine with a standard md5."""
+    warr = F.array(*[F.lit(w) for w in hashed_model_weights(buckets)])
+    toks = tokens(col)
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.element_at(
+                warr,
+                (F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % buckets + 1).cast(
+                    "int"
+                ),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mean = wsum / F.size(toks)
+    return F.when(
+        F.trim(_c(col)) != "", F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+    )

@@ -69,6 +69,10 @@ _PRIORITY: tuple[str, ...] = (
     "domain_cap_docs",
     "bm25_search_docs",
     "lm_perplexity_docs",
+    "incremental_pricing_summary",
+    "vocab_coverage",
+    "doc_quality_model_score",
+    "pack_training_sequences",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -1168,3 +1168,67 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(key % 101 == 0).withColumn("o_orderkey", key + 10_000_000)
     )
     return snapshot_diff(orders, new, ["o_orderkey"], ["o_totalprice"])
+
+
+@register(
+    "incremental_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def incremental_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance (beyond-reference; the scale answer to
+    S13's full re-refresh, ``views_refresh_sql.py:1–81``): lineitem is
+    split into a 15/16 "already ingested" base and a 1/16 "new delta" by
+    an md5 nibble of the row key, each side aggregated into mergeable
+    state (sum/cnt/min/max partials) with ``agg_state``, the two states
+    merged by one groupBy, then finalized. The oracle is the PLAIN full
+    aggregation — state merge is only correct if the merged result is
+    bit-equal to a from-scratch rebuild, which is exactly what the value
+    hash checks. At 100 TB each refresh aggregates only the delta and a
+    key-count-sized state table; the fact table is never rescanned."""
+    from dopams_etl_spark.operators.incremental_agg import (
+        agg_state,
+        finalize_state,
+        merge_states,
+    )
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "__qty_dec", F.col("l_quantity").cast(DEC)
+    )
+    tag = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "sum_qty": ("sum", "__qty_dec"),
+        "avg_disc": ("avg", "l_discount"),
+        "max_qty": ("max", "l_quantity"),
+        "count_order": ("count", None),
+    }
+    base = agg_state(li.filter(tag != "f"), keys, measures)
+    delta = agg_state(li.filter(tag == "f"), keys, measures)
+    merged = merge_states(base, delta, keys, measures)
+    out = finalize_state(merged, keys, measures)
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("string").alias("sum_qty"),
+        F.round("avg_disc", 6).alias("avg_disc"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+        F.col("count_order").cast("long").alias("count_order"),
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from dopams_etl_spark.functions.textfns import (
     bpe_token_count,
+    hashed_model_weights,
     lang_id,
     punct_ratio,
     quality_score,
@@ -1215,3 +1216,129 @@ def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return lm_score(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "vocab_coverage",
+    r"""
+    WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents WHERE trim(text) <> ''),
+    w AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+    vc AS (SELECT w, COUNT(*) AS n FROM w GROUP BY w),
+    vocab AS (SELECT w FROM vc ORDER BY n DESC, w LIMIT 200),
+    cov AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM w t LEFT JOIN vocab v ON v.w = t.w GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           ROUND(n_oov / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+    FROM cov
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (tokenizer-prep surface): corpus-frequency vocab
+    induction (top-200 words, count-then-word tie-break so the boundary
+    is deterministic) + per-doc out-of-vocabulary rate. Two aggregations:
+    word counts shuffle on the word, the top-K is a bounded global
+    TakeOrdered (K rows survive regardless of corpus size), and the
+    coverage join broadcasts that K-row vocab — the corpus-side token
+    stream is never reshuffled, so the plan scales with corpus size ×
+    K only."""
+    from dopams_etl_spark.functions.textfns import tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    vc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        vc.orderBy(F.desc("n"), F.asc("w"))
+        .limit(200)
+        .select("w", F.lit(1).alias("__v"))
+    )
+    cov = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return cov.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias("oov_rate"),
+    )
+
+
+@register(
+    "doc_quality_model_score",
+    r"""
+    WITH w AS (SELECT __WEIGHTS__ AS wt),
+    s AS (SELECT doc_id,
+                 list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                   tk -> wt[CAST(('0x' || substr(md5(tk), 1, 8))::BIGINT % 64 AS INT) + 1])
+                   AS ws
+          FROM documents, w
+          WHERE trim(text) <> '')
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(list_sum(ws) / len(ws)))), 6) AS quality_score
+    FROM s
+    """.replace(
+        "__WEIGHTS__",
+        "[" + ",".join(repr(w) for w in hashed_model_weights()) + "]",
+    ),
+)
+def doc_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: hashed-feature linear-model inference as a pure
+    column expression (fastText-shaped quality classifier; the reference's
+    closest analog is the LLM-scored quality gate, ``extractor_drugs.py``
+    commercial-threshold scoring). The 64-bucket weight table inlines as
+    an array literal — no join, no UDF, no shuffle; per-token md5
+    bucketing replicates in the SQL oracle, which carries the identical
+    weight list. At 100 TB this is a map-only scan."""
+    from dopams_etl_spark.functions.textfns import hashed_model_score
+
+    docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    return docs.select(
+        "doc_id", F.round(hashed_model_score("text"), 6).alias("quality_score")
+    )
+
+
+@register(
+    "pack_training_sequences",
+    r"""
+    WITH RECURSIVE src AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 16 AS shard,
+             doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS tok
+      FROM documents),
+    d AS (SELECT shard, doc_id, tok,
+                 ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+          FROM src),
+    nf(shard, rn, doc_id, tok, bin, fill) AS (
+      SELECT shard, rn, doc_id, tok, 1, tok FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.tok,
+             CASE WHEN nf.fill + d.tok <= 256 THEN nf.bin ELSE nf.bin + 1 END,
+             CASE WHEN nf.fill + d.tok <= 256 THEN nf.fill + d.tok ELSE d.tok END
+      FROM nf JOIN d ON d.shard = nf.shard AND d.rn = nf.rn + 1)
+    SELECT shard, CAST(bin AS INT) AS seq_num,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS seq_tokens,
+           '[' || array_to_string(list(doc_id ORDER BY doc_id), ',') || ']' AS doc_ids
+    FROM nf GROUP BY shard, bin
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: next-fit packing of whole documents into
+    256-token training sequences within 16 md5-derived shards
+    (``operators/packing.py``). The sequential fold runs as ONE
+    Arrow-batched applyInPandas per shard over a skinny (shard, id, tok)
+    projection — token counting stays JVM-side; the oracle replays the
+    identical fold with a recursive CTE, so bin boundaries (not just
+    totals) are value-checked."""
+    from dopams_etl_spark.operators.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").withColumn("__tok", token_count("text"))
+    return pack_sequences(docs, "doc_id", "__tok", budget=256, shards=16)
