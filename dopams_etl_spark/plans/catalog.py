@@ -73,6 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     "vocab_coverage",
     "doc_quality_model_score",
     "pack_training_sequences",
+    "partitioned_scan_prune",
+    "streaming_dedup_counts",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -276,3 +276,86 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@register(
+    "partitioned_scan_prune",
+    """
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-04'
+    GROUP BY 1, 2
+    """,
+)
+def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning end-to-end: events re-laid-out hive-partitioned
+    by event_date (the layout the gold tables use at scale — one
+    directory per day, so a date predicate prunes at the FILE LISTING
+    level, before any IO), then a two-day range query over the
+    partitioned table. The oracle computes from the raw table, proving
+    the partitioned layout is value-lossless; the plan (PLANS.md) shows
+    the date predicate as a PartitionFilter with no data filter — at
+    100 TB this is the difference between scanning 2 days and 2 years."""
+    ev = t(spark, sf_dir, "events").withColumn("event_date", F.col("ts").cast("date"))
+    path = tempfile.mkdtemp(prefix="dopams_part_") + "/events"
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    part = spark.read.parquet(path)
+    lo, hi = "2024-01-03", "2024-01-04"
+    return (
+        part.filter((F.col("event_date") >= lo) & (F.col("event_date") <= hi))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "streaming_dedup_counts",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n_delivered
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second Structured Streaming query in the value-checked gate:
+    at-least-once delivery simulated by replaying the events table TWICE
+    through a file-source stream, deduplicated per event_id with
+    ``dropDuplicatesWithinWatermark`` (bounded state — keys age out with
+    the 10-day watermark instead of accumulating forever), then counted
+    per type. The oracle states the contract in SQL: unique counts equal
+    COUNT(DISTINCT event_id) over ONE copy while the stream actually saw
+    2x deliveries. Which physical duplicate survives is nondeterministic,
+    so the gate checks the aggregate — the dedup invariant itself — not
+    row identity."""
+    from dopams_etl_spark.streaming import read_stream_parquet, stream_dedup
+
+    ev = t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dopams_stream_") + "/events"
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)
+    stream = read_stream_parquet(spark, src, ev.schema)
+    deduped = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="10 days")
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name)
+    delivered = ev.groupBy("event_type").agg((F.count(F.lit(1)) * 2).alias("n_delivered"))
+    return out.join(delivered, "event_type").select(
+        "event_type",
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("n_delivered").cast("long").alias("n_delivered"),
+    )
