@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "pack_training_sequences",
     "partitioned_scan_prune",
     "streaming_dedup_counts",
+    "streaming_user_sessions",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

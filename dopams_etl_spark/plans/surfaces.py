@@ -359,3 +359,59 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_unique").cast("long").alias("n_unique"),
         F.col("n_delivered").cast("long").alias("n_delivered"),
     )
+
+
+@register(
+    "streaming_user_sessions",
+    """
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+    g AS (SELECT user_id, s,
+                 CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s)),
+    sess AS (SELECT user_id, s,
+                    SUM(ns) OVER (PARTITION BY user_id ORDER BY s
+                                  ROWS UNBOUNDED PRECEDING) AS sn
+             FROM g),
+    agg AS (SELECT user_id, sn, MIN(s) AS start_s, MAX(s) AS end_s,
+                   CAST(COUNT(*) AS INT) AS n_events
+            FROM sess GROUP BY user_id, sn),
+    mx AS (SELECT user_id, MAX(sn) AS last_sn FROM agg GROUP BY user_id)
+    SELECT agg.user_id, start_s, end_s, n_events
+    FROM agg JOIN mx ON mx.user_id = agg.user_id
+    WHERE agg.sn < mx.last_sn
+    """,
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator in the value-checked gate:
+    ``applyInPandasWithState`` gap sessionization (30-min inactivity)
+    over the events stream. The operator emits only CLOSED sessions —
+    each user's final open session stays in the state store because a
+    live stream may still extend it — and the oracle states exactly that
+    contract in SQL (every session except the per-user last). The replay
+    is written as ONE file so availableNow folds it as one ordered
+    micro-batch; multi-batch state carry-over is covered separately in
+    tests/test_streaming.py. Second-truncated epochs on both sides (the
+    state schema stores whole seconds)."""
+    from dopams_etl_spark.streaming import read_stream_parquet, stateful_sessionize
+
+    ev = t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dopams_stream_") + "/events"
+    ev.coalesce(1).write.parquet(src)
+    stream = read_stream_parquet(spark, src, ev.schema)
+    sessions = stateful_sessionize(stream, "user_id", "ts", gap_seconds=1800)
+    name = f"stream_sessions_{next(_STREAM_SEQ)}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("long").alias("start_s"),
+        F.col("session_end").cast("long").alias("end_s"),
+        F.col("n_events").cast("int").alias("n_events"),
+    )
