@@ -76,6 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     "partitioned_scan_prune",
     "streaming_dedup_counts",
     "streaming_user_sessions",
+    "event_value_rank_stats",
+    "order_grouping_sets",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

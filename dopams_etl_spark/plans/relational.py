@@ -1232,3 +1232,73 @@ def incremental_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_qty").cast("double").alias("max_qty"),
         F.col("count_order").cast("long").alias("count_order"),
     )
+
+
+@register(
+    "event_value_rank_stats",
+    """
+    SELECT event_id, event_type,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def event_value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth (the ranking kit the MV rewrite relies on,
+    SURVEY §2.5 note): rank / dense_rank / ntile / cume_dist over one
+    per-type ordering — ONE shuffle keyed by event_type serves all four
+    (a single WindowExec; the tie-break on event_id makes every function
+    deterministic). At 100 TB the partition key bounds the sort, and a
+    hot event_type is the documented skew hazard (salting applies when
+    rank-within-salt is acceptable)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "order_grouping_sets",
+    """
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END
+             AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END
+             AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation via GROUPING SETS (§2.4 beyond-reference
+    companion to the ROLLUP in event_rollup_multigrain): detail,
+    per-status, and grand-total grains in ONE pass — Spark's Expand
+    replicates each input row once per grain before a single hash
+    aggregate, so the fact table is scanned once, not three times.
+    GROUPING() flags are folded into '(all)' sentinels so the NULL-group
+    ambiguity (a real NULL vs a rolled-up level) never reaches the
+    output."""
+    ev = t(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END
+                 AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END
+                 AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
