@@ -54,6 +54,7 @@ def cosine_topk(
     k: int = 5,
     include_self: bool = False,
     corpus_rows: int | None = None,
+    exclude_same: str | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k — the small-corpus baseline.
 
@@ -62,6 +63,11 @@ def cosine_topk(
     raises, routing callers to ``lsh_topk`` instead of OOMing the driver.
     Deterministic tie-break on corpus id. Returns
     (probe_id, corpus_id, cos_sim, rank).
+
+    ``exclude_same``: name of a column present on BOTH sides whose equal
+    values disqualify a candidate — the hard-negative-mining predicate
+    (nearest neighbors NOT sharing the probe's label/cluster/source are
+    exactly the hard negatives contrastive training wants).
     """
     n = corpus_rows if corpus_rows is not None else corpus.count()
     if n > MAX_BROADCAST_CORPUS_ROWS:
@@ -71,11 +77,18 @@ def cosine_topk(
         )
     from dopams_etl_spark.partitioning import ensure_parallelism
 
-    p = ensure_parallelism(probe).select(
-        F.col(probe_id).alias("p_id"), F.col(vec_col).alias("p_vec")
-    )
-    c = corpus.select(F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    p_cols = [F.col(probe_id).alias("p_id"), F.col(vec_col).alias("p_vec")]
+    c_cols = [F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec")]
+    if exclude_same is not None:
+        p_cols.append(F.col(exclude_same).alias("p_excl"))
+        c_cols.append(F.col(exclude_same).alias("c_excl"))
+    p = ensure_parallelism(probe).select(*p_cols)
+    c = corpus.select(*c_cols)
     cond = F.lit(True) if include_self else (F.col("p_id") != F.col("c_id"))
+    if exclude_same is not None:
+        # null-safe inequality: a NULL label never matches anything, so it
+        # disqualifies no candidate
+        cond = cond & ~F.col("p_excl").eqNullSafe(F.col("c_excl"))
     scored = p.join(F.broadcast(c), cond).withColumn(
         "cos_sim", F.round(cosine("p_vec", "c_vec"), 6)
     )

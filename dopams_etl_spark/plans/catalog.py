@@ -78,6 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_user_sessions",
     "event_value_rank_stats",
     "order_grouping_sets",
+    "hard_negative_mining",
+    "bpe_merge_pair_counts",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

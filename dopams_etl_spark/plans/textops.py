@@ -1342,3 +1342,81 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").withColumn("__tok", token_count("text"))
     return pack_sequences(docs, "doc_id", "__tok", budget=256, shards=16)
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH p AS (SELECT vec_id AS p_id, label AS p_lbl, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS c_id, label AS c_lbl, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    s AS (SELECT p_id, c_id,
+                 ROUND(list_dot_product(pv, cv)
+                       / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6)
+                   AS cos_sim
+          FROM p JOIN c ON p_id <> c_id AND p_lbl IS DISTINCT FROM c_lbl),
+    r AS (SELECT *, row_number() OVER (PARTITION BY p_id
+                                       ORDER BY cos_sim DESC, c_id ASC) AS rn FROM s)
+    SELECT p_id, c_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep (beyond-reference): for each probe,
+    the top-3 most-similar vectors with a DIFFERENT label — the classic
+    hard negatives (similar embedding, wrong class) that make retrieval/
+    classifier training data informative. Same size-gated broadcast
+    cosine as the exact ANN baseline plus a null-safe label-inequality
+    predicate (``exclude_same``); at corpus scale the identical predicate
+    composes with ``lsh_topk``'s bucketed join instead."""
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(
+        probe, emb, "vec_id", "vec_id", "embedding", k=3, exclude_same="label"
+    )
+
+
+@register(
+    "bpe_merge_pair_counts",
+    r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE trim(text) <> ''),
+    wf AS (SELECT w, COUNT(*) AS freq FROM words WHERE len(w) > 1 GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 1) || '|' || substr(w, i + 1, 1) AS pair, freq
+      FROM wf, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+    agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration at corpus scale (beyond-reference,
+    tokenizer-induction surface): count adjacent character pairs weighted
+    by word frequency — the statistic whose argmax IS the next BPE merge.
+    Two cheap aggregations: word counts first (the corpus token stream
+    collapses to the vocabulary before any per-character work — pair
+    explosion runs over DISTINCT words, orders of magnitude smaller),
+    then char-pair explode via a sequence transform, weighted sum, and a
+    bounded top-20. Full BPE training = this op in a short driver loop
+    with the merge applied between iterations."""
+    from dopams_etl_spark.functions.textfns import tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(F.length("w") > 1)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat_ws(
+                    "|",
+                    F.col("w").substr(i, F.lit(1)),
+                    F.col("w").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+    return agg.orderBy(F.desc("n"), F.asc("pair")).limit(20)
