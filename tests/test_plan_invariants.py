@@ -17,7 +17,15 @@ SF = "/root/testdata/sf0.001"
 #   path is lsh_topk/ivf_topk, which plan as hash joins on bucket keys.
 # - trigram_match_event_types: probe × a handful-row broadcast dictionary;
 #   candidate space is |probe| × |dict| with a tiny constant dict.
-BNLJ_ALLOWED = {"cosine_topk_embeddings", "trigram_match_event_types"}
+# cosine_topk_embeddings / hard_negative_mining: the definitional
+# brute-force exact-cosine baseline (pure non-equi predicate), size-gated
+# by MAX_BROADCAST_CORPUS_ROWS with lsh_topk as the scale path.
+# trigram_match_event_types: broadcast of a bounded dictionary side.
+BNLJ_ALLOWED = {
+    "cosine_topk_embeddings",
+    "hard_negative_mining",
+    "trigram_match_event_types",
+}
 
 
 def _plans(spark):

@@ -195,3 +195,29 @@ def test_semantic_dedup_drops_perturbed_copies(spark):
     for i in range(20):
         if cell_of[i + 1000] == cell_of[i]:
             assert not got[i + 1000]["keep"], i
+
+
+def test_cosine_topk_exclude_same_label(spark):
+    # vec 1 is a near-copy of vec 0; give them the SAME label so the
+    # hard-negative predicate must skip it and surface a different-label
+    # neighbor instead
+    rows = [(i, v, 0 if i <= 1 else 1) for i, v in _vecs()]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    probe = df.filter(F.col("vec_id") == 0)
+
+    plain = cosine_topk(probe, df, "vec_id", "vec_id", k=1).collect()
+    assert plain[0]["c_id"] == 1  # sanity: the near-copy wins without exclusion
+
+    hard = cosine_topk(probe, df, "vec_id", "vec_id", k=5, exclude_same="label").collect()
+    got = {r["c_id"] for r in hard}
+    assert 1 not in got and 0 not in got
+    assert all(r["c_id"] >= 2 for r in hard)  # only label-1 corpus rows
+
+    # null labels disqualify nothing: a NULL-label corpus row may appear
+    # for a labeled probe
+    rows_null = rows + [(99, [float(x) for x in np.asarray(rows[0][1]) * 0.99], None)]
+    df2 = spark.createDataFrame(rows_null, ["vec_id", "embedding", "label"])
+    hard2 = cosine_topk(
+        df2.filter(F.col("vec_id") == 0), df2, "vec_id", "vec_id", k=1, exclude_same="label"
+    ).collect()
+    assert hard2[0]["c_id"] == 99
