@@ -87,19 +87,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J2/J7: star join — fact side shuffles once on the join key.
-    Only the fixed-cardinality dims (nation=25, region=5) carry an explicit
-    broadcast hint; customer scales with SF, so its join is left to AQE,
-    which broadcasts it at small scale and switches to shuffle join when
-    the measured size outgrows the threshold."""
+    """J1/J2/J7: star join, pre-aggregated to order grain first.
+
+    lineitem is reduced to (l_orderkey, order_revenue) BEFORE the star
+    join — the join input shrinks by the lineitem-per-order fan-out (~4×)
+    and, because each order then appears exactly once, the per-region
+    COUNT(DISTINCT o_orderkey) degrades to a plain COUNT: no distinct
+    Expand, one hash aggregate per grain. Both shuffles key on join/agg
+    columns with map-side partials. Only the fixed-cardinality dims
+    (nation=25, region=5) carry an explicit broadcast hint; customer
+    scales with SF, so its join is left to AQE, which broadcasts it at
+    small scale and switches to shuffle join when the measured size
+    outgrows the threshold."""
     li = t(spark, sf_dir, "lineitem")
-    fact = li.join(t(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
+    )
+    fact = per_order.join(
+        t(spark, sf_dir, "orders"), per_order.l_orderkey == F.col("o_orderkey")
+    )
     fact = fact.join(t(spark, sf_dir, "customer"), on=[fact.o_custkey == F.col("c_custkey")])
     fact = broadcast_dim_join(fact, t(spark, sf_dir, "nation"), on=[fact.c_nationkey == F.col("n_nationkey")])
     fact = broadcast_dim_join(fact, t(spark, sf_dir, "region"), on=[fact.n_regionkey == F.col("r_regionkey")])
     return fact.groupBy("r_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.round(F.sum("order_rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
 
 
