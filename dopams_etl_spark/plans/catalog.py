@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "order_grouping_sets",
     "hard_negative_mining",
     "bpe_merge_pair_counts",
+    "csv_badrecord_quarantine",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -415,3 +415,70 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("long").alias("end_s"),
         F.col("n_events").cast("int").alias("n_events"),
     )
+
+
+@register(
+    "csv_badrecord_quarantine",
+    """
+    SELECT 'clean' AS status, CAST(n_regionkey AS INT) AS region,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation WHERE n_nationkey % 5 <> 0
+    GROUP BY n_regionkey
+    UNION ALL
+    SELECT 'quarantined' AS status, -1 AS region, CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation WHERE n_nationkey % 5 = 0
+    """,
+)
+def csv_badrecord_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-robustness (P6/I5 family at the FILE boundary): a CSV landing
+    file with deterministically corrupted rows (every ``% 5 == 0`` key gets
+    a non-numeric id) is read PERMISSIVE with a corrupt-record column;
+    malformed rows route to a quarantine count, clean rows aggregate per
+    region — the reference's reject-and-retry semantics applied to file
+    ingest instead of FK validation. The parsed frame is persisted before
+    the corrupt-column filter (Spark forbids filtering a lazily-parsed
+    corrupt column alone); at scale that one cached pass replaces two
+    re-parses of the raw file."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    nat = t(spark, sf_dir, "nation")
+    line = F.when(
+        F.col("n_nationkey") % 5 == 0,
+        F.concat_ws(",", F.concat(F.lit("BAD_"), F.col("n_nationkey").cast("string")),
+                    F.col("n_name"), F.col("n_regionkey").cast("string")),
+    ).otherwise(
+        F.concat_ws(",", F.col("n_nationkey").cast("string"), F.col("n_name"),
+                    F.col("n_regionkey").cast("string"))
+    )
+    path = tempfile.mkdtemp(prefix="dopams_badcsv_") + "/nation"
+    nat.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+        .persist()
+    )
+    clean = (
+        raw.filter(F.col("_bad").isNull())
+        .groupBy(F.col("n_regionkey").cast("int").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("clean").alias("status"), "region", "n")
+    )
+    quarantined = raw.filter(F.col("_bad").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("quarantined").alias("status"), F.lit(-1).alias("region"), "n")
+    return clean.unionByName(quarantined)
