@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "bpe_merge_pair_counts",
     "csv_badrecord_quarantine",
+    "bpe_learned_merges",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -1420,3 +1420,23 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
     return agg.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+
+
+@register("bpe_learned_merges", None)  # iterative; no single-SQL oracle
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training (beyond-reference; companion to the
+    single-iteration oracled ``bpe_merge_pair_counts``): 8 greedy merges
+    learned over the documents corpus — per iteration one vocabulary-sized
+    pair count plus a one-row argmax collect, lineage truncated with
+    localCheckpoint (``operators/bpe.py``). Deterministic tie-break makes
+    the merge sequence reproducible; rows-only here because the iterative
+    loop has no single-SQL restatement — the value-level ground truth is
+    the independent pure-Python reference in tests/test_bpe.py."""
+    from dopams_etl_spark.operators.bpe import bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_idx int, a string, b string, n long",
+    )

@@ -1,0 +1,32 @@
+from dopams_etl_spark.operators.bpe import bpe_reference_py, bpe_train
+
+
+def test_bpe_matches_independent_reference(spark):
+    # Sennrich-style corpus: merges must follow weighted pair frequency
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(" ".join([w] * f),) for w, f in words.items()]
+    df = spark.createDataFrame(rows, ["text"])
+
+    got = bpe_train(df, "text", n_merges=6)
+    want = bpe_reference_py(words, 6)
+    assert got == want
+    # the classic first merge on this corpus: ('e','s') with 6+3=9
+    assert got[0] == ("e", "s", 9)
+
+
+def test_bpe_overlapping_runs_fold_left_greedy(spark):
+    # 'aaaa' under merge (a,a): left-to-right non-overlap -> [aa, aa],
+    # so iteration 2 counts (aa,aa), never the overlapping middle pair
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], ["text"])
+    got = bpe_train(df, "text", n_merges=2)
+    want = bpe_reference_py({"aaaa": 3}, 2)
+    assert got == want
+    assert got[0][:2] == ("a", "a")
+    assert got[1][:2] == ("aa", "aa")
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    df = spark.createDataFrame([("ab ab",)], ["text"])
+    got = bpe_train(df, "text", n_merges=10)
+    # one merge fuses the whole 2-char word; nothing pairable remains
+    assert got == [("a", "b", 2)]
