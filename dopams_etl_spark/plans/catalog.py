@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_merge_pair_counts",
     "csv_badrecord_quarantine",
     "bpe_learned_merges",
+    "frame_dup_videos",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

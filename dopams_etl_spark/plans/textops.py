@@ -1440,3 +1440,76 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_idx int, a string, b string, n long",
     )
+
+
+@register(
+    "frame_dup_videos",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0),
+    vids AS (
+      SELECT doc_id, text,
+             strlen(text) % 7 + 1 AS n_frames,
+             strlen(text) // (strlen(text) % 7 + 1) AS chunk
+      FROM corpus),
+    frames AS (
+      SELECT doc_id,
+             md5(substr(text, CAST(k * chunk + 1 AS INT), CAST(chunk AS INT))) AS frame_md5
+      FROM vids, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS k)),
+    m AS (SELECT DISTINCT doc_id, frame_md5 FROM frames),
+    df_cap AS (SELECT frame_md5 FROM m GROUP BY frame_md5
+               HAVING COUNT(*) BETWEEN 2 AND 50),
+    mc AS (SELECT m.doc_id, m.frame_md5 FROM m JOIN df_cap USING (frame_md5)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared_frames
+          FROM mc a JOIN mc b
+            ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, shared_frames FROM p WHERE shared_frames >= 2
+    """,
+)
+def frame_dup_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video near-duplicate detection by frame content hash — the
+    composed multimodal pipeline (frame sampling → content fingerprint →
+    blocked pair join): videos sharing >= 2 identical sampled frames pair
+    up. The join keys on frame_md5, so pairs only materialize within a
+    frame-hash block (never across), and a document-frequency cap (<= 50
+    videos per frame) bounds the worst block exactly like the n-gram
+    shingle cap — a stock intro/outro frame shared by millions of videos
+    would otherwise explode quadratically. Frame-accurate video dedup at
+    scale is this plan with a real ffmpeg sampler plugged into
+    ``sample_frames``. Re-uploads are planted deterministically (every
+    20th video appears again under a shifted id) so the detector's output
+    is a known non-empty pair set, not a vacuous empty match."""
+    from dopams_etl_spark.operators.multimodal import sample_frames
+
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+    docs = corpus.withColumn("payload", F.encode("text", "UTF-8"))
+    frames = sample_frames(docs, "doc_id", "payload", every_n=2)
+    m = frames.select("doc_id", "frame_md5").distinct()
+    cap = (
+        m.groupBy("frame_md5")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("frame_md5")
+    )
+    mc = m.join(cap, "frame_md5")
+    a, b = mc.alias("a"), mc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.frame_md5") == F.col("b.frame_md5"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= 2)
+    )
+    return pairs.select("doc_a", "doc_b", F.col("shared_frames").cast("long").alias("shared_frames"))
