@@ -380,3 +380,53 @@ def semantic_dedup(
         .join(dropped.withColumn("is_dup", F.lit(True)), "id", "left")
         .select("id", "cell", F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"))
     )
+
+
+def int8_quantize(
+    df: DataFrame, id_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the standard 4×
+    storage/IO reduction for a vector store (per-vector min/max affine
+    quantization, the scheme FAISS calls SQ8).
+
+    Pure column expressions: per vector, qmin = min(v), scale =
+    (max − min)/255, code_j = floor((v_j − qmin)/scale + 0.5) clamped to
+    [0, 255] (explicit floor(x+0.5) so rounding is identical in every
+    engine — double `round` half-even vs half-up differs across SQL
+    engines). Returns the codes plus the reconstruction-error summary the
+    recall planning needs. Constant vectors (scale 0) encode as all-zero
+    codes and reconstruct exactly.
+
+    At 100 TB this is a map-only pass; the codes column (binary-packable)
+    is what ships to the ANN serving tier, and ``mean_abs_err`` per
+    vector is the quantization-quality gate.
+    """
+    # Widen to double BEFORE any arithmetic: float-lane subtraction would
+    # round differently from the double-math SQL oracle at floor boundaries.
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qmin = F.array_min(v)
+    qmax = F.array_max(v)
+    scale = (qmax - qmin) / F.lit(255.0)
+    code = F.transform(
+        v,
+        lambda x: F.when(
+            scale > 0,
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(255), F.floor((x - qmin) / scale + F.lit(0.5)).cast("int")),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    deq = F.transform(code, lambda c: qmin + c.cast("double") * scale)
+    err = F.aggregate(
+        F.zip_with(v, deq, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(v)
+    return df.select(
+        F.col(id_col),
+        F.round(qmin.cast("double"), 6).alias("qmin"),
+        F.round(scale.cast("double"), 6).alias("qscale"),
+        F.md5(F.concat_ws(",", code)).alias("codes_md5"),
+        F.round(err, 6).alias("mean_abs_err"),
+    )

@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "csv_badrecord_quarantine",
     "bpe_learned_merges",
     "frame_dup_videos",
+    "embedding_int8_quantize",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -1513,3 +1513,45 @@ def frame_dup_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_frames") >= 2)
     )
     return pairs.select("doc_a", "doc_b", F.col("shared_frames").cast("long").alias("shared_frames"))
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    q AS (SELECT vec_id,
+                 list_min(ev) AS qmin,
+                 (list_max(ev) - list_min(ev)) / 255.0 AS qscale
+          FROM v),
+    c AS (SELECT v.vec_id, q.qmin, q.qscale,
+                 list_transform(ev, x -> CASE WHEN q.qscale > 0
+                      THEN CAST(greatest(0, least(255,
+                             CAST(floor((x - q.qmin) / q.qscale + 0.5) AS INT))) AS INT)
+                      ELSE 0 END) AS codes,
+                 ev
+          FROM v JOIN q USING (vec_id)),
+    e AS (SELECT vec_id, qmin, qscale, codes,
+                 list_sum(list_transform(range(1, len(ev) + 1),
+                   i -> abs(ev[i] - (qmin + codes[i] * qscale)))) / len(ev) AS err
+          FROM c)
+    SELECT vec_id,
+           ROUND(qmin, 6) AS qmin,
+           ROUND(qscale, 6) AS qscale,
+           md5(array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ','))
+             AS codes_md5,
+           ROUND(err, 6) AS mean_abs_err
+    FROM e
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store compression (beyond-reference): per-vector int8
+    scalar quantization (FAISS SQ8 shape) as a map-only column-expression
+    pass — 4x the embeddings per byte of ANN-tier storage/IO at 100 TB.
+    The oracle recomputes codes with identical double-widened arithmetic
+    and explicit floor(x+0.5) rounding (engine round() half-modes
+    differ), value-checking the full code stream via md5 plus the
+    reconstruction-error summary."""
+    from dopams_etl_spark.operators.similarity import int8_quantize
+
+    emb = t(spark, sf_dir, "embeddings")
+    return int8_quantize(emb, "vec_id", "embedding")
