@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_learned_merges",
     "frame_dup_videos",
     "embedding_int8_quantize",
+    "schema_evolution_roundtrip",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

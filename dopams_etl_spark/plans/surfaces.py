@@ -482,3 +482,35 @@ def csv_badrecord_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("quarantined").alias("status"), F.lit(-1).alias("region"), "n")
     return clean.unionByName(quarantined)
+
+
+@register(
+    "schema_evolution_roundtrip",
+    """
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'batch2' ELSE NULL END AS batch_tag,
+           CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey ELSE NULL END AS region_copy
+    FROM nation
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-side schema evolution (SURVEY §1.3: the reference ALTERs
+    columns in at runtime, ``etl_crimes.py:231–244``; the Spark analog is
+    parquet schema union): batch 1 lands (key, name), batch 2 lands the
+    WIDENED schema (key, name, batch_tag, region_copy); a ``mergeSchema``
+    read unions the footers so old rows surface the new columns as NULL —
+    no rewrite of already-landed data, which at 100 TB is the difference
+    between a metadata operation and re-writing the lake."""
+    nat = t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="dopams_evolve_") + "/nation"
+    nat.filter(F.col("n_nationkey") % 2 == 1).select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(path)
+    nat.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey",
+        "n_name",
+        F.lit("batch2").alias("batch_tag"),
+        F.col("n_regionkey").alias("region_copy"),
+    ).write.mode("append").parquet(path)
+    evolved = spark.read.option("mergeSchema", "true").parquet(path)
+    return evolved.select("n_nationkey", "n_name", "batch_tag", "region_copy")

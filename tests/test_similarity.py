@@ -221,3 +221,19 @@ def test_cosine_topk_exclude_same_label(spark):
         df2.filter(F.col("vec_id") == 0), df2, "vec_id", "vec_id", k=1, exclude_same="label"
     ).collect()
     assert hard2[0]["c_id"] == 99
+
+
+def test_int8_quantize_error_bound_and_edge_cases(spark):
+    from dopams_etl_spark.operators.similarity import int8_quantize
+
+    rows = _vecs(20, 16, seed=3) + [(100, [2.5] * 16)]  # constant vector edge
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in int8_quantize(df, "vec_id").collect()}
+    for vid, vec in rows:
+        r = out[vid]
+        if vid == 100:
+            assert r["qscale"] == 0.0 and r["mean_abs_err"] == 0.0
+        else:
+            # affine rounding error is at most scale/2 per lane
+            assert r["mean_abs_err"] <= r["qscale"] / 2 + 1e-6
+            assert r["qmin"] == round(min(vec), 6)
