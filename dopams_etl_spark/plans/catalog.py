@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "frame_dup_videos",
     "embedding_int8_quantize",
     "schema_evolution_roundtrip",
+    "perplexity_tiers",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -1555,3 +1555,69 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return int8_quantize(emb, "vec_id", "embedding")
+
+
+@register(
+    "perplexity_tiers",
+    r"""
+    WITH base AS (SELECT doc_id AS id,
+                         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+                  FROM documents),
+    b2 AS (SELECT id, tk, len(tk) AS n FROM base),
+    pos AS (SELECT id,
+                   unnest(list_transform(range(1, n),
+                          i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS bg
+            FROM b2 WHERE n >= 2),
+    p2 AS (SELECT id, bg.w1 AS w1, bg.w2 AS w2 FROM pos),
+    unigrams AS (SELECT tok AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+                 FROM (SELECT unnest(tk) AS tok FROM b2) GROUP BY tok),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM unigrams),
+    bigrams AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM p2 GROUP BY w1, w2),
+    scored AS (
+      SELECT p2.id,
+             ROUND(exp(-AVG(ln((bigrams.c2 + 1.0) / (unigrams.c1 + vocab.v)))), 6)
+               AS ppl
+      FROM p2 JOIN bigrams USING (w1, w2) JOIN unigrams USING (w1)
+      CROSS JOIN vocab
+      GROUP BY p2.id),
+    cut AS (SELECT quantile_cont(ppl, 0.3333) AS lo,
+                   quantile_cont(ppl, 0.6667) AS hi
+            FROM scored)
+    SELECT b2.id AS doc_id,
+           CASE WHEN s.ppl IS NULL THEN 'unscored'
+                WHEN s.ppl <= cut.lo THEN 'head'
+                WHEN s.ppl <= cut.hi THEN 'middle'
+                ELSE 'tail' END AS tier,
+           s.ppl AS ppl_proxy
+    FROM b2 LEFT JOIN scored s USING (id) CROSS JOIN cut
+    """,
+)
+def perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning: every document
+    bucketed by its bigram-LM perplexity proxy against the corpus's own
+    exact terciles. The tercile boundaries are a ONE-ROW global aggregate
+    broadcast back across the corpus (the bounded scalar-crossjoin shape
+    the plan invariants whitelist); at 100 TB swap the exact percentile
+    for ``percentile_approx`` — same plan, sketch-sized state. Sub-2-token
+    documents land in an explicit 'unscored' tier instead of biasing the
+    cut points."""
+    from dopams_etl_spark.operators.quality import lm_score
+
+    docs = t(spark, sf_dir, "documents")
+    scored = lm_score(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    cuts = scored.filter(F.col("ppl_proxy").isNotNull()).agg(
+        F.percentile("ppl_proxy", F.lit(0.3333)).alias("lo"),
+        F.percentile("ppl_proxy", F.lit(0.6667)).alias("hi"),
+    )
+    out = scored.crossJoin(cuts).select(
+        "doc_id",
+        F.when(F.col("ppl_proxy").isNull(), F.lit("unscored"))
+        .when(F.col("ppl_proxy") <= F.col("lo"), F.lit("head"))
+        .when(F.col("ppl_proxy") <= F.col("hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("tier"),
+        "ppl_proxy",
+    )
+    return out
