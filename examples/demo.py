@@ -1,0 +1,68 @@
+"""End-to-end tour of the engine on the sf0.001 testdata — the surfaces a
+reference-system user touches daily, in one runnable script.
+
+    python examples/demo.py            # ~1 min on local[*]
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python examples/demo.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    from dopams_etl_spark.catalog import register_views
+    from dopams_etl_spark.gold import refresh_gold
+    from dopams_etl_spark.nlq.generator import answer_question
+    from dopams_etl_spark.plans import catalog
+    from dopams_etl_spark.session import get_spark
+
+    spark = get_spark("demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.queries()
+
+    print(f"== spark-dopams demo @ {SF_DIR}\n")
+
+    # 1. Analytics: the flagship gold MV (decorrelated firs_mv rewrite)
+    mv = qs["firs_mv"](spark, SF_DIR)
+    print(f"1. firs_mv gold pipeline: {mv.count()} rows, {len(mv.columns)} cols")
+
+    # 2. Gold refresh executor: recompute + partitioned overwrite on disk
+    out = tempfile.mkdtemp(prefix="demo_gold_")
+    counts = refresh_gold(spark, SF_DIR, out, names=("criminal_profiles_mv",))
+    print(f"2. refresh_gold -> {out}: {counts}")
+
+    # 3. NL -> SQL with guardrails (plan -> generate -> validate -> execute)
+    register_views(spark, SF_DIR)
+    ans = answer_question(spark, "How many orders are there?")
+    first = ans.result.rows[0] if ans.result and ans.result.rows else None
+    print(f"3. NLQ: {ans.sql!r} -> {first}")
+
+    # 4. Training-data pipeline: dedup -> quality -> tiers on documents
+    dedup = qs["exact_dedup_docs"](spark, SF_DIR)
+    tiers = qs["perplexity_tiers"](spark, SF_DIR)
+    tier_counts = {r["tier"]: r["n"] for r in
+                   tiers.groupBy("tier").agg(F_count().alias("n")).collect()}
+    print(f"4. corpus: {dedup.count()} unique docs; perplexity tiers {tier_counts}")
+
+    # 5. Vector search: LSH ANN over the embeddings table
+    ann = qs["lsh_topk_embeddings"](spark, SF_DIR)
+    print(f"5. lsh_topk ANN: {ann.count()} (probe, neighbor) rows")
+
+    print("\ndemo complete.")
+
+
+def F_count():
+    from pyspark.sql import functions as F
+
+    return F.count(F.lit(1))
+
+
+if __name__ == "__main__":
+    main()
