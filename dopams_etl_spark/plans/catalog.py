@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_int8_quantize",
     "schema_evolution_roundtrip",
     "perplexity_tiers",
+    "streaming_view_purchase_join",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -514,3 +514,56 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("append").parquet(path)
     evolved = spark.read.option("mergeSchema", "true").parquet(path)
     return evolved.select("n_nationkey", "n_name", "batch_tag", "region_copy")
+
+
+@register(
+    "streaming_view_purchase_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS l_event_id,
+           p.event_id AS r_event_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join in the value-checked gate: the view and
+    purchase event streams join per user within a 1-hour attribution
+    window, both sides watermarked so the interval predicate BOUNDS the
+    buffered state (left rows age out at right-watermark − gap). With
+    availableNow the emitted pair set equals the batch interval join the
+    oracle states in SQL — the state-eviction machinery runs, the final
+    answer is exact."""
+    from dopams_etl_spark.streaming import (
+        read_stream_parquet,
+        stream_stream_interval_join,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="dopams_stream_")
+    views_path, buys_path = base + "/views", base + "/buys"
+    ev.filter(F.col("event_type") == "view").write.parquet(views_path)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(buys_path)
+    views = read_stream_parquet(spark, views_path, ev.schema)
+    buys = read_stream_parquet(spark, buys_path, ev.schema)
+    joined = stream_stream_interval_join(
+        views, buys, "user_id", "ts", max_gap="1 hour", watermark="2 hours"
+    )
+    name = f"stream_ssj_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("gap_sec"),
+    )

@@ -5,6 +5,7 @@ from dopams_etl_spark.streaming.incremental import (
     read_stream_parquet,
     stateful_sessionize,
     stream_dedup,
+    stream_stream_interval_join,
     stream_upsert_parquet,
     windowed_event_counts,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "read_stream_parquet",
     "stateful_sessionize",
     "stream_dedup",
+    "stream_stream_interval_join",
     "stream_upsert_parquet",
     "windowed_event_counts",
 ]

@@ -169,3 +169,41 @@ def stream_dedup(
     at-least-once-delivered events collapse to one row.
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval constraint:
+    each right event pairs with left events of the same key that happened
+    in the preceding ``max_gap`` (view→purchase attribution shape). Both
+    sides carry watermarks, and the time-range predicate is what lets
+    Spark BOUND the join state — left rows older than
+    right-watermark − max_gap are evicted instead of buffered forever,
+    which is the difference between bounded and unbounded state at
+    100 TB/day. Columns are prefixed l_/r_ (minus the shared key)."""
+    lw = left.withWatermark(ts_col, watermark)
+    rw = right.withWatermark(ts_col, watermark)
+    lsel = lw.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key_col],
+    )
+    rsel = rw.select(
+        F.col(key_col).alias("__k2"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key_col],
+    )
+    cond = (
+        (F.col("__k") == F.col("__k2"))
+        & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
+        & (F.col(f"r_{ts_col}") <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return (
+        lsel.join(rsel, cond, "inner")
+        .withColumnRenamed("__k", key_col)
+        .drop("__k2")
+    )
