@@ -10,6 +10,7 @@ deterministic template generator by default and a pluggable LLM
 generator that is never trusted past the validator.
 """
 
+from dopams_etl_spark.nlq.formatter import format_answer
 from dopams_etl_spark.nlq.generator import NLQAnswer, answer_question, generate_sql
 from dopams_etl_spark.nlq.planner import QueryPlan, extract_limit, match_tables, plan_query
 from dopams_etl_spark.nlq.validator import ThreatLevel, ValidationResult, validate_sql
@@ -20,6 +21,7 @@ __all__ = [
     "ThreatLevel",
     "ValidationResult",
     "answer_question",
+    "format_answer",
     "extract_limit",
     "generate_sql",
     "match_tables",

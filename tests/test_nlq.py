@@ -148,3 +148,22 @@ def test_injection_term_never_escapes_literal(spark):
         assert ans.result.row_count == 0
     else:
         assert "rejected" in (ans.error or "")
+
+
+def test_format_answer_shapes(spark):
+    from dopams_etl_spark.catalog import register_views
+    from dopams_etl_spark.nlq.formatter import format_answer
+    from dopams_etl_spark.nlq.generator import answer_question
+
+    register_views(spark, "/root/testdata/sf0.001")
+    # scalar shape -> sentence
+    ans = answer_question(spark, "How many orders are there?")
+    assert format_answer(ans) == "n = 1500"
+    # table shape -> bounded rendering with omission note
+    ans2 = answer_question(spark, "show latest 30 orders")
+    txt = format_answer(ans2, max_rows=5)
+    assert txt.count("\n") <= 8 and "omitted" in txt
+    # failure shape -> sanitized message, never raises
+    from dopams_etl_spark.nlq.generator import NLQAnswer
+    bad = NLQAnswer(False, "q", None, None, None, error="no matching table")
+    assert "no matching table" in format_answer(bad)
