@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "schema_evolution_roundtrip",
     "perplexity_tiers",
     "streaming_view_purchase_join",
+    "hourly_gapfill_locf",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -1314,3 +1314,54 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "hourly_gapfill_locf",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS v
+      FROM events WHERE user_id < 50 GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+             FROM span),
+    joined AS (SELECT g.user_id, g.h, hourly.v
+               FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id
+                                           AND hourly.h = g.h)
+    SELECT user_id,
+           CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+                                            ROWS UNBOUNDED PRECEDING) AS v_filled,
+           v IS NULL AS was_gap
+    FROM joined
+    """,
+)
+def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + last-observation-carried-forward
+    (beyond-reference; the TimescaleDB ``time_bucket_gapfill``/``locf``
+    shape a hypertable rollup needs): each user's hourly aggregate is
+    densified onto a regular hourly grid over their own observed span
+    (``sequence`` + explode — the grid is generated, never stored) and
+    gaps forward-fill via ``last(ignorenulls)`` over one per-user window.
+    Two shuffles total (hourly aggregate, user window), both keyed on
+    user_id; the grid fan-out is bounded by span-hours per user, not by
+    corpus size."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    span = hourly.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").cast("long").alias("hour_epoch"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
