@@ -88,6 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "perplexity_tiers",
     "streaming_view_purchase_join",
     "hourly_gapfill_locf",
+    "weekly_cohort_retention",
+    "view_click_purchase_funnel",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -1365,3 +1365,84 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "weekly_cohort_retention",
+    """
+    WITH first AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+                   FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT CAST(floor(epoch(f.cohort)) AS BIGINT) AS cohort_epoch,
+           CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_n,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act a JOIN first f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (beyond-reference analytics breadth): users
+    bucketed by first-seen week, activity counted per (cohort,
+    weeks-since) cell — the standard retention triangle. Two aggregates
+    keyed on user_id (first-seen, distinct active weeks) then one on the
+    cohort cell; every shuffle key is either the user or the bounded
+    (cohort, week) grid."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("cohort").cast("long").alias("cohort_epoch"),
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "view_click_purchase_funnel",
+    """
+    WITH t1 AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+           FROM events e JOIN t1 ON t1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.v_ts GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+           FROM events e JOIN t2 ON t2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.c_ts GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_view_click_purchase
+    """,
+)
+def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase, strictly
+    increasing timestamps): each stage is a per-user MIN over events
+    AFTER the previous stage's first occurrence — three aggregates all
+    keyed on user_id, so at scale they share one partitioning; the final
+    counts are three scalars. The strict ordering matters: a click
+    before any view does not advance the funnel."""
+    ev = t(spark, sf_dir, "events")
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("v_ts")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
