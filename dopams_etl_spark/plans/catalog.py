@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "hourly_gapfill_locf",
     "weekly_cohort_retention",
     "view_click_purchase_funnel",
+    "lineitem_quality_report",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

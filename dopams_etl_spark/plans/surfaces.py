@@ -567,3 +567,55 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_event_id",
         (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("gap_sec"),
     )
+
+
+@register(
+    "lineitem_quality_report",
+    """
+    WITH t AS (SELECT COUNT(*) AS total,
+                      SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+                      SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                                 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_rng,
+                      SUM(CASE WHEN l_returnflag IS NULL
+                                 OR l_returnflag NOT IN ('A','N','R')
+                               THEN 1 ELSE 0 END) AS v_set,
+                      SUM(CASE WHEN l_linestatus IS NULL
+                                 OR NOT regexp_full_match(l_linestatus, '[OF]')
+                               THEN 1 ELSE 0 END) AS v_re,
+                      COUNT(DISTINCT l_orderkey) AS d_ok
+               FROM lineitem)
+    SELECT * FROM (
+      SELECT 'not_null' AS rule, 'l_orderkey' AS "column",
+             CAST(v_nn AS BIGINT) AS violations, v_nn = 0 AS pass FROM t
+      UNION ALL
+      SELECT 'range', 'l_quantity', CAST(v_rng AS BIGINT), v_rng = 0 FROM t
+      UNION ALL
+      SELECT 'in_set', 'l_returnflag', CAST(v_set AS BIGINT), v_set = 0 FROM t
+      UNION ALL
+      SELECT 'matches', 'l_linestatus', CAST(v_re AS BIGINT), v_re = 0 FROM t
+      UNION ALL
+      SELECT 'unique', 'l_orderkey', CAST(total - d_ok AS BIGINT),
+             total - d_ok = 0 FROM t)
+    """,
+)
+def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract (`operators/expectations.py` —
+    the generic form of the reference's scattered validation layer): five
+    rules over lineitem evaluated in ONE aggregate pass (uniqueness rides
+    the same pass via count-distinct). The deliberately-failing rules
+    (l_orderkey repeats across lineitems; quantities run 1–50) prove the
+    report actually counts violations rather than rubber-stamping — the
+    oracle states every rule as SQL and the counts must agree exactly."""
+    from dopams_etl_spark.operators.expectations import expect
+
+    li = t(spark, sf_dir, "lineitem")
+    return expect(
+        li,
+        [
+            ("not_null", "l_orderkey"),
+            ("range", "l_quantity", 1, 50),
+            ("in_set", "l_returnflag", ("A", "N", "R")),
+            ("matches", "l_linestatus", "[OF]"),
+            ("unique", "l_orderkey"),
+        ],
+    )

@@ -72,3 +72,27 @@ def test_fk_validate_and_retry(spark):
     assert valid.count() == 2 and rejects.count() == 1
     resolved, still = quarantine_retry(rejects, parent, "fk")
     assert resolved.count() == 0 and still.collect()[0]["retry_count"] == 1
+
+
+def test_expectations_contract(spark):
+    from dopams_etl_spark.operators.expectations import expect
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A", "ab"), (2, 99.0, "X", "zz9"), (2, None, "N", "cd"), (None, 3.0, "R", "ef")],
+        ["k", "v", "flag", "code"],
+    )
+    rep = {(r["rule"], r["column"]): (r["violations"], r["pass"]) for r in expect(
+        df,
+        [
+            ("not_null", "k"),
+            ("range", "v", 0, 50),
+            ("in_set", "flag", ("A", "N", "R")),
+            ("matches", "code", "[a-z]+"),
+            ("unique", "k"),
+        ],
+    ).collect()}
+    assert rep[("not_null", "k")] == (1, False)
+    assert rep[("range", "v")] == (2, False)        # 99 out of range + null
+    assert rep[("in_set", "flag")] == (1, False)     # X
+    assert rep[("matches", "code")] == (1, False)    # zz9 fails the FULL match
+    assert rep[("unique", "k")] == (2, False)        # dup 2 + null key
