@@ -136,3 +136,68 @@ def test_stream_dedup_collapses_replays(spark, tmp_path):
     assert len(ids) == len(set(ids)), "stream emitted duplicate keys"
     want = {r["event_id"] for r in spark.read.parquet(src).select("event_id").distinct().collect()}
     assert set(ids) == want
+
+
+def test_stream_stream_interval_join_across_batches(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.catalog import load_table
+    from dopams_etl_spark.streaming import stream_stream_interval_join
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    base = tempfile.mkdtemp(prefix="ssj_mb_")
+    # several files per side + maxFilesPerTrigger=1 => many micro-batches;
+    # pairs whose two sides arrive in different batches only match if the
+    # join buffers state correctly across batches. Files must land in
+    # EVENT-TIME order (the file source replays by modification time):
+    # time slices are written sequentially, one file each. A
+    # randomly-split replay would advance the watermark to near max(ts)
+    # after one batch and correctly drop everything later as late data —
+    # watermark semantics, not a bug.
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    for side, df in (("v", views), ("b", buys)):
+        lo = None
+        for hi in [*cuts, None]:
+            sl = df
+            if lo is not None:
+                sl = sl.filter(F.col("ts") >= lo)
+            if hi is not None:
+                sl = sl.filter(F.col("ts") < hi)
+            sl.coalesce(1).write.mode("append").parquet(base + f"/{side}")
+            lo = hi
+    vs = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(base + "/v")
+    bs = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(base + "/b")
+    joined = stream_stream_interval_join(vs, bs, "user_id", "ts", "1 hour", "2 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in spark.table("ssj_mb").collect()
+    }
+    want = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in views.alias("v")
+        .join(
+            buys.alias("p"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("v.ts"))
+            & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("v.user_id"),
+            F.col("v.event_id").alias("l_event_id"),
+            F.col("p.event_id").alias("r_event_id"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
