@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "perplexity_tiers",
     "streaming_view_purchase_join",
     "hourly_gapfill_locf",
+    "hourly_gapfill_interpolate",
     "weekly_cohort_retention",
     "view_click_purchase_funnel",
     "lineitem_quality_report",

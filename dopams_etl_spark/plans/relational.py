@@ -1446,3 +1446,86 @@ def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+@register(
+    "hourly_gapfill_interpolate",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS v
+      FROM events WHERE user_id < 50 GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+             FROM span),
+    j AS (SELECT g.user_id, g.h, hourly.v
+          FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id
+                                      AND hourly.h = g.h),
+    ctx AS (SELECT user_id, h, v,
+                   last_value(v IGNORE NULLS) OVER w_prev AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                     OVER w_prev AS pt,
+                   first_value(v IGNORE NULLS) OVER w_next AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                     OVER w_next AS nt
+            FROM j
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY h
+                              ROWS UNBOUNDED PRECEDING),
+                   w_next AS (PARTITION BY user_id ORDER BY h
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pt = nt THEN pv
+                       ELSE pv + (nv - pv) * date_diff('second', pt, h)
+                                  / CAST(date_diff('second', pt, nt) AS DOUBLE)
+                  END) * 1000000 + 0.5) / 1000000 AS v_interp,
+           v IS NULL AS was_gap
+    FROM ctx
+    """,
+)
+def hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill (companion to hourly_gapfill_locf —
+    TimescaleDB's ``interpolate``): each gap hour takes the line between
+    its previous and next real observation. Two frame-bounded windows
+    over ONE per-user ordering (preceding last / following first, both
+    ignore-nulls) supply the bracketing points; span edges can't be null
+    because the grid starts and ends on observations. Same two-shuffle
+    plan as locf."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    span = hourly.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w_prev = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ts_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv = F.last("v", ignorenulls=True).over(w_prev)
+    pt = F.last(ts_obs, ignorenulls=True).over(w_prev)
+    nv = F.first("v", ignorenulls=True).over(w_next)
+    nt = F.first(ts_obs, ignorenulls=True).over(w_next)
+    # multiply-then-divide, matching the oracle's left-to-right float
+    # evaluation — computing the fraction first rounds differently in the
+    # last ulp and can flip the 6-decimal rounding at a half boundary
+    num = (F.col("h").cast("long") - pt.cast("long")).cast("double")
+    den = (nt.cast("long") - pt.cast("long")).cast("double")
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        pt == nt, pv
+    ).otherwise(pv + (nv - pv) * num / den)
+    # explicit floor(x*1e6 + 0.5) instead of round(…, 6): the bracketing
+    # fractions terminate in binary, so interpolated values land on exact
+    # 6-decimal halves where the engines' round() half-modes disagree —
+    # the same formula on both sides is deterministic
+    return j.select(
+        "user_id",
+        F.col("h").cast("long").alias("hour_epoch"),
+        (F.floor(interp * 1000000 + F.lit(0.5)) / 1000000).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )
