@@ -15,10 +15,15 @@ partition into the same state shape, merge by group key, then finalize
 derived measures (avg = sum/count) into the serving view. The full fact
 table is touched once ever; each refresh shuffles just the delta.
 
-Non-mergeable measures (exact COUNT DISTINCT, exact percentiles) are out
-of scope by construction — at this scale those run as sketches
-(``approx_count_distinct`` HLL state IS mergeable) or periodic full
-rebuilds; the operator raises on them rather than silently recomputing.
+Exact COUNT DISTINCT and exact percentiles are non-mergeable by
+construction; the operator raises on them. Distinct counts refresh
+incrementally through the ``approx_distinct`` kind instead: the state
+column is a Datasketches HLL sketch (``hll_sketch_agg``), merge is
+``hll_union_agg``, finalize is ``hll_sketch_estimate`` — sketch unions
+are exactly as associative/commutative as sums, and the estimate is
+EXACT while a group's distinct set stays below the sketch's sparse
+threshold (the registered query exploits that for a value-level
+oracle).
 
 State schema convention: one column per measure, named
 ``<out>__sum`` / ``<out>__cnt`` / ``<out>__min`` / ``<out>__max``. A
@@ -34,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # measure kinds -> (state builder, merge fn over state col, finalizer arity)
-_MERGEABLE = ("sum", "count", "min", "max", "avg")
+_MERGEABLE = ("sum", "count", "min", "max", "avg", "approx_distinct")
 
 
 def _state_cols(measures: Mapping[str, tuple[str, str | None]]) -> list[str]:
@@ -48,6 +53,8 @@ def _state_cols(measures: Mapping[str, tuple[str, str | None]]) -> list[str]:
             cols.append(f"{out}__min")
         if kind == "max":
             cols.append(f"{out}__max")
+        if kind == "approx_distinct":
+            cols.append(f"{out}__hll")
     return cols
 
 
@@ -66,7 +73,7 @@ def agg_state(
         if kind not in _MERGEABLE:
             raise ValueError(
                 f"measure {out!r}: kind {kind!r} is not mergeable state; "
-                "use a sketch (e.g. approx_count_distinct) or a full rebuild"
+                "use the approx_distinct sketch kind or a full rebuild"
             )
         if kind in ("sum", "avg"):
             aggs.append(F.sum(src).alias(f"{out}__sum"))
@@ -78,6 +85,16 @@ def agg_state(
             aggs.append(F.min(src).alias(f"{out}__min"))
         if kind == "max":
             aggs.append(F.max(src).alias(f"{out}__max"))
+        if kind == "approx_distinct":
+            # the sketch accepts int/bigint/string/binary; other types go
+            # in as their canonical string form (distinctness-preserving)
+            ok_types = ("int", "bigint", "smallint", "tinyint", "string", "binary")
+            src_col = (
+                F.col(src)
+                if dict(df.dtypes).get(src) in ok_types
+                else F.col(src).cast("string")
+            )
+            aggs.append(F.hll_sketch_agg(src_col).alias(f"{out}__hll"))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -102,6 +119,8 @@ def merge_states(
             aggs.append(F.min(f"{out}__min").alias(f"{out}__min"))
         if kind == "max":
             aggs.append(F.max(f"{out}__max").alias(f"{out}__max"))
+        if kind == "approx_distinct":
+            aggs.append(F.hll_union_agg(f"{out}__hll").alias(f"{out}__hll"))
     return u.groupBy(*keys).agg(*aggs)
 
 
@@ -124,4 +143,6 @@ def finalize_state(
             cols.append(F.col(f"{out}__min").alias(out))
         elif kind == "max":
             cols.append(F.col(f"{out}__max").alias(out))
+        elif kind == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(F.col(f"{out}__hll")).alias(out))
     return state.select(*cols)

@@ -1189,7 +1189,8 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
-           CAST(COUNT(*) AS BIGINT) AS count_order
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS distinct_lines
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -1231,6 +1232,11 @@ def incremental_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_disc": ("avg", "l_discount"),
         "max_qty": ("max", "l_quantity"),
         "count_order": ("count", None),
+        # HLL sketch state: mergeable distinct count. l_linenumber's
+        # per-group cardinality is bounded (1..7 at any SF), so the
+        # sketch stays in exact sparse mode and the oracle can state
+        # plain COUNT(DISTINCT).
+        "distinct_lines": ("approx_distinct", "l_linenumber"),
     }
     base = agg_state(li.filter(tag != "f"), keys, measures)
     delta = agg_state(li.filter(tag == "f"), keys, measures)
@@ -1243,6 +1249,7 @@ def incremental_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_disc", 6).alias("avg_disc"),
         F.col("max_qty").cast("double").alias("max_qty"),
         F.col("count_order").cast("long").alias("count_order"),
+        F.col("distinct_lines").cast("long").alias("distinct_lines"),
     )
 
 

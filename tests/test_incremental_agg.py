@@ -13,12 +13,13 @@ MEASURES = {
     "lo": ("min", "v"),
     "hi": ("max", "v"),
     "n": ("count", None),
+    "nd": ("approx_distinct", "v"),
 }
 
 
 def _rows(df):
     return {
-        r["k"]: (r["total"], round(r["mean"], 9), r["lo"], r["hi"], r["n"])
+        r["k"]: (r["total"], round(r["mean"], 9), r["lo"], r["hi"], r["n"], r["nd"])
         for r in df.collect()
     }
 
@@ -50,7 +51,10 @@ def test_merge_is_associative_and_handles_disjoint_keys(spark):
         _rows(finalize_state(s, ["k"], MEASURES)) for s in (left, right)
     )
     assert l == r
-    assert l[3] == (9.0, 9.0, 9.0, 9.0, 1)
+    assert l[3] == (9.0, 9.0, 9.0, 9.0, 1, 1)
+    # sketch union counts each distinct value once across deltas (key 1
+    # sees 2.0/4.0/6.0 in two different deltas)
+    assert l[1][5] == 3
     # exact avg through the merge: (2+4+6)/3, not avg-of-avgs (3+6)/2
     assert l[1][1] == 4.0
 
