@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "weekly_cohort_retention",
     "view_click_purchase_funnel",
     "lineitem_quality_report",
+    "variant_props_stats",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -1536,3 +1536,35 @@ def hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(interp * 1000000 + F.lit(0.5)) / 1000000).alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS k_present,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: one
+    ``parse_json`` per row, typed ``try_variant_get`` extraction, then a
+    plain aggregate. VARIANT parses once into a binary-encoded tree and
+    each path access is an O(depth) walk — repeated ``get_json_object``
+    calls re-parse the string per extraction, which at 100 TB is the
+    difference between one parse and N parses per row. Missing keys
+    surface as NULL (try_ semantics), mirrored by the oracle's
+    json_extract_string."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select("event_type", F.try_variant_get(v, "$.k", "long").alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum("k").alias("k_sum"),
+        F.count("k").alias("k_present"),
+        F.count(F.lit(1)).alias("n"),
+    )
