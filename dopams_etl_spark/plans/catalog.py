@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "view_click_purchase_funnel",
     "lineitem_quality_report",
     "variant_props_stats",
+    "udtf_doc_chunks",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

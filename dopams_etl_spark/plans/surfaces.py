@@ -619,3 +619,43 @@ def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("unique", "l_orderkey"),
         ],
     )
+
+
+@register(
+    "udtf_doc_chunks",
+    r"""
+    WITH tk AS (SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(text), '\s+') END AS toks
+                FROM documents),
+    c AS (SELECT doc_id, i AS chunk_idx,
+                 array_to_string(toks[i*50+1 : i*50+50], ' ') AS chunk
+          FROM tk, LATERAL (SELECT unnest(range(0, CAST(ceil(len(toks) / 50.0) AS INT))) AS i)
+          WHERE len(toks) > 0)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk FROM c
+    """,
+)
+def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 as a literal Spark 4 Python UDTF: a table function registered
+    in the SQL catalog and applied with LATERAL — the same registration
+    surface as the reference's plpgsql table functions
+    (``DB-schema.sql:377–503``). One row in → one row per 50-token chunk
+    out. The builtin-expression chunker (``doc_chunks``, posexplode over
+    slice) remains the hot path — a Python UDTF pays per-row Python
+    transfer and exists here for API-surface parity, exactly like the
+    reference's table functions exist beside its views."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class SplitWords:
+        def eval(self, text: str, size: int):
+            words = (text or "").split()
+            for i in range(0, len(words), size):
+                yield i // size, " ".join(words[i : i + size])
+
+    spark.udtf.register("split_words", SplitWords)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.chunk_idx, s.chunk "
+        "FROM __udtf_docs, LATERAL split_words(text, 50) s"
+    )
