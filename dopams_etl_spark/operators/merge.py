@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dopams_etl_spark.operators.joins import latest_per_key
@@ -183,3 +183,40 @@ def snapshot_diff(
     return j.select(*out_keys, ct.alias("change_type")).filter(
         F.col("change_type").isNotNull()
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: str | list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC merge-on-read: fold an ordered changelog (I/U/D ops) over a
+    base snapshot into the current snapshot — the missing sibling of the
+    upsert family (S7/S8 never DELETE; the reference deletes only via the
+    narrow delete-and-replace child sink S9,
+    ``etl-ir/ir_etl.py:743–773``). Semantics: per key, the
+    HIGHEST-``seq_col`` change wins; an I/U change replaces the base row
+    wholesale, a 'D' is a tombstone that removes it. Unknown op codes
+    raise at plan time rather than silently dropping rows.
+
+    Shape: one window top-1 over the changelog (keyed shuffle on the
+    change keys — the changelog, not the base, pays the sort), one
+    left-anti join to drop replaced/deleted base rows, one union. On
+    Delta/Iceberg this folds into MERGE WHEN MATCHED [AND op='D'] THEN
+    DELETE; here it is the engine-agnostic plan."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    ops = [r[0] for r in changes.select(op_col).distinct().collect()]
+    unknown = [o for o in ops if o not in ("I", "U", "D")]
+    if unknown:
+        raise ValueError(f"unknown changelog ops {unknown!r}; expected I/U/D")
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = base.join(latest.select(*keys), keys, "left_anti")
+    applied = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    return survivors.unionByName(applied)

@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_quality_report",
     "variant_props_stats",
     "udtf_doc_chunks",
+    "cdc_orders_snapshot",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

@@ -659,3 +659,55 @@ def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.chunk_idx, s.chunk "
         "FROM __udtf_docs, LATERAL split_words(text, 50) s"
     )
+
+
+@register(
+    "cdc_orders_snapshot",
+    """
+    WITH latest AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                  WHEN o_orderkey % 7 = 0 THEN 'U' END AS op,
+             o_totalprice + 10 AS new_price
+      FROM orders WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 = 0),
+    ins AS (SELECT o_orderkey + 20000000 AS o_orderkey, 'I' AS op,
+                   o_totalprice AS new_price
+            FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM ins)
+    UNION ALL
+    SELECT o_orderkey, ROUND(new_price, 2) FROM latest WHERE op = 'U'
+    UNION ALL
+    SELECT o_orderkey, ROUND(new_price, 2) FROM ins
+    """,
+)
+def cdc_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (`operators/merge.py:apply_changelog`): a
+    deterministic changelog — %11 keys deleted (tombstones), %7 keys
+    price-bumped (two U versions so the seq ordering matters: seq 1
+    bumps +5, seq 2 bumps +10, only the +10 may survive), %13 keys
+    re-inserted under shifted ids — folds over the orders base into the
+    current snapshot. The oracle states the fold's fixpoint directly in
+    SQL; a stale-version survivor or an undeleted tombstone breaks the
+    value hash."""
+    from dopams_etl_spark.operators.merge import apply_changelog
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    k = F.col("o_orderkey")
+    upd1 = o.filter((k % 7 == 0) & ~(k % 11 == 0)).select(
+        "o_orderkey", (F.col("price") + 5).alias("price"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"))
+    upd2 = o.filter((k % 7 == 0) & ~(k % 11 == 0)).select(
+        "o_orderkey", (F.col("price") + 10).alias("price"),
+        F.lit(2).alias("seq"), F.lit("U").alias("op"))
+    dels = o.filter(k % 11 == 0).select(
+        "o_orderkey", F.lit(None).cast("double").alias("price"),
+        F.lit(1).alias("seq"), F.lit("D").alias("op"))
+    ins = o.filter(k % 13 == 0).select(
+        (k + 20000000).alias("o_orderkey"), "price",
+        F.lit(1).alias("seq"), F.lit("I").alias("op"))
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    snap = apply_changelog(o, changes, "o_orderkey", "seq", "op")
+    return snap.select("o_orderkey", F.round("price", 2).alias("price"))

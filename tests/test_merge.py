@@ -62,3 +62,26 @@ def test_snapshot_diff_classification(spark):
     got = {r["k"]: r["change_type"]
            for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
     assert got == {2: "updated", 3: "updated", 4: "deleted", 5: "inserted"}
+
+
+def test_apply_changelog_semantics(spark):
+    from dopams_etl_spark.operators.merge import apply_changelog
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 1, "U"), (1, "a2", 2, "U"),   # seq 2 wins
+            (2, None, 1, "D"),                        # tombstone removes
+            (4, "d", 1, "I"),                         # brand-new key
+            (5, "e", 1, "I"), (5, None, 2, "D"),      # inserted then deleted
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    out = {r["k"]: r["v"] for r in apply_changelog(base, changes, "k", "seq").collect()}
+    assert out == {1: "a2", 3: "c", 4: "d"}
+
+    import pytest
+
+    bad = spark.createDataFrame([(1, "x", 1, "UPSERT")], ["k", "v", "seq", "op"])
+    with pytest.raises(ValueError, match="unknown changelog ops"):
+        apply_changelog(base, bad, "k", "seq")
