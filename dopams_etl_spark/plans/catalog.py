@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "variant_props_stats",
     "udtf_doc_chunks",
     "cdc_orders_snapshot",
+    "scd2_user_event_history",
     "firs_mv",
     "accuseds_mv",
     "criminal_profiles_mv",

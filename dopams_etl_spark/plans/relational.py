@@ -1568,3 +1568,51 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("k").alias("k_present"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "scd2_user_event_history",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS s
+               FROM events),
+    chg AS (SELECT user_id, event_type, s,
+                   lag(event_type) OVER w AS prev_type
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+    v AS (SELECT user_id, event_type, s AS valid_from
+          FROM chg WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM v
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history (beyond-reference
+    warehouse pattern; the reference keeps only current state + audit
+    columns): each user's event-type change stream collapses to one row
+    per RUN (a version opens only when the attribute actually changes),
+    with [valid_from, valid_to) intervals from a lead window and an
+    is_current flag on the open version. Two window passes over ONE
+    per-user ordering — at 100 TB the shuffle key is the dimension key,
+    exactly like the latest-per-key family."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("long"), "event_id"
+    )
+    chg = ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("s"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    w2 = Window.partitionBy("user_id").orderBy("s")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("s").alias("valid_from"),
+        F.lead("s").over(w2).alias("valid_to"),
+        F.lead("s").over(w2).isNull().alias("is_current"),
+    )
