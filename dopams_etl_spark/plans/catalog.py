@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "schema_evolution_roundtrip",
     "event_value_rank_stats",
     "order_grouping_sets",
+    "event_value_moments",
     # 4) previously-green core (kept for deterministic ordering)
     "exact_dedup_docs",
     "minhash_lsh_pairs",

@@ -1616,3 +1616,31 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("s").over(w2).alias("valid_to"),
         F.lead("s").over(w2).isNull().alias("is_current"),
     )
+
+
+@register(
+    "event_value_moments",
+    """
+    SELECT event_type,
+           ROUND(stddev_samp(value), 6) AS sd,
+           ROUND(var_samp(value), 6) AS variance,
+           ROUND(corr(value, CAST(floor(epoch(ts)) AS BIGINT)), 6) AS corr_time,
+           ROUND(covar_samp(value, user_id), 6) AS covar_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate breadth (A-family): sample stddev/variance,
+    Pearson correlation against event time, and sample covariance — all
+    single-pass mergeable moment sketches in Spark's hash aggregate
+    (sum, sum-of-squares, cross-sums per partial), so they scale exactly
+    like SUM. Both engines use numerically-stable single-pass updates;
+    agreement at 6 decimals is part of what the oracle checks."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("variance"),
+        F.round(F.corr("value", F.col("ts").cast("long")), 6).alias("corr_time"),
+        F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias("covar_user"),
+    )
