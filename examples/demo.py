@@ -55,6 +55,12 @@ def main() -> None:
     ann = qs["lsh_topk_embeddings"](spark, SF_DIR)
     print(f"5. lsh_topk ANN: {ann.count()} (probe, neighbor) rows")
 
+    # 6. Lakehouse maintenance: CDC changelog apply + data-quality gate
+    snap = qs["cdc_orders_snapshot"](spark, SF_DIR)
+    report = qs["lineitem_quality_report"](spark, SF_DIR)
+    failing = [r["rule"] for r in report.collect() if not r["pass"]]
+    print(f"6. CDC snapshot: {snap.count()} rows; quality gate flags {failing}")
+
     print("\ndemo complete.")
 
 
