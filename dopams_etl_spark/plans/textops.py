@@ -1422,16 +1422,57 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("n"), F.asc("pair")).limit(20)
 
 
-@register("bpe_learned_merges", None)  # iterative; no single-SQL oracle
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB restatement of ``operators/bpe.py:bpe_train`` — the
+    iterative loop becomes ``n_merges`` CTE stages. Per stage: adjacent-pair
+    weighted count, argmax with the same (n DESC, a ASC, b ASC) tie-break,
+    then the greedy left-to-right merge fold via ``list_reduce`` whose
+    accumulator is the space-joined symbol string (symbols never contain
+    whitespace — words come from a ``\\s+`` split — so the space delimiter
+    is collision-free). Verified fold parity: [b,b,b,b] + merge (b,b) →
+    [bb, bb] on both engines."""
+    parts = [
+        r"""WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE trim(text) <> ''),
+    s0 AS (SELECT string_split(w, '') AS sym, COUNT(*) AS freq
+           FROM words WHERE len(w) >= 1 GROUP BY w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""    p{i} AS (
+      SELECT s.sym[CAST(j AS INT)] AS a, s.sym[CAST(j + 1 AS INT)] AS b,
+             SUM(freq) AS n
+      FROM s{i - 1} s, LATERAL (SELECT unnest(range(1, len(s.sym))) AS j)
+      GROUP BY 1, 2),
+    m{i} AS (SELECT CAST({i - 1} AS INT) AS merge_idx, a, b,
+                    CAST(n AS BIGINT) AS n
+             FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        if i < n_merges:
+            parts.append(
+                f"""    s{i} AS (
+      SELECT string_split(list_reduce(s.sym, (acc, x) ->
+               CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+                    THEN substr(acc, 1, len(acc) - len(m.a)) || m.a || m.b
+                    ELSE acc || ' ' || x END), ' ') AS sym, freq
+      FROM s{i - 1} s, m{i} m)"""
+            )
+    union = "\n    UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, n_merges + 1))
+    return ",\n".join(parts) + f"\n    {union}"
+
+
+@register("bpe_learned_merges", _bpe_merges_oracle(8))
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training (beyond-reference; companion to the
     single-iteration oracled ``bpe_merge_pair_counts``): 8 greedy merges
     learned over the documents corpus — per iteration one vocabulary-sized
     pair count plus a one-row argmax collect, lineage truncated with
     localCheckpoint (``operators/bpe.py``). Deterministic tie-break makes
-    the merge sequence reproducible; rows-only here because the iterative
-    loop has no single-SQL restatement — the value-level ground truth is
-    the independent pure-Python reference in tests/test_bpe.py."""
+    the merge sequence reproducible; value-checked against an unrolled
+    8-stage DuckDB restatement of the same loop (``_bpe_merges_oracle``),
+    with the independent pure-Python reference in tests/test_bpe.py as a
+    second ground truth."""
     from dopams_etl_spark.operators.bpe import bpe_train
 
     docs = t(spark, sf_dir, "documents")
