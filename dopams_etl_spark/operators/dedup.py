@@ -158,8 +158,12 @@ def lsh_candidate_pairs(
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
     # One materialization, three consumers (banding + two pair-side
     # re-joins); without it Spark recomputes the shingle aggregate per
-    # consumer. Spill-safe: MEMORY_AND_DISK is the persist default.
-    sigs = sigs.persist()
+    # consumer. localCheckpoint (not persist) so the blocks are released
+    # by the ContextCleaner once the result plan is unreferenced —
+    # persist() would pin them in executor storage for the session
+    # absent an unpersist the caller can't sequence (same lifetime
+    # discipline as operators/bpe.py).
+    sigs = sigs.localCheckpoint(eager=False)
 
     banded = sigs.select(
         "id",

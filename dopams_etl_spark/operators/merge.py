@@ -197,9 +197,14 @@ def apply_changelog(
     upsert family (S7/S8 never DELETE; the reference deletes only via the
     narrow delete-and-replace child sink S9,
     ``etl-ir/ir_etl.py:743–773``). Semantics: per key, the
-    HIGHEST-``seq_col`` change wins; an I/U change replaces the base row
-    wholesale, a 'D' is a tombstone that removes it. Unknown op codes
-    raise at plan time rather than silently dropping rows.
+    HIGHEST-``seq_col`` change wins (ties broken deterministically by
+    ``op_col`` descending, so at equal seq an update outranks an insert
+    outranks a delete; producers SHOULD emit unique seq per key — equal
+    (seq, op) duplicates are assumed to carry identical payloads); an
+    I/U change replaces the base row wholesale, a 'D' is a tombstone
+    that removes it. Unknown op codes raise lazily inside the plan
+    (``raise_error`` on first evaluation) rather than silently dropping
+    rows — validation costs no eager changelog scan at plan-build time.
 
     Shape: one window top-1 over the changelog (keyed shuffle on the
     change keys — the changelog, not the base, pays the sort), one
@@ -207,11 +212,19 @@ def apply_changelog(
     Delta/Iceberg this folds into MERGE WHEN MATCHED [AND op='D'] THEN
     DELETE; here it is the engine-agnostic plan."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    ops = [r[0] for r in changes.select(op_col).distinct().collect()]
-    unknown = [o for o in ops if o not in ("I", "U", "D")]
-    if unknown:
-        raise ValueError(f"unknown changelog ops {unknown!r}; expected I/U/D")
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    changes = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unknown changelog op: "),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                    F.lit("; expected I/U/D"),
+                )
+            )
+        ),
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(), F.col(op_col).desc())
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

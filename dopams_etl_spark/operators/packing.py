@@ -43,6 +43,17 @@ def pack_sequences(
     sequence: (shard, seq_num, n_docs, seq_tokens, doc_ids) where
     ``doc_ids`` is a JSON array string in pack order."""
     import pandas as pd
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    # Fail fast on non-integral ids: a silent cast-to-long would NULL out
+    # string ids AFTER the md5 shard was computed from the original value,
+    # corrupting pack order and the emitted doc_ids.
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"pack_sequences requires an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()}"
+        )
 
     skinny = df.select(
         (

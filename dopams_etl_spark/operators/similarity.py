@@ -418,11 +418,17 @@ def int8_quantize(
         ).otherwise(F.lit(0)),
     )
     deq = F.transform(code, lambda c: qmin + c.cast("double") * scale)
-    err = F.aggregate(
-        F.zip_with(v, deq, lambda a, b: F.abs(a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.size(v)
+    # Guard the division: an empty embedding would divide by zero (a hard
+    # error under ANSI mode); surface it as NULL error instead.
+    err = F.when(
+        F.size(v) > 0,
+        F.aggregate(
+            F.zip_with(v, deq, lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(v),
+    )
     return df.select(
         F.col(id_col),
         F.round(qmin.cast("double"), 6).alias("qmin"),

@@ -1454,9 +1454,12 @@ def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analysis (view → click → purchase, strictly
     increasing timestamps): each stage is a per-user MIN over events
     AFTER the previous stage's first occurrence — three aggregates all
-    keyed on user_id, so at scale they share one partitioning; the final
-    counts are three scalars. The strict ordering matters: a click
-    before any view does not advance the funnel."""
+    keyed on user_id, so at scale they share one partitioning. The three
+    stage counts come from ONE global aggregate over the left-joined
+    per-user funnel frame (t2 ⊆ t1 and t3 ⊆ t2 by construction, so
+    count(c_ts)/count(p_ts) ARE the stage counts) — no scalar
+    crossJoins, one single-row reduce. The strict ordering matters: a
+    click before any view does not advance the funnel."""
     ev = t(spark, sf_dir, "events")
     t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("v_ts")
@@ -1476,9 +1479,13 @@ def view_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("p_ts"))
     )
     return (
-        t1.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("c_ts").alias("n_view_click"),
+            F.count("p_ts").alias("n_view_click_purchase"),
+        )
     )
 
 

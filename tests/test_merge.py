@@ -81,7 +81,25 @@ def test_apply_changelog_semantics(spark):
     assert out == {1: "a2", 3: "c", 4: "d"}
 
     import pytest
+    from pyspark.errors import PySparkException
 
+    # Validation is lazy (raise_error inside the plan — no eager changelog
+    # scan at plan-build time): building the plan succeeds, the first
+    # action surfaces the bad op.
     bad = spark.createDataFrame([(1, "x", 1, "UPSERT")], ["k", "v", "seq", "op"])
-    with pytest.raises(ValueError, match="unknown changelog ops"):
-        apply_changelog(base, bad, "k", "seq")
+    plan = apply_changelog(base, bad, "k", "seq")
+    with pytest.raises(PySparkException, match="unknown changelog op"):
+        plan.collect()
+
+
+def test_apply_changelog_seq_tie_deterministic(spark):
+    from dopams_etl_spark.operators.merge import apply_changelog
+
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    # Equal seq: op descending breaks the tie, so U outranks D — the
+    # update survives regardless of partitioning or input order.
+    changes = spark.createDataFrame(
+        [(1, None, 1, "D"), (1, "u", 1, "U")], ["k", "v", "seq", "op"]
+    )
+    out = {r["k"]: r["v"] for r in apply_changelog(base, changes, "k", "seq").collect()}
+    assert out == {1: "u"}

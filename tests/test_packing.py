@@ -51,3 +51,11 @@ def test_packing_partitioning_invariant(spark):
     a = _collect(pack_sequences(df, "doc_id", "tok", budget=256, shards=8))
     b = _collect(pack_sequences(df.repartition(13), "doc_id", "tok", budget=256, shards=8))
     assert a == b
+
+
+def test_packing_rejects_non_integral_ids(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 10)], ["doc_id", "tok"])
+    with pytest.raises(TypeError, match="integral id column"):
+        pack_sequences(df, "doc_id", "tok")

@@ -237,3 +237,13 @@ def test_int8_quantize_error_bound_and_edge_cases(spark):
             # affine rounding error is at most scale/2 per lane
             assert r["mean_abs_err"] <= r["qscale"] / 2 + 1e-6
             assert r["qmin"] == round(min(vec), 6)
+
+
+def test_int8_quantize_empty_vector(spark):
+    from dopams_etl_spark.operators.similarity import int8_quantize
+
+    # An empty embedding must not divide by zero (ANSI mode would throw);
+    # it surfaces as NULL error instead.
+    df = spark.createDataFrame([(1, [])], "vec_id int, embedding array<float>")
+    [r] = int8_quantize(df, "vec_id").collect()
+    assert r["mean_abs_err"] is None
