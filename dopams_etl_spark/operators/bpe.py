@@ -104,6 +104,39 @@ def bpe_train(
     return merges
 
 
+def bpe_encode_counts(
+    df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge list — the ENCODE half of the
+    tokenizer loop (``bpe_train`` is the other). Returns per-document
+    (id, n_words, n_symbols): the post-merge symbol count is the token
+    budget the packing/chunking operators consume.
+
+    Spark shape: the merge folds run over the DISTINCT vocabulary, not the
+    token stream (the same corpus→vocab collapse as training — at 100 TB
+    the vocabulary is orders of magnitude smaller than the corpus), then
+    one hash join keyed on the word rides the per-word symbol count back
+    onto the exploded token stream and a single groupBy re-aggregates per
+    document. The merge application itself is the pure higher-order fold
+    ``_apply_merge`` — JVM codegen, no UDF.
+    """
+    from dopams_etl_spark.functions.textfns import tokens
+
+    words = (
+        df.filter(F.trim(text_col) != "")
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") >= 1)
+    )
+    vocab = words.select("w").distinct().withColumn("sym", F.split("w", ""))
+    for a, b, _ in merges:
+        vocab = vocab.select("w", _apply_merge(F.col("sym"), a, b).alias("sym"))
+    enc = vocab.select("w", F.size("sym").alias("__n_sym"))
+    return words.join(enc, "w").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__n_sym").cast("long").alias("n_symbols"),
+    )
+
+
 def bpe_reference_py(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str, int]]:
     """Independent brute-force reference (tests only): plain dict/loop
     implementation of the same greedy algorithm with the same tie-break."""

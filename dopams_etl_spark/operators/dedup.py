@@ -594,3 +594,73 @@ def decontaminate(
             (F.coalesce("overlap_ngrams", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level duplicate detection (ExactSubstr-style — Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    public): a word n-gram SPAN appearing verbatim in >= ``min_docs``
+    distinct documents marks every occurrence as duplicated text. Unlike
+    the pairwise near-dup family (MinHash/SimHash/Jaccard, whole-document
+    verdicts), this localizes WHICH text is copied — per document it
+    returns the total span count, how many of its spans also occur
+    elsewhere, and the duplicated fraction (the "remove or trim" signal a
+    training-data pipeline thresholds on).
+
+    Spark shape: one posexplode of per-position span hashes (md5 of the
+    joined words — the shuffle key stays 32 bytes however long the span),
+    one distinct-doc-count aggregate keyed on the hash, one hash join back
+    of the tiny duplicated-hash set, one per-doc re-aggregate. All
+    shuffles key on span-hash or doc id — candidate work never crosses
+    hash buckets, so the plan survives corpus-scale fan-out; ubiquitous
+    boilerplate spans (the skew hazard) bound each hash's join fan-out by
+    its true occurrence count, and a document-frequency cap on the
+    duplicated-hash side (as in ``ngram_jaccard_pairs``'s ``max_df``)
+    is the knob if boilerplate dominates a real corpus.
+
+    Documents shorter than ``span_words`` words have no spans and are
+    absent from the output (same as the SQL restatement).
+    """
+    ws = tokens(text_col)
+    spans = (
+        df.filter(F.trim(text_col) != "")
+        .select(F.col(id_col).alias("id"), ws.alias("ws"))
+        .filter(F.size("ws") >= span_words)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - span_words + 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("ws", i, span_words), " ")
+                    ),
+                )
+            ).alias("span_h"),
+        )
+    )
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.countDistinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("span_h", F.lit(1).alias("__dup"))
+    )
+    return (
+        spans.join(dup, "span_h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("__dup").alias("n_dup_spans"),
+        )
+        .select(
+            "id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
+        )
+    )

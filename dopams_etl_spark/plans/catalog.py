@@ -61,6 +61,9 @@ _PRIORITY: tuple[str, ...] = (
     "order_status_pivot",
     "approx_distinct_users",
     "bpe_learned_merges",
+    # round-5 additions — never driver-sampled, need their first row;
+    "repeated_ngram_spans",
+    "bpe_encode_docs",
     # 3) the flagship gold MVs + entity resolution — re-confirmed every
     #    round so the showcase always has a current driver row;
     "firs_mv",

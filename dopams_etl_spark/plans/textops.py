@@ -1422,20 +1422,22 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("n"), F.asc("pair")).limit(20)
 
 
-def _bpe_merges_oracle(n_merges: int) -> str:
-    """Unrolled DuckDB restatement of ``operators/bpe.py:bpe_train`` — the
-    iterative loop becomes ``n_merges`` CTE stages. Per stage: adjacent-pair
-    weighted count, argmax with the same (n DESC, a ASC, b ASC) tie-break,
-    then the greedy left-to-right merge fold via ``list_reduce`` whose
-    accumulator is the space-joined symbol string (symbols never contain
-    whitespace — words come from a ``\\s+`` split — so the space delimiter
-    is collision-free). Verified fold parity: [b,b,b,b] + merge (b,b) →
-    [bb, bb] on both engines."""
+def _bpe_stages(n_merges: int, final_state: bool) -> str:
+    """Shared CTE chain for the unrolled DuckDB restatement of
+    ``operators/bpe.py``: the iterative training loop becomes ``n_merges``
+    stages. Per stage: adjacent-pair weighted count, argmax with the same
+    (n DESC, a ASC, b ASC) tie-break, then the greedy left-to-right merge
+    fold via ``list_reduce`` whose accumulator is the space-joined symbol
+    string (symbols never contain whitespace — words come from a ``\\s+``
+    split — so the space delimiter is collision-free). Verified fold
+    parity: [b,b,b,b] + merge (b,b) → [bb, bb] on both engines. With
+    ``final_state`` the chain also materializes s{n} — the vocabulary with
+    all n merges applied, i.e. the ENCODED vocab."""
     parts = [
         r"""WITH words AS (
       SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
       FROM documents WHERE trim(text) <> ''),
-    s0 AS (SELECT string_split(w, '') AS sym, COUNT(*) AS freq
+    s0 AS (SELECT w, string_split(w, '') AS sym, COUNT(*) AS freq
            FROM words WHERE len(w) >= 1 GROUP BY w)"""
     ]
     for i in range(1, n_merges + 1):
@@ -1449,17 +1451,39 @@ def _bpe_merges_oracle(n_merges: int) -> str:
                     CAST(n AS BIGINT) AS n
              FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"""
         )
-        if i < n_merges:
+        if i < n_merges or final_state:
             parts.append(
                 f"""    s{i} AS (
-      SELECT string_split(list_reduce(s.sym, (acc, x) ->
+      SELECT w, string_split(list_reduce(s.sym, (acc, x) ->
                CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
                     THEN substr(acc, 1, len(acc) - len(m.a)) || m.a || m.b
                     ELSE acc || ' ' || x END), ' ') AS sym, freq
       FROM s{i - 1} s, m{i} m)"""
             )
-    union = "\n    UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, n_merges + 1))
-    return ",\n".join(parts) + f"\n    {union}"
+    return ",\n".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    return _bpe_stages(n_merges, final_state=False) + f"\n    {union}"
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    return (
+        _bpe_stages(n_merges, final_state=True)
+        + f""",
+    enc AS (SELECT w, len(sym) AS n_sym FROM s{n_merges}),
+    docw AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> '')
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_symbols
+    FROM docw JOIN enc USING (w)
+    GROUP BY doc_id"""
+    )
 
 
 @register("bpe_learned_merges", _bpe_merges_oracle(8))
@@ -1481,6 +1505,60 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_idx int, a string, b string, n long",
     )
+
+
+@register(
+    "repeated_ngram_spans",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE trim(text) <> ''),
+    g AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) AS span_h
+      FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i)
+      WHERE len(ws) >= 5),
+    dup AS (SELECT span_h FROM g GROUP BY span_h
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    j AS (SELECT g.doc_id, CASE WHEN dup.span_h IS NOT NULL THEN 1 END AS hit
+          FROM g LEFT JOIN dup USING (span_h))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(hit) AS BIGINT) AS n_dup_spans,
+           ROUND(COUNT(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+    FROM j GROUP BY doc_id
+    """,
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate detection (ExactSubstr-style, Lee et al. 2021):
+    5-word spans appearing verbatim in >= 2 distinct documents mark every
+    occurrence as duplicated text — the "which text is copied" signal the
+    whole-document near-dup family can't localize. Plan: posexplode of
+    md5 span hashes, distinct-doc-count per hash, tiny duplicated-hash
+    set joined back, one per-doc re-aggregate
+    (``operators/dedup.py:repeated_ngram_spans``)."""
+    from dopams_etl_spark.operators.dedup import repeated_ngram_spans as spans_op
+
+    docs = t(spark, sf_dir, "documents")
+    return spans_op(docs, "doc_id", "text", span_words=5, min_docs=2).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register("bpe_encode_docs", _bpe_encode_oracle(4))
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the tokenizer loop (train → apply): tokenize the
+    corpus with the first 4 learned merges and emit per-document word and
+    post-merge symbol counts — the token budget the packing/chunking
+    operators consume. The merge folds run over the DISTINCT vocabulary
+    and one hash join rides the symbol counts back onto the token stream
+    (``operators/bpe.py:bpe_encode_counts``); the oracle replays training
+    AND encoding as one unrolled CTE chain (``_bpe_encode_oracle``)."""
+    from dopams_etl_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=4)
+    return bpe_encode_counts(docs, "doc_id", "text", merges)
 
 
 @register(

@@ -30,3 +30,42 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     got = bpe_train(df, "text", n_merges=10)
     # one merge fuses the whole 2-char word; nothing pairable remains
     assert got == [("a", "b", 2)]
+
+
+def test_bpe_encode_counts_matches_reference_apply(spark):
+    """Encode with learned merges: per-doc symbol counts equal applying the
+    pure-Python reference merges word-by-word."""
+    from dopams_etl_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_reference_py,
+        bpe_train,
+    )
+
+    rows = [(1, "low lower lowest"), (2, "new newer newest low"), (3, "wide wider")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train(df, "text", n_merges=4)
+
+    # independent apply: reference merge loop over each word
+    def encode(word: str) -> int:
+        s = list(word)
+        for a, b, _ in merges:
+            new, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            s = new
+        return len(s)
+
+    expect = {
+        doc_id: (len(text.split()), sum(encode(w) for w in text.lower().split()))
+        for doc_id, text in rows
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_symbols"])
+        for r in bpe_encode_counts(df, "doc_id", "text", merges).collect()
+    }
+    assert got == expect

@@ -372,3 +372,40 @@ def test_decontaminate_min_hits_threshold(spark):
     )
     got = decontaminate(corpus, bench, "doc_id", "text", min_hits=2).collect()[0]
     assert got["overlap_ngrams"] == 1 and not got["contaminated"]
+
+
+def test_repeated_ngram_spans_localizes_duplicated_text(spark):
+    """ExactSubstr-style span dedup: only spans shared ACROSS docs count,
+    and the ratio localizes how much of each doc is copied."""
+    from dopams_etl_spark.operators.dedup import repeated_ngram_spans
+
+    shared = "one two three four five"  # exactly one 5-word span
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique tail here for one"),
+            (2, "prefix words for doc two " + shared),
+            (3, "completely different text with enough words here"),
+            (4, "tiny doc"),  # < span_words -> absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in repeated_ngram_spans(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3}
+    # doc 1: 6 spans (10 words), the first span is the shared one
+    assert got[1]["n_spans"] == 6 and got[1]["n_dup_spans"] == 1
+    assert got[2]["n_dup_spans"] == 1
+    assert got[3]["n_dup_spans"] == 0 and got[3]["dup_ratio"] == 0.0
+    assert abs(got[1]["dup_ratio"] - 1 / 6) < 1e-6
+
+
+def test_repeated_ngram_spans_within_doc_repeat_not_flagged(spark):
+    """A span repeated only WITHIN one doc is not cross-doc duplication
+    (min_docs counts DISTINCT documents)."""
+    from dopams_etl_spark.operators.dedup import repeated_ngram_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "v w x y z padding words here")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in repeated_ngram_spans(df, "doc_id", "text").collect()}
+    assert got[1]["n_dup_spans"] == 0
