@@ -664,3 +664,59 @@ def repeated_ngram_spans(
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
         )
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs (Broder's containment
+    coefficient, public): c(A in B) = |shingles(A) ∩ shingles(B)| /
+    |shingles(A)|. Jaccard misses sub-document duplication — a doc fully
+    embedded in a 10× larger one scores J ≈ 0.1 but containment 1.0 —
+    which is exactly the quote/excerpt/expanded-rewrite case a
+    training-data dedup pass needs to catch. Emits one row per unordered
+    pair (id_a < id_b) with BOTH directional coefficients; a pair
+    survives when either direction reaches ``threshold``.
+
+    Same inverted-index shape (and skew discipline — ``max_df`` drops
+    ubiquitous shingles) as ``ngram_jaccard_pairs``: the shuffle keys on
+    the shingle, pairs only materialize for docs that actually share one.
+    """
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(df, id_col)
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("set_size", F.size("sh"))
+    )
+    inv = sh.select("id", "set_size", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("inter") / F.col("size_a").cast("double"), 6).alias("containment_a"),
+        F.round(F.col("inter") / F.col("size_b").cast("double"), 6).alias("containment_b"),
+    )
+    return out.filter(
+        (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
+    )

@@ -181,6 +181,50 @@ def mixture_sample(
     return df.filter(key < expr)
 
 
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test routing: the first 8 hex chars of
+    ``md5(salt|id)`` are a 32-bit uniform; cumulative fraction thresholds
+    carve [0, 2³²) into ordered buckets. Assignment is a pure function of
+    (salt, id) — reproducible across runs, partitionings, and engines
+    (the same honest-distributed contract as ``mixture_sample``), and the
+    salt versions the split so re-running a grown corpus never moves an
+    already-assigned row between splits. Thresholds compare as exact
+    integers (no float division), so a SQL oracle agrees bit-for-bit.
+    A narrow map — the split decision rides the scan, no shuffle.
+    """
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    expr = F.lit(fractions[-1][0])
+    cum = 0.0
+    cuts: list[tuple[str, int]] = []
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cuts.append((name, int(cum * (1 << 32))))
+    for name, cut in reversed(cuts):
+        expr = F.when(v < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def assign_shards(
     df: DataFrame, key_cols: list[str], n_shards: int, out_col: str = "shard"
 ) -> DataFrame:

@@ -64,6 +64,9 @@ _PRIORITY: tuple[str, ...] = (
     # round-5 additions — never driver-sampled, need their first row;
     "repeated_ngram_spans",
     "bpe_encode_docs",
+    "train_val_test_split",
+    "shingle_containment_pairs",
+    "hybrid_search_docs",
     # 3) the flagship gold MVs + entity resolution — re-confirmed every
     #    round so the showcase always has a current driver row;
     "firs_mv",

@@ -25,6 +25,7 @@ from dopams_etl_spark.functions.textfns import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from dopams_etl_spark.operators.dedup import (
     MINHASH_MOD,
@@ -1120,10 +1121,10 @@ def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bm25_search_docs",
-    r"""
-    WITH base AS (SELECT doc_id AS doc,
+# Shared by bm25_search_docs and hybrid_search_docs (its first stage) so
+# the two oracles cannot drift: postings, document frequencies, exact-int
+# avgdl, Lucene-style idf, deterministic (score DESC, doc ASC) ranking.
+_BM25_CTES = r"""base AS (SELECT doc_id AS doc,
                          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                               ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
                   FROM documents),
@@ -1149,7 +1150,14 @@ def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT query_id, doc AS doc_id, score,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY score DESC, doc ASC) AS rank
-          FROM scored)
+          FROM scored)"""
+
+
+@register(
+    "bm25_search_docs",
+    "WITH "
+    + _BM25_CTES
+    + """
     SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 10
     """,
@@ -1173,6 +1181,85 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bm25_topk(docs, queries, "doc_id", "text", k=10)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "hybrid_search_docs",
+    "WITH "
+    + _BM25_CTES
+    + """,
+    cand AS (SELECT query_id, doc_id, score FROM r WHERE rank <= 20),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    cvt AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+    sc AS (SELECT c.query_id, c.doc_id, c.score,
+                  ROUND(list_dot_product(qvec, cvec)
+                        / (sqrt(list_dot_product(qvec, qvec))
+                           * sqrt(list_dot_product(cvec, cvec))), 6) AS cos_sim,
+                  MAX(c.score) OVER (PARTITION BY c.query_id) AS smax
+           FROM cand c JOIN cvt USING (doc_id) JOIN qv USING (query_id)),
+    h AS (SELECT query_id, doc_id, score AS bm25_score, cos_sim,
+                 ROUND(0.5 * score / smax + 0.5 * cos_sim, 6) AS hybrid_score
+          FROM sc),
+    rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY hybrid_score DESC, doc_id ASC) AS rank
+           FROM h)
+    SELECT query_id, doc_id, bm25_score, cos_sim, hybrid_score,
+           CAST(rank AS INT) AS rank
+    FROM rr WHERE rank <= 10
+    """,
+)
+def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval (the standard curation/eval-set search
+    stack): BM25 recalls top-20 lexical candidates per query, an
+    embedding cosine re-rank against the query vector (here the probe
+    doc's own embedding — deterministic, no model in the loop) blends
+    50/50 with the max-normalized BM25 score, and the fused top-10 is
+    emitted. The re-rank join touches ONLY the candidate set — at 100 TB
+    the expensive vector math runs on |queries|×20 rows, never the
+    corpus; the corpus-scale work stays in the inverted index (see
+    ``bm25_search_docs``) and, for vector-first recall, ``lsh_topk``."""
+    from pyspark.sql import Window
+
+    from dopams_etl_spark.operators.search import bm25_topk
+    from dopams_etl_spark.operators.similarity import cosine
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(1, "spark batch stream"), (2, "window merge sort"),
+         (3, "customer vector quality")],
+        ["query_id", "query_text"],
+    )
+    cand = bm25_topk(docs, queries, "doc_id", "text", k=20).drop("rank")
+    qv = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cv = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cvec"))
+    scored = (
+        cand.join(cv, "doc_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos_sim", F.round(cosine("qvec", "cvec"), 6))
+        .withColumn(
+            "smax", F.max("score").over(Window.partitionBy("query_id"))
+        )
+        .withColumn(
+            "hybrid_score",
+            F.round(0.5 * F.col("score") / F.col("smax") + 0.5 * F.col("cos_sim"), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hybrid_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "doc_id",
+            F.col("score").alias("bm25_score"),
+            "cos_sim", "hybrid_score", "rank",
+        )
+    )
 
 
 @register(
@@ -1504,6 +1591,109 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_idx int, a string, b string, n long",
+    )
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tok,
+             ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS v
+      FROM documents),
+    a AS (SELECT doc_id, n_tok,
+                 CASE WHEN v < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+                      WHEN v < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+                      ELSE 'test' END AS split
+          FROM u)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM a GROUP BY split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus splitting (train/val/test 80/10/10): md5-keyed
+    32-bit uniform with exact-integer thresholds
+    (``operators/quality.py:assign_split``) — a pure function of
+    (salt, id), so the split is stable across runs, partitionings,
+    engines, AND corpus growth (new docs route without moving old ones;
+    a seeded ``randomSplit`` guarantees none of those). The per-split
+    doc/token totals here are the mixture report a training run logs."""
+    from dopams_etl_spark.functions.textfns import token_count
+    from dopams_etl_spark.operators.quality import assign_split
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "shingle_containment_pairs",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ')
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents WHERE trim(text) <> '')
+      WHERE doc_id % 10 = 0),
+    tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM corpus),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+          FROM tk),
+    e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+    keep AS (SELECT shingle FROM e GROUP BY shingle HAVING COUNT(*) <= 50),
+    e2 AS (SELECT e.* FROM e JOIN keep USING (shingle)),
+    j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           ROUND(inter / CAST(size_a AS DOUBLE), 6) AS containment_a,
+           ROUND(inter / CAST(size_b AS DOUBLE), 6) AS containment_b
+    FROM j
+    WHERE ROUND(inter / CAST(size_a AS DOUBLE), 6) >= 0.9
+       OR ROUND(inter / CAST(size_b AS DOUBLE), 6) >= 0.9
+    """,
+)
+def shingle_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication via Broder containment — the asymmetric
+    coefficient Jaccard can't see (a doc embedded in a 10× larger one:
+    J ≈ 0.1, containment 1.0 — the quote/excerpt case). The query plants
+    half-length prefixes of every 10th doc as new rows, so the detected
+    set provably contains the (original, excerpt) pairs at
+    containment_b = 1.0. Same inverted-index + max_df skew discipline as
+    ``ngram_jaccard_dups`` (``operators/dedup.py:shingle_containment_pairs``)."""
+    from dopams_etl_spark.operators.dedup import shingle_containment_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    ws = tokens("text")
+    excerpts = (
+        docs.filter((F.trim("text") != "") & (F.col("doc_id") % 10 == 0))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(
+                F.slice(ws, F.lit(1), F.ceil(F.size(ws) / 2.0).cast("int")), " "
+            ).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    return shingle_containment_pairs(
+        corpus, "doc_id", "text", shingle_n=3, threshold=0.9, max_df=50
     )
 
 

@@ -409,3 +409,27 @@ def test_repeated_ngram_spans_within_doc_repeat_not_flagged(spark):
     )
     got = {r["id"]: r for r in repeated_ngram_spans(df, "doc_id", "text").collect()}
     assert got[1]["n_dup_spans"] == 0
+
+
+def test_shingle_containment_detects_excerpt(spark):
+    """An excerpt fully embedded in a larger doc: Jaccard small,
+    containment 1.0 — the sub-document case the symmetric family misses."""
+    from dopams_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    big = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(8))  # first 8 words
+    df = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, "completely unrelated text body here")],
+        ["doc_id", "text"],
+    )
+    got = shingle_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_b"] == 1.0  # excerpt fully inside the big doc
+    assert r["containment_a"] < 0.2
+    # and Jaccard at 0.5 misses it entirely
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).count() == 0

@@ -216,3 +216,36 @@ def test_pii_redaction_known_spans(spark):
     assert out[2]["s"] == 2 and out[2]["red"] == "ssn <SSN> twice <SSN>"
     assert (out[3]["e"], out[3]["s"], out[3]["p"]) == (0, 0, 0)
     assert (out[4]["e"], out[4]["s"], out[4]["p"]) == (0, 0, 0)
+
+
+def test_assign_split_deterministic_and_proportional(spark):
+    from dopams_etl_spark.operators.quality import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["doc_id"])
+    out = {r["doc_id"]: r["split"] for r in assign_split(df, "doc_id").collect()}
+    # partition-invariant: same assignment under a different partitioning
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df.repartition(17), "doc_id").collect()
+    }
+    assert out == out2
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
+    # growing the corpus never moves an existing row
+    grown = spark.createDataFrame([(i,) for i in range(8000)], ["doc_id"])
+    out3 = {r["doc_id"]: r["split"] for r in assign_split(grown, "doc_id").collect()}
+    assert all(out3[k] == v for k, v in out.items())
+
+
+def test_assign_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from dopams_etl_spark.operators.quality import assign_split
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(df, "doc_id", fractions=(("train", 0.5), ("test", 0.4)))
