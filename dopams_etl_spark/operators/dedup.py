@@ -602,6 +602,7 @@ def repeated_ngram_spans(
     text_col: str,
     span_words: int = 5,
     min_docs: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Span-level duplicate detection (ExactSubstr-style — Lee et al.
     2021, "Deduplicating Training Data Makes Language Models Better",
@@ -620,9 +621,10 @@ def repeated_ngram_spans(
     shuffles key on span-hash or doc id — candidate work never crosses
     hash buckets, so the plan survives corpus-scale fan-out; ubiquitous
     boilerplate spans (the skew hazard) bound each hash's join fan-out by
-    its true occurrence count, and a document-frequency cap on the
-    duplicated-hash side (as in ``ngram_jaccard_pairs``'s ``max_df``)
-    is the knob if boilerplate dominates a real corpus.
+    its true occurrence count, and ``max_df`` drops spans occurring in
+    more than that many distinct docs BEFORE the join back (as in
+    ``ngram_jaccard_pairs``) — ubiquitous boilerplate is noise, not
+    duplication signal, and it is exactly the skew hazard.
 
     Documents shorter than ``span_words`` words have no spans and are
     absent from the output (same as the SQL restatement).
@@ -644,11 +646,11 @@ def repeated_ngram_spans(
             ).alias("span_h"),
         )
     )
-    dup = (
-        spans.groupBy("span_h")
-        .agg(F.countDistinct("id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("span_h", F.lit(1).alias("__dup"))
+    nd = spans.groupBy("span_h").agg(F.countDistinct("id").alias("__nd"))
+    if max_df is not None:
+        nd = nd.filter(F.col("__nd") <= max_df)
+    dup = nd.filter(F.col("__nd") >= min_docs).select(
+        "span_h", F.lit(1).alias("__dup")
     )
     return (
         spans.join(dup, "span_h", "left")

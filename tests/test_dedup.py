@@ -433,3 +433,21 @@ def test_shingle_containment_detects_excerpt(spark):
     assert r["containment_a"] < 0.2
     # and Jaccard at 0.5 misses it entirely
     assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
+
+
+def test_repeated_ngram_spans_max_df_drops_boilerplate(spark):
+    """A span in MORE than max_df docs is boilerplate, not duplication."""
+    from dopams_etl_spark.operators.dedup import repeated_ngram_spans
+
+    boiler = "standard legal disclaimer text here"  # 5 words? -> make 5
+    boiler = "this content is provided as-is"
+    rows = [(i, boiler + f" unique suffix number {i} words") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # without cap: the shared leading span flags in all 5 docs
+    uncapped = {r["id"]: r["n_dup_spans"] for r in
+                repeated_ngram_spans(df, "doc_id", "text").collect()}
+    assert all(v >= 1 for v in uncapped.values())
+    # with max_df=3: a 5-doc span is dropped entirely
+    capped = {r["id"]: r["n_dup_spans"] for r in
+              repeated_ngram_spans(df, "doc_id", "text", max_df=3).collect()}
+    assert all(v == 0 for v in capped.values())
