@@ -158,11 +158,16 @@ def lsh_candidate_pairs(
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
     # One materialization, three consumers (banding + two pair-side
     # re-joins); without it Spark recomputes the shingle aggregate per
-    # consumer. localCheckpoint (not persist) so the blocks are released
-    # by the ContextCleaner once the result plan is unreferenced —
-    # persist() would pin them in executor storage for the session
-    # absent an unpersist the caller can't sequence (same lifetime
-    # discipline as operators/bpe.py).
+    # consumer (measured +0.6 s at sf0.1). localCheckpoint (not persist)
+    # so the blocks are released by the ContextCleaner once the result
+    # plan is unreferenced — persist() would pin them in executor storage
+    # for the session absent an unpersist the caller can't sequence.
+    # Trade-off stated plainly: localCheckpoint truncates lineage and its
+    # blocks are unreplicated, so losing an executor between the banding
+    # pass and the re-joins fails the query instead of recomputing. On a
+    # preemptible/spot cluster prefer persist() + caller-managed
+    # unpersist, or a reliable checkpoint dir; for this engine's batch
+    # jobs a retry re-runs the whole (idempotent) query.
     sigs = sigs.localCheckpoint(eager=False)
 
     banded = sigs.select(
@@ -197,15 +202,15 @@ def lsh_candidate_pairs(
     ).select("id_a", "id_b", "est_jaccard")
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
-    threshold: float = 0.5, max_df: int | None = None,
+def _shingle_intersections(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, max_df: int | None
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle-inverted-index join.
-
-    explode(shingles) → self-join on shingle → |A∩B| per pair → Jaccard
-    = inter / (|A| + |B| - inter). ``max_df`` drops ubiquitous shingles
-    (skew + noise control at scale)."""
+    """Shared inverted-index intersection core for the exact set-overlap
+    family: distinct word shingles per doc → explode → self-join on the
+    shingle (a < b) → per-pair shared-shingle count. Returns
+    (id_a, id_b, size_a, size_b, inter); Jaccard and containment are one
+    ``select`` on top, so skew handling (``max_df`` drops ubiquitous
+    shingles) and join discipline live in exactly one place."""
     from dopams_etl_spark.partitioning import ensure_parallelism
 
     sh = (
@@ -220,7 +225,7 @@ def ngram_jaccard_pairs(
         inv = inv.join(df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle")
     a = inv.alias("a")
     b = inv.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
             F.col("a.id").alias("id_a"),
@@ -230,6 +235,18 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
+    threshold: float = 0.5, max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle-inverted-index join.
+
+    explode(shingles) → self-join on shingle → |A∩B| per pair → Jaccard
+    = inter / (|A| + |B| - inter). ``max_df`` drops ubiquitous shingles
+    (skew + noise control at scale)."""
+    inter = _shingle_intersections(df, id_col, text_col, shingle_n, max_df)
     jac = inter.withColumn(
         "jaccard",
         F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"), 6),
@@ -689,30 +706,7 @@ def shingle_containment_pairs(
     ubiquitous shingles) as ``ngram_jaccard_pairs``: the shuffle keys on
     the shingle, pairs only materialize for docs that actually share one.
     """
-    from dopams_etl_spark.partitioning import ensure_parallelism
-
-    sh = (
-        ensure_parallelism(df, id_col)
-        .select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("set_size", F.size("sh"))
-    )
-    inv = sh.select("id", "set_size", F.explode("sh").alias("shingle"))
-    if max_df is not None:
-        df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle")
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _shingle_intersections(df, id_col, text_col, shingle_n, max_df)
     out = inter.select(
         "id_a",
         "id_b",

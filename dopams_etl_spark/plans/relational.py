@@ -709,7 +709,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           TRUE AS approx_within_2pct
+           TRUE AS approx_within_3sigma
     FROM events
     GROUP BY event_type
     """,
@@ -719,27 +719,34 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     via HyperLogLog++ — at 100 TB an exact countDistinct shuffles every
     distinct value, a sketch shuffles a few KB per group. The HLL++
     register values are engine-specific, so the hash-checkable contract
-    row is the accuracy bound itself: ``approx_within_2pct`` asserts
-    |approx − exact|/exact < 0.02 per group (the rsd the sketch was built
-    with), which the oracle states as TRUE against DuckDB's exact
-    COUNT(DISTINCT). The exact side here exists only to state the
-    contract — the production path is the sketch alone."""
+    row is the accuracy bound itself: ``approx_within_3sigma`` asserts
+    |approx − exact|/exact < 3·rsd per group. rsd is a 1-sigma RELATIVE
+    STANDARD ERROR, not a maximum — asserting the 1-sigma value itself
+    would legitimately fail on ~1/3 of groups — so the contract states
+    the 3-sigma envelope (P(violation) ≈ 0.3% per group), with an
+    explicit empty-group guard (exact = 0 ⟺ approx = 0). The oracle
+    states it as TRUE against DuckDB's exact COUNT(DISTINCT); the exact
+    side here exists only to state the contract — the production path is
+    the sketch alone."""
+    rsd = 0.02
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
             "event_type",
             "n_events",
-            (
+            F.when(F.col("exact_users") == 0, F.col("approx_users") == 0)
+            .otherwise(
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 / F.col("exact_users")
-                < F.lit(0.02)
-            ).alias("approx_within_2pct"),
+                < F.lit(3 * rsd)
+            )
+            .alias("approx_within_3sigma"),
         )
     )
 

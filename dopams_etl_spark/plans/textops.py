@@ -1539,13 +1539,18 @@ def _bpe_stages(n_merges: int, final_state: bool) -> str:
              FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"""
         )
         if i < n_merges or final_state:
+            # LEFT JOIN (not cross join) so an exhausted corpus — m{i}
+            # empty because no pairs remain — leaves the vocabulary
+            # unmerged instead of wiping it, matching bpe_train's early
+            # stop; the NULL-guard makes the fold a no-op in that case.
             parts.append(
                 f"""    s{i} AS (
       SELECT w, string_split(list_reduce(s.sym, (acc, x) ->
-               CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+               CASE WHEN m.a IS NOT NULL AND x = m.b
+                         AND (acc = m.a OR ends_with(acc, ' ' || m.a))
                     THEN substr(acc, 1, len(acc) - len(m.a)) || m.a || m.b
                     ELSE acc || ' ' || x END), ' ') AS sym, freq
-      FROM s{i - 1} s, m{i} m)"""
+      FROM s{i - 1} s LEFT JOIN m{i} m ON TRUE)"""
             )
     return ",\n".join(parts)
 
@@ -1604,8 +1609,10 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS v
       FROM documents),
     a AS (SELECT doc_id, n_tok,
-                 CASE WHEN v < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
-                      WHEN v < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+                 -- literals = python int(frac * 2**32), TRUNCATED like
+                 -- assign_split (DuckDB CAST would round .8*2^32 UP by 1)
+                 CASE WHEN v < 3435973836 THEN 'train'
+                      WHEN v < 3865470566 THEN 'val'
                       ELSE 'test' END AS split
           FROM u)
     SELECT split,

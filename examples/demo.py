@@ -61,6 +61,17 @@ def main() -> None:
     failing = [r["rule"] for r in report.collect() if not r["pass"]]
     print(f"6. CDC snapshot: {snap.count()} rows; quality gate flags {failing}")
 
+    # 7. Corpus assembly: deterministic split + hybrid retrieval + span dedup
+    split = {r["split"]: r["n_docs"] for r in
+             qs["train_val_test_split"](spark, SF_DIR).collect()}
+    hybrid = qs["hybrid_search_docs"](spark, SF_DIR)
+    top1 = {r["query_id"]: r["doc_id"] for r in
+            hybrid.filter(hybrid["rank"] == 1).collect()}
+    spans = qs["repeated_ngram_spans"](spark, SF_DIR)
+    dup_docs = spans.filter(spans["n_dup_spans"] > 0).count()
+    print(f"7. split {split}; hybrid top-1 per query {top1}; "
+          f"{dup_docs} docs carry cross-doc duplicated spans")
+
     print("\ndemo complete.")
 
 

@@ -69,3 +69,31 @@ def test_bpe_encode_counts_matches_reference_apply(spark):
         for r in bpe_encode_counts(df, "doc_id", "text", merges).collect()
     }
     assert got == expect
+
+
+def test_bpe_encode_oracle_survives_merge_exhaustion(spark):
+    """A corpus with fewer learnable merges than oracle stages must not
+    wipe the vocabulary in the SQL restatement (LEFT JOIN guard): both
+    engines return full per-doc counts."""
+    import duckdb
+    import pandas as pd
+
+    from dopams_etl_spark.operators.bpe import bpe_encode_counts, bpe_train
+    from dopams_etl_spark.plans.textops import _bpe_encode_oracle
+
+    rows = [(1, "ab ab cd"), (2, "ab cd")]  # pairs dry up after ~2 merges
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train(df, "text", n_merges=4)
+    assert len(merges) < 4  # the early-stop actually triggers
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_symbols"])
+        for r in bpe_encode_counts(df, "doc_id", "text", merges).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = {
+        int(d): (int(w), int(s))
+        for d, w, s in con.sql(_bpe_encode_oracle(4)).fetchall()
+    }
+    assert got == oracle and len(got) == 2
