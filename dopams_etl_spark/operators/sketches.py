@@ -1,0 +1,110 @@
+"""Streaming-sketch operators: frequent items (heavy hitters).
+
+The reference maintains per-entity frequency dashboards by re-running full
+GROUP BY counts over the fact tables (the MV refresh pattern,
+``etl-crimes/etl_crimes.py`` analytics layer). A full count is fine when
+the key cardinality is bounded; at 100 TB event scale the distinct-key set
+itself can exceed executor memory, and the question being asked is usually
+not "count every key" but "which keys exceed s·N" — the classic
+heavy-hitters problem.
+
+Spark-first formulation — candidate-then-verify, both phases distributed:
+
+1. **Candidates**: one pass with a Misra-Gries summary of capacity ``k``
+   per *partition* (``mapInPandas`` — the function receives every Arrow
+   batch of its partition, so a dict carried across batches IS the
+   per-partition summary; Python cost is O(partition) dict ops on the
+   skinny key column only). MG guarantee (Misra & Gries 1982): any item
+   with partition-local frequency > n_p/(k+1) survives the partition's
+   summary. An item with global frequency ≥ s·N has local frequency
+   ≥ s·n_p in at least one partition (averaging argument), so with
+   ``k ≥ 1/s`` the union of partition summaries is a SUPERSET of the true
+   heavy hitters — no false negatives, ≤ k·P candidates total.
+2. **Verify**: exact count of the candidate keys only — a broadcast
+   semi-join of the fact against the (tiny) candidate set, then a plain
+   groupBy count filtered at the exact threshold. False positives from
+   phase 1 die here, so the result is EXACTLY the naive
+   ``GROUP BY HAVING count ≥ ceil(s·N)`` answer.
+
+Why not plain groupBy+filter? That shuffles one partial row per distinct
+key per map task; with gigacardinality keys the shuffle and the reduce-side
+hash tables are O(distinct). Candidate-verify bounds phase-1 output at
+k·P rows regardless of cardinality and phase 2 only aggregates rows whose
+key is in the broadcast candidate set (filter pushed below the shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(df_keys: DataFrame, key: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of capacity ``k`` over the
+    single-column frame ``df_keys``; returns the distinct union of all
+    partition summaries (≤ k · numPartitions rows)."""
+    import pandas as pd
+
+    out_schema = f"{key} string"
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf[key]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({key: list(counters.keys())})
+
+    return df_keys.mapInPandas(summarize, schema=out_schema).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    threshold_frac: float,
+    count_name: str = "cnt",
+) -> DataFrame:
+    """All keys whose exact frequency is ≥ ``ceil(threshold_frac · N)``,
+    with their exact counts — equal to the naive GROUP BY/HAVING answer,
+    computed with bounded intermediate state.
+
+    The MG capacity is ``ceil(1/threshold_frac)`` which guarantees the
+    candidate set is a superset of the true heavy hitters (see module
+    docstring); the verify pass then computes exact counts for candidates
+    only. The total-count N and the candidate set are two bounded scalar
+    collections (one long, ≤ k·P short strings) — the same class of
+    driver-side fetch as the watermark/centroid operators.
+    """
+    if not 0 < threshold_frac < 1:
+        raise ValueError(f"threshold_frac must be in (0,1), got {threshold_frac}")
+    k = int(1.0 / threshold_frac) + 1
+
+    keys_only = df.select(F.col(key).cast("string").alias(key))
+    candidates = _mg_candidates(keys_only, key, k)
+
+    # exact threshold needs exact N: a count() is one map-side-combined
+    # scalar job (at 100 TB: metadata-only for parquet row counts).
+    n_total = df.count()
+    import math
+
+    threshold = int(math.ceil(threshold_frac * n_total))
+
+    return (
+        keys_only.join(F.broadcast(candidates), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .filter(F.col(count_name) >= threshold)
+    )

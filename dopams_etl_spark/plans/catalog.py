@@ -67,6 +67,10 @@ _PRIORITY: tuple[str, ...] = (
     "train_val_test_split",
     "shingle_containment_pairs",
     "hybrid_search_docs",
+    "heavy_hitter_users",
+    "supplier_customer_pagerank",
+    "approx_percentile_rank_contract",
+    "label_embedding_centroids",
     # 3) the flagship gold MVs + entity resolution — re-confirmed every
     #    round so the showcase always has a current driver row;
     "firs_mv",

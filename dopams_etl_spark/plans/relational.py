@@ -1685,3 +1685,134 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("value", F.col("ts").cast("long")), 6).alias("corr_time"),
         F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias("covar_user"),
     )
+
+
+@register(
+    "heavy_hitter_users",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= CAST(ceil(0.007 * (SELECT COUNT(*) FROM events)) AS BIGINT)
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items query: every user producing ≥ 0.7% of all events,
+    with exact counts — computed with the Misra-Gries candidate-then-verify
+    plan (``operators/sketches.py``): per-partition bounded summaries union
+    to a guaranteed superset of the true heavy hitters, then one exact
+    count pass over the broadcast candidate set. The oracle states the
+    naive GROUP BY/HAVING answer the plan must exactly equal. At 100 TB the
+    naive form shuffles one row per distinct key; this plan's phase-1
+    output is ≤ capacity × partitions rows regardless of key cardinality
+    (reference analog: the per-entity frequency dashboards its MV layer
+    recounts in full each refresh)."""
+    from dopams_etl_spark.operators.sketches import heavy_hitters
+
+    ev = t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", 0.007)
+
+
+@register(
+    "supplier_customer_pagerank",
+    """
+    WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                                'c' || CAST(o_custkey AS VARCHAR) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    r1 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * COALESCE(f.inflow, 0) AS rank
+           FROM nodes LEFT JOIN (
+               SELECT e.dst AS node, SUM(r.rank / deg.outdeg) AS inflow
+               FROM e JOIN r0 r ON r.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY e.dst) f USING (node)),
+    r2 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * COALESCE(f.inflow, 0) AS rank
+           FROM nodes LEFT JOIN (
+               SELECT e.dst AS node, SUM(r.rank / deg.outdeg) AS inflow
+               FROM e JOIN r1 r ON r.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY e.dst) f USING (node)),
+    r3 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + 0.85 * COALESCE(f.inflow, 0) AS rank
+           FROM nodes LEFT JOIN (
+               SELECT e.dst AS node, SUM(r.rank / deg.outdeg) AS inflow
+               FROM e JOIN r2 r ON r.node = e.src JOIN deg ON deg.src = e.src
+               GROUP BY e.dst) f USING (node))
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """,
+)
+def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 power iterations, d=0.85) over the symmetrized
+    supplier↔customer bipartite graph derived from lineitem⋈orders —
+    influence scoring over an entity-relationship graph (reference analog:
+    the criminal-network 'linked entities' views). Exercises the engine's
+    iterative-algorithm machinery: one keyed shuffle per iteration with
+    localCheckpoint lineage truncation (``operators/graph.py:pagerank``).
+    The oracle unrolls the same three iterations as chained SQL CTEs —
+    identical simple-formulation semantics (dangling mass not
+    redistributed; symmetrizing leaves no dangling nodes here anyway)."""
+    from dopams_etl_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "approx_percentile_rank_contract",
+    """
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           TRUE AS rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_percentile_rank_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract row for the t-digest-style approximate median
+    (``percentile_approx``, the 100 TB swap-in the exact-percentile
+    queries document): per event_type the approx p50's TRUE rank must lie
+    within the Greenwald-Khanna envelope ⌈p·n⌉ ± (n/accuracy + 1). The
+    oracle asserts the boolean — the same upgrade pattern as
+    ``approx_distinct_users`` (the sketch value itself is engine-specific
+    and never compared; its accuracy guarantee is). Two passes: the
+    grouped sketch (mergeable partials), then a broadcast join back to
+    count values ≤ the approx median."""
+    ev = t(spark, sf_dir, "events")
+    ap = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+    )
+    eps_slack = F.col("n").cast("double") / 10000.0 + 1.0
+    target = F.ceil(F.col("n").cast("double") * 0.5).cast("double")
+    joined = ev.join(F.broadcast(ap), "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count(F.when(F.col("value") <= F.col("ap50"), 1)).cast("double").alias("rank_le"),
+    )
+    return ranks.select(
+        "event_type",
+        F.col("n"),
+        (
+            (F.col("rank_le") >= target - eps_slack)
+            & (F.col("rank_le") <= target + eps_slack)
+        ).alias("rank_ok"),
+    )

@@ -1937,3 +1937,49 @@ def perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ppl_proxy",
     )
     return out
+
+
+@register(
+    "label_embedding_centroids",
+    """
+    WITH ex AS (
+      SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    per_dim AS (
+      SELECT label, dim, ROUND(AVG(x), 6) AS mean_x, COUNT(*) AS n_vecs
+      FROM ex GROUP BY label, dim)
+    SELECT label,
+           CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+           string_agg(CAST(CAST(floor(mean_x * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY dim) AS centroid_micros
+    FROM per_dim GROUP BY label
+    """,
+)
+def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean-pooled embedding centroids
+    (``operators/similarity.py:group_centroids``) — class prototypes /
+    per-domain corpus centroids / IVF coarse-quantizer retraining. The
+    plan posexplodes to (label, dim, x) and hash-aggregates on
+    (label, dim) with map-side partials, then reassembles each centroid
+    with a sorted struct-collect — all JVM, shuffle ≤ |labels|·dim rows
+    per map task at any corpus size. For the value hash the centroid is
+    emitted in fixed-point MICRO units (floor(x·1e6 + 0.5), half-up) —
+    double→string formatting is engine-specific (Spark scientific
+    notation vs DuckDB decimal) while integer micros are bit-portable;
+    the operator itself returns real double arrays."""
+    from dopams_etl_spark.operators.similarity import group_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, "label", "embedding")
+    return cents.select(
+        "label",
+        "n_vecs",
+        F.array_join(
+            F.transform(
+                F.col("centroid"),
+                lambda m: F.floor(m * F.lit(1000000.0) + F.lit(0.5)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_micros"),
+    )
