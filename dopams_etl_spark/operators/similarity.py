@@ -457,9 +457,11 @@ def group_centroids(
     Sums are performed in double (deterministic up to FP associativity;
     callers that hash results should round — centroid values are rounded
     to 6 decimals here for engine-portable comparison). Rows with NULL or
-    empty vectors are ignored (they contribute to neither sum nor count);
-    groups whose vectors disagree on length raise in the reassembly
-    (collect sees > dim positions) rather than silently zero-padding.
+    empty vectors are ignored (they contribute to neither sum nor count).
+    Ragged groups (vectors of unequal length) take the mean per dimension
+    over the vectors that HAVE that dimension, and ``n_vecs`` reports the
+    max per-dim contributor count — callers needing strict rectangular
+    input should validate lengths upstream (one ``size()`` distinct).
     """
     exploded = (
         df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))

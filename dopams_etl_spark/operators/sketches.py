@@ -84,9 +84,9 @@ def heavy_hitters(
     The MG capacity is ``ceil(1/threshold_frac)`` which guarantees the
     candidate set is a superset of the true heavy hitters (see module
     docstring); the verify pass then computes exact counts for candidates
-    only. The total-count N and the candidate set are two bounded scalar
-    collections (one long, ≤ k·P short strings) — the same class of
-    driver-side fetch as the watermark/centroid operators.
+    only. The exact total N enters the plan as a ONE-ROW aggregate
+    broadcast onto the (small) verified-count frame — the whole operator
+    stays lazy; nothing executes at plan-build time.
     """
     if not 0 < threshold_frac < 1:
         raise ValueError(f"threshold_frac must be in (0,1), got {threshold_frac}")
@@ -95,16 +95,18 @@ def heavy_hitters(
     keys_only = df.select(F.col(key).cast("string").alias(key))
     candidates = _mg_candidates(keys_only, key, k)
 
-    # exact threshold needs exact N: a count() is one map-side-combined
-    # scalar job (at 100 TB: metadata-only for parquet row counts).
-    n_total = df.count()
-    import math
-
-    threshold = int(math.ceil(threshold_frac * n_total))
-
+    # ceil(frac · N) in DOUBLE on both engine and oracle side so the FP
+    # product rounds identically (0.007·10000 is 70.000…014 in binary;
+    # both must ceil it the same way).
+    n_row = keys_only.agg(F.count(F.lit(1)).alias("__n"))
     return (
         keys_only.join(F.broadcast(candidates), key, "left_semi")
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias(count_name))
-        .filter(F.col(count_name) >= threshold)
+        .crossJoin(F.broadcast(n_row))
+        .filter(
+            F.col(count_name)
+            >= F.ceil(F.lit(float(threshold_frac)) * F.col("__n").cast("double")).cast("long")
+        )
+        .drop("__n")
     )

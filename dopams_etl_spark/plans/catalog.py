@@ -71,6 +71,9 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_customer_pagerank",
     "approx_percentile_rank_contract",
     "label_embedding_centroids",
+    "zorder_layout_events",
+    "event_value_zscore",
+    "stratified_sample_docs",
     # 3) the flagship gold MVs + entity resolution — re-confirmed every
     #    round so the showcase always has a current driver row;
     "firs_mv",

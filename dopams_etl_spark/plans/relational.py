@@ -1816,3 +1816,72 @@ def approx_percentile_rank_contract(spark: SparkSession, sf_dir: str) -> DataFra
             & (F.col("rank_le") <= target + eps_slack)
         ).alias("rank_ok"),
     )
+
+
+from dopams_etl_spark.operators.layout import (  # noqa: E402
+    zorder_bounds_sql,
+    zorder_code,
+    zorder_code_sql,
+)
+
+_ZORDER_ORACLE = f"""
+    WITH b AS ({zorder_bounds_sql(["user_id", "value"], "events")})
+    SELECT event_id, {zorder_code_sql(["user_id", "value"], 8)} AS zcode
+    FROM events, b
+"""
+
+
+@register("zorder_layout_events", _ZORDER_ORACLE)
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering codes over (user_id, value) — the
+    data-layout half of scan pruning (Delta OPTIMIZE ZORDER / Iceberg
+    sort-order analog, ``operators/layout.py``). Quantize each column to
+    8 bits against the global min/max (a one-row broadcast aggregate),
+    bit-interleave into a 16-bit curve position; writing
+    ``repartitionByRange + sortWithinPartitions`` on this code gives every
+    file a tight min/max span in BOTH dimensions, so column statistics
+    prune files for predicates on either column (the multi-dimension
+    complement of `partitioned_scan_prune`'s one-column hive pruning;
+    locality measured in test_layout). The oracle replays the identical
+    quantize/shift/OR arithmetic generated from the same spec — the curve
+    is checked bit-for-bit."""
+    ev = t(spark, sf_dir, "events")
+    return zorder_code(ev, ["user_id", "value"], bits=8).select("event_id", "zcode")
+
+
+@register(
+    "event_value_zscore",
+    """
+    WITH s AS (SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd,
+                      COUNT(*) AS n
+               FROM events GROUP BY event_type)
+    SELECT e.event_id,
+           e.event_type,
+           ROUND(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd END, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def event_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise feature standardization (z-score per event_type) — the
+    normalization step quality-classifier features and embedding scalar
+    features need before thresholding or training. Plan: ONE grouped
+    moment aggregate (mergeable sum/sum-of-squares partials), broadcast
+    back onto the fact — not a window function, which would sort the
+    entire fact inside each partition for what is a two-scalar-per-group
+    computation. Degenerate groups (zero variance) yield NULL rather than
+    ±inf; six-decimal rounding makes the FP associativity of the
+    distributed mean/stddev engine-portable."""
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.when(F.col("sd") > 0, (F.col("value") - F.col("mu")) / F.col("sd")), 6
+            ).alias("z"),
+        )
+    )

@@ -1983,3 +1983,38 @@ def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("centroid_micros"),
     )
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM ranked WHERE rn <= 20
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: exactly min(|stratum|, 20)
+    documents per language, chosen by md5(doc_id) order — the
+    deterministic complement of `corpus_mixture_sample`'s rate-based
+    thresholding when an eval set needs exact per-stratum sizes.
+    Stable across runs, partitionings, engines, and corpus growth only
+    appends competitors (no reshuffle of earlier picks within a stratum
+    prefix). Plan: one window rank per stratum — the shuffle is keyed on
+    the stratum and each group sorts only its own rows; at gigarow
+    strata swap in a per-partition top-20 pre-filter (TakeOrdered shape)
+    before the window to bound the sort."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
