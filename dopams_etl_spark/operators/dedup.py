@@ -27,6 +27,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dopams_etl_spark.caching import persist_bounded
 from dopams_etl_spark.functions.textfns import doc_fingerprint, tokens, word_shingles
 
 # Universal-hash family for hash_fn="md5u": member i maps the shingle's
@@ -158,17 +159,13 @@ def lsh_candidate_pairs(
     sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
     # One materialization, three consumers (banding + two pair-side
     # re-joins); without it Spark recomputes the shingle aggregate per
-    # consumer (measured +0.6 s at sf0.1). localCheckpoint (not persist)
-    # so the blocks are released by the ContextCleaner once the result
-    # plan is unreferenced — persist() would pin them in executor storage
-    # for the session absent an unpersist the caller can't sequence.
-    # Trade-off stated plainly: localCheckpoint truncates lineage and its
-    # blocks are unreplicated, so losing an executor between the banding
-    # pass and the re-joins fails the query instead of recomputing. On a
-    # preemptible/spot cluster prefer persist() + caller-managed
-    # unpersist, or a reliable checkpoint dir; for this engine's batch
-    # jobs a retry re-runs the whole (idempotent) query.
-    sigs = sigs.localCheckpoint(eager=False)
+    # consumer (measured +0.6 s at sf0.1). persist — not localCheckpoint —
+    # so repeated calls with the same inputs (per-batch dedup passes,
+    # interactive sessions) hit the CacheManager's plan-matching instead
+    # of recomputing (~1 s/call at sf0.1); the bounded cache caps live
+    # signature tables in executor storage (oldest unpersisted beyond the
+    # cap), closing the unbounded-accumulation leak persist() alone has.
+    sigs = persist_bounded(sigs)
 
     banded = sigs.select(
         "id",
