@@ -489,3 +489,69 @@ def group_centroids(
             F.transform(F.col("_dims"), lambda s: s["m"]).alias("centroid"),
         )
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Spherical k-means clustering over an embedding column — the
+    curation primitive behind topic balancing, per-cluster mixture caps,
+    and SemDeDup cell construction (the reference's embedding resolver,
+    ``core/geo_resolver.py:22–272``, stops at top-k lookup; clustering is
+    the corpus-organization step above it). Returns (id, cluster) with
+    cluster ∈ [0, k) — dense ordinal labels in seed order, stable across
+    engines and partitionings.
+
+    Fully deterministic k-means: seeds are the ``k`` corpus vectors with
+    the smallest ``md5(cast(id as string))`` (the same sizing-pass-free
+    pseudo-random sample as ``ivf_topk``'s coarse quantizer, planned as
+    ``TakeOrderedAndProject``); similarity is cosine (argmax, ties to the
+    lowest cluster label); each Lloyd iteration replaces a centroid with
+    its cell's per-dimension mean ROUNDED to 6 decimals — the rounding
+    pins the centroid literals to values every double-math engine agrees
+    on, which is what lets a SQL oracle replay the full iteration chain
+    value-for-value. Empty cells keep their previous centroid.
+
+    Scale shape: centroids live on the driver (k·dim doubles — literals
+    in the plan, the classic broadcast-the-model pattern); assignment is
+    map-only over the corpus; each iteration is ONE hash aggregate keyed
+    on the cluster id (dim avg columns, map-side partials) plus a k-row
+    collect. Cost per iteration is one corpus scan — no shuffle grows
+    with k, nothing pairwise. ``iters`` assignment→update rounds run
+    before the final assignment pass.
+    """
+    rows = corpus.select(F.col(id_col).alias("__kid"), F.col(vec_col).alias("__kv"))
+    sel = rows.orderBy(
+        F.md5(F.col("__kid").cast("string")).asc(), F.col("__kid").asc()
+    ).limit(k)
+    seed_rows = sel.collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["__kv"]]) for i, r in enumerate(seed_rows)
+    ]
+    if not cents:
+        raise ValueError("kmeans_assign: empty corpus")
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assign = _nearest_centroids("__kv", cents, 1).getItem(0)
+        means = (
+            rows.select(assign.alias("cluster"), F.col("__kv").alias("v"))
+            .groupBy("cluster")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("v").getItem(i).cast("double")), 6).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+        )
+        by_cell = {
+            r["cluster"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means.collect()
+        }
+        cents = [(cid, by_cell.get(cid, vec)) for cid, vec in cents]
+    assign = _nearest_centroids("__kv", cents, 1).getItem(0)
+    return rows.select(
+        F.col("__kid").alias(id_col), assign.cast("int").alias("cluster")
+    )

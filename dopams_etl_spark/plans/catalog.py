@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "approx_distinct_users",
     "bpe_learned_merges",
     # round-5 additions — never driver-sampled, need their first row;
+    "kmeans_embedding_clusters",
     "repeated_ngram_spans",
     "bpe_encode_docs",
     "train_val_test_split",

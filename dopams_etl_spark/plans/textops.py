@@ -2018,3 +2018,72 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """DuckDB replica of ``similarity.kmeans_assign``: the md5-ordered
+    seed sample, the (-cos, cluster) argmax tie-break, and each Lloyd
+    iteration's ROUND(mean, 6) centroid update are all unrolled as CTEs
+    (same technique as ``_bpe_merges_oracle`` — a deterministic iterative
+    algorithm restated as a fixed-depth SQL chain). Empty cells keep the
+    previous iteration's centroid, exactly as the engine does."""
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT id, v,
+         (SELECT cluster FROM {cents}
+           ORDER BY -(list_dot_product(corpus.v, {cents}.cv)
+                      / (sqrt(list_dot_product(corpus.v, corpus.v))
+                         * sqrt(list_dot_product({cents}.cv, {cents}.cv)))) ASC,
+                    cluster ASC
+           LIMIT 1) AS cluster
+  FROM corpus)"""
+
+    parts = [
+        f"""WITH c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+         AS INT) AS cluster,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})),
+corpus AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+{assign_cte('a0', 'c0')}"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""m{it} AS (
+  SELECT cluster, dim, ROUND(AVG(v[dim]), 6) AS mx
+  FROM a{it - 1}, (SELECT unnest(range(1, {dim + 1})) AS dim) d
+  GROUP BY cluster, dim),
+c{it} AS (
+  SELECT p.cluster,
+         CASE WHEN COUNT(m.dim) = 0 THEN p.cv
+              ELSE list(m.mx ORDER BY m.dim) END AS cv
+  FROM c{it - 1} p LEFT JOIN m{it} m ON p.cluster = m.cluster
+  GROUP BY p.cluster, p.cv),
+{assign_cte(f'a{it}', f'c{it}')}"""
+        )
+    parts.append(f"SELECT id AS vec_id, cluster FROM a{iters}")
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+@register("kmeans_embedding_clusters", _kmeans_oracle(k=8, iters=2, dim=64))
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means over the embedding corpus (k=8,
+    two Lloyd iterations) — the corpus-organization operator above the
+    D8 similarity family: topic balancing, per-cluster mixture caps, and
+    SemDeDup cells all start from exactly this assignment table.
+
+    100 TB posture: centroids are k·dim plan literals (broadcast-the-
+    model); every assignment pass is map-only over the corpus; each
+    Lloyd update is ONE hash aggregate keyed on cluster (dim avg columns
+    with map-side partials) plus a k-row collect. Per-iteration cost is
+    one corpus scan — nothing pairwise, no shuffle that grows with k.
+    The ROUND(mean, 6) centroid update pins every iteration to values
+    any double-math engine reproduces, which is what makes the full
+    iteration chain value-checkable in SQL (oracle unrolls it CTE by
+    CTE)."""
+    from dopams_etl_spark.operators.similarity import kmeans_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)

@@ -247,3 +247,55 @@ def test_int8_quantize_empty_vector(spark):
     df = spark.createDataFrame([(1, [])], "vec_id int, embedding array<float>")
     [r] = int8_quantize(df, "vec_id").collect()
     assert r["mean_abs_err"] is None
+
+
+def test_kmeans_assign_matches_numpy_lloyd(spark):
+    import hashlib
+
+    from dopams_etl_spark.operators.similarity import kmeans_assign
+
+    rows = _vecs(40, 8, seed=11)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, "vec_id", k=4, iters=2).collect()}
+    assert set(out) == {i for i, _ in rows}
+    assert set(out.values()) <= set(range(4))
+
+    # independent pure-numpy replay: md5-ordered seeds, cosine argmax with
+    # lowest-label tie-break, ROUND(mean, 6) updates, empty cells keep the
+    # previous centroid
+    vecs = {i: np.array(v) for i, v in rows}
+    seed_ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:4]
+    cents = [vecs[i].copy() for i in seed_ids]
+
+    def assign_all():
+        a = {}
+        for i, v in vecs.items():
+            sims = [
+                float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))) for c in cents
+            ]
+            a[i] = max(range(4), key=lambda j: (sims[j], -j))
+        return a
+
+    for _ in range(2):
+        a = assign_all()
+        for j in range(4):
+            members = [vecs[i] for i, c in a.items() if c == j]
+            if members:
+                cents[j] = np.round(np.mean(members, axis=0), 6)
+    assert out == assign_all()
+
+
+def test_kmeans_assign_deterministic_and_raises_on_empty(spark):
+    import pytest as _pytest
+
+    from dopams_etl_spark.operators.similarity import kmeans_assign
+
+    rows = _vecs(25, 8, seed=5)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    r1 = sorted(map(tuple, kmeans_assign(df, "vec_id", k=3, iters=1).collect()))
+    r2 = sorted(map(tuple, kmeans_assign(df.repartition(7), "vec_id", k=3, iters=1).collect()))
+    assert r1 == r2  # partition-invariant
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    with _pytest.raises(ValueError):
+        kmeans_assign(empty, "vec_id")
