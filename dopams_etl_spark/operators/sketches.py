@@ -110,3 +110,92 @@ def heavy_hitters(
         )
         .drop("__n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the membership pre-filter in front of an exact join.
+#
+# Classic 100 TB decontamination shape: the eval/benchmark side is small
+# (MBs), the corpus is not. An exact shingle join already broadcasts the
+# eval set; a Bloom filter shrinks what SURVIVES to the per-doc aggregate
+# to (true hits + fp_rate · corpus shingles) — at fp ~1e-3 the downstream
+# exchange carries ~nothing. Spark's own runtime bloom-filter join applies
+# the same idea to equi-joins; this operator makes it an explicit,
+# engine-portable primitive (Kirsch-Mitzenmacher double hashing over the
+# two 32-bit words of ONE md5 — the same "one strong hash, then derive the
+# family" construction as the MinHash universal family, and byte-identical
+# in any engine with a standard md5).
+# ---------------------------------------------------------------------------
+
+_BLOOM_POW2 = tuple(1 << b for b in range(32))
+
+
+def _bloom_pos(col: "F.Column | str", m_bits: int, i: int) -> "F.Column":
+    """Bit position of hash-family member ``i``: (h1 + i·h2) mod m, with
+    (h1, h2) the two 32-bit words of md5(value). Products stay < 2^34 —
+    no overflow under ANSI long arithmetic."""
+    h = F.md5(F.col(col) if isinstance(col, str) else col)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return (h1 + F.lit(i) * h2) % F.lit(m_bits)
+
+
+def bloom_words(values: DataFrame, col: str, m_bits: int = 1 << 19, k: int = 4) -> DataFrame:
+    """Build the filter as a (word:int, bits:long) table — one bit_or
+    aggregate over the k bit positions of every value. m_bits/32 rows max
+    (only words with a set bit appear), so the result broadcasts at any
+    realistic eval-set size (2^19 bits = 16k rows ≈ 200 KB; even a
+    10^9-bit filter is ~250 MB of rows — still a broadcast candidate).
+    Fully lazy: nothing executes at plan-build time."""
+    pow2 = F.array(*[F.lit(v) for v in _BLOOM_POW2])
+    pos = values.select(
+        F.explode(F.array(*[_bloom_pos(col, m_bits, i) for i in range(k)])).alias("pos")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / 32).cast("int").alias("word"),
+            (F.col("pos") % 32).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.element_at(pow2, F.col("bit") + 1)).alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    words: DataFrame,
+    m_bits: int = 1 << 19,
+    k: int = 4,
+    out: str = "might_contain",
+) -> DataFrame:
+    """Append ``out``: TRUE iff every one of the value's k filter bits is
+    set — possible false positives (rate (1-e^{-kn/m})^k), NEVER false
+    negatives. k broadcast hash joins on the word index, all map-side: no
+    shuffle of ``df`` and no giant bitmap literal in the plan (16k+ lit
+    arrays bloat analysis; a joined table does not). A word absent from
+    ``words`` has no set bits → membership false via the null check."""
+    pow2 = F.array(*[F.lit(v) for v in _BLOOM_POW2])
+    probe = df
+    tests = []
+    for i in range(k):
+        p = _bloom_pos(col, m_bits, i)
+        probe = probe.withColumn(f"__w{i}", F.floor(p / 32).cast("int")).withColumn(
+            f"__b{i}", (p % 32).cast("int")
+        )
+        w_i = words.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__bits{i}")
+        )
+        probe = probe.join(F.broadcast(w_i), f"__w{i}", "left")
+        tests.append(
+            F.coalesce(
+                F.col(f"__bits{i}").bitwiseAND(F.element_at(pow2, F.col(f"__b{i}") + 1))
+                != 0,
+                F.lit(False),
+            )
+        )
+    verdict = tests[0]
+    for t_ in tests[1:]:
+        verdict = verdict & t_
+    drop = [c for i in range(k) for c in (f"__w{i}", f"__b{i}", f"__bits{i}")]
+    return probe.withColumn(out, verdict).drop(*drop)

@@ -26,6 +26,7 @@ from dopams_etl_spark.functions.textfns import (
     stopword_ratio,
     token_count,
     tokens,
+    word_shingles,
 )
 from dopams_etl_spark.operators.dedup import (
     MINHASH_MOD,
@@ -2087,3 +2088,112 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+def _bloom_oracle(m_bits: int, k: int) -> str:
+    """DuckDB replica of ``sketches.bloom_words``/``bloom_probe`` over the
+    decontamination split: same md5 double-hashing, same (word, bits)
+    bit_or table, same k left joins. The oracle counts exact_hits over ALL
+    corpus shingles while the engine counts them only among bloom-passing
+    shingles — the two agree iff the filter has no false negatives, so the
+    value hash checks the Bloom guarantee itself, not just the counts."""
+    probe_cols = ",\n           ".join(
+        f"CAST(((h1 + {i}*h2) % {m_bits}) // 32 AS INT) AS w{i}, "
+        f"CAST(((h1 + {i}*h2) % {m_bits}) % 32 AS INT) AS b{i}"
+        for i in range(k)
+    )
+    joins = "\n ".join(
+        f"LEFT JOIN words x{i} ON probe.w{i} = x{i}.word" for i in range(k)
+    )
+    verdict = "\n      AND ".join(
+        f"COALESCE((x{i}.bits & (1::BIGINT << b{i})) <> 0, FALSE)" for i in range(k)
+    )
+    return rf"""
+    WITH tk AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, trim(text) AS tt,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+    s AS (SELECT doc_id, h,
+                 CASE WHEN tt = '' THEN CAST([] AS VARCHAR[])
+                      WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM tk),
+    bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE h LIKE '0%'),
+    corp AS (SELECT doc_id, sh FROM s WHERE h NOT LIKE '0%'),
+    bh AS (SELECT ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2 FROM bench),
+    bpos AS (SELECT ((h1 + i.i*h2) % {m_bits}) AS pos
+             FROM bh, (SELECT unnest(range(0, {k})) AS i) i),
+    words AS (SELECT CAST(pos // 32 AS INT) AS word,
+                     bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+              FROM bpos GROUP BY 1),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM corp),
+    eh AS (SELECT doc_id, shingle,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2 FROM e),
+    probe AS (SELECT doc_id, shingle,
+           {probe_cols}
+    FROM eh),
+    mc AS (SELECT doc_id, shingle,
+           {verdict} AS might
+     FROM probe
+ {joins}),
+    blm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_hits
+            FROM mc WHERE might GROUP BY doc_id),
+    ex AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS exact_hits
+           FROM e JOIN bench USING (shingle) GROUP BY doc_id)
+    SELECT c.doc_id,
+           COALESCE(b.bloom_hits, 0) AS bloom_hits,
+           COALESCE(ex.exact_hits, 0) AS exact_hits,
+           COALESCE(ex.exact_hits, 0) >= 1 AS contaminated
+    FROM corp c LEFT JOIN blm b USING (doc_id) LEFT JOIN ex USING (doc_id)
+    """
+
+
+@register("bloom_decontaminate_docs", _bloom_oracle(m_bits=1 << 19, k=4))
+def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated decontamination: the eval-set shingles build a
+    (word, bits) Bloom table; corpus shingles pass k map-side broadcast
+    word-joins BEFORE the exact eval join, so only true hits plus the
+    ~1e-3 false-positive trickle reach the per-doc aggregate. exact_hits
+    is counted WITHIN the bloom-passing shingles — it equals the oracle's
+    unfiltered exact count precisely because a Bloom filter has no false
+    negatives, so the driver's value hash verifies the filter guarantee
+    end-to-end. At 100 TB: the corpus never shuffles (both the word table
+    and the eval shingles broadcast); the probe is pure map work."""
+    from dopams_etl_spark.operators.sketches import bloom_probe, bloom_words
+
+    m_bits, k = 1 << 19, 4
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bench = docs.filter(h.startswith("0"))
+    corpus = docs.filter(~h.startswith("0"))
+    bench_sh = bench.select(
+        F.explode(word_shingles("text", 3)).alias("shingle")
+    ).distinct()
+    words = bloom_words(bench_sh, "shingle", m_bits, k)
+
+    corp = corpus.select("doc_id", word_shingles("text", 3).alias("sh"))
+    ex = corp.select("doc_id", F.explode("sh").alias("shingle"))
+    passed = bloom_probe(ex, "shingle", words, m_bits, k).filter("might_contain")
+    hits = (
+        passed.join(
+            F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("bloom_hits"),
+            F.count("__hit").alias("exact_hits"),
+        )
+    )
+    return (
+        corp.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bloom_hits", F.lit(0)).alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+            (F.coalesce("exact_hits", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )
