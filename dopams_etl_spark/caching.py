@@ -52,6 +52,11 @@ def persist_bounded(df: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
     if hit is not None and hit.sameSemantics(df):
         _CACHE.move_to_end(key)
         return hit
+    if hit is not None:
+        # hash collision: the slot is being replaced — unpersist the
+        # displaced frame so every persist() issued here stays tracked
+        # by the bound (it would otherwise pin storage untracked).
+        hit.unpersist(blocking=False)
     df = df.persist()
     _CACHE[key] = df
     _CACHE.move_to_end(key)

@@ -497,6 +497,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    seeds: list[list[float]] | None = None,
 ) -> DataFrame:
     """Spherical k-means clustering over an embedding column — the
     curation primitive behind topic balancing, per-cluster mixture caps,
@@ -523,15 +524,26 @@ def kmeans_assign(
     collect. Cost per iteration is one corpus scan — no shuffle grows
     with k, nothing pairwise. ``iters`` assignment→update rounds run
     before the final assignment pass.
+
+    ``seeds``: explicit initial centroids (mirrors ``zorder_code(bounds=)``).
+    When supplied, the eager k-row seed collect is skipped entirely —
+    with ``iters=0`` the whole operator is a lazy map-only plan, the
+    inference half of broadcast-the-model (assign a corpus to an
+    already-trained codebook, e.g. IVF cells or a prior ``kmeans_assign``
+    run's centroids); ``k`` is ignored in favour of ``len(seeds)``.
     """
     rows = corpus.select(F.col(id_col).alias("__kid"), F.col(vec_col).alias("__kv"))
-    sel = rows.orderBy(
-        F.md5(F.col("__kid").cast("string")).asc(), F.col("__kid").asc()
-    ).limit(k)
-    seed_rows = sel.collect()
-    cents: list[tuple[int, list[float]]] = [
-        (i, [float(x) for x in r["__kv"]]) for i, r in enumerate(seed_rows)
-    ]
+    if seeds is not None:
+        cents: list[tuple[int, list[float]]] = [
+            (i, [float(x) for x in s]) for i, s in enumerate(seeds)
+        ]
+    else:
+        sel = rows.orderBy(
+            F.md5(F.col("__kid").cast("string")).asc(), F.col("__kid").asc()
+        ).limit(k)
+        cents = [
+            (i, [float(x) for x in r["__kv"]]) for i, r in enumerate(sel.collect())
+        ]
     if not cents:
         raise ValueError("kmeans_assign: empty corpus")
     dim = len(cents[0][1])

@@ -50,22 +50,23 @@ def _mg_candidates(df_keys: DataFrame, key: str, k: int) -> DataFrame:
     out_schema = f"{key} string"
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Weighted Misra-Gries (Berinde et al. 2010): each Arrow batch is
+        # pre-aggregated VECTORIZED (value_counts — C speed over the whole
+        # column), then the (key, weight) pairs fold into the summary with
+        # weighted decrements. Every overflow event subtracts the current
+        # minimum m from all k+1 counters, removing ≥ (k+1)·m total weight;
+        # the m's therefore sum to ≤ n_p/(k+1), so any key with local
+        # frequency > n_p/(k+1) keeps a positive counter — the SAME
+        # superset guarantee as per-row MG (property-tested in
+        # test_sketches_graph), with Python dict cost dropped from
+        # O(rows) to O(distinct-per-batch).
         counters: dict[str, int] = {}
         for pdf in batches:
-            for v in pdf[key]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
-                    dead = []
-                    for c in counters:
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            dead.append(c)
-                    for c in dead:
-                        del counters[c]
+            for v, w in pdf[key].value_counts(dropna=False).items():
+                counters[v] = counters.get(v, 0) + int(w)
+                if len(counters) > k:
+                    m = min(counters.values())
+                    counters = {c: n - m for c, n in counters.items() if n > m}
         yield pd.DataFrame({key: list(counters.keys())})
 
     return df_keys.mapInPandas(summarize, schema=out_schema).distinct()

@@ -43,39 +43,23 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # 1) the 8 queries never driver-sampled through round 4 (the harness
-    #    stops at 50/round) — at the very head so every registered oracled
-    #    query finally has a driver CORRECTNESS row (VERDICT r4 item 2);
-    "event_value_rank_stats",
-    "order_grouping_sets",
-    "variant_props_stats",
-    "event_value_moments",
-    "bpe_merge_pair_counts",
-    "csv_badrecord_quarantine",
-    "schema_evolution_roundtrip",
-    "udtf_doc_chunks",
-    # 2) queries whose contract changed this round and need a fresh row:
-    #    order_status_pivot (oracle CAST fix — the one red r4 row),
-    #    approx_distinct_users + bpe_learned_merges (upgraded from
-    #    rows-only to hash-checkable contract rows);
-    "order_status_pivot",
-    "approx_distinct_users",
-    "bpe_learned_merges",
-    # round-5 additions — never driver-sampled, need their first row;
-    "kmeans_embedding_clusters",
-    "repeated_ngram_spans",
-    "bpe_encode_docs",
-    "train_val_test_split",
-    "shingle_containment_pairs",
-    "hybrid_search_docs",
+    # 1) the one registered query without a driver CORRECTNESS row —
+    #    bloom_decontaminate_docs landed in r5's final snapshot commit
+    #    AFTER the driver's 50-query sample ran (VERDICT r5 item 2);
+    "bloom_decontaminate_docs",
+    # 2) round-6 additions — never driver-sampled, need their first row
+    #    (new registrations are inserted here as they land);
+    "kmeans_fixed_seed_assign",
+    # dedup_incremental_batch: boundary made lazy this round — fresh row
+    "dedup_incremental_batch",
+    # 3) queries whose shared machinery changed this round — fresh rows:
+    #    heavy_hitter_users (vectorized MG candidate pass),
+    #    minhash/lsh family (persist_bounded collision fix);
     "heavy_hitter_users",
-    "supplier_customer_pagerank",
-    "approx_percentile_rank_contract",
-    "label_embedding_centroids",
-    "zorder_layout_events",
-    "event_value_zscore",
-    "stratified_sample_docs",
-    # 3) the flagship gold MVs + entity resolution — re-confirmed every
+    "minhash_lsh_pairs",
+    "lsh_topk_embeddings",
+    "kmeans_embedding_clusters",
+    # 4) the flagship gold MVs + entity resolution — re-confirmed every
     #    round so the showcase always has a current driver row;
     "firs_mv",
     "accuseds_mv",
@@ -129,12 +113,10 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_quality_report",
     # 4) previously-green core (kept for deterministic ordering)
     "exact_dedup_docs",
-    "minhash_lsh_pairs",
     "ngram_jaccard_dups",
     "simhash_dups",
     "tiered_dedup_docs",
     "cosine_topk_embeddings",
-    "lsh_topk_embeddings",
     "ivf_topk_embeddings",
     "embedding_near_dup_pairs",
     "doc_token_stats",
@@ -146,7 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     "doc_repetition_stats",
     "doc_pii_redact",
     "doc_chunks",
-    "dedup_incremental_batch",
     "corpus_mixture_sample",
     "training_shard_pack",
     "llm_extract_docs",

@@ -821,14 +821,19 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: the newest 20% of documents (by id — the
     nightly batch) near-dup-checked against the existing 80% corpus,
     batch×corpus candidates only (cost scales with the batch, never
-    corpus²). The 80% boundary is a driver-side scalar (watermark-style);
-    best corpus match per batch doc."""
+    corpus²). The 80% boundary enters the plan as a ONE-ROW aggregate
+    broadcast (same lazy shape as ``heavy_hitters``' threshold N) — no
+    action runs at plan-build time; real incremental callers pass their
+    known watermark as explicit ``filter`` predicates instead."""
     from dopams_etl_spark.operators.dedup import dedup_against_corpus
 
     docs = t(spark, sf_dir, "documents")
-    cut = int(0.8 * (docs.agg(F.max("doc_id")).collect()[0][0] + 1))
-    batch = docs.filter(F.col("doc_id") >= cut)
-    corpus = docs.filter(F.col("doc_id") < cut)
+    bound = docs.agg(
+        (F.lit(0.8) * (F.max("doc_id") + F.lit(1))).cast("bigint").alias("__cut")
+    )
+    with_cut = docs.crossJoin(F.broadcast(bound))
+    batch = with_cut.filter(F.col("doc_id") >= F.col("__cut")).drop("__cut")
+    corpus = with_cut.filter(F.col("doc_id") < F.col("__cut")).drop("__cut")
     return dedup_against_corpus(
         batch, corpus, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50
     ).select(F.col("id").alias("doc_id"), "dup_of", "jaccard")
@@ -2088,6 +2093,48 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+# Explicit codebook for the seeds= path: 4 centroids × 64 dims of small
+# integers (exactly representable doubles — bit-identical in any engine).
+_FIXED_SEEDS: list[list[float]] = [
+    [float(((i * (2 * j + 3) + j) % 13) - 6) for i in range(64)] for j in range(4)
+]
+
+
+def _fixed_seed_oracle() -> str:
+    rows = ", ".join(
+        f"({j}, [{', '.join(str(v) for v in seed)}]::DOUBLE[])"
+        for j, seed in enumerate(_FIXED_SEEDS)
+    )
+    return f"""
+    WITH cents AS (SELECT * FROM (VALUES {rows}) AS tc(cluster, cv)),
+    corpus AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT id AS vec_id,
+           (SELECT cluster FROM cents
+             ORDER BY -(list_dot_product(corpus.v, cents.cv)
+                        / (sqrt(list_dot_product(corpus.v, corpus.v))
+                           * sqrt(list_dot_product(cents.cv, cents.cv)))) ASC,
+                      cluster ASC
+             LIMIT 1) AS cluster
+    FROM corpus
+    """
+
+
+@register("kmeans_fixed_seed_assign", _fixed_seed_oracle())
+def kmeans_fixed_seed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inference half of broadcast-the-model: assign every corpus
+    vector to its nearest centroid from an EXPLICIT codebook
+    (``kmeans_assign(seeds=...)``, iters=0). No seed collect, no Lloyd
+    updates — the entire operator is one lazy map-only projection over
+    the corpus with the k·dim codebook as plan literals, the plan shape
+    a 100 TB scoring pass wants (IVF cell assignment, routing a corpus
+    onto a previously-trained clustering). Complements
+    ``kmeans_embedding_clusters`` which trains its own centroids."""
+    from dopams_etl_spark.operators.similarity import kmeans_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "vec_id", "embedding", iters=0, seeds=_FIXED_SEEDS)
 
 
 def _bloom_oracle(m_bits: int, k: int) -> str:

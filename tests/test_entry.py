@@ -11,6 +11,7 @@ import __spark_entry__ as entry_mod
 from dopams_etl_spark.plans import catalog
 
 README = Path(__file__).resolve().parents[1] / "README.md"
+COVERAGE = Path(__file__).resolve().parents[1] / "COVERAGE.md"
 
 
 def test_registry_counts():
@@ -25,6 +26,14 @@ def test_registry_counts():
     assert int(m.group(1)) == len(qs), (
         f"README says {m.group(1)} queries, registry has {len(qs)}"
     )
+
+
+def test_coverage_mentions_every_query():
+    # The coverage map can't silently trail a registration: every
+    # registered query name must appear somewhere in COVERAGE.md.
+    text = COVERAGE.read_text()
+    missing = sorted(n for n in catalog.queries() if n not in text)
+    assert not missing, f"COVERAGE.md does not mention: {missing}"
 
 
 def test_entry_module_exposes_catalog():

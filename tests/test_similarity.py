@@ -299,3 +299,35 @@ def test_kmeans_assign_deterministic_and_raises_on_empty(spark):
     empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
     with _pytest.raises(ValueError):
         kmeans_assign(empty, "vec_id")
+
+
+def test_kmeans_assign_explicit_seeds_lazy_and_consistent(spark):
+    from dopams_etl_spark.operators.similarity import kmeans_assign
+
+    rows = _vecs(30, 8, seed=9)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seeds = [[1.0] * 8, [float(i % 3 - 1) for i in range(8)], [-1.0] * 8]
+
+    # seeds= + iters=0 is a fully lazy map-only plan: no job may run at
+    # plan-build time (the eager seed collect is skipped).
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    plan = kmeans_assign(df, "vec_id", iters=0, seeds=seeds)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "kmeans_assign(seeds=) ran a job at plan-build"
+
+    # Assignment equals brute-force numpy cosine argmax over the codebook.
+    import numpy as np
+
+    got = dict(map(tuple, plan.collect()))
+    for i, v in rows:
+        v = np.array(v)
+        sims = [
+            float(v @ np.array(s) / (np.linalg.norm(v) * np.linalg.norm(s)))
+            for s in seeds
+        ]
+        assert got[i] == max(range(3), key=lambda j: (sims[j], -j)), i
+
+    # The trained path is unchanged: seeds=None still self-seeds.
+    trained = kmeans_assign(df, "vec_id", k=3, iters=1)
+    assert trained.count() == 30
