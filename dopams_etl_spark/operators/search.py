@@ -103,3 +103,45 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def tfidf_topk(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF —
+    the keyword-extraction / topic-tagging primitive (score =
+    tf · (ln((N+1)/(df+1)) + 1), the scikit-learn smoothing that keeps
+    corpus-universal terms finite and positive).
+
+    Plan shape: the same postings table BM25 builds (one exploded
+    groupBy), document frequencies as a second skinny aggregate keyed on
+    the term, the corpus size as a ONE-ROW broadcast, and a per-doc
+    row_number window over ≤ |postings| rows. Nothing pairwise, nothing
+    driver-side; the doc-keyed window is the only per-doc sort and its
+    groups are vocabulary-bounded. Scores rounded to 6 so the
+    (score DESC, term ASC) ranking is engine-portable."""
+    postings = build_postings(docs, id_col, text_col)
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + F.lit(1.0))
+                        / (F.col("df").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc"), "term", "score", "rank")
+    )

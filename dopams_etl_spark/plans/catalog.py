@@ -50,6 +50,16 @@ _PRIORITY: tuple[str, ...] = (
     # 2) round-6 additions — never driver-sampled, need their first row
     #    (new registrations are inserted here as they land);
     "kmeans_fixed_seed_assign",
+    "interval_overlap_merge",
+    "event_transition_matrix",
+    "event_value_robust_zscore",
+    "rolling_median_event_value",
+    "skyline_orders_pareto",
+    "supplier_cooccur_triangles",
+    "tfidf_keyword_extract",
+    "temperature_sample_langs",
+    "quality_score_auc",
+    "weighted_sample_docs",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:

@@ -1885,3 +1885,293 @@ def event_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@register(
+    "interval_overlap_merge",
+    """
+    WITH iv AS (SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+                FROM events),
+    f AS (SELECT user_id, s, e,
+                 CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                        OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS ni
+          FROM iv),
+    g AS (SELECT user_id, s, e,
+                 SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM f)
+    SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, island
+    """,
+)
+def interval_overlap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (gap-and-island): each event opens a 30-minute
+    activity interval; overlapping-or-touching intervals per user merge
+    into maximal busy periods (start, end, member count) — downtime
+    reports, coalesced session windows with explicit durations,
+    retention bookkeeping. ONE window pass per user (running max of
+    interval ends detects island boundaries) + one groupBy — no
+    self-join, no O(n²)-per-key overlap pairing, no transitive-closure
+    chase; the only shuffle is keyed on user_id (`operators/
+    intervals.py:merge_intervals`)."""
+    from dopams_etl_spark.operators.intervals import merge_intervals
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + F.lit(1800)).alias("e"),
+    )
+    return merge_intervals(iv, "user_id", "s", "e").select(
+        "user_id",
+        F.col("island_start"),
+        F.col("island_end"),
+        F.col("n_intervals").alias("n_events"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev_type
+                 FROM events),
+    c AS (SELECT prev_type, event_type AS next_type,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, cnt,
+           ROUND(cnt / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS prob
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences —
+    the behavioral model behind next-action prediction, funnel-anomaly
+    scoring, and bot detection (uniform transition rows are a strong bot
+    signal). Plan: one lag window keyed on user (each user sorts only
+    its own events), one (prev, next) count aggregate, and the
+    normalizing row-sum window over the |event_types|² transition grid —
+    a bounded frame no matter the event volume."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wn = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(wn).cast("double"), 6).alias("prob"),
+    )
+
+
+@register(
+    "event_value_robust_zscore",
+    """
+    WITH med AS (SELECT event_type, ROUND(median(value), 6) AS med
+                 FROM events GROUP BY event_type),
+    mad AS (SELECT e.event_type,
+                   ROUND(median(abs(e.value - m.med)), 6) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type),
+    s AS (SELECT med.event_type, med.med, mad.mad FROM med JOIN mad USING (event_type))
+    SELECT e.event_id, e.event_type,
+           ROUND(CASE WHEN s.mad > 0
+                      THEN 0.6745 * (e.value - s.med) / s.mad END, 6) AS rz
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def event_value_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score per event_type — the outlier score that
+    survives the outliers themselves (a fat-fingered 10^9 value drags a
+    mean/stddev z-score's own baseline; the median and MAD don't move).
+    0.6745·(x−med)/MAD is the standard consistency-scaled form. Plan:
+    two grouped exact-percentile aggregates (median, then median of
+    absolute deviations) broadcast back onto the fact — same
+    moment-broadcast shape as event_value_zscore, never a window sort
+    over the fact; at gigarow groups swap percentile for
+    percentile_approx (the checked contract in
+    approx_percentile_rank_contract). Median and MAD are rounded to 6
+    on both sides BEFORE the score so cross-engine quantile
+    interpolation can't flip the rounded result."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.when(
+                    F.col("mad") > 0,
+                    F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"),
+                ),
+                6,
+            ).alias("rz"),
+        )
+    )
+
+
+@register(
+    "rolling_median_event_value",
+    """
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS med5
+    FROM events
+    """,
+)
+def rolling_median_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-event median of value per user — the denoised activity
+    baseline rate-limiting and anomaly alerts compare against (a rolling
+    MEAN is exactly as corrupted by the spike it's supposed to detect).
+    Plan: one user-keyed window with a 5-row frame; the exact percentile
+    re-sorts only the frame, and the shuffle is keyed on user_id. Both
+    engines interpolate even-length frames identically
+    (quantile_cont semantics)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.expr(
+                "percentile(value, 0.5) OVER (PARTITION BY user_id "
+                "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+            ),
+            6,
+        ).alias("med5"),
+    )
+
+
+@register(
+    "skyline_orders_pareto",
+    """
+    WITH o AS (SELECT o_orderkey,
+                      CAST(floor(epoch(o_orderdate)) AS BIGINT) AS d,
+                      o_totalprice AS p
+               FROM orders),
+    g AS (SELECT d, max(p) AS pmax FROM o GROUP BY d),
+    w AS (SELECT d, pmax,
+                 max(pmax) OVER (ORDER BY d
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+          FROM g),
+    fr AS (SELECT d, pmax FROM w WHERE m1 IS NULL OR pmax > m1)
+    SELECT o.o_orderkey, o.d AS order_epoch, o.p AS totalprice
+    FROM o JOIN fr ON o.d = fr.d AND o.p = fr.pmax
+    """,
+)
+def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders: earliest date vs highest
+    price — every order not dominated by one both earlier-or-equal and
+    pricier (strictly better on at least one axis). The multi-objective
+    'best trade-offs' query behind price/latency curves and
+    quality-vs-cost corpus triage. Plan: collapse to one max-price
+    candidate per DISTINCT date first (only the per-date maximum can be
+    on the frontier), run the strictly-earlier running-max window over
+    that skinny date grid, and join winners back to pick up exact
+    (date, price) ties — the naive NOT-EXISTS domination join is O(n²)
+    and the window-over-the-fact variant sorts every row; this sorts
+    |distinct dates| rows no matter the order volume."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        # NTZ → LTZ is identity under the session's pinned UTC zone, and
+        # the long epoch then matches DuckDB's epoch() on the naive value
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("d"),
+        F.col("o_totalprice").alias("p"),
+    )
+    g = o.groupBy("d").agg(F.max("p").alias("pmax"))
+    wspec = (
+        Window.orderBy("d").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        g.withColumn("m1", F.max("pmax").over(wspec))
+        .filter(F.col("m1").isNull() | (F.col("pmax") > F.col("m1")))
+        .select(F.col("d").alias("fd"), F.col("pmax").alias("fp"))
+    )
+    return (
+        o.join(
+            F.broadcast(frontier),
+            (o["d"] == F.col("fd")) & (o["p"] == F.col("fp")),
+        )
+        .select("o_orderkey", F.col("d").alias("order_epoch"), F.col("p").alias("totalprice"))
+    )
+
+
+@register(
+    "supplier_cooccur_triangles",
+    """
+    WITH pair AS (SELECT DISTINCT l1.l_suppkey AS u, l2.l_suppkey AS v
+                  FROM lineitem l1 JOIN lineitem l2
+                    ON l1.l_orderkey = l2.l_orderkey
+                   AND l1.l_suppkey < l2.l_suppkey),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT u AS node FROM pair UNION ALL SELECT v FROM pair)
+            GROUP BY node),
+    o AS (SELECT CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.u ELSE p.v END AS a,
+                 CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.v ELSE p.u END AS b
+          FROM pair p
+          JOIN deg du ON du.node = p.u
+          JOIN deg dv ON dv.node = p.v),
+    wed AS (SELECT o1.a, o1.b AS b1, o2.b AS b2
+            FROM o o1 JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b),
+    tri AS (SELECT 1 FROM wed WHERE EXISTS
+              (SELECT 1 FROM o WHERE least(o.a, o.b) = wed.b1
+                                 AND greatest(o.a, o.b) = wed.b2)),
+    s AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM pair) AS n_edges,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM wed) AS n_wedges,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           ROUND(CASE WHEN n_wedges > 0
+                      THEN n_triangles / CAST(n_wedges AS DOUBLE) END, 6)
+             AS clustering_coeff
+    FROM s
+    """,
+)
+def supplier_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-purchase graph (suppliers
+    co-occurring in an order are adjacent): nodes, edges, oriented
+    wedges, triangles, and the global clustering coefficient — the
+    cohesion profile of any co-occurrence graph (dedup-pair graphs,
+    entity-mention graphs, user-item projections). Degree-ordered
+    orientation (Suri & Vassilvitskii, WWW'11) bounds every out-list by
+    O(√m) so the wedge self-join survives power-law degree skew — the
+    celebrity node's edges all point INTO it (`operators/
+    graph.py:triangle_stats`). Edge generation is per-order pairing,
+    bounded by TPC-H's ≤7 items/order (≤21 pairs/order at any SF)."""
+    from dopams_etl_spark.operators.graph import triangle_stats
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    edges = (
+        li.join(l2, (li["l_orderkey"] == l2["o2"]) & (li["l_suppkey"] < l2["s2"]))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    return triangle_stats(edges)

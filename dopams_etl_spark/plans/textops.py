@@ -2244,3 +2244,198 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("exact_hits", F.lit(0)) >= 1).alias("contaminated"),
         )
     )
+
+
+@register(
+    "tfidf_keyword_extract",
+    r"""
+    WITH base AS (SELECT doc_id AS doc,
+                         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                              ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
+                  FROM documents),
+    postings AS (SELECT doc, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+                 FROM (SELECT doc, unnest(tk) AS tok FROM base)
+                 GROUP BY doc, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (SELECT p.doc, p.term,
+                      ROUND(p.tf * (ln((nd.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6)
+                        AS score
+               FROM postings p JOIN dfreq d USING (term) CROSS JOIN nd),
+    r AS (SELECT doc, term, score,
+                 row_number() OVER (PARTITION BY doc
+                                    ORDER BY score DESC, term ASC) AS rank
+          FROM scored)
+    SELECT doc, term, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (tf · (ln((N+1)/(df+1)) + 1)) — keyword extraction / topic tagging,
+    the lightweight labeling step corpus curation runs before routing
+    documents into domain mixtures. Reuses BM25's postings build (one
+    exploded groupBy), adds the df aggregate keyed on term and the
+    corpus size as a ONE-ROW broadcast; the per-doc ranking window sorts
+    only each doc's distinct terms (`operators/search.py:tfidf_topk`)."""
+    from dopams_etl_spark.operators.search import tfidf_topk
+
+    docs = t(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, "doc_id", "text", k=3)
+    return out.select("doc", "term", "score", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "temperature_sample_langs",
+    """
+    WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+               GROUP BY lang),
+    wts AS (SELECT lang, n_docs, pow(n_docs, 0.5) AS w FROM n),
+    tot AS (SELECT SUM(w) AS sw, CAST(SUM(n_docs) AS BIGINT) AS total FROM wts),
+    r AS (SELECT wts.lang, wts.n_docs,
+                 ROUND(least(1.0, (0.3 * tot.total) * (wts.w / tot.sw)
+                                  / wts.n_docs), 6) AS rate
+          FROM wts CROSS JOIN tot),
+    s AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+          FROM documents d JOIN r USING (lang)
+          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+          GROUP BY d.lang)
+    SELECT r.lang, r.n_docs, r.rate, COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM r LEFT JOIN s USING (lang)
+    """,
+)
+def temperature_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixture sampling (τ = 0.5, the
+    mT5/mC4 recipe): per-language sampling weights ∝ n^τ flatten the
+    head languages so low-resource strata survive a 30%-budget
+    downsample; rates are applied with the engine's standard
+    md5-threshold deterministic sampler (stable across runs,
+    partitionings, engines — seeded `sample()` is none of those).
+    Plan: the per-language count table is |langs| rows, the weight
+    normalizer a ONE-ROW broadcast; the sampling pass is a map-only
+    filter over the corpus. Output: (lang, n_docs, rate, n_sampled)."""
+    docs = t(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = n.withColumn("w", F.pow(F.col("n_docs").cast("double"), F.lit(0.5)))
+    tot = wts.agg(
+        F.sum("w").alias("sw"), F.sum("n_docs").cast("long").alias("total")
+    )
+    rates = wts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(0.3) * F.col("total").cast("double"))
+                * (F.col("w") / F.col("sw"))
+                / F.col("n_docs").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    sampled = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(u32 < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "rate",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
+@register(
+    "quality_score_auc",
+    """
+    WITH d AS (SELECT n_chars AS s, (lang = 'en') AS y FROM documents
+               WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM d GROUP BY s),
+    r AS (SELECT s, n, n_pos,
+                 COALESCE(SUM(n) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (n + 1.0) / 2.0 AS avg_rank
+          FROM ps)
+    SELECT ROUND(CASE WHEN SUM(n_pos) > 0 AND SUM(n - n_pos) > 0
+                      THEN (SUM(n_pos * avg_rank)
+                            - SUM(n_pos) * (SUM(n_pos) + 1.0) / 2.0)
+                           / (CAST(SUM(n_pos) AS DOUBLE) * SUM(n - n_pos)) END, 6)
+             AS auc,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n - n_pos) AS BIGINT) AS n_neg
+    FROM r
+    """,
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free validation of a scoring column: ROC AUC of
+    document length against the is-English label via the Mann-Whitney
+    rank formulation with midranks for ties — the metric that turns
+    'we threshold the score at 0.82' (the reference's untested dedup
+    cut, ``create_person_deduplication_table.py``) into a measured
+    ranking quality. Plan: scores collapse to per-distinct-value counts
+    first, the rank window runs over |distinct scores| rows, one global
+    fold — never the P·N pairwise comparison
+    (`operators/metrics.py:ranking_auc`)."""
+    from dopams_etl_spark.operators.metrics import ranking_auc
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return ranking_auc(docs, "n_chars", F.col("lang") == "en")
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH k AS (SELECT doc_id, lang,
+                      pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           + 1.0) / 4294967297.0,
+                          1.0 / greatest(n_chars, 1)) AS wkey
+               FROM documents),
+    r AS (SELECT doc_id, lang, wkey,
+                 row_number() OVER (ORDER BY wkey DESC, doc_id ASC) AS rnk
+          FROM k)
+    SELECT doc_id, lang, ROUND(wkey, 6) AS wkey, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 20
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws u ∈ (0,1) from its md5 (not a seeded
+    RNG — reproducible across runs, partitionings, and engines) and
+    keys itself with u^(1/w), w = max(n_chars, 1); the top-20 keys ARE a
+    weighted sample without replacement — long documents win
+    proportionally to length, the inclusion law token-budget-aware
+    corpus subsampling wants. Plan: map-only key computation + one
+    TakeOrdered top-20; no global sort materializes (Spark plans
+    ORDER BY + LIMIT as TakeOrderedAndProject — per-partition top-20,
+    driver merge of 20·P rows)."""
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.pow(u, F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")).alias(
+            "wkey"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.orderBy(F.col("wkey").desc(), F.col("doc_id").asc()))
+    return (
+        keyed.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "lang", F.round("wkey", 6).alias("wkey"), F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -1,0 +1,189 @@
+"""Unit tests for the round-6 operators: interval union, triangle
+census, ranking AUC, and TF-IDF keyword extraction — each pinned to an
+independent pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+# ---------- merge_intervals ----------
+
+
+def test_merge_intervals_islands_and_touching(spark):
+    from dopams_etl_spark.operators.intervals import merge_intervals
+
+    rows = [
+        # key a: [0,10] [5,20] overlap -> [0,20]; [20,30] touches -> joins
+        ("a", 0, 10),
+        ("a", 5, 20),
+        ("a", 20, 30),
+        ("a", 40, 50),  # separate island
+        # key b: nested interval swallowed
+        ("b", 0, 100),
+        ("b", 10, 20),
+        # key c: single
+        ("c", 7, 8),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"]).repartition(5)
+    got = {
+        (r["k"], r["island_start"], r["island_end"]): r["n_intervals"]
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert got == {
+        ("a", 0, 30): 3,
+        ("a", 40, 50): 1,
+        ("b", 0, 100): 2,
+        ("c", 7, 8): 1,
+    }
+
+
+def test_merge_intervals_partition_invariant(spark):
+    import random
+
+    from dopams_etl_spark.operators.intervals import merge_intervals
+
+    rng = random.Random(13)
+    rows = [
+        (f"u{rng.randrange(5)}", s := rng.randrange(1000), s + rng.randrange(1, 60))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    a = sorted(map(tuple, merge_intervals(df, "k", "s", "e").collect()))
+    b = sorted(map(tuple, merge_intervals(df.repartition(17), "k", "s", "e").collect()))
+    assert a == b
+    # islands are disjoint and ordered per key
+    per_key: dict[str, list[tuple[int, int]]] = {}
+    for k, s, e, _ in a:
+        per_key.setdefault(k, []).append((s, e))
+    for spans in per_key.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1  # strictly disjoint, no touching remains
+
+
+# ---------- triangle_stats ----------
+
+
+def _brute_triangles(edges):
+    adj: dict[int, set[int]] = {}
+    es = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    nodes = sorted(adj)
+    for a, b in es:
+        tri += len(adj[a] & adj[b] & {n for n in nodes if n > b})
+    return len(nodes), len(es), tri
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    import random
+
+    from dopams_etl_spark.operators.graph import triangle_stats
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(7)
+    row = triangle_stats(df).collect()[0]
+    n_nodes, n_edges, n_tri = _brute_triangles(edges)
+    assert row["n_nodes"] == n_nodes
+    assert row["n_edges"] == n_edges
+    assert row["n_triangles"] == n_tri
+    if row["n_wedges"]:
+        assert row["clustering_coeff"] == round(n_tri / row["n_wedges"], 6)
+
+
+def test_triangle_stats_known_graphs(spark):
+    from dopams_etl_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles; star S4: 0 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(0, i) for i in range(1, 5)]
+    r1 = triangle_stats(spark.createDataFrame(k4, ["src", "dst"])).collect()[0]
+    assert (r1["n_triangles"], r1["n_edges"], r1["n_nodes"]) == (4, 6, 4)
+    r2 = triangle_stats(spark.createDataFrame(star, ["src", "dst"])).collect()[0]
+    assert r2["n_triangles"] == 0
+
+
+# ---------- ranking_auc ----------
+
+
+def _brute_auc(pairs):
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    return round(wins / (len(pos) * len(neg)), 6)
+
+
+def test_ranking_auc_matches_pairwise(spark):
+    import random
+
+    from dopams_etl_spark.operators.metrics import ranking_auc
+
+    rng = random.Random(11)
+    # ties on purpose: integer scores, positives skew high
+    pairs = [
+        (rng.randrange(20) + (3 if rng.random() < 0.5 else 0), rng.random() < 0.4)
+        for _ in range(400)
+    ]
+    pairs = [(s, y or s > 15) for s, y in pairs]
+    df = spark.createDataFrame(pairs, ["s", "y"]).repartition(9)
+    row = ranking_auc(df, "s", "y").collect()[0]
+    assert row["auc"] == _brute_auc(pairs)
+    assert row["n_pos"] == sum(1 for _, y in pairs if y)
+    assert row["n_neg"] == sum(1 for _, y in pairs if not y)
+
+
+def test_ranking_auc_edge_cases(spark):
+    from dopams_etl_spark.operators.metrics import ranking_auc
+
+    # perfect separation -> 1.0; all-one-class -> NULL; nulls excluded
+    df = spark.createDataFrame(
+        [(1.0, False), (2.0, False), (3.0, True), (4.0, True), (None, True)],
+        "s double, y boolean",
+    )
+    row = ranking_auc(df, "s", "y").collect()[0]
+    assert row["auc"] == 1.0 and (row["n_pos"], row["n_neg"]) == (2, 2)
+    one_class = spark.createDataFrame([(1.0, True), (2.0, True)], "s double, y boolean")
+    assert ranking_auc(one_class, "s", "y").collect()[0]["auc"] is None
+
+
+# ---------- tfidf_topk ----------
+
+
+def test_tfidf_topk_matches_reference(spark):
+    from dopams_etl_spark.operators.search import tfidf_topk
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry durian apple"),
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    got = {
+        (r["doc"], r["rank"]): (r["term"], r["score"])
+        for r in tfidf_topk(df, "id", "text", k=2).collect()
+    }
+    # independent reference
+    import collections
+
+    tf = {i: collections.Counter(t.split()) for i, t in docs}
+    dfreq = collections.Counter(w for c in tf.values() for w in c)
+    n = len(docs)
+    for i, c in tf.items():
+        scored = sorted(
+            ((round(cnt * (math.log((n + 1) / (dfreq[w] + 1)) + 1), 6), w) for w, cnt in c.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (score, w) in enumerate(scored[:2], 1):
+            assert got[(i, rank)] == (w, score), (i, rank)
