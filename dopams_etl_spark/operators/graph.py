@@ -216,3 +216,75 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             6,
         ).alias("clustering_coeff"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list; returns (node, hub, auth) for every node appearing in an edge.
+    PageRank's directional complement: a good hub POINTS AT many good
+    authorities, a good authority IS POINTED AT by many good hubs — the
+    natural score pair for bipartite-ish purchase/mention/link graphs
+    where 'influential source' and 'popular target' are different
+    questions.
+
+    Deterministic, oracle-portable formulation: scores start uniform at
+    1, each iteration computes h(u) = Σ_{u→v} a(v) then a(v) = Σ_{u→v}
+    h(u), L1-normalizing after each step; every normalized score is
+    ROUNDED to 12 decimals, which pins the FP chain to values any
+    double-math engine reproduces (same technique as kmeans_assign's
+    round-6 centroid updates). Output scores rounded to 6.
+
+    Scale shape: identical to ``pagerank`` — per half-iteration ONE
+    keyed aggregation plus a join against the (localCheckpoint-pinned)
+    edge list; the L1 norm is a ONE-ROW aggregate broadcast, never a
+    driver-side collect. No state grows with iteration count.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)  # reused 2× per iteration
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = nodes.select("node", F.lit(1.0).alias("a"))
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+
+    def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("__tot"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            "node", F.round(F.col(col) / F.col("__tot"), 12).alias(col)
+        )
+
+    for _ in range(iterations):
+        h_new = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _l1_normalize(
+            nodes.join(h_new, nodes["node"] == h_new["src"], "left").select(
+                "node", F.coalesce("h", F.lit(0.0)).alias("h")
+            ),
+            "h",
+        ).localCheckpoint(eager=True)
+        a_new = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = _l1_normalize(
+            nodes.join(a_new, nodes["node"] == a_new["dst"], "left").select(
+                "node", F.coalesce("a", F.lit(0.0)).alias("a")
+            ),
+            "a",
+        ).localCheckpoint(eager=True)
+    return (
+        hub.join(auth, "node")
+        .select("node", F.round("h", 6).alias("hub"), F.round("a", 6).alias("auth"))
+    )

@@ -200,3 +200,54 @@ def bloom_probe(
         verdict = verdict & t_
     drop = [c for i in range(k) for c in (f"__w{i}", f"__b{i}", f"__bits{i}")]
     return probe.withColumn(out, verdict).drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: fixed-size frequency summary with a one-sided error
+# guarantee (estimate ≥ true count, overcount ≤ εN w.p. 1−δ). The streaming
+# complement of Misra-Gries above: MG answers "which keys are heavy", CMS
+# answers "how often is THIS key" for any key, in depth×width integers no
+# matter the cardinality — and two CMS tables built on different data
+# slices MERGE by cell-wise addition, which a per-key exact count only
+# does after a full shuffle. Same Kirsch-Mitzenmacher md5 double-hashing
+# as the Bloom filter, so every cell is engine-reproducible.
+# ---------------------------------------------------------------------------
+
+
+def cms_counters(df: DataFrame, key: str, width: int = 64, depth: int = 3) -> DataFrame:
+    """Build the sketch as a (row:int, col:int, cnt:long) cell table —
+    ≤ depth·width rows regardless of input cardinality (only non-zero
+    cells appear). One exploded aggregate; fully lazy."""
+    pos = df.select(
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col(key).cast("string"), width, i) for i in range(depth)])
+        ).alias("row", "col")
+    )
+    return pos.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    keys: DataFrame,
+    key: str,
+    counters: DataFrame,
+    width: int = 64,
+    depth: int = 3,
+    out: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``: the minimum
+    over the sketch's depth cells for that key. ``counters`` broadcasts
+    (≤ depth·width rows); the probe is depth map-side joins — no shuffle
+    of ``keys``. A missing cell means zero occurrences (estimate 0);
+    the CMS guarantee (never an undercount) holds per construction."""
+    probe = keys
+    ests = []
+    for i in range(depth):
+        p = _bloom_pos(F.col(key).cast("string"), width, i)
+        probe = probe.withColumn(f"__c{i}", p.cast("int"))
+        c_i = counters.filter(F.col("row") == i).select(
+            F.col("col").alias(f"__c{i}"), F.col("cnt").alias(f"__n{i}")
+        )
+        probe = probe.join(F.broadcast(c_i), f"__c{i}", "left")
+        ests.append(F.coalesce(F.col(f"__n{i}"), F.lit(0)))
+    drop = [c for i in range(depth) for c in (f"__c{i}", f"__n{i}")]
+    return probe.withColumn(out, F.least(*ests)).drop(*drop)

@@ -60,6 +60,11 @@ _PRIORITY: tuple[str, ...] = (
     "temperature_sample_langs",
     "quality_score_auc",
     "weighted_sample_docs",
+    "supplier_customer_hits",
+    "cms_user_counts",
+    "embedding_random_projection",
+    "xml_source_roundtrip",
+    "streaming_session_window_counts",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:

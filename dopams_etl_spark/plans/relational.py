@@ -2175,3 +2175,116 @@ def supplier_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(edges)
+
+
+def _hits_oracle(iterations: int = 2) -> str:
+    """DuckDB replica of ``graph.hits`` over the supplier→customer edge
+    list: uniform init, h = Σ a over out-edges then a = Σ h over
+    in-edges, L1 normalization with ROUND(x, 12) after every step —
+    the same intermediate-rounding pin as the kmeans/pagerank oracles,
+    so the two-iteration chain is value-identical cross-engine."""
+    parts = [
+        """WITH e AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, 1.0 AS s FROM nodes),
+    a0 AS (SELECT node, 1.0 AS s FROM nodes)"""
+    ]
+    prev_a, prev_h = "a0", "h0"
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"""hr{it} AS (SELECT e.src AS node, SUM({prev_a}.s) AS s
+             FROM e JOIN {prev_a} ON {prev_a}.node = e.dst GROUP BY e.src),
+    hf{it} AS (SELECT n.node, COALESCE(hr{it}.s, 0.0) AS s
+               FROM nodes n LEFT JOIN hr{it} ON hr{it}.node = n.node),
+    h{it} AS (SELECT node, ROUND(s / (SELECT SUM(s) FROM hf{it}), 12) AS s FROM hf{it}),
+    ar{it} AS (SELECT e.dst AS node, SUM(h{it}.s) AS s
+             FROM e JOIN h{it} ON h{it}.node = e.src GROUP BY e.dst),
+    af{it} AS (SELECT n.node, COALESCE(ar{it}.s, 0.0) AS s
+               FROM nodes n LEFT JOIN ar{it} ON ar{it}.node = n.node),
+    a{it} AS (SELECT node, ROUND(s / (SELECT SUM(s) FROM af{it}), 12) AS s FROM af{it})"""
+        )
+        prev_a, prev_h = f"a{it}", f"h{it}"
+    parts.append(
+        f"""SELECT h.node, ROUND(h.s, 6) AS hub, ROUND(a.s, 6) AS auth
+    FROM {prev_h} h JOIN {prev_a} a ON h.node = a.node"""
+    )
+    return ",\n    ".join(parts[:-1]) + "\n    " + parts[-1]
+
+
+@register("supplier_customer_hits", _hits_oracle(2))
+def supplier_customer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the directed supplier→customer supply
+    graph (who supplies whom, via lineitem⋈orders; customer ids offset
+    by 1e6 into a shared node space) — PageRank's directional
+    complement: hub score ranks influential suppliers, authority score
+    ranks well-sourced customers, two numbers one symmetric rank can't
+    give. Two L1-normalized power iterations, every normalized score
+    rounded to 12 so the oracle replays the chain value-for-value
+    (`operators/graph.py:hits`). Per half-iteration: one keyed
+    aggregation + one join against the checkpoint-pinned edge list; the
+    norm is a ONE-ROW broadcast."""
+    from dopams_etl_spark.operators.graph import hits
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=2)
+
+
+@register(
+    "cms_user_counts",
+    """
+    WITH h AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h1,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS h2,
+                      user_id
+               FROM events),
+    cells AS (SELECT i.i AS row, CAST((h1 + i.i * h2) % 64 AS INT) AS col,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM h, (SELECT unnest(range(0, 3)) AS i) i
+              GROUP BY 1, 2),
+    k AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h1,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS h2
+          FROM events GROUP BY user_id),
+    est AS (SELECT k.user_id, k.exact, MIN(c.cnt) AS est
+            FROM k, (SELECT unnest(range(0, 3)) AS i) i
+            JOIN cells c ON c.row = i.i
+                        AND c.col = CAST((k.h1 + i.i * k.h2) % 64 AS INT)
+            GROUP BY k.user_id, k.exact)
+    SELECT user_id, exact, est, est >= exact AS no_undercount FROM est
+    """,
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point-frequency estimates for every user against
+    their exact counts — the fixed-size frequency summary (depth 3 ×
+    width 64 cells here, deliberately undersized so collisions are
+    visible) whose one-sided guarantee the oracle checks PER KEY:
+    ``no_undercount`` must be TRUE everywhere, and the estimate values
+    themselves hash-match because both engines build the identical
+    md5-double-hashed sketch (`operators/sketches.py:cms_counters/
+    cms_estimate`). MG (heavy_hitter_users) answers 'which keys are
+    heavy'; CMS answers 'how often is THIS key' in depth·width integers
+    at ANY cardinality, and two sketches merge by cell-wise addition —
+    the reason it composes with incremental ingest where exact per-key
+    counts force a full shuffle."""
+    from dopams_etl_spark.operators.sketches import cms_counters, cms_estimate
+
+    ev = t(spark, sf_dir, "events")
+    counters = cms_counters(ev.select("user_id"), "user_id", width=64, depth=3)
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(keys, "user_id", counters, width=64, depth=3)
+    return est.select(
+        "user_id",
+        "exact",
+        "est",
+        (F.col("est") >= F.col("exact")).alias("no_undercount"),
+    )

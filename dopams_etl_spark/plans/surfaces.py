@@ -711,3 +711,104 @@ def cdc_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
     snap = apply_changelog(o, changes, "o_orderkey", "seq", "op")
     return snap.select("o_orderkey", F.round("price", 2).alias("price"))
+
+
+@register(
+    "xml_source_roundtrip",
+    """
+    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (built into Spark 4 — no spark-xml package):
+    the nation dim is dumped as <row> elements, re-ingested with
+    ``spark.read.format("xml")``, and joined back to region — values
+    must survive the round-trip exactly. The XML reader infers element
+    types and orders fields alphabetically, so the query re-casts and
+    re-projects explicitly, which is also the honest posture for real
+    XML feeds (EDI/regulatory exports — the one source family the
+    reference's JSON/CSV loaders don't cover)."""
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    path = tempfile.mkdtemp(prefix="dopams_xml_") + "/nation"
+    nat.write.format("xml").option("rootTag", "nations").option("rowTag", "row").mode(
+        "overwrite"
+    ).save(path)
+    back = spark.read.format("xml").option("rowTag", "row").load(path)
+    return (
+        back.select(
+            F.col("n_nationkey").cast("int"),
+            F.col("n_name").cast("string"),
+            F.col("n_regionkey").cast("int"),
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+    )
+
+
+@register(
+    "streaming_session_window_counts",
+    """
+    WITH s AS (SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)) >= 600
+                           THEN 1 ELSE 0 END AS ni
+               FROM events),
+    g AS (SELECT user_id, ts,
+                 SUM(ni) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM s),
+    sess AS (SELECT user_id,
+                    MIN(ts) AS session_start,
+                    MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM g GROUP BY user_id, island),
+    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT CAST(floor(epoch(session_start)) AS BIGINT) AS start_epoch,
+           CAST(floor(epoch(session_end)) AS BIGINT) AS end_epoch,
+           user_id, n
+    FROM sess, wm WHERE session_end <= wm.w
+    """,
+)
+def streaming_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session windows in the streaming value gate:
+    ``session_window(ts, '10 minutes')`` merges a user's events whose
+    windows overlap, state closes when the 30-min watermark passes a
+    session's end — the declarative complement of user_sessions'
+    applyInPandasWithState custom operator (same sessionization answer,
+    zero custom state code; the engine manages store, eviction, and
+    merge). Append mode emits exactly the sessions with
+    session_end <= max(ts) − 30 min, which the oracle states in SQL over
+    the batch gap-and-island computation — late-data semantics
+    value-checked, not just the counts. (Same whole-ms watermark
+    boundary caveat as streaming_hourly_counts.)"""
+    from dopams_etl_spark.streaming import read_stream_parquet
+
+    ev = t(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dopams_sessw_") + "/events"
+    ev.write.parquet(src)
+    stream = read_stream_parquet(spark, src, ev.schema)
+    sessions = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_sessw_{next(_STREAM_SEQ)}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        F.col("session_window.start").cast("long").alias("start_epoch"),
+        F.col("session_window.end").cast("long").alias("end_epoch"),
+        "user_id",
+        "n",
+    )

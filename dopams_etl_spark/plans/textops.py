@@ -2439,3 +2439,55 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", "lang", F.round("wkey", 6).alias("wkey"), F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def _rp_oracle(in_dim: int = 64, out_dim: int = 16, seed: int = 42) -> str:
+    """DuckDB replica of ``similarity.random_projection``: the seeded
+    Gaussian matrix is a plan literal (same `_hyperplanes` source as the
+    LSH oracles), scale 1/√16 = 0.25 is exact in binary, components
+    ROUND to 6 then fixed-point micros — double→string formatting never
+    crosses the engine boundary."""
+    from dopams_etl_spark.operators.similarity import _hyperplanes
+
+    comps = []
+    for p in _hyperplanes(in_dim, out_dim, seed):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        comps.append(
+            "CAST(floor(ROUND(list_dot_product(v, " + arr + ") * 0.25, 6) "
+            "* 1000000.0 + 0.5) AS BIGINT)"
+        )
+    joined = ",\n             ".join(f"CAST({c} AS VARCHAR)" for c in comps)
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           concat_ws(',',
+             {joined}) AS proj_micros
+    FROM c
+    """
+
+
+@register("embedding_random_projection", _rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims — the
+    dimensionality squeeze that makes every downstream similarity pass
+    (ANN, clustering, SemDeDup) 4× lighter in shuffle and broadcast
+    weight while preserving pairwise distances within (1±ε) w.h.p. The
+    seeded Gaussian matrix is a PLAN LITERAL (same `_hyperplanes` source
+    as the LSH planes) so the pass is map-only inside whole-stage
+    codegen and bit-reproducible across engines/runs/partitionings;
+    components surface as fixed-point micros
+    (`operators/similarity.py:random_projection`)."""
+    from dopams_etl_spark.operators.similarity import random_projection
+
+    emb = t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "vec_id", "embedding", in_dim=64, out_dim=16, seed=42)
+    return proj.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("proj"),
+                lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("proj_micros"),
+    )

@@ -187,3 +187,106 @@ def test_tfidf_topk_matches_reference(spark):
         )
         for rank, (score, w) in enumerate(scored[:2], 1):
             assert got[(i, rank)] == (w, score), (i, rank)
+
+
+# ---------- cms ----------
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    import collections
+    import random
+
+    from dopams_etl_spark.operators.sketches import cms_counters, cms_estimate
+
+    rng = random.Random(5)
+    vals = [f"k{rng.randrange(200)}" for _ in range(3000)]
+    exact = collections.Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["k"]).repartition(8)
+    counters = cms_counters(df, "k", width=32, depth=3)
+    keys = spark.createDataFrame([(k, c) for k, c in exact.items()], ["k", "exact"])
+    got = cms_estimate(keys, "k", counters, width=32, depth=3).collect()
+    assert len(got) == len(exact)
+    overcounts = 0
+    for r in got:
+        assert r["est"] >= exact[r["k"]], r  # one-sided guarantee
+        overcounts += r["est"] > exact[r["k"]]
+    assert overcounts > 0  # width 32 over 200 keys MUST collide
+
+    # mergeability: sketch(A) + sketch(B) cell-wise == sketch(A ∪ B)
+    half = len(vals) // 2
+    a = cms_counters(spark.createDataFrame([(v,) for v in vals[:half]], ["k"]), "k", 32, 3)
+    b = cms_counters(spark.createDataFrame([(v,) for v in vals[half:]], ["k"]), "k", 32, 3)
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .sum("cnt")
+        .withColumnRenamed("sum(cnt)", "cnt")
+    )
+    whole = {(r["row"], r["col"]): r["cnt"] for r in counters.collect()}
+    assert {(r["row"], r["col"]): r["cnt"] for r in merged.collect()} == whole
+
+    # unknown key estimates 0 unless it collides (never negative)
+    unk = cms_estimate(
+        spark.createDataFrame([("never-seen-xyz",)], ["k"]), "k", counters, 32, 3
+    ).collect()[0]
+    assert unk["est"] >= 0
+
+
+# ---------- hits ----------
+
+
+def test_hits_matches_numpy_reference(spark):
+    import numpy as np
+
+    from dopams_etl_spark.operators.graph import hits
+
+    edges = [(0, 10), (0, 11), (1, 10), (2, 10), (2, 12), (3, 11), (11, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(4)
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, iterations=2).collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    h = np.ones(len(nodes))
+    a = np.ones(len(nodes))
+    for _ in range(2):
+        h = np.round((A @ a) / (A @ a).sum(), 12)
+        a = np.round((A.T @ h) / (A.T @ h).sum(), 12)
+    for n in nodes:
+        assert got[n] == (round(float(h[idx[n]]), 6), round(float(a[idx[n]]), 6)), n
+    # probability masses: each score vector sums to ~1
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-6
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-6
+
+
+# ---------- random_projection ----------
+
+
+def test_random_projection_matches_numpy_and_preserves_geometry(spark):
+    import numpy as np
+
+    from dopams_etl_spark.operators.similarity import _hyperplanes, random_projection
+
+    rng = np.random.default_rng(21)
+    vecs = [(i, [float(x) for x in rng.standard_normal(32)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["id", "embedding"])
+    got = {r["id"]: r["proj"] for r in random_projection(df, "id", in_dim=32, out_dim=8, seed=7).collect()}
+
+    M = np.array(_hyperplanes(32, 8, 7))
+    for i, v in vecs:
+        expect = np.round(M @ np.array(v) / np.sqrt(8), 6)
+        assert got[i] == [float(x) for x in expect], i
+
+    # JL sanity: projected pairwise distances correlate with originals
+    ids = [i for i, _ in vecs]
+    orig = {i: np.array(v) for i, v in vecs}
+    d_orig, d_proj = [], []
+    for x in ids[:15]:
+        for y in ids[:15]:
+            if x < y:
+                d_orig.append(np.linalg.norm(orig[x] - orig[y]))
+                d_proj.append(np.linalg.norm(np.array(got[x]) - np.array(got[y])))
+    corr = np.corrcoef(d_orig, d_proj)[0, 1]
+    assert corr > 0.5, corr
