@@ -193,16 +193,24 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     closing = oriented.select(
         F.least("a", "b").alias("b1"), F.greatest("a", "b").alias("b2")
     )
-    tri = wedges.join(closing, ["b1", "b2"], "left_semi")
+    # the oriented edge list maps 1:1 onto canonical pairs, so `closing`
+    # is duplicate-free and the left join cannot fan wedge rows out —
+    # one aggregate yields wedge AND triangle counts over one subtree
+    wt = (
+        wedges.join(closing.withColumn("__t", F.lit(1)), ["b1", "b2"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("__t").alias("n_triangles"),
+        )
+    )
     counts = [
         deg.agg(F.count(F.lit(1)).alias("n_nodes")),
         e.agg(F.count(F.lit(1)).alias("n_edges")),
-        wedges.agg(F.count(F.lit(1)).alias("n_wedges")),
-        tri.agg(F.count(F.lit(1)).alias("n_triangles")),
+        wt,
     ]
     out = counts[0]
     for c in counts[1:]:
-        out = out.crossJoin(F.broadcast(c))  # four one-row aggregates
+        out = out.crossJoin(F.broadcast(c))  # three one-row aggregates
     return out.select(
         "n_nodes",
         "n_edges",
