@@ -296,3 +296,48 @@ def hits(
         hub.join(auth, "node")
         .select("node", F.round("h", 6).alias("hub"), F.round("a", 6).alias("auth"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source_nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Multi-source BFS over an undirected graph: (node, dist) with the
+    minimum hop count from any node of ``source_nodes`` (single column
+    ``node``), capped at ``max_depth``; unreached nodes are absent — the
+    neighborhood/reachability primitive behind 'within-k-hops' blocking,
+    influence radii, and link-distance features.
+
+    Same Pregel-on-DataFrames shape as ``connected_components``: the
+    symmetrized edge list is checkpoint-pinned once; each round expands
+    the CURRENT FRONTIER ONLY (nodes first reached last round — the
+    classic BFS optimization that keeps per-round cost proportional to
+    the frontier, not the visited set), one keyed shuffle per round, and
+    stops early when a round discovers nothing. Labels never change once
+    assigned (BFS layers are exact), so no re-labeling pass exists."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = source_nodes.select(F.col("node"), F.lit(0).alias("dist")).distinct()
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

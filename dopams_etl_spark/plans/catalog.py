@@ -65,6 +65,11 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_random_projection",
     "xml_source_roundtrip",
     "streaming_session_window_counts",
+    "supplier_customer_bfs",
+    "user_event_entropy",
+    "lineitem_metrics_unpivot",
+    "user_value_ewma",
+    "doc_readability_flesch",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:

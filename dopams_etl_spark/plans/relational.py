@@ -2288,3 +2288,177 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         (F.col("est") >= F.col("exact")).alias("no_undercount"),
     )
+
+
+@register(
+    "supplier_customer_bfs",
+    """
+    WITH RECURSIVE e AS (SELECT DISTINCT l.l_suppkey AS u,
+                                o.o_custkey + 1000000 AS v
+                         FROM lineitem l
+                         JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    walk(node, dist) AS (
+        SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+        UNION
+        SELECT sym.v, walk.dist + 1
+        FROM walk JOIN sym ON sym.u = walk.node
+        WHERE walk.dist < 6
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node
+    """,
+)
+def supplier_customer_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS distances from supplier 1 over the undirected
+    supplier↔customer graph (hop cap 6) — the 'within-k-hops'
+    reachability primitive behind neighborhood blocking, influence
+    radii, and link-distance features. The engine runs frontier-only
+    Pregel rounds (per-round cost ∝ frontier, one keyed shuffle each,
+    checkpoint-pinned edges — `operators/graph.py:bfs_distances`); the
+    oracle states the SAME answer as a recursive CTE, so the iterative
+    DataFrame loop is value-checked against SQL's declarative
+    transitive closure."""
+    from dopams_etl_spark.operators.graph import bfs_distances
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    sources = spark.range(1, 2).select(F.col("id").alias("node"))
+    return bfs_distances(edges, sources, max_depth=6).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
+@register(
+    "user_event_entropy",
+    """
+    WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+    n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_types
+          FROM c GROUP BY user_id)
+    SELECT c.user_id, ANY_VALUE(n.n_types) AS n_types,
+           ROUND(-SUM((c.c / CAST(n.n AS DOUBLE))
+                      * ln(c.c / CAST(n.n AS DOUBLE))) + 0.0, 6) AS entropy
+    FROM c JOIN n USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature bot detection leans on (scripted
+    traffic is low-entropy, one or two event types on repeat; organic
+    users spread). Plan: one (user, type) count aggregate, per-user
+    totals as a second skinny aggregate joined back on the same user
+    key (no second fact scan), one entropy fold — all shuffles keyed on
+    user_id. ``+ 0.0`` canonicalizes IEEE −0.0 for single-type users on
+    both engines."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        c.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value(F.col("n_types")).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)) + F.lit(0.0), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "lineitem_metrics_unpivot",
+    """
+    WITH m AS (
+      SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem)
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           ROUND(AVG(value), 6) AS mean
+    FROM m GROUP BY metric
+    """,
+)
+def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide metric columns to long (metric, value) rows
+    via ``stack`` — the reshape every metrics warehouse needs between
+    storage layout and per-metric analysis, and the inverse surface of
+    order_status_pivot. Map-only reshape (3× row fan-out, no shuffle)
+    into one hash aggregate; money totals in DECIMAL(18,2) per the
+    engine's exact-sum convention."""
+    li = t(spark, sf_dir, "lineitem")
+    melted = li.select(
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (metric, value)"
+        )
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )
+
+
+_EWMA_DECAY = 0.8
+_EWMA_LAGS = 8
+
+
+def _ewma_oracle() -> str:
+    """DuckDB replica of user_value_ewma: the decay weights are Python
+    repr literals embedded in BOTH the SQL and the Spark plan, so the
+    two engines multiply by bit-identical doubles."""
+    num = " + ".join(
+        f"COALESCE(lag(value, {k}) OVER w * {_EWMA_DECAY**k!r}, 0.0)"
+        for k in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL THEN {_EWMA_DECAY**k!r} ELSE 0.0 END"
+        for k in range(_EWMA_LAGS)
+    )
+    return f"""
+    SELECT event_id, user_id,
+           ROUND(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("user_value_ewma", _ewma_oracle())
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value per user
+    (decay 0.8 over the last 8 events, weights renormalized over the
+    lags that exist) — the recency-biased activity baseline that reacts
+    faster than a flat rolling mean but still damps single spikes. A
+    true infinite-history EWMA is a sequential recurrence no engine
+    parallelizes; the 8-term truncation (weight tail 0.8⁸ ≈ 0.17 of
+    mass, renormalized away) restates it as ONE user-keyed window with
+    8 lag expressions — all JVM, one shuffle, and bit-portable because
+    the decay powers enter both engines as identical repr literals."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k in range(_EWMA_LAGS):
+        lagk = F.lag("value", k).over(w)
+        wk = F.lit(_EWMA_DECAY**k)
+        nk = F.coalesce(lagk * wk, F.lit(0.0))
+        dk = F.when(lagk.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
+    return ev.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )

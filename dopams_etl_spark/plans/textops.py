@@ -2491,3 +2491,45 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("proj_micros"),
     )
+
+
+@register(
+    "doc_readability_flesch",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents)
+    SELECT doc_id, CAST(words AS INT) AS words, CAST(sentences AS INT) AS sentences,
+           CAST(syllables AS INT) AS syllables,
+           ROUND(206.835 - 1.015 * words / sentences
+                         - 84.6 * syllables / greatest(words, 1), 6) AS flesch
+    FROM b
+    """,
+)
+def doc_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the standard
+    vowel-group syllable heuristic — the classic readability feature in
+    quality-model stacks (alongside doc_quality_scores' length/punct/
+    stopword signals): too-hard and too-easy tails both correlate with
+    low-value training text. Pure JVM column expressions (regexp_count
+    + the engine's whitespace token convention), map-only, no Python."""
+    docs = t(spark, sf_dir, "documents")
+    words = token_count("text")
+    sentences = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    return docs.select(
+        "doc_id",
+        words.cast("int").alias("words"),
+        sentences.cast("int").alias("sentences"),
+        syllables.cast("int").alias("syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words / sentences
+            - F.lit(84.6) * syllables / F.greatest(words, F.lit(1)),
+            6,
+        ).alias("flesch"),
+    )

@@ -290,3 +290,46 @@ def test_random_projection_matches_numpy_and_preserves_geometry(spark):
                 d_proj.append(np.linalg.norm(np.array(got[x]) - np.array(got[y])))
     corr = np.corrcoef(d_orig, d_proj)[0, 1]
     assert corr > 0.5, corr
+
+
+# ---------- bfs_distances ----------
+
+
+def test_bfs_distances_matches_reference(spark):
+    import collections
+    import random
+
+    from dopams_etl_spark.operators.graph import bfs_distances
+
+    rng = random.Random(19)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(70)]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(6)
+    srcs = spark.createDataFrame([(0,), (7,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, srcs, max_depth=6).collect()}
+
+    # reference BFS
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    dist = {0: 0, 7: 0}
+    frontier = [0, 7]
+    for d in range(1, 7):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert got == dist
+
+
+def test_bfs_distances_depth_cap_and_chain(spark):
+    from dopams_etl_spark.operators.graph import bfs_distances
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, srcs, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # nodes past the cap absent
