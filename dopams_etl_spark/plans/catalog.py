@@ -70,6 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_metrics_unpivot",
     "user_value_ewma",
     "doc_readability_flesch",
+    "cluster_representatives",
+    "corpus_profile",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:

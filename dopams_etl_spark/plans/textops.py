@@ -2533,3 +2533,118 @@ def doc_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+@register(
+    "cluster_representatives",
+    "WITH cents AS (SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({j}, [{', '.join(str(v) for v in seed)}]::DOUBLE[])"
+        for j, seed in enumerate(_FIXED_SEEDS)
+    )
+    + """) AS tc(cluster, cv)),
+    corpus AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT id, v,
+                 (SELECT cluster FROM cents
+                   ORDER BY -(list_dot_product(corpus.v, cents.cv)
+                              / (sqrt(list_dot_product(corpus.v, corpus.v))
+                                 * sqrt(list_dot_product(cents.cv, cents.cv)))) ASC,
+                            cluster ASC
+                   LIMIT 1) AS cluster
+          FROM corpus),
+    s AS (SELECT id, cluster,
+                 ROUND(sqrt(list_dot_product(v, v)), 6) AS l2,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY ROUND(sqrt(list_dot_product(v, v)), 6) DESC,
+                                             id ASC) AS rnk
+          FROM a)
+    SELECT cluster, id AS vec_id, l2, CAST(rnk AS INT) AS rnk
+    FROM s WHERE rnk <= 3
+    """,
+)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster representative selection — the curation step after
+    clustering (SemDeDup keeps one exemplar per semantic cell;
+    instruction-data dedup keeps the best-scoring member): assign the
+    corpus to the explicit codebook (`kmeans_assign(seeds=, iters=0)` —
+    lazy, map-only), score members by rounded L2 norm, keep the top 3
+    per cluster via one cluster-keyed window. Composition proof: the
+    clustering and the selection stay ONE lazy plan end-to-end, and the
+    oracle replays assignment + ranking in a single SQL chain so the
+    stages cannot drift."""
+    from dopams_etl_spark.operators.similarity import _norm, kmeans_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, "vec_id", "embedding", iters=0, seeds=_FIXED_SEEDS)
+    scored = emb.join(assigned, "vec_id").select(
+        "vec_id",
+        "cluster",
+        F.round(_norm("embedding"), 6).alias("l2"),
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("cluster").orderBy(F.col("l2").desc(), F.col("vec_id").asc())
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select("cluster", "vec_id", "l2", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@register(
+    "corpus_profile",
+    r"""
+    WITH b AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens
+      FROM documents),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 ROUND(AVG(n_tokens), 6) AS mean_tokens,
+                 ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en
+          FROM b)
+    SELECT n_docs, n_langs, n_unique_texts, total_tokens, mean_tokens, pct_en,
+           ROUND(1.0 - n_unique_texts / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate
+    FROM s
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, language spread, token totals,
+    English share, and the exact-duplicate rate (1 − distinct
+    fingerprints / docs) — the profile block every dataset release
+    (HF dataset cards, Dolma/RedPajama reports) leads with, computed in
+    ONE aggregate pass over the corpus (COUNT DISTINCT partials for
+    langs and md5 fingerprints; everything else plain sums). At 100 TB
+    swap the two exact COUNT DISTINCTs for approx_count_distinct — the
+    contract checked in approx_distinct_users."""
+    docs = t(spark, sf_dir, "documents")
+    b = docs.select(
+        "lang",
+        F.md5("text").alias("fp"),
+        token_count("text").alias("n_tokens"),
+    )
+    return b.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("fp").alias("n_unique_texts"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.round(F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)), 6).alias(
+            "pct_en"
+        ),
+    ).select(
+        "n_docs",
+        "n_langs",
+        "n_unique_texts",
+        "total_tokens",
+        "mean_tokens",
+        "pct_en",
+        F.round(
+            F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs").cast("double"), 6
+        ).alias("exact_dup_rate"),
+    )
