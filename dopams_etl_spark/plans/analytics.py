@@ -1,0 +1,321 @@
+"""Customer/behavioral analytics queries with DuckDB oracles.
+
+Segmentation, concentration, seasonality, association and trend operators
+over the TPC-H-ish tables — the "who are my users and what do they do"
+layer a warehouse team builds on top of the relational core (reference
+analog: the profile/summary MVs in `etl-crimes/firs_mv.sql`, generalized).
+Conventions per ``plans/catalog.py``: identical aliases both sides, money
+via ``decimal(18,2)``, ratios rounded to 6, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.plans.catalog import register, t
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, last_order, frequency, monetary,
+             NTILE(4) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM cust)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DECIMAL(18,2)) AS segment_revenue,
+           CAST(MIN(custkey) AS BIGINT) AS min_custkey
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — quartile scores for Recency (latest order),
+    Frequency (order count) and Monetary (lifetime spend), the classic
+    marketing-segmentation grid. The fact table collapses to customer
+    grain FIRST (one hash aggregate over orders), so the three NTILE
+    windows sort the dimension-sized aggregate, never the fact; output
+    re-aggregates to the 4x4x4 segment grid so the result is small and
+    hash-stable. Ties broken by custkey on every score. At 100 TB the
+    only global sorts are over |customers| rows of 4 columns."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), "custkey")
+    f_w = Window.orderBy(F.col("frequency").desc(), "custkey")
+    m_w = Window.orderBy(F.col("monetary").desc(), "custkey")
+    scored = cust.select(
+        "custkey",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast(DEC).alias("segment_revenue"),
+        F.min("custkey").alias("min_custkey"),
+    )
+
+
+@register(
+    "revenue_pareto_abc",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS revenue
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT CAST(SUM(revenue) AS DECIMAL(18,2)) AS total FROM cust),
+    ranked AS (
+      SELECT custkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_revenue
+      FROM cust),
+    classed AS (
+      SELECT custkey, revenue,
+             CASE WHEN cum_revenue / total <= 0.80 THEN 'A'
+                  WHEN cum_revenue / total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked CROSS JOIN tot)
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(revenue) AS DECIMAL(18,2)) AS class_revenue,
+           ROUND(SUM(revenue) / ANY_VALUE(tot.total), 6) AS revenue_share
+    FROM classed CROSS JOIN tot GROUP BY abc_class
+    """,
+)
+def revenue_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis — customers ranked by revenue, classed A
+    (first 80 % of cumulative revenue), B (to 95 %), C (tail): the 80/20
+    concentration cut behind inventory and account tiering. Decimal
+    revenue keeps the running sum exact, so the class boundary is
+    bit-identical on both engines (a double cumsum would drift at the
+    0.80 knife-edge). One hash aggregate to customer grain, one global
+    sort of that aggregate for the running total, the corpus total as a
+    one-row broadcast — nothing fact-sized is sorted."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("revenue")
+    )
+    tot = cust.agg(F.sum("revenue").cast(DEC).alias("total"))
+    w = (
+        Window.orderBy(F.col("revenue").desc(), "custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cust.withColumn("cum_revenue", F.sum("revenue").over(w))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "custkey",
+        "revenue",
+        "total",
+        F.when(F.col("cum_revenue") / F.col("total") <= 0.80, "A")
+        .when(F.col("cum_revenue") / F.col("total") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("revenue").cast(DEC).alias("class_revenue"),
+        F.round(F.sum("revenue") / F.any_value(F.col("total")), 6).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@register(
+    "customer_spend_gini",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS spend
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT spend,
+             ROW_NUMBER() OVER (ORDER BY spend, custkey) AS i
+      FROM cust)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(spend) AS DECIMAL(18,2)) AS total_spend,
+           ROUND(2.0 * SUM(i * spend) / (COUNT(*) * SUM(spend))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality/concentration
+    scalar (0 = everyone spends alike, 1 = one whale) via the sorted-rank
+    identity G = 2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n. Rank and the i*x_i
+    products are exact (row_number over decimal spend, decimal products),
+    so both engines fold identical terms; only the final ratio is
+    floating. One customer-grain aggregate, one global sort of that
+    aggregate — the fact table is never sorted."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("spend")
+    )
+    ranked = cust.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "custkey")).alias("i"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.sum("spend").cast(DEC).alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("spend"))
+            / (n * F.sum("spend"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "dow_seasonality_index",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3),
+    base AS (
+      SELECT event_type, ROUND(AVG(n), 6) AS overall_daily_avg
+      FROM daily GROUP BY event_type)
+    SELECT daily.event_type, dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(n), 6) AS dow_daily_avg,
+           ROUND(AVG(n) / ANY_VALUE(base.overall_daily_avg), 6)
+             AS seasonality_index
+    FROM daily JOIN base USING (event_type)
+    GROUP BY daily.event_type, dow
+    """,
+)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type — avg daily volume on
+    each weekday divided by the type's overall daily average (index > 1 =
+    busier-than-usual weekday): the multiplicative seasonal profile that
+    feeds staffing forecasts and anomaly baselines. Plan: one (type, day)
+    count aggregate off the fact, a 5-row per-type baseline joined back
+    broadcast-small, second tiny aggregate to the (type, dow) grid. DOW
+    normalized to DuckDB's 0=Sunday..6 numbering (Spark's dayofweek is
+    1-based)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        (F.dayofweek(F.to_date("ts")) - F.lit(1)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = daily.groupBy("event_type").agg(
+        F.round(F.avg("n"), 6).alias("overall_daily_avg")
+    )
+    return (
+        daily.join(F.broadcast(base), "event_type")
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("n"), 6).alias("dow_daily_avg"),
+            F.round(
+                F.avg("n") / F.any_value(F.col("overall_daily_avg")), 6
+            ).alias("seasonality_index"),
+        )
+    )
+
+
+@register(
+    "brand_basket_lift",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS orderkey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT orderkey) AS BIGINT) AS n_orders FROM ob),
+    bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM ob a JOIN ob b ON a.orderkey = b.orderkey AND a.brand < b.brand
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, c_ab,
+           ROUND(c_ab / CAST(n.n_orders AS DOUBLE), 6) AS support,
+           ROUND(c_ab / CAST(ca.c AS DOUBLE), 6) AS confidence,
+           ROUND((c_ab * CAST(n.n_orders AS DOUBLE)) / (ca.c * cb.c), 6)
+             AS lift
+    FROM pairs
+    JOIN bc ca ON ca.brand = pairs.brand_a
+    JOIN bc cb ON cb.brand = pairs.brand_b
+    CROSS JOIN n
+    WHERE c_ab >= 5
+    """,
+)
+def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over part brands — support,
+    confidence and lift for every brand pair co-purchased in an order
+    (min co-support 5): the frequent-itemset primitive behind
+    recommendations and cross-sell. Brands are low-cardinality, so the
+    pair space is bounded (~25^2) no matter the fact size; the pair join
+    is orderkey-keyed (items-per-order fan-out, never all-pairs), brand
+    marginals re-join broadcast-small, and the order total is a one-row
+    broadcast. This is A-Priori's counting step with the candidate
+    pruning done by the dimension's own cardinality."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("orderkey").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.orderkey") == F.col("b.orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("ca"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.round(F.col("c_ab") / F.col("n_orders").cast("double"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("c_ab") / F.col("ca").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("c_ab") * F.col("n_orders").cast("double"))
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

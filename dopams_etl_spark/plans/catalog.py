@@ -72,6 +72,11 @@ _PRIORITY: tuple[str, ...] = (
     "doc_readability_flesch",
     "cluster_representatives",
     "corpus_profile",
+    "customer_rfm_segments",
+    "revenue_pareto_abc",
+    "customer_spend_gini",
+    "dow_seasonality_index",
+    "brand_basket_lift",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:
@@ -193,7 +198,13 @@ def oracle_sql() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     # Import side-effect modules that register their queries.
-    from dopams_etl_spark.plans import domain, relational, surfaces, textops  # noqa: F401
+    from dopams_etl_spark.plans import (  # noqa: F401
+        analytics,
+        domain,
+        relational,
+        surfaces,
+        textops,
+    )
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
