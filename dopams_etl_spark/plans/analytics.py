@@ -319,3 +319,275 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "daily_autocorr_lags",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n, 1) OVER w AS l1,
+             lag(n, 2) OVER w AS l2,
+             lag(n, 3) OVER w AS l3
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
+    SELECT event_type, lag, n_days, autocorr FROM (
+      SELECT event_type, 1 AS lag, CAST(COUNT(l1) AS BIGINT) AS n_days,
+             ROUND(corr(n, l1), 6) AS autocorr FROM lagged GROUP BY 1
+      UNION ALL
+      SELECT event_type, 2, CAST(COUNT(l2) AS BIGINT), ROUND(corr(n, l2), 6)
+      FROM lagged GROUP BY 1
+      UNION ALL
+      SELECT event_type, 3, CAST(COUNT(l3) AS BIGINT), ROUND(corr(n, l3), 6)
+      FROM lagged GROUP BY 1)
+    """,
+)
+def daily_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of daily event volume per type — the
+    serial-dependence diagnostic behind seasonality detection and
+    forecast-model selection (high lag-1 = momentum; lag-7 would flag
+    weekly cycles). The fact collapses to (type, day) counts first; the
+    lag window and the three corr() aggregates run over that tiny
+    per-type series, so the only fact-sized operation is one hash
+    aggregate. corr's null-pair skipping makes the first k days drop out
+    of lag k on both engines identically."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("l1"),
+        F.lag("n", 2).over(w).alias("l2"),
+        F.lag("n", 3).over(w).alias("l3"),
+    )
+    parts = [
+        lagged.groupBy("event_type").agg(
+            F.lit(k).alias("lag"),
+            F.count(f"l{k}").alias("n_days"),
+            F.round(F.corr("n", f"l{k}"), 6).alias("autocorr"),
+        )
+        for k in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "event_type_trend",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(regr_slope(n, x), 6) AS slope,
+           ROUND(regr_intercept(n, x), 4) AS intercept,
+           ROUND(regr_r2(n, x), 6) AS r2
+    FROM daily GROUP BY event_type
+    """,
+)
+def event_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares linear trend of daily volume per event type —
+    slope (events/day of growth), intercept, and R² via the built-in
+    regression aggregates: the is-this-metric-growing primitive behind
+    dashboards and alert thresholds. Both engines compute the same
+    closed-form moments (regr_slope/intercept/r2 are single-pass
+    mergeable aggregates, Spark 3.4+/DuckDB parity), so the plan is one
+    (type, day) count aggregate plus one skinny per-type fold — nothing
+    iterative, nothing sorted."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.expr("regr_slope(n, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(n, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(n, x)"), 6).alias("r2"),
+    )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, AVG(value) AS mean_v
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT event_type, AVG(mean_v) AS grand_mean
+      FROM daily GROUP BY event_type),
+    cus AS (
+      SELECT daily.event_type, d,
+             SUM(mean_v - grand_mean)
+               OVER (PARTITION BY daily.event_type ORDER BY d
+                     ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM daily JOIN base USING (event_type)),
+    ranked AS (
+      SELECT event_type, d, cusum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, d) AS rn
+      FROM cus)
+    SELECT event_type, CAST(d AS VARCHAR) AS changepoint_date,
+           ROUND(cusum, 6) AS peak_cusum
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type — cumulative sum of
+    each day's deviation from the type's grand mean; the day where
+    |CUSUM| peaks is the most likely mean-shift point (Page's classic
+    control-chart statistic). All heavy lifting happens after the fact
+    collapses to (type, day) means: the deviation join is against a
+    5-row baseline, the running sum orders a ~360-row per-type series,
+    and the argmax is one more window over the same partition. Date
+    order makes the double accumulation sequence identical on both
+    engines."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.avg("value").alias("mean_v")
+    )
+    base = daily.groupBy("event_type").agg(
+        F.avg("mean_v").alias("grand_mean")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = (
+        daily.join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "d",
+            F.sum(F.col("mean_v") - F.col("grand_mean")).over(w).alias("cusum"),
+        )
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "d"
+    )
+    return (
+        cus.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("changepoint_date"),
+            F.round("cusum", 6).alias("peak_cusum"),
+        )
+    )
+
+
+@register(
+    "value_histogram_equiwidth",
+    """
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    bucketed AS (
+      SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS INT),
+                   19) AS bucket,
+             lo, hi
+      FROM events CROSS JOIN b)
+    SELECT bucket,
+           ROUND(ANY_VALUE(lo) + bucket * (ANY_VALUE(hi) - ANY_VALUE(lo))
+                 / 20.0, 6) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+             AS share
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event value (20 buckets between the
+    global min/max) — the distribution profile every data-quality
+    report opens with. The min/max bounds are a one-row aggregate
+    broadcast back over the fact (the established scalar-broadcast
+    shape, structurally whitelisted), bucketing is map-only arithmetic,
+    and the result is one 20-row hash aggregate; the share denominator
+    is a window over those 20 rows, not the fact."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    bucketed = ev.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(19),
+        ).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    grouped = bucketed.groupBy("bucket").agg(
+        F.round(
+            F.any_value(F.col("lo"))
+            + F.col("bucket")
+            * (F.any_value(F.col("hi")) - F.any_value(F.col("lo")))
+            / F.lit(20.0),
+            6,
+        ).alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    total_w = Window.partitionBy()
+    return grouped.select(
+        "bucket",
+        "bucket_lo",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(total_w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "rolling_weekly_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    mx AS (SELECT MAX(d) AS max_d FROM ud),
+    contrib AS (
+      SELECT DISTINCT user_id, d + CAST(o AS INT) AS day
+      FROM ud, generate_series(0, 6) g(o))
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS wau
+    FROM contrib CROSS JOIN mx
+    WHERE day <= max_d
+    GROUP BY day
+    """,
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (trailing WAU) — the
+    engagement curve every growth dashboard tracks. Distinct-count over
+    a sliding window is not window-expressible in either engine, and a
+    range self-join explodes at scale; the scale-correct restatement is
+    the offset-explode trick: each (user, active-day) row contributes to
+    the 7 calendar days it keeps the user 'active' for, then one
+    distinct + one count per day. Shuffle volume is bounded at 7x the
+    (user, day) distinct grain — linear in users, independent of
+    per-user event volume. The max-date cap is a one-row broadcast."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    mx = ud.agg(F.max("d").alias("max_d"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "d",
+        )
+        .select("user_id", F.date_add(F.col("d"), F.col("o")).alias("day"))
+        .distinct()
+    )
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("max_d"))
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )

@@ -77,6 +77,11 @@ _PRIORITY: tuple[str, ...] = (
     "customer_spend_gini",
     "dow_seasonality_index",
     "brand_basket_lift",
+    "daily_autocorr_lags",
+    "event_type_trend",
+    "cusum_changepoint",
+    "value_histogram_equiwidth",
+    "rolling_weekly_active_users",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:
