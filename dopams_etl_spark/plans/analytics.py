@@ -591,3 +591,292 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("day").cast("string").alias("day"))
         .agg(F.count(F.lit(1)).alias("wau"))
     )
+
+
+@register(
+    "doc_lexical_diversity",
+    """
+    WITH w AS (
+      SELECT doc_id, x AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(x)
+      WHERE trim(text) <> ''
+      GROUP BY doc_id, x)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+           ROUND(COUNT(*) FILTER (WHERE c = 1)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+    FROM w GROUP BY doc_id
+    """,
+)
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio and hapax-legomena ratio per document — the
+    lexical-diversity pair that separates template/boilerplate text
+    (low TTR, few hapaxes) from natural prose, a standard pretraining
+    quality signal beside the length/punct ratios. One explode to
+    (doc, word) counts, one per-doc fold — both shuffles keyed on
+    doc_id, no global state."""
+    from dopams_etl_spark.functions.textfns import tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    w = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return w.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias("ttr"),
+        F.round(
+            F.count_if(F.col("c") == 1) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+@register(
+    "corpus_zipf_slope",
+    """
+    WITH w AS (
+      SELECT x AS word, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(x)
+      WHERE trim(text) <> ''
+      GROUP BY x),
+    ranked AS (
+      SELECT word, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r
+      FROM w)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(regr_slope(ln(c), ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(c), ln(CAST(r AS DOUBLE))), 6) AS fit_r2,
+           ANY_VALUE(CASE WHEN r = 1 THEN word END) AS top_word
+    FROM ranked WHERE r <= 100
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: least-squares slope of
+    log-frequency vs log-rank for the top-100 words (natural text sits
+    near −1; heavily templated or synthetic corpora deviate) — a one-row
+    corpus health check beside corpus_profile. The word count is one
+    hash aggregate; ranking sorts only the word-frequency table (vocab-
+    sized, not corpus-sized) and the top-100 regression folds 100 rows.
+    Rank ties broken by word for a deterministic cut at r=100."""
+    from dopams_etl_spark.functions.textfns import tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    w = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    ranked = w.select(
+        "word",
+        "c",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "word")).alias("r"),
+    ).filter(F.col("r") <= 100)
+    lr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.expr("regr_slope(ln(c), ln(CAST(r AS DOUBLE)))"), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.expr("regr_r2(ln(c), ln(CAST(r AS DOUBLE)))"), 6).alias(
+            "fit_r2"
+        ),
+        F.any_value(
+            F.when(F.col("r") == 1, F.col("word")), ignoreNulls=True
+        ).alias("top_word"),
+    )
+
+
+@register(
+    "heaps_vocab_growth",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END
+               AS n_tokens
+      FROM documents),
+    first_seen AS (
+      SELECT x AS word, MIN(doc_id) AS first_doc
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(x)
+      WHERE trim(text) <> ''
+      GROUP BY x),
+    new_types AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_t
+      FROM first_seen GROUP BY first_doc)
+    SELECT tk.doc_id,
+           CAST(SUM(tk.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(new_t, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM tk LEFT JOIN new_types ON tk.doc_id = new_types.doc_id
+    WINDOW w AS (ORDER BY tk.doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve — cumulative distinct
+    vocabulary vs cumulative tokens in doc_id order: the
+    diminishing-returns curve that answers 'how much new language does
+    the next TB of data actually add'. A naive cumulative-distinct is
+    quadratic; the scale-correct restatement assigns each word to its
+    FIRST document (one min-aggregate on the word key), so the curve
+    becomes a per-doc new-type count plus one running sum over the
+    doc-grain table. The only corpus-sized shuffle is the word-key
+    aggregate — same family as the dedup fingerprint passes."""
+    from dopams_etl_spark.functions.textfns import token_count, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    first_seen = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    new_types = first_seen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("new_t")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return tk.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum(F.coalesce(F.col("new_t"), F.lit(0))).over(w).alias("cum_vocab"),
+    )
+
+
+@register(
+    "lang_char_divergence",
+    """
+    WITH letters AS (
+      SELECT lang, x AS ch
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z]')) AS u(x)),
+    lc AS (SELECT lang, ch, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM letters GROUP BY 1, 2),
+    ln_ AS (SELECT lang, SUM(c) AS n FROM lc GROUP BY lang),
+    corpus AS (SELECT ch, CAST(SUM(c) AS DOUBLE) AS cc FROM lc GROUP BY ch),
+    corpus_n AS (SELECT SUM(cc) AS cn FROM corpus),
+    grid AS (
+      SELECT ln_.lang, corpus.ch, COALESCE(lc.c, 0.0) AS c,
+             ln_.n, corpus.cc, corpus_n.cn
+      FROM ln_ CROSS JOIN corpus CROSS JOIN corpus_n
+      LEFT JOIN lc ON lc.lang = ln_.lang AND lc.ch = corpus.ch)
+    SELECT lang, CAST(ANY_VALUE(n) AS BIGINT) AS n_letters,
+           ROUND(SUM(((c + 1) / (n + 26))
+                     * ln(((c + 1) / (n + 26)) / ((cc + 1) / (cn + 26)))), 6)
+             AS kl_divergence
+    FROM grid GROUP BY lang
+    """,
+)
+def lang_char_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each language's letter distribution from the
+    corpus-wide distribution (add-one smoothed over [a-z]) — the
+    distribution-shift score behind language-mix monitoring and drift
+    alerts (a lang whose KL jumps between snapshots changed character).
+    The fact collapses to a (lang, letter) grid of at most 26·|langs|
+    cells in one aggregate; corpus marginals and totals re-join
+    broadcast-small; the left join against the full letter grid makes
+    zero-count cells explicit so smoothing matches exactly on both
+    engines."""
+    docs = t(spark, sf_dir, "documents")
+    letters = docs.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]', 0)")
+        ).alias("ch"),
+    )
+    lc = letters.groupBy("lang", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ln_ = lc.groupBy("lang").agg(F.sum("c").alias("n"))
+    corpus = lc.groupBy("ch").agg(F.sum("c").cast("double").alias("cc"))
+    corpus_n = corpus.agg(F.sum("cc").alias("cn"))
+    grid = (
+        ln_.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(corpus_n))
+        .join(lc, ["lang", "ch"], "left")
+        .select(
+            "lang",
+            "ch",
+            F.coalesce(F.col("c"), F.lit(0.0)).alias("c"),
+            "n",
+            "cc",
+            "cn",
+        )
+    )
+    p = (F.col("c") + 1) / (F.col("n") + 26)
+    q = (F.col("cc") + 1) / (F.col("cn") + 26)
+    return grid.groupBy("lang").agg(
+        F.any_value(F.col("n")).cast("bigint").alias("n_letters"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+    )
+
+
+@register(
+    "trigram_novelty_rate",
+    """
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> ''),
+    g AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+      FROM tk, unnest(generate_series(1, len(toks) - 2)) AS s(i)
+      WHERE len(toks) >= 3),
+    fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE fs.first_doc = g.doc_id) AS BIGINT)
+             AS novel_grams,
+           ROUND(COUNT(*) FILTER (WHERE fs.first_doc = g.doc_id)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+    FROM g JOIN fs USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def trigram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty rate — the fraction of a doc's distinct word
+    trigrams never seen in any earlier document (doc_id order): the
+    repetition/memorization signal that flags near-boilerplate additions
+    to a growing corpus (novelty ~0 = the doc restates what the corpus
+    already has). Trigrams are built map-side from the token array; the
+    first-seen pass is one min-aggregate on the gram key (the span-dedup
+    shuffle family) and the verdict re-joins on the same key — cost
+    linear in total trigrams, never pairwise in documents."""
+    from dopams_etl_spark.functions.textfns import tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tk = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    g = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    fs = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(fs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias(
+                "novel_grams"
+            ),
+            F.round(
+                F.count_if(F.col("first_doc") == F.col("doc_id"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )

@@ -82,6 +82,11 @@ _PRIORITY: tuple[str, ...] = (
     "cusum_changepoint",
     "value_histogram_equiwidth",
     "rolling_weekly_active_users",
+    "doc_lexical_diversity",
+    "corpus_zipf_slope",
+    "heaps_vocab_growth",
+    "lang_char_divergence",
+    "trigram_novelty_rate",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:
