@@ -1,0 +1,66 @@
+"""Bucketed-table co-located joins — the shuffle-elimination primitive.
+
+At 100 TB the dominant cost of a fact-to-fact equi-join is the shuffle of
+both sides. Spark's answer is bucketing: write each side pre-hashed into
+the same number of buckets on the join key (``bucketBy`` + ``sortBy``),
+and a sort-merge join between two such tables needs NO Exchange — each
+task zips bucket i of the left with bucket i of the right. A follow-up
+aggregation keyed on the same column also inherits the partitioning and
+runs exchange-free. The reference's closest surface is its batched
+upsert scaffold (`etl-crimes/etl_crimes.py:654–789` re-sorts batches per
+key before applying); this is the Spark-native generalization: pay the
+partitioning cost once at write time, amortize it over every later join.
+
+``tests/test_scale_posture.py`` asserts the physical plan is
+Exchange-free below the join, so the property is machine-checked, not
+aspirational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str,
+) -> None:
+    """Persist ``df`` as a bucketed+sorted external table on ``key``.
+
+    ``saveAsTable`` is required (plain ``parquet(path)`` writes carry no
+    bucket metadata for the reader to trust); the explicit ``path`` keeps
+    the data out of the default warehouse. Overwrites any prior table of
+    the same name, so repeated pipeline runs are idempotent.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_equijoin(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Sort-merge join of two same-bucket-count tables, shuffle-free.
+
+    The ``merge`` hint pins SMJ (a broadcast would also avoid the
+    exchange but proves nothing about co-location); with matching bucket
+    counts Catalyst plans the join with zero Exchange nodes and reuses
+    the bucket-sorted order, so there is no Sort either.
+    """
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.hint("merge").join(rt, lt[left_key] == rt[right_key])

@@ -880,3 +880,261 @@ def trigram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+def _rrf_oracle() -> str:
+    from dopams_etl_spark.plans.textops import _BM25_CTES
+
+    return (
+        "WITH "
+        + _BM25_CTES
+        + """,
+    bm AS (SELECT query_id, doc_id, rank AS bm25_rank FROM r WHERE rank <= 20),
+    p AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS pv
+          FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT p.query_id, c.doc_id,
+                 ROUND(list_dot_product(pv, cv)
+                       / (sqrt(list_dot_product(pv, pv))
+                          * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+          FROM p JOIN c ON p.query_id <> c.doc_id),
+    vr AS (SELECT query_id, doc_id, rn AS vec_rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, doc_id ASC)
+                         AS rn
+             FROM s) WHERE rn <= 20),
+    fused AS (
+      SELECT COALESCE(bm.query_id, vr.query_id) AS query_id,
+             COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+             CAST(COALESCE(bm25_rank, 0) AS INT) AS bm25_rank,
+             CAST(COALESCE(vec_rank, 0) AS INT) AS vec_rank,
+             ROUND(COALESCE(1.0 / (60 + bm25_rank), 0.0)
+                   + COALESCE(1.0 / (60 + vec_rank), 0.0), 6) AS rrf_score
+      FROM bm FULL OUTER JOIN vr
+        ON bm.query_id = vr.query_id AND bm.doc_id = vr.doc_id),
+    final AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused)
+    SELECT query_id, doc_id, bm25_rank, vec_rank, rrf_score,
+           CAST(rank AS INT) AS rank
+    FROM final WHERE rank <= 10
+    """
+    )
+
+
+@register("rrf_fused_search", _rrf_oracle())
+def rrf_fused_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of lexical and vector retrieval — each
+    ranker contributes 1/(60+rank) for its top-20, summed per (query,
+    doc), top-10 refused (Cormack et al.'s RRF, the standard
+    score-free fusion that needs no calibration between BM25 scores and
+    cosines, unlike hybrid_search_docs' weighted blend — the two
+    queries cover both fusion families). BM25 candidates come from the
+    broadcast-probe inverted index, vector candidates from the
+    size-gated exact top-k; the fusion join touches ≤ 40 rows per
+    query, so fusion cost is independent of corpus size."""
+    from dopams_etl_spark.operators.search import bm25_topk
+    from dopams_etl_spark.operators.similarity import cosine_topk
+
+    docs = t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "spark batch stream"), (2, "window merge sort"),
+         (3, "customer vector quality")],
+        ["query_id", "query_text"],
+    )
+    bm = bm25_topk(docs, queries, "doc_id", "text", k=20).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id").isin(1, 2, 3))
+    vec = cosine_topk(probe, emb, "vec_id", "vec_id", "embedding", k=20).select(
+        F.col("p_id").alias("query_id"),
+        F.col("c_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = bm.join(vec, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce(F.col("vec_rank"), F.lit(0)).cast("int").alias("vec_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    """
+    WITH s AS (
+      SELECT c_custkey, lower(trim(c_name)) AS nm,
+             ROW_NUMBER() OVER (ORDER BY lower(trim(c_name)), c_custkey)
+               AS pos
+      FROM customer),
+    pairs AS (
+      SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             a.nm AS name_a, b.nm AS name_b,
+             CAST(b.pos - a.pos AS INT) AS window_dist,
+             ROUND(1.0 - levenshtein(a.nm, b.nm)
+                   / CAST(GREATEST(len(a.nm), len(b.nm)) AS DOUBLE), 6)
+               AS sim
+      FROM s a JOIN s b ON b.pos - a.pos BETWEEN 1 AND 3)
+    SELECT custkey_a, custkey_b, window_dist, sim
+    FROM pairs WHERE sim >= 0.9
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo) — sort on a normalized name key, compare each record only to
+    its next w=3 neighbors, keep candidates at edit-ratio ≥ 0.9: the
+    complementary blocking family to soundex blocking (J11), catching
+    typo-adjacent names phonetic codes split. Candidate volume is
+    w·N by construction, never quadratic. The lead() restatement keeps
+    it one window over the sorted dimension — at cluster scale the sort
+    becomes a range partition and neighbors stay within ±w of a
+    partition boundary (handled by the standard boundary-overlap
+    replication)."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower(F.trim("c_name")).alias("nm")
+    )
+    w = Window.orderBy("nm", "c_custkey")
+    s = cust.withColumn("pos", F.row_number().over(w))
+    lead_w = Window.orderBy("pos")
+    pairs = []
+    for d in (1, 2, 3):
+        pairs.append(
+            s.select(
+                F.col("c_custkey").alias("custkey_a"),
+                F.col("nm").alias("name_a"),
+                F.lead("c_custkey", d).over(lead_w).alias("custkey_b"),
+                F.lead("nm", d).over(lead_w).alias("name_b"),
+                F.lit(d).alias("window_dist"),
+            ).filter(F.col("custkey_b").isNotNull())
+        )
+    cand = pairs[0]
+    for p in pairs[1:]:
+        cand = cand.unionByName(p)
+    sim = F.round(
+        F.lit(1.0)
+        - F.levenshtein("name_a", "name_b")
+        / F.greatest(F.length("name_a"), F.length("name_b")).cast("double"),
+        6,
+    )
+    return (
+        cand.withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.9)
+        .select("custkey_a", "custkey_b", "window_dist", "sim")
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    deg AS (
+      SELECT 'supplier' AS side, supp AS node,
+             CAST(COUNT(*) AS BIGINT) AS degree
+      FROM e GROUP BY supp
+      UNION ALL
+      SELECT 'customer', cust, CAST(COUNT(*) AS BIGINT) FROM e GROUP BY cust),
+    n AS (SELECT side, CAST(COUNT(*) AS BIGINT) AS n_side
+          FROM deg GROUP BY side)
+    SELECT deg.side, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND(COUNT(*) / CAST(ANY_VALUE(n.n_side) AS DOUBLE), 6) AS share
+    FROM deg JOIN n USING (side)
+    GROUP BY deg.side, degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier↔customer bipartite graph —
+    the first diagnostic before any graph algorithm (PageRank, BFS,
+    triangles all live in this module family): a heavy right tail says
+    'salt these hub keys before the joins'. One distinct-edge
+    aggregate, one degree count per side, one histogram fold — every
+    shuffle keyed on node or (side, degree), nothing pairwise."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_suppkey").alias("supp"), F.col("o_custkey").alias("cust"))
+        .distinct()
+    )
+    deg = (
+        e.groupBy(F.col("supp").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("supplier").alias("side"), "node", "degree")
+        .unionByName(
+            e.groupBy(F.col("cust").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.lit("customer").alias("side"), "node", "degree")
+        )
+    )
+    n = deg.groupBy("side").agg(F.count(F.lit(1)).alias("n_side"))
+    return (
+        deg.join(F.broadcast(n), "side")
+        .groupBy("side", "degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(
+                F.count(F.lit(1)) / F.any_value(F.col("n_side")).cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+@register(
+    "bucketed_order_revenue",
+    """
+    SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4)) AS VARCHAR) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join with ZERO shuffles — orders and lineitem are
+    written as 8-bucket bucketed tables on the order key, then
+    sort-merge joined and aggregated per order entirely exchange-free
+    (bucket i zips with bucket i; the groupBy inherits the join's
+    partitioning). This is THE 100 TB pattern for recurring big-big
+    joins: pay the partitioning once at write time, amortize it over
+    every downstream join and aggregation.
+    ``test_scale_posture.py::test_bucketed_join_no_exchange`` asserts
+    the Exchange-free plan, so the property is machine-checked. The
+    oracle is the plain join — bucketing must be invisible to results."""
+    from dopams_etl_spark.operators.bucketing import bucketed_equijoin, write_bucketed
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = "/tmp/dopams_bucketed"
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, f"{base}/b_orders")
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8, f"{base}/b_lineitem")
+    joined = bucketed_equijoin(spark, "b_orders", "b_lineitem", "o_orderkey", "l_orderkey")
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        )
+        .cast("decimal(18,4)")
+        .cast("string")
+        .alias("revenue"),
+    )

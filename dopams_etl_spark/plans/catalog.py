@@ -87,6 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     "heaps_vocab_growth",
     "lang_char_divergence",
     "trigram_novelty_rate",
+    "rrf_fused_search",
+    "sorted_neighborhood_pairs",
+    "graph_degree_histogram",
+    "bucketed_order_revenue",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:

@@ -104,3 +104,32 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     # partition pruning still works on the compacted layout
     plan = after.filter(F.col("yr") == 1997)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(yr" in plan or "yr#" in plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Bucketed SMJ co-location: orders and lineitem written bucketed on
+    the order key join + aggregate with ZERO Exchange nodes in the
+    physical plan, and results equal the plain join."""
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.catalog import load_table
+    from dopams_etl_spark.operators.bucketing import bucketed_equijoin, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, "orders", sf).select("o_orderkey")
+    li = load_table(spark, "lineitem", sf).select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_b_orders", "o_orderkey", 4, str(tmp_path / "bo"))
+    write_bucketed(li, "t_b_lineitem", "l_orderkey", 4, str(tmp_path / "bl"))
+    joined = bucketed_equijoin(spark, "t_b_orders", "t_b_lineitem",
+                               "o_orderkey", "l_orderkey")
+    agg = joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # correctness: identical to the plain (shuffled) join
+    plain = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
