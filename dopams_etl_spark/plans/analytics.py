@@ -273,7 +273,7 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(
             F.col("l_orderkey").alias("orderkey"),
             F.col("p_brand").alias("brand"),
@@ -780,10 +780,14 @@ def lang_char_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-shift score behind language-mix monitoring and drift
     alerts (a lang whose KL jumps between snapshots changed character).
     The fact collapses to a (lang, letter) grid of at most 26·|langs|
-    cells in one aggregate; corpus marginals and totals re-join
-    broadcast-small; the left join against the full letter grid makes
-    zero-count cells explicit so smoothing matches exactly on both
-    engines."""
+    cells in one aggregate; the full grid is generated map-side by
+    exploding a literal a-z array per language row (no cross join in
+    the plan), corpus marginals re-join broadcast-small on the letter
+    key, the corpus total is the one-row scalar broadcast, and the left
+    join keeps zero-count cells explicit so smoothing matches exactly
+    on both engines."""
+    import string
+
     docs = t(spark, sf_dir, "documents")
     letters = docs.select(
         "lang",
@@ -797,8 +801,10 @@ def lang_char_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln_ = lc.groupBy("lang").agg(F.sum("c").alias("n"))
     corpus = lc.groupBy("ch").agg(F.sum("c").cast("double").alias("cc"))
     corpus_n = corpus.agg(F.sum("cc").alias("cn"))
+    alphabet = F.array(*[F.lit(ch) for ch in string.ascii_lowercase])
     grid = (
-        ln_.crossJoin(F.broadcast(corpus))
+        ln_.select("lang", "n", F.explode(alphabet).alias("ch"))
+        .join(F.broadcast(corpus), "ch")
         .crossJoin(F.broadcast(corpus_n))
         .join(lc, ["lang", "ch"], "left")
         .select(

@@ -25,6 +25,9 @@ BNLJ_ALLOWED = {
     "cosine_topk_embeddings",
     "hard_negative_mining",
     "trigram_match_event_types",
+    # rrf_fused_search's vector arm IS cosine_topk (the size-gated exact
+    # baseline above); the BM25 arm and fusion join are equi-joins.
+    "rrf_fused_search",
 }
 
 

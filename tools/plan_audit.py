@@ -104,6 +104,21 @@ AUDITED = (
     "lineitem_metrics_unpivot",
     "user_value_ewma",
     "doc_readability_flesch",
+    "customer_rfm_segments",
+    "revenue_pareto_abc",
+    "brand_basket_lift",
+    "dow_seasonality_index",
+    "rolling_weekly_active_users",
+    "cusum_changepoint",
+    "value_histogram_equiwidth",
+    "doc_lexical_diversity",
+    "heaps_vocab_growth",
+    "trigram_novelty_rate",
+    "lang_char_divergence",
+    "rrf_fused_search",
+    "sorted_neighborhood_pairs",
+    "graph_degree_histogram",
+    "bucketed_order_revenue",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
@@ -167,9 +182,10 @@ def main() -> None:
         "",
         "NLJ accounting — two classes, both intentional:",
         "",
-        "1. `cosine_topk_embeddings` and its hard-negative variant",
-        "   `hard_negative_mining` — the EXACT brute-force baseline, which",
-        "   is definitionally all-pairs; both are size-gated (raise above",
+        "1. `cosine_topk_embeddings`, its hard-negative variant",
+        "   `hard_negative_mining`, and `rrf_fused_search` (whose vector",
+        "   arm IS cosine_topk) — the EXACT brute-force baseline, which",
+        "   is definitionally all-pairs; all are size-gated (raise above",
         "   2M corpus rows) and `lsh_topk` is the scale path.",
         "2. Bounded scalar-broadcast crossjoins — a ONE-ROW aggregate",
         "   (percentile cut-points, global min/max bounds, corpus stats,",
