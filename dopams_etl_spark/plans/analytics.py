@@ -1144,3 +1144,265 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("revenue"),
     )
+
+
+@register(
+    "part_affinity_topk",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS orderkey, l_partkey AS partkey
+      FROM lineitem),
+    m AS (SELECT partkey, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ob GROUP BY partkey),
+    pairs AS (
+      SELECT a.partkey AS part_a, b.partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM ob a JOIN ob b
+        ON a.orderkey = b.orderkey AND a.partkey <> b.partkey
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT part_a, part_b, c_ab,
+             ROUND(c_ab / CAST(ca.c + cb.c - c_ab AS DOUBLE), 6) AS jaccard
+      FROM pairs
+      JOIN m ca ON ca.partkey = pairs.part_a
+      JOIN m cb ON cb.partkey = pairs.part_b),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY part_a
+                                   ORDER BY jaccard DESC, part_b ASC) AS rn
+      FROM scored)
+    SELECT part_a, part_b, c_ab, jaccard, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — top-5 most-affine parts per
+    part by co-purchase Jaccard (bought-together over bought-either):
+    the 'customers also bought' neighbor list, and the item-grain
+    sibling of brand_basket_lift's rule mining. The pair space never
+    materializes all-pairs: candidates form only through the
+    orderkey-keyed self-join, so fan-out is items-per-basket squared
+    per order (a small constant), and marginals re-join on the item
+    key. Ranking windows partition by item — at 100 TB every shuffle
+    here is keyed, bounded, and salting-friendly."""
+    li = t(spark, sf_dir, "lineitem")
+    ob = li.select(
+        F.col("l_orderkey").alias("orderkey"), F.col("l_partkey").alias("partkey")
+    ).distinct()
+    m = ob.groupBy("partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.orderkey") == F.col("b.orderkey"))
+            & (F.col("a.partkey") != F.col("b.partkey")),
+        )
+        .groupBy(
+            F.col("a.partkey").alias("part_a"), F.col("b.partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = m.select(F.col("partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = m.select(F.col("partkey").alias("part_b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab")
+                / (F.col("ca") + F.col("cb") - F.col("c_ab")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.col("jaccard").desc(), F.col("part_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+@register(
+    "user_burstiness",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - lag(epoch(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+    SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap), 4) AS mean_gap_s,
+           ROUND(stddev_samp(gap), 4) AS sd_gap_s,
+           ROUND((stddev_samp(gap) - AVG(gap))
+                 / (stddev_samp(gap) + AVG(gap)), 6) AS burstiness
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id HAVING COUNT(gap) >= 2
+    """,
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user — Goh & Barabási's
+    B = (σ−μ)/(σ+μ) over the gaps between consecutive events (−1 =
+    metronome, 0 = Poisson, →1 = bursty): the temporal-signature
+    feature that separates scripted traffic (near-periodic, B≈−1)
+    from organic sessions. One user-keyed window for the gaps, one
+    user-keyed fold for the moments — no global state. Sub-second
+    precision survives via the fractional epoch cast on both
+    engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    g = ev.select(
+        "user_id", (sec - F.lag(sec).over(w.orderBy("ts", "event_id"))).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    sd = F.stddev_samp("gap")
+    mu = F.avg("gap")
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.round(mu, 4).alias("mean_gap_s"),
+            F.round(sd, 4).alias("sd_gap_s"),
+            F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+
+
+@register(
+    "benford_order_totals",
+    """
+    WITH d AS (
+      SELECT CAST(FLOOR(o_totalprice
+                        / power(10, FLOOR(log10(o_totalprice)))) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           ROUND(n / CAST(total AS DOUBLE), 6) AS observed,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS expected,
+           ROUND(power(n / CAST(total AS DOUBLE)
+                       - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+    FROM c CROSS JOIN tot
+    """,
+)
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit test over order totals — observed vs
+    expected log10(1+1/d) share per leading digit with the chi-square
+    contribution: the classic fabricated-numbers screen in financial
+    auditing. The digit is pure math (no string formatting, which
+    differs across engines): floor(x / 10^floor(log10 x)) on identical
+    doubles. One 9-row aggregate; the total is a one-row broadcast."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.agg(F.sum("n").alias("total"))
+    observed = F.col("n") / F.col("total").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(observed, 6).alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.pow(observed - expected, 2) / expected, 6).alias("chi2_term"),
+    )
+
+
+@register(
+    "order_cycle_percentiles",
+    """
+    WITH cyc AS (
+      SELECT o_orderpriority,
+             datediff('day', o_orderdate, l_shipdate) AS days
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           ROUND(quantile_cont(days, 0.5), 4) AS p50_days,
+           ROUND(quantile_cont(days, 0.9), 4) AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM cyc GROUP BY o_orderpriority
+    """,
+)
+def order_cycle_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time percentiles per priority class — the
+    operational-SLA metric (does 1-URGENT actually ship faster?).
+    Exact interpolated percentiles over the joined fact; one priority-
+    keyed aggregate after the orderkey equi-join. The grouped-percentile
+    convention follows event_value_percentiles: exact F.percentile here,
+    percentile_approx documented as the gigarow-cardinality swap."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cyc = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    return cyc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+
+
+def _write_binmedia_fixture() -> str:
+    """Deterministic binary fixture files (same bytes every run) standing
+    in for a media landing directory — the container has no real
+    image/audio assets, so the ingest path is exercised on seeded bytes."""
+    import os
+
+    d = "/tmp/dopams_binmedia"
+    os.makedirs(d, exist_ok=True)
+    for name, n in [("a", 64), ("b", 256), ("c", 1024)]:
+        path = f"{d}/{name}.bin"
+        payload = bytes((i * 7 + n) % 256 for i in range(n))
+        if not (os.path.exists(path) and os.path.getsize(path) == n):
+            with open(path, "wb") as f:
+                f.write(payload)
+    return d
+
+
+@register(
+    "binary_file_ingest",
+    """
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           hex(content) AS content_hex
+    FROM read_blob('/tmp/dopams_binmedia/*.bin')
+    """,
+)
+def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media ingest through Spark's built-in
+    ``binaryFile`` source — the landing step of the multimodal pipeline
+    (S12 family: the reference's media server stores files and serves
+    bytes; here the bytes become a typed (path, length, content) row
+    ready for the mapInPandas decode operators in
+    ``operators/multimodal.py``). Each file is one row — at scale the
+    source parallelizes per-file and prunes with pathGlobFilter;
+    content verified byte-for-byte via hex against the oracle's
+    read_blob of the same fixture files."""
+    d = _write_binmedia_fixture()
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.hex(F.col("content")).alias("content_hex"),
+    )

@@ -91,6 +91,11 @@ _PRIORITY: tuple[str, ...] = (
     "sorted_neighborhood_pairs",
     "graph_degree_histogram",
     "bucketed_order_revenue",
+    "part_affinity_topk",
+    "user_burstiness",
+    "benford_order_totals",
+    "order_cycle_percentiles",
+    "binary_file_ingest",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:
