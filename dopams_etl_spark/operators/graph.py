@@ -341,3 +341,54 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), deterministic variant: every node starts as its own
+    label; each round it adopts the most frequent label among itself
+    and its neighbors, ties broken by the SMALLEST label. Returns
+    (node, community) after exactly ``n_iter`` rounds.
+
+    Determinism contract: the classic algorithm breaks ties randomly
+    and runs to convergence; this variant pins BOTH knobs (min-label
+    ties, fixed round count) so results are reproducible and
+    SQL-replayable — the oracle unrolls the same rounds as CTEs.
+    Including the node's own label in the vote damps the two-coloring
+    oscillation synchronous LPA exhibits on bipartite graphs.
+
+    Scale shape: one (node, label) count aggregate and one node-keyed
+    window per round — the same keyed-shuffle-per-iteration family as
+    ``pagerank``; lineage truncated per round with localCheckpoint."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    nodes = sym.select("u").distinct()
+    # self-loop: each node votes for its own current label too
+    sym = sym.union(nodes.select(F.col("u"), F.col("u").alias("v"))).localCheckpoint(
+        eager=True
+    )
+    labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
+    w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

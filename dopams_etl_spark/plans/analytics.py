@@ -1406,3 +1406,272 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.hex(F.col("content")).alias("content_hex"),
     )
+
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    """Unrolled-CTE replica of ``graph.label_propagation``: identical
+    rounds, identical (count DESC, label ASC) vote ordering."""
+    parts = [
+        """
+    e AS (SELECT DISTINCT l_suppkey AS u, o_custkey + 1000000 AS v
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    nodes AS (SELECT u FROM e UNION SELECT v FROM e),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e
+            UNION SELECT u, u FROM nodes),
+    l0 AS (SELECT u AS node, u AS label FROM nodes)"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""
+    l{i + 1} AS (SELECT u AS node, label FROM (
+        SELECT s.u, l.label, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY s.u
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM sym s JOIN l{i} l ON s.v = l.node
+        GROUP BY s.u, l.label) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(community AS BIGINT) AS community
+    FROM (SELECT node, label AS community FROM l{n_iter})
+    """
+    )
+
+
+@register("label_propagation_communities", _lpa_oracle(3))
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the supplier↔customer graph via
+    deterministic synchronous label propagation (3 rounds, min-label
+    ties, self-vote damping) — the clustering step between the graph
+    diagnostics (degree histogram, triangles) and downstream per-
+    community treatment (domain caps, stratified sampling). The oracle
+    replays the exact rounds as unrolled CTEs, value-checking the
+    iterative DataFrame loop against declarative SQL — same contract as
+    pagerank/BFS. One keyed count aggregate + one node-keyed window per
+    round."""
+    from dopams_etl_spark.operators.graph import label_propagation
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    out = label_propagation(edges, n_iter=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("community").cast("bigint").alias("community"),
+    )
+
+
+@register(
+    "seasonal_naive_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT event_type, n,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS fc
+      FROM daily)
+    SELECT event_type,
+           CAST(COUNT(fc) AS BIGINT) AS n_days_scored,
+           ROUND(AVG(abs(n - fc)), 4) AS mae,
+           ROUND(sqrt(AVG(power(n - fc, 2))), 4) AS rmse,
+           ROUND(AVG(abs(n - fc) / n), 6) AS mape
+    FROM f WHERE fc IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — predict each day's volume
+    with the value 7 days earlier and score MAE/RMSE/MAPE per event
+    type: the baseline every real forecasting model must beat, and the
+    cheapest drift alarm (MAPE jumping week-over-week = the series
+    changed shape). One (type, day) aggregate, one lag window over the
+    tiny per-type series, one scoring fold."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    f = daily.select(
+        "event_type", "n", F.lag("n", 7).over(w).alias("fc")
+    ).filter(F.col("fc").isNotNull())
+    err = F.col("n") - F.col("fc")
+    return f.groupBy("event_type").agg(
+        F.count("fc").alias("n_days_scored"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(F.sqrt(F.avg(F.pow(err, 2))), 4).alias("rmse"),
+        F.round(F.avg(F.abs(err) / F.col("n")), 6).alias("mape"),
+    )
+
+
+@register(
+    "ab_test_proportion_z",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             ('0x' || substr(md5('ab-v1|' || CAST(user_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 2 AS grp
+      FROM events),
+    conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING COUNT(*) >= 14),
+    pergrp AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(conv.user_id) AS BIGINT) AS conversions
+      FROM assign LEFT JOIN conv USING (user_id)
+      GROUP BY grp),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN grp = 0 THEN conversions END) AS conv_a,
+        MAX(CASE WHEN grp = 1 THEN conversions END) AS conv_b
+      FROM pergrp)
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+           ROUND((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+    FROM wide
+    """,
+)
+def ab_test_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — users deterministically hash-split
+    50/50 (the md5 split-key convention shared with
+    train_val_test_split), conversion = reached a purchase event, and
+    the pooled two-proportion z-statistic scores the lift: the
+    experimentation primitive every product pipeline ends at. Under a
+    null split the z should hover near 0 — a drifting z on a no-op
+    split flags a broken assignment hash (the classic A/A test).
+    Conversion is thresholded (≥ 14 purchases, the per-user median) so
+    the proportion is non-degenerate — p=0 or 1 puts zero in the
+    pooled-variance denominator. Two user-keyed aggregates, one 2-row
+    aggregate, one scalar fold."""
+    ev = t(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab-v1|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    assign = ev.select("user_id").distinct().select("user_id", grp.alias("grp"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+        .filter(F.col("n_purch") >= 14)
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    pergrp = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("converted").alias("conversions"),
+        )
+    )
+    wide = pergrp.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("conversions"))).alias("conv_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("conversions"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    return wide.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(
+            (p_b - p_a)
+            / F.sqrt(
+                pool * (1 - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "embedding_minmax_scale",
+    """
+    WITH ex AS (
+      SELECT vec_id, (embedding::DOUBLE[])[CAST(i AS INT)] AS val,
+             CAST(i AS INT) - 1 AS dim
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS s(i)
+      WHERE vec_id < 50),
+    b AS (SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM ex GROUP BY dim),
+    scaled AS (
+      SELECT vec_id, ex.dim,
+             CAST(ROUND(1000000 * CASE WHEN hi = lo THEN 0.0
+                        ELSE (val - lo) / (hi - lo) END) AS BIGINT) AS s
+      FROM ex JOIN b ON ex.dim = b.dim)
+    SELECT vec_id,
+           to_json(list(s ORDER BY dim)) AS scaled_micro
+    FROM scaled GROUP BY vec_id
+    """,
+)
+def embedding_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max feature scaling of embeddings to [0,1] —
+    the normalization step before distance-based models mix
+    heterogeneous feature scales (and the template for z-score/robust
+    variants: swap the bounds aggregate). Restricted to a 50-vector
+    probe set here to keep the driver row small; the plan is the
+    at-scale shape regardless: posexplode to (vec, dim, val), one
+    64-row per-dim bounds aggregate re-joined broadcast-small, and an
+    ordered re-assembly keyed on vec_id. Values surface as micro-unit
+    integers (round(1e6·s)) because Spark's to_json scientific-notates
+    small doubles where DuckDB does not — integer arrays serialize
+    identically on both engines."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    b = ex.groupBy("dim").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    scaled = ex.join(F.broadcast(b), "dim").select(
+        "vec_id",
+        "dim",
+        F.round(
+            F.lit(1000000)
+            * F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+                (F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+            )
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    return (
+        scaled.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("a"))
+        .select(
+            "vec_id",
+            F.to_json(F.expr("transform(a, x -> x.s)")).alias("scaled_micro"),
+        )
+    )

@@ -96,6 +96,10 @@ _PRIORITY: tuple[str, ...] = (
     "benford_order_totals",
     "order_cycle_percentiles",
     "binary_file_ingest",
+    "label_propagation_communities",
+    "seasonal_naive_backtest",
+    "ab_test_proportion_z",
+    "embedding_minmax_scale",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:
