@@ -1675,3 +1675,243 @@ def embedding_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.expr("transform(a, x -> x.s)")).alias("scaled_micro"),
         )
     )
+
+
+@register(
+    "rolling_corr_view_purchase",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
+               AS views,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS purchases
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT CAST(d AS VARCHAR) AS day,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             corr(views, purchases)
+               OVER (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS c
+      FROM daily)
+    SELECT day, ROUND(c, 6) AS rolling_corr_14d
+    FROM r WHERE rn >= 14
+    """,
+)
+def rolling_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling correlation between daily view and purchase
+    volume — the relationship-stability monitor (a correlation that
+    collapses mid-series says the funnel decoupled: tracking bug or
+    mix shift). The fact collapses to one row per day first; corr runs
+    as a frame-bounded window aggregate over that tiny series. Partial
+    leading frames are dropped (rn >= 14) so every emitted value
+    covers a full window on both engines."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_if(F.col("event_type") == "view").cast("double").alias("views"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("double")
+        .alias("purchases"),
+    )
+    w = Window.orderBy("d").rowsBetween(-13, Window.currentRow)
+    r = daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        F.corr("views", "purchases").over(w).alias("c"),
+    )
+    return r.filter(F.col("rn") >= 14).select(
+        "day", F.round("c", 6).alias("rolling_corr_14d")
+    )
+
+
+def _xcorr_oracle(max_lag: int = 6) -> str:
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT {k} AS lag, CAST(COUNT(lv) AS BIGINT) AS n_days,
+             ROUND(corr(purchases, lv), 6) AS xcorr
+      FROM (SELECT purchases, lag(views, {k}) OVER (ORDER BY d) AS lv
+            FROM daily) WHERE lv IS NOT NULL"""
+        for k in range(max_lag + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
+               AS views,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS purchases
+      FROM events GROUP BY 1),
+    lags AS (
+{branches}),
+    best AS (SELECT lag AS best_lag FROM lags
+             ORDER BY xcorr DESC, lag ASC LIMIT 1)
+    SELECT lag, n_days, xcorr, lag = best.best_lag AS is_best
+    FROM lags CROSS JOIN best
+    """
+
+
+@register("cross_corr_best_lag", _xcorr_oracle(6))
+def cross_corr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lag scan — corr(views shifted by k, purchases)
+    for k = 0..6 days, flagging the lag that maximizes it: the
+    lead-lag diagnostic behind 'does view volume predict purchases k
+    days out'. Seven lag branches over the one-row-per-day series (a
+    few hundred rows — branch cost is trivial after the fact
+    collapses), argmax as a one-row broadcast with a deterministic
+    (corr DESC, lag ASC) tie-break."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_if(F.col("event_type") == "view").cast("double").alias("views"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("double")
+        .alias("purchases"),
+    )
+    w = Window.orderBy("d")
+    parts = []
+    for k in range(7):
+        lagged = daily.select(
+            "purchases", F.lag("views", k).over(w).alias("lv")
+        ).filter(F.col("lv").isNotNull())
+        parts.append(
+            lagged.agg(
+                F.lit(k).alias("lag"),
+                F.count("lv").alias("n_days"),
+                F.round(F.corr("purchases", "lv"), 6).alias("xcorr"),
+            )
+        )
+    lags = parts[0]
+    for p in parts[1:]:
+        lags = lags.unionByName(p)
+    best = lags.orderBy(F.col("xcorr").desc(), F.col("lag").asc()).limit(1).select(
+        F.col("lag").alias("best_lag")
+    )
+    return lags.crossJoin(F.broadcast(best)).select(
+        "lag",
+        "n_days",
+        "xcorr",
+        (F.col("lag") == F.col("best_lag")).alias("is_best"),
+    )
+
+
+@register(
+    "anomaly_days_mad",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             quantile_cont(n, 0.5) AS med
+      FROM daily GROUP BY event_type),
+    dev AS (
+      SELECT daily.event_type, d, n, med, abs(n - med) AS ad
+      FROM daily JOIN stats USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type),
+    scored AS (
+      SELECT dev.event_type, d, n,
+             ROUND((n - med) / (1.4826 * mad), 4) AS robust_z
+      FROM dev JOIN mad USING (event_type) WHERE mad > 0),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(robust_z) DESC, d ASC) AS rn
+      FROM scored)
+    SELECT event_type, CAST(d AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+           robust_z
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def anomaly_days_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most anomalous days per event type by MAD robust z-score —
+    (count − median)/(1.4826·MAD), the outlier detector that a single
+    spike cannot poison (unlike mean/stddev z, where the anomaly
+    inflates its own denominator — the same robustness argument as
+    event_value_robust_zscore, applied at the day grain where ops
+    actually triage). Two exact-median folds over the (type, day)
+    aggregate, top-3 days per type with deterministic ties."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    scored = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_type",
+            "d",
+            "n",
+            F.round(
+                (F.col("n") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 4
+            ).alias("robust_z"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("robust_z")).desc(), F.col("d").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            "robust_z",
+        )
+    )
+
+
+@register(
+    "event_sequence_trigrams",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type, 2) OVER w AS t2,
+             lag(event_type, 1) OVER w AS t1
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT t2 || '>' || t1 || '>' || event_type AS trigram,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE t2 IS NOT NULL GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT trigram, n, ROUND(n / CAST(total AS DOUBLE), 6) AS share
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, trigram ASC) AS rn
+          FROM g) CROSS JOIN tot
+    WHERE rn <= 10
+    """,
+)
+def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavioral sequences across all users — the
+    sequential-pattern extension of event_transition_matrix's bigram
+    view (view>view>purchase vs view>error>view tells very different
+    product stories). One user-keyed window for the two lags, one hash
+    aggregate over the 125-max trigram space, total as a one-row
+    broadcast; the top-10 sorts the tiny aggregate only."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    ).filter(F.col("t2").isNotNull())
+    g = s.groupBy(
+        F.concat_ws(">", "t2", "t1", "event_type").alias("trigram")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = g.agg(F.sum("n").alias("total"))
+    ranked = g.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("trigram").asc()))
+    ).filter(F.col("rn") <= 10)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "trigram",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+    )

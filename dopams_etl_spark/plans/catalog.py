@@ -100,6 +100,10 @@ _PRIORITY: tuple[str, ...] = (
     "seasonal_naive_backtest",
     "ab_test_proportion_z",
     "embedding_minmax_scale",
+    "rolling_corr_view_purchase",
+    "cross_corr_best_lag",
+    "anomaly_days_mad",
+    "event_sequence_trigrams",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:

@@ -149,3 +149,37 @@ def test_group_centroids_values_and_null_handling(spark):
     got = {r["g"]: (r["n_vecs"], r["centroid"]) for r in group_centroids(df, "g").collect()}
     assert got["a"] == (2, [2.0, 3.0, 4.0])
     assert got["b"] == (1, [10.0, 0.0, -2.0])
+
+
+# ---------- label_propagation ----------
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles joined by a bridge: each triangle must agree on one
+    community, and the result must be deterministic across runs."""
+    from dopams_etl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["community"] for r in label_propagation(edges, n_iter=3).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[1] == got[2] == got[3]
+    assert got[5] == got[6]
+    again = {r["node"]: r["community"] for r in label_propagation(edges, n_iter=3).collect()}
+    assert got == again
+
+
+def test_label_propagation_disconnected_components(spark):
+    """Disconnected cliques never share a community."""
+    from dopams_etl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["community"] for r in label_propagation(edges, n_iter=4).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
