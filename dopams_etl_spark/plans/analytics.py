@@ -1915,3 +1915,231 @@ def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
     )
+
+
+@register(
+    "mutual_information_type_dow",
+    """
+    WITH j AS (
+      SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) AS y,
+             CAST(COUNT(*) AS DOUBLE) AS n_xy
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT x, SUM(n_xy) AS n_x FROM j GROUP BY x),
+    my AS (SELECT y, SUM(n_xy) AS n_y FROM j GROUP BY y),
+    tot AS (SELECT SUM(n_xy) AS n FROM j),
+    hx AS (SELECT -SUM((n_x / n) * ln(n_x / n)) AS h_x FROM mx CROSS JOIN tot),
+    hy AS (SELECT -SUM((n_y / n) * ln(n_y / n)) AS h_y FROM my CROSS JOIN tot)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((n_xy / n) * ln((n_xy * n) / (n_x * n_y))), 6) AS mi,
+           ROUND(SUM((n_xy / n) * ln((n_xy * n) / (n_x * n_y)))
+                 / sqrt(ANY_VALUE(h_x) * ANY_VALUE(h_y)), 6) AS nmi
+    FROM j JOIN mx USING (x) JOIN my USING (y)
+    CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def mutual_information_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week (plus the
+    sqrt-normalized NMI) — the dependence screen for feature selection
+    and leakage hunting: MI ≈ 0 says the weekday tells you nothing
+    about what users do; a high-NMI pair of 'independent' features is a
+    red flag. Everything folds from ONE joint (type, dow) aggregate —
+    marginals, entropies and the total are derived CTEs over ≤ 35
+    cells, each riding a one-row or tiny broadcast."""
+    ev = t(spark, sf_dir, "events")
+    j = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.dayofweek(F.to_date("ts")).alias("y"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_xy"))
+    mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = j.agg(F.sum("n_xy").alias("n"))
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("n_x") / F.col("n")) * F.log(F.col("n_x") / F.col("n"))))
+        .alias("h_x")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("n_y") / F.col("n")) * F.log(F.col("n_y") / F.col("n"))))
+        .alias("h_y")
+    )
+    term = (F.col("n_xy") / F.col("n")) * F.log(
+        (F.col("n_xy") * F.col("n")) / (F.col("n_x") * F.col("n_y"))
+    )
+    return (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(term), 6).alias("mi"),
+            F.round(
+                F.sum(term)
+                / F.sqrt(F.any_value(F.col("h_x")) * F.any_value(F.col("h_y"))),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+@register(
+    "value_histogram_equidepth",
+    """
+    WITH b AS (
+      SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of event value — ten buckets
+    with ~N/10 rows each and their value ranges: the optimizer-style
+    histogram that resolves skew equi-width buckets smear (one hot
+    bucket hides the whole distribution shape). Exact NTILE needs a
+    global sort of the fact; that is the semantics of exact equi-depth.
+    At gigarow scale swap the bucket BOUNDS to approx_percentile (one
+    pass, mergeable sketch) and assign map-side — same output schema,
+    documented trade; ties pinned by event_id so both engines cut
+    identical buckets."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        "value", F.ntile(10).over(Window.orderBy("value", "event_id")).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@register(
+    "supplier_hhi_by_nation",
+    """
+    WITH rev AS (
+      SELECT s_nationkey AS nationkey, l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS r
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    tot AS (SELECT nationkey, SUM(r) AS total FROM rev GROUP BY nationkey)
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(power(CAST(r AS DOUBLE) / CAST(total AS DOUBLE), 2)), 6)
+             AS hhi
+    FROM rev
+    JOIN tot USING (nationkey)
+    JOIN nation ON n_nationkey = nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index of supplier
+    revenue within each nation — Σ share² (1/n = perfect competition,
+    1.0 = monopoly): the concentration scalar beside Gini that
+    regulators and sourcing teams actually quote. Revenue folds to
+    (nation, supplier) grain in one decimal-exact aggregate off the
+    fact; nation totals re-join on the nation key and the name dim
+    broadcasts. Share ratios go floating only at the final fold."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("nationkey").agg(F.sum("r").alias("total"))
+    return (
+        rev.join(F.broadcast(tot), "nationkey")
+        .join(F.broadcast(nat), rev["nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(
+                    F.pow(
+                        F.col("r").cast("double") / F.col("total").cast("double"),
+                        2,
+                    )
+                ),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
+@register(
+    "clv_monthly_curve",
+    """
+    WITH first_m AS (
+      SELECT o_custkey AS custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+      FROM orders GROUP BY o_custkey),
+    per_idx AS (
+      SELECT o_custkey AS custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate)) - m0 AS month_idx,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders JOIN first_m ON o_custkey = custkey
+      GROUP BY 1, 2),
+    curve AS (
+      SELECT month_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_active_customers,
+             CAST(SUM(rev) AS DECIMAL(18,2)) AS revenue
+      FROM per_idx GROUP BY month_idx)
+    SELECT CAST(month_idx AS INT) AS month_idx, n_active_customers,
+           CAST(revenue AS VARCHAR) AS revenue,
+           CAST(CAST(SUM(revenue) OVER (ORDER BY month_idx
+                                        ROWS UNBOUNDED PRECEDING)
+                     AS DECIMAL(18,2)) AS VARCHAR) AS cum_revenue
+    FROM curve
+    """,
+)
+def clv_monthly_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve — revenue by months-since-first-
+    order (customer age), with active-customer counts and the running
+    total: the cohort-aligned spend trajectory CLV models are fit to.
+    Month index is integer arithmetic (y*12+m), immune to the
+    date-diff convention drift between engines; revenue stays decimal
+    end-to-end (VARCHAR surface per the exact-money convention). First-
+    order months come from one customer-grain aggregate joined back on
+    the customer key; the cumulative window runs over the ≤ tens-of-
+    rows curve."""
+    o = t(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(ym).alias("m0")
+    )
+    per_idx = (
+        o.join(first_m, o["o_custkey"] == first_m["custkey"])
+        .groupBy(
+            "custkey",
+            (ym - F.col("m0")).alias("month_idx"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    curve = per_idx.groupBy("month_idx").agg(
+        F.count(F.lit(1)).alias("n_active_customers"),
+        F.sum("rev").cast(DEC).alias("revenue"),
+    )
+    w = Window.orderBy("month_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return curve.select(
+        F.col("month_idx").cast("int").alias("month_idx"),
+        "n_active_customers",
+        F.col("revenue").cast("string").alias("revenue"),
+        F.sum("revenue").over(w).cast(DEC).cast("string").alias("cum_revenue"),
+    )

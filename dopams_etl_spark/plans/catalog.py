@@ -104,6 +104,10 @@ _PRIORITY: tuple[str, ...] = (
     "cross_corr_best_lag",
     "anomaly_days_mad",
     "event_sequence_trigrams",
+    "mutual_information_type_dow",
+    "value_histogram_equidepth",
+    "supplier_hhi_by_nation",
+    "clv_monthly_curve",
     # dedup_incremental_batch: boundary made lazy this round — fresh row
     "dedup_incremental_batch",
     # 3) queries whose shared machinery changed this round — fresh rows:
