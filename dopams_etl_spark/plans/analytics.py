@@ -2049,7 +2049,7 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .groupBy(
             F.col("s_nationkey").alias("nationkey"),
             F.col("l_suppkey").alias("suppkey"),
