@@ -119,6 +119,24 @@ AUDITED = (
     "sorted_neighborhood_pairs",
     "graph_degree_histogram",
     "bucketed_order_revenue",
+    "part_affinity_topk",
+    "user_burstiness",
+    "benford_order_totals",
+    "order_cycle_percentiles",
+    "binary_file_ingest",
+    "label_propagation_communities",
+    "seasonal_naive_backtest",
+    "ab_test_proportion_z",
+    "embedding_minmax_scale",
+    "rolling_corr_view_purchase",
+    "cross_corr_best_lag",
+    "anomaly_days_mad",
+    "event_sequence_trigrams",
+    "mutual_information_type_dow",
+    "value_histogram_equidepth",
+    "supplier_hhi_by_nation",
+    "clv_monthly_curve",
+    "incremental_join_mv",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
