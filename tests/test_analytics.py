@@ -1,0 +1,143 @@
+"""Invariant tests for the analytics layer (plans/analytics.py).
+
+The oracle checks pin exact values; these pin the MATH — bounds and
+structural properties that must hold for any input, so a future edit
+that stays value-consistent with a buggy oracle still gets caught.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    from dopams_etl_spark.plans import catalog
+
+    return {name: fn for name, fn in catalog.queries().items()}
+
+
+def test_gini_bounds(spark, q):
+    row = q["customer_spend_gini"](spark, SF).collect()[0]
+    assert 0.0 <= row["gini"] < 1.0
+
+
+def test_pareto_abc_shares_sum_to_one(spark, q):
+    rows = q["revenue_pareto_abc"](spark, SF).collect()
+    assert {r["abc_class"] for r in rows} == {"A", "B", "C"}
+    assert abs(sum(float(r["revenue_share"]) for r in rows) - 1.0) < 1e-4
+
+
+def test_rfm_scores_in_quartile_range(spark, q):
+    for r in q["customer_rfm_segments"](spark, SF).collect():
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+
+
+def test_hhi_bounds(spark, q):
+    for r in q["supplier_hhi_by_nation"](spark, SF).collect():
+        n = r["n_suppliers"]
+        # HHI of n equal shares is 1/n; concentration only raises it
+        assert (1.0 / n) - 1e-6 <= r["hhi"] <= 1.0 + 1e-6
+
+
+def test_benford_shares_and_digits(spark, q):
+    rows = q["benford_order_totals"](spark, SF).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_mutual_information_nonnegative(spark, q):
+    row = q["mutual_information_type_dow"](spark, SF).collect()[0]
+    # MI >= 0 always; NMI <= 1 up to rounding
+    assert row["mi"] >= -1e-9
+    assert row["nmi"] <= 1.0 + 1e-6
+
+
+def test_equidepth_buckets_balanced(spark, q):
+    rows = q["value_histogram_equidepth"](spark, SF).collect()
+    counts = [r["n"] for r in rows]
+    assert len(rows) == 10
+    # NTILE guarantee: bucket sizes differ by at most one
+    assert max(counts) - min(counts) <= 1
+    # bucket value ranges are ordered and non-overlapping
+    by_bucket = sorted(rows, key=lambda r: r["bucket"])
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a["hi"] <= b["lo"] + 1e-9
+
+
+def test_burstiness_bounds(spark, q):
+    for r in q["user_burstiness"](spark, SF).collect():
+        assert -1.0 - 1e-9 <= r["burstiness"] <= 1.0 + 1e-9
+
+
+def test_rrf_ranks_dense_per_query(spark, q):
+    rows = q["rrf_fused_search"](spark, SF).collect()
+    by_query: dict[int, list[int]] = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_rolling_wau_at_least_daily_active(spark, q):
+    """Trailing 7-day actives can never be fewer than that day's actives."""
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.catalog import load_table
+
+    ev = load_table(spark, "events", SF)
+    dau = {
+        r["day"]: r["n"]
+        for r in ev.select(F.to_date("ts").cast("string").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in q["rolling_weekly_active_users"](spark, SF).collect():
+        assert r["wau"] >= dau.get(r["day"], 0)
+
+
+def test_heaps_curve_monotone(spark, q):
+    rows = sorted(
+        q["heaps_vocab_growth"](spark, SF).collect(), key=lambda r: r["doc_id"]
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] >= a["cum_tokens"]
+        assert b["cum_vocab"] >= a["cum_vocab"]
+
+
+def test_incremental_join_mv_matches_full_recompute(spark, q):
+    """The incremental path must equal a one-shot groupBy over the join."""
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.catalog import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["n_items"], r["revenue"])
+        for r in q["incremental_join_mv"](spark, SF).collect()
+    }
+    orders = load_table(spark, "orders", SF)
+    li = load_table(spark, "lineitem", SF)
+    full = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("string")
+            .alias("revenue"),
+        )
+    )
+    want = {
+        r["o_orderpriority"]: (r["n_items"], r["revenue"]) for r in full.collect()
+    }
+    assert got == want
