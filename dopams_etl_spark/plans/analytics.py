@@ -2218,3 +2218,230 @@ def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue").cast("double") / F.col("n_items"), 4
         ).alias("avg_item_rev"),
     )
+
+
+@register(
+    "session_funnel_ordered",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                      AS session_num
+          FROM g),
+    v AS (SELECT user_id, session_num, MIN(ts) AS t_v
+          FROM s WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT s.user_id, s.session_num, MIN(s.ts) AS t_c
+          FROM s JOIN v USING (user_id, session_num)
+          WHERE s.event_type = 'click' AND s.ts > v.t_v
+          GROUP BY 1, 2),
+    p AS (SELECT s.user_id, s.session_num, MIN(s.ts) AS t_p
+          FROM s JOIN c USING (user_id, session_num)
+          WHERE s.event_type = 'purchase' AND s.ts > c.t_c
+          GROUP BY 1, 2),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+          FROM (SELECT DISTINCT user_id, session_num FROM s))
+    SELECT n.n_sessions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS reached_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS reached_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS reached_purchase,
+           ROUND((SELECT COUNT(*) FROM c)
+                 / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6)
+             AS click_rate,
+           ROUND((SELECT COUNT(*) FROM p)
+                 / CAST(GREATEST((SELECT COUNT(*) FROM c), 1) AS DOUBLE), 6)
+             AS purchase_rate
+    FROM n
+    """,
+)
+def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ORDERED in-session funnel — view, then a click after
+    that view, then a purchase after that click, all inside one
+    30-minute-gap session: the product-analytics funnel that
+    view_click_purchase_funnel's whole-history variant cannot express
+    (it counts users who ever did all three, in any order, any day).
+    Stage timestamps chain through per-session min-aggregates (t_view →
+    first later click → first later purchase), each one session-keyed —
+    the whole funnel shuffles on (user, session) only."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_num", F.sum("new_session").over(run))
+    keys = ["user_id", "session_num"]
+    v = (
+        s.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        s.join(v, keys)
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_v")))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        s.join(c, keys)
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_c"))
+        )
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t_p"))
+    )
+    n = s.select(*keys).distinct().agg(F.count(F.lit(1)).alias("n_sessions"))
+    nv = v.agg(F.count(F.lit(1)).alias("reached_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("reached_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("reached_purchase"))
+    return (
+        n.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_sessions",
+            "reached_view",
+            "reached_click",
+            "reached_purchase",
+            F.round(
+                F.col("reached_click") / F.col("reached_view").cast("double"), 6
+            ).alias("click_rate"),
+            F.round(
+                F.col("reached_purchase")
+                / F.greatest(F.col("reached_click"), F.lit(1)).cast("double"),
+                6,
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@register(
+    "revenue_mix_decomposition",
+    """
+    WITH pb AS (
+      SELECT p_brand AS brand, year(o_orderdate) AS yr,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2),
+    wide AS (
+      SELECT brand,
+             MAX(CASE WHEN yr = 1996 THEN q END) AS q0,
+             MAX(CASE WHEN yr = 1997 THEN q END) AS q1,
+             MAX(CASE WHEN yr = 1996 THEN rev END) AS r0,
+             MAX(CASE WHEN yr = 1997 THEN rev END) AS r1
+      FROM pb GROUP BY brand
+      HAVING q0 IS NOT NULL AND q1 IS NOT NULL)
+    SELECT brand,
+           ROUND(r1 - r0, 2) AS delta_rev,
+           ROUND((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+           ROUND((r1 / q1 - r0 / q0) * q0, 2) AS price_effect,
+           ROUND((q1 - q0) * (r1 / q1 - r0 / q0), 2) AS interaction
+    FROM wide
+    """,
+)
+def revenue_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume decomposition of year-over-year revenue change per
+    brand — Δrev = volume effect (Δq at old unit price) + price effect
+    (Δprice at old volume) + interaction: the FP&A variance-bridge
+    every revenue review runs. Decimal-exact sums collapse the fact to
+    (brand, year) grain first; the decomposition is arithmetic over
+    that ~50-row table. The identity delta = volume + price +
+    interaction holds exactly (before rounding), which
+    test_analytics pins."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pb = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("q"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("rev"),
+        )
+    )
+    wide = (
+        pb.groupBy("brand")
+        .agg(
+            F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q0"),
+            F.max(F.when(F.col("yr") == 1997, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("yr") == 1996, F.col("rev"))).alias("r0"),
+            F.max(F.when(F.col("yr") == 1997, F.col("rev"))).alias("r1"),
+        )
+        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    p0 = F.col("r0") / F.col("q0")
+    p1 = F.col("r1") / F.col("q1")
+    return wide.select(
+        "brand",
+        F.round(F.col("r1") - F.col("r0"), 2).alias("delta_rev"),
+        F.round((F.col("q1") - F.col("q0")) * p0, 2).alias("volume_effect"),
+        F.round((p1 - p0) * F.col("q0"), 2).alias("price_effect"),
+        F.round((F.col("q1") - F.col("q0")) * (p1 - p0), 2).alias("interaction"),
+    )
+
+
+@register(
+    "degree_assortativity",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS u, o_custkey + 1000000 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM sym GROUP BY u)
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           ROUND(corr(du.d, dv.d), 6) AS assortativity
+    FROM sym
+    JOIN deg du ON du.node = sym.u
+    JOIN deg dv ON dv.node = sym.v
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier↔customer graph — Pearson
+    correlation of endpoint degrees over all (directed-both-ways)
+    edges, Newman's mixing coefficient: negative = hubs attach to
+    leaves (typical bipartite commerce), positive = rich-club. With
+    the degree histogram it decides the partitioning story — strongly
+    disassortative graphs concentrate joins on hub keys, which is the
+    cue to salt. One degree aggregate + two node-keyed joins + one
+    corr fold; nothing pairwise beyond the edge list itself."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("u"),
+            (F.col("o_custkey") + F.lit(1000000)).alias("v"),
+        )
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+        )
+    )

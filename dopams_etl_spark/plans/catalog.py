@@ -112,6 +112,9 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_hhi_by_nation",
     "clv_monthly_curve",
     "incremental_join_mv",
+    "session_funnel_ordered",
+    "revenue_mix_decomposition",
+    "degree_assortativity",
     # ^ the round-6 registrations outnumber the driver's 50-query
     #   sample; everything past slot 50 (the ~11 newest analytics
     #   queries) takes its first driver row in the NEXT round's sample.

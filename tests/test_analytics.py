@@ -141,3 +141,28 @@ def test_incremental_join_mv_matches_full_recompute(spark, q):
         r["o_orderpriority"]: (r["n_items"], r["revenue"]) for r in full.collect()
     }
     assert got == want
+
+
+def test_mix_decomposition_identity(spark, q):
+    """delta_rev == volume + price + interaction (exactly, pre-rounding:
+    here within the 2dp rounding slack of the four terms)."""
+    for r in q["revenue_mix_decomposition"](spark, SF).collect():
+        recomposed = r["volume_effect"] + r["price_effect"] + r["interaction"]
+        assert abs(r["delta_rev"] - recomposed) < 0.03, r
+
+
+def test_session_funnel_monotone(spark, q):
+    row = q["session_funnel_ordered"](spark, SF).collect()[0]
+    assert (
+        row["n_sessions"]
+        >= row["reached_view"]
+        >= row["reached_click"]
+        >= row["reached_purchase"]
+    )
+    assert 0.0 <= row["click_rate"] <= 1.0
+    assert 0.0 <= row["purchase_rate"] <= 1.0
+
+
+def test_assortativity_bounds(spark, q):
+    row = q["degree_assortativity"](spark, SF).collect()[0]
+    assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
