@@ -116,10 +116,10 @@ _PRIORITY: tuple[str, ...] = (
     "revenue_mix_decomposition",
     "degree_assortativity",
     # ^ the round-6 registrations outnumber the driver's 50-query
-    #   sample; everything past slot 50 (the ~11 newest analytics
-    #   queries) takes its first driver row in the NEXT round's sample.
-    #   Interim evidence for each: tools/check.py green at sf0.001 AND
-    #   sf0.01 (both recorded in the adding commit's message).
+    #   sample; everything past slot 50 (the newest analytics queries)
+    #   takes its first driver row in the NEXT round's sample. Interim
+    #   evidence for each: tools/check.py green at sf0.001 AND sf0.01
+    #   (both recorded in the adding commit's message).
     # 4) queries whose shared machinery changed this round (lazy
     #    dedup boundary, vectorized MG pass, persist_bounded collision
     #    fix, kmeans seeds param) — all hold green r5 driver rows and

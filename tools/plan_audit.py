@@ -137,6 +137,9 @@ AUDITED = (
     "supplier_hhi_by_nation",
     "clv_monthly_curve",
     "incremental_join_mv",
+    "session_funnel_ordered",
+    "revenue_mix_decomposition",
+    "degree_assortativity",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
