@@ -2445,3 +2445,46 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("du", "dv"), 6).alias("assortativity"),
         )
     )
+
+
+@register(
+    "python_datasource_scan",
+    """
+    WITH g AS (
+      SELECT i AS id, CAST(i // 250 AS INT) AS part,
+             (i * 2654435761) % 4294967296 AS value
+      FROM generate_series(0, 999) s(i))
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value) AS BIGINT) AS sum_value,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM g GROUP BY part
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (Spark 4 DataSource API) — the
+    native extension point for systems without a built-in connector
+    (the reference's REST/Mongo ingest class): the source declares
+    schema + partitions and each partition reads independently on an
+    executor, so a wrapped API lands as a first-class parallel scan
+    node instead of driver-side collect glue. The in-repo source
+    generates a deterministic Knuth-hash value stream
+    (`sources/pydatasource.py`), which the oracle reproduces exactly
+    from generate_series with the same BIGINT arithmetic — scan
+    machinery value-checked end-to-end, per-partition provenance
+    verified by the (part, min_id, max_id) ranges."""
+    from dopams_etl_spark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 4)
+        .option("rows_per_partition", 250)
+        .load()
+    )
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

@@ -146,3 +146,30 @@ def test_transliterate_basic(spark):
     df = spark.createDataFrame([("राम कुमार",), ("రవి",), ("plain",)], ["n"])
     got = [r["t"] for r in df.select(transliterate_basic("n").alias("t")).collect()]
     assert got[0] == "ram kumar" and got[1] == "rvi" and got[2] == "plain"
+
+
+def test_python_datasource_partitioned_scan(spark):
+    """Spark-4 Python DataSource: declared schema, per-partition reads,
+    deterministic content."""
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.sources.pydatasource import (
+        KNUTH,
+        MOD,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 3)
+        .option("rows_per_partition", 10)
+        .load()
+    )
+    assert df.columns == ["id", "part", "value"]
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 30
+    assert rows == [(i, i // 10, (i * KNUTH) % MOD) for i in range(30)]
+    # the scan really parallelizes: each declared partition reads itself
+    nparts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert nparts == 3
