@@ -47,6 +47,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # The driver testdata's events.parquet carries TIMESTAMP(NANOS),
         # which Spark 4.x refuses by default; read it as long nanos and let

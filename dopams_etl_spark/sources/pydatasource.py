@@ -19,9 +19,18 @@ identical.
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
+from collections.abc import Iterable, Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 # Knuth's multiplicative hash constant (2654435761 = 2^32 / phi); the
 # value stream is (id * KNUTH) mod 2^32 — exact in BIGINT on any engine.
@@ -55,12 +64,44 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
         self.n_parts = int(options.get("partitions", 4))
         self.rows = int(options.get("rows_per_partition", 250))
+        # id-range bounds tightened by pushed filters (partition pruning)
+        self.lo = 0
+        self.hi = self.n_parts * self.rows - 1
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        """Accept range predicates on ``id``; everything else is handed
+        back to Spark to evaluate post-scan. This is the pushdown
+        contract a real API connector turns into server-side query
+        params (date ranges, cursors) — partitions entirely outside the
+        range are never planned, so a filtered scan touches only the
+        chunks it needs."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("id",):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value) - 1)
+                    continue
+            yield f
 
     def partitions(self) -> Sequence[_RangePartition]:
-        return [
-            _RangePartition(p, p * self.rows, (p + 1) * self.rows)
-            for p in range(self.n_parts)
-        ]
+        parts = []
+        for p in range(self.n_parts):
+            start = max(p * self.rows, self.lo)
+            end = min((p + 1) * self.rows, self.hi + 1)
+            if start < end:
+                parts.append(_RangePartition(p, start, end))
+        # Spark requires at least one partition; an empty range yields
+        # one empty partition rather than a planning error.
+        return parts or [_RangePartition(0, 0, 0)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
@@ -68,5 +109,10 @@ class SyntheticEventsReader(DataSourceReader):
 
 
 def register_synthetic_source(spark) -> None:
-    """Idempotent registration (re-registering the same name is fine)."""
+    """Idempotent registration (re-registering the same name is fine).
+
+    Also enables Python-source filter pushdown (runtime-settable; the
+    engine session sets it at build time too) — without it Spark
+    refuses a reader that implements ``pushFilters``."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)

@@ -173,3 +173,34 @@ def test_python_datasource_partitioned_scan(spark):
     # the scan really parallelizes: each declared partition reads itself
     nparts = df.select(F.spark_partition_id().alias("p")).distinct().count()
     assert nparts == 3
+
+
+def test_python_datasource_filter_pushdown(spark):
+    """Range predicates on id push into the source: partitions wholly
+    outside the range are never planned or read."""
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 4)
+        .option("rows_per_partition", 100)
+        .load()
+        .filter((F.col("id") >= 150) & (F.col("id") < 320))
+    )
+    rows = sorted(r["id"] for r in df.collect())
+    assert rows == list(range(150, 320))
+    # only partitions 1..3 overlap [150, 320) -> 3 planned partitions
+    nparts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert nparts == 3
+    # fully-out-of-range scan still plans (one empty partition)
+    empty = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 2)
+        .option("rows_per_partition", 10)
+        .load()
+        .filter(F.col("id") > 1000)
+    )
+    assert empty.count() == 0
