@@ -24,12 +24,15 @@ from collections.abc import Iterable, Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # Knuth's multiplicative hash constant (2654435761 = 2^32 / phi); the
@@ -116,3 +119,121 @@ def register_synthetic_source(spark) -> None:
     refuses a reader that implements ``pushFilters``."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write side: a JSONL sink through the Python DataSourceWriter API — the
+# reference's media/download sinks (etl-files media server) write via
+# driver-side loops; this is the Spark-native shape: each partition writes
+# its own shard on an executor and returns a commit message, the driver
+# finalizes a manifest only if every shard committed (all-or-nothing).
+# ---------------------------------------------------------------------------
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` —
+    newline-delimited JSON, one shard per partition, manifest on commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlShardWriter":
+        return JsonlShardWriter(self.options["path"])
+
+
+class JsonlShardWriter(DataSourceWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _ShardCommit:
+        import json
+        import os
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        shard = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(shard, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str, sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return _ShardCommit(shard, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "shards": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming side: a micro-batch tick source through the
+# SimpleDataSourceStreamReader API — offsets are plain dicts, read(start)
+# returns (rows, next_offset), and readBetweenOffsets replays a committed
+# range for recovery. The deterministic generator means replay is exact —
+# the property a real CDC/API cursor source must also guarantee.
+# ---------------------------------------------------------------------------
+
+
+class SyntheticTicksDataSource(DataSource):
+    """``spark.readStream.format("synthetic_ticks")`` — options:
+    ``total_rows`` (default 100), ``batch_rows`` (default 25)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks"
+
+    def schema(self) -> str:
+        return "id BIGINT, value BIGINT"
+
+    def simpleStreamReader(self, schema) -> "SyntheticTicksStreamReader":
+        return SyntheticTicksStreamReader(self.options)
+
+
+class SyntheticTicksStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.total = int(options.get("total_rows", 100))
+        self.batch = int(options.get("batch_rows", 25))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        return [(i, (i * KNUTH) % MOD) for i in range(start, end)]
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.total)
+        return iter(self._rows(lo, hi)), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+def register_ticks_stream(spark) -> None:
+    spark.dataSource.register(SyntheticTicksDataSource)
