@@ -2488,3 +2488,58 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@register(
+    "streaming_python_source_counts",
+    """
+    WITH g AS (
+      SELECT i AS id, (i * 2654435761) % 4294967296 AS value
+      FROM generate_series(0, 499) s(i))
+    SELECT CAST(id // 100 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value) AS BIGINT) AS sum_value
+    FROM g GROUP BY 1
+    """,
+)
+def streaming_python_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over the CUSTOM Python stream source — the
+    tick source's dict offsets checkpoint between availableNow runs and
+    the drain loop restarts until the cursor is exhausted (the
+    incremental-batch cadence of a real API/CDC cursor source); the
+    landed rows then aggregate batch-side. Exactly-once across the
+    restarts is the property under test: the oracle states the full
+    deterministic sequence, so any duplicate or dropped batch at a
+    restart boundary is a value mismatch, not just a count drift."""
+    import tempfile
+
+    from dopams_etl_spark.sources.pydatasource import register_ticks_stream
+
+    register_ticks_stream(spark)
+    base = tempfile.mkdtemp(prefix="dopams_pyticks_")
+    out = f"{base}/out"
+    ck = f"{base}/ck"
+    for _ in range(8):
+        stream = (
+            spark.readStream.format("synthetic_ticks")
+            .option("total_rows", 500)
+            .option("batch_rows", 100)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if spark.read.parquet(out).count() >= 500:
+            break
+    landed = spark.read.parquet(out)
+    return landed.groupBy(
+        (F.col("id") / 100).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+    )

@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "revenue_mix_decomposition",
     "degree_assortativity",
     "python_datasource_scan",
+    "streaming_python_source_counts",
     # ^ the round-6 registrations outnumber the driver's 50-query
     #   sample; everything past slot 50 (the newest analytics queries)
     #   takes its first driver row in the NEXT round's sample. Interim
