@@ -2543,3 +2543,199 @@ def streaming_python_source_counts(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n"),
         F.sum("value").cast("bigint").alias("sum_value"),
     )
+
+
+@register(
+    "user_lifecycle_states",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    seq AS (
+      SELECT user_id, wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM uw),
+    states AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN datediff('day', prev_wk, wk) = 7 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM seq),
+    weekly AS (
+      SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(COUNT(*) FILTER (WHERE state = 'new') AS BIGINT) AS n_new,
+             CAST(COUNT(*) FILTER (WHERE state = 'retained') AS BIGINT)
+               AS n_retained,
+             CAST(COUNT(*) FILTER (WHERE state = 'resurrected') AS BIGINT)
+               AS n_resurrected
+      FROM states GROUP BY wk)
+    SELECT CAST(wk AS DATE) AS week,
+           n_active, n_new, n_retained, n_resurrected,
+           COALESCE(lag(n_active) OVER (ORDER BY wk), 0)
+             - n_retained AS n_churned_from_prev
+    FROM weekly
+    """,
+)
+def user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — every active user classified new
+    (first week ever), retained (active the week before), or
+    resurrected (returning after a gap), plus churn from the prior
+    week (prev actives − retained): the new/retained/resurrected/
+    churned ledger every growth team reports, and the balance-sheet
+    identity behind DAU/WAU movements. One (user, week) distinct, one
+    user-keyed window pass for first/prev, one week-grain aggregate —
+    churn needs no extra scan because prev-week actives arrive by a
+    lag over the six-row weekly table. Churn is reported for observed
+    weeks only (a fully-dark week would shift the ledger; the events
+    span is continuous)."""
+    ev = t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    w_user = Window.partitionBy("user_id")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(w_user).alias("first_wk"),
+        F.lag("wk").over(w_user.orderBy("wk")).alias("prev_wk"),
+    )
+    state = (
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(
+            F.datediff(F.to_date("wk"), F.to_date("prev_wk")) == 7, "retained"
+        )
+        .otherwise("resurrected")
+    )
+    weekly = (
+        seq.select("wk", state.alias("state"))
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count_if(F.col("state") == "new").alias("n_new"),
+            F.count_if(F.col("state") == "retained").alias("n_retained"),
+            F.count_if(F.col("state") == "resurrected").alias("n_resurrected"),
+        )
+    )
+    return weekly.select(
+        F.col("wk").cast("date").alias("week"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.lag("n_active").over(Window.orderBy("wk")), F.lit(0))
+            - F.col("n_retained")
+        ).alias("n_churned_from_prev"),
+    )
+
+
+@register(
+    "brand_triple_itemsets",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS orderkey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT orderkey) AS BIGINT) AS n_orders FROM ob),
+    triples AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, c.brand AS brand_c,
+             CAST(COUNT(*) AS BIGINT) AS support_count
+      FROM ob a
+      JOIN ob b ON a.orderkey = b.orderkey AND a.brand < b.brand
+      JOIN ob c ON b.orderkey = c.orderkey AND b.brand < c.brand
+      GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY support_count DESC,
+                                   brand_a, brand_b, brand_c) AS rn
+      FROM triples WHERE support_count >= 2)
+    SELECT brand_a, brand_b, brand_c, support_count,
+           ROUND(support_count / CAST(n.n_orders AS DOUBLE), 6) AS support
+    FROM ranked CROSS JOIN n WHERE rn <= 20
+    """,
+)
+def brand_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over brands per order — the next rung of the
+    A-Priori ladder above brand_basket_lift's pairs (a pair with lift
+    can still be two independent staples; a frequent TRIPLE is a
+    genuine bundle). The triple join stays orderkey-keyed, so fan-out
+    is C(brands-per-order, 3) per order — a small constant — and the
+    candidate space is bounded by the dimension's own cardinality;
+    min-support 2 prunes before ranking, top-20 with full-name
+    tie-break."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("orderkey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("orderkey").alias("n_orders"))
+    a, b, c = ob.alias("a"), ob.alias("b"), ob.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.orderkey") == F.col("b.orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .join(
+            c,
+            (F.col("b.orderkey") == F.col("c.orderkey"))
+            & (F.col("b.brand") < F.col("c.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+            F.col("c.brand").alias("brand_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support_count"))
+        .filter(F.col("support_count") >= 2)
+    )
+    w = Window.orderBy(
+        F.col("support_count").desc(), "brand_a", "brand_b", "brand_c"
+    )
+    return (
+        triples.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            "support_count",
+            F.round(
+                F.col("support_count") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
+        )
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per ingest source — the curation scorecard
+    that says WHICH feed is polluting the corpus (corpus_profile gives
+    the global rate; provenance-resolved rates drive the actual fix).
+    Fingerprints via md5 so the distinct count shuffles 16-byte keys,
+    not document bodies — the same economy the dedup family uses. At
+    gigarow scale the exact COUNT DISTINCT swaps to
+    approx_count_distinct per the corpus_profile convention."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.md5("text")) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -117,6 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     "degree_assortativity",
     "python_datasource_scan",
     "streaming_python_source_counts",
+    "user_lifecycle_states",
+    "brand_triple_itemsets",
+    "dedup_rate_by_source",
     # ^ the round-6 registrations outnumber the driver's 50-query
     #   sample; everything past slot 50 (the newest analytics queries)
     #   takes its first driver row in the NEXT round's sample. Interim
