@@ -2739,3 +2739,267 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "knn_label_accuracy",
+    """
+    WITH p AS (SELECT vec_id AS p_id, label AS p_label,
+                      embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id < 200),
+    c AS (SELECT vec_id AS c_id, label AS c_label, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    s AS (SELECT p_id, p_label, c_id, c_label,
+                 ROUND(list_dot_product(pv, cv)
+                       / (sqrt(list_dot_product(pv, pv))
+                          * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+          FROM p JOIN c ON p_id <> c_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY p_id
+                                       ORDER BY cos_sim DESC, c_id ASC) AS rn
+          FROM s),
+    votes AS (
+      SELECT p_id, p_label, c_label, CAST(COUNT(*) AS BIGINT) AS v
+      FROM r WHERE rn <= 3 GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT p_id, p_label, c_label AS predicted
+      FROM (SELECT *, row_number() OVER (PARTITION BY p_id
+                                         ORDER BY v DESC, c_label ASC) AS pr
+            FROM votes) WHERE pr = 1)
+    SELECT p_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE predicted = p_label) AS BIGINT)
+             AS n_correct,
+           ROUND(COUNT(*) FILTER (WHERE predicted = p_label)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM pred GROUP BY p_label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 3-NN label accuracy over the embedding space — the
+    standard embedding-quality probe (high kNN accuracy = classes
+    separate in the space; a collapsed or noisy embedding scores near
+    chance): majority vote of the 3 nearest neighbors (min-label ties)
+    scored against the point's own label, per class. Rides the same
+    size-gated exact top-k as cosine_topk (LSH is the documented scale
+    path); the vote and scoring folds touch 3 rows per probe."""
+    from dopams_etl_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 200)
+    nn = cosine_topk(probe, emb, "vec_id", "vec_id", "embedding", k=3)
+    labels = emb.select("vec_id", "label")
+    p_lab = labels.select(
+        F.col("vec_id").alias("p_id"), F.col("label").alias("p_label")
+    )
+    c_lab = labels.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("c_label")
+    )
+    votes = (
+        nn.join(F.broadcast(p_lab), "p_id")
+        .join(F.broadcast(c_lab), "c_id")
+        .groupBy("p_id", "p_label", "c_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("v").desc(), F.col("c_label").asc()
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select("p_id", "p_label", F.col("c_label").alias("predicted"))
+    )
+    return pred.groupBy(F.col("p_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("predicted") == F.col("p_label")).alias("n_correct"),
+        F.round(
+            F.count_if(F.col("predicted") == F.col("p_label"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "cluster_cohesion_separation",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+    cent AS (
+      SELECT label, dim, AVG(x) AS m FROM ex GROUP BY label, dim),
+    vec_cos AS (
+      SELECT ex.vec_id, ex.label,
+             SUM(ex.x * cent.m)
+               / (sqrt(SUM(ex.x * ex.x)) * sqrt(SUM(cent.m * cent.m))) AS cos_own
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+      GROUP BY ex.vec_id, ex.label),
+    pair_cos AS (
+      SELECT a.label AS label, b.label AS other,
+             SUM(a.m * b.m)
+               / (sqrt(SUM(a.m * a.m)) * sqrt(SUM(b.m * b.m))) AS cos_cc
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY a.label, b.label),
+    sep AS (
+      SELECT label, MAX(cos_cc) AS nearest_other_cos
+      FROM pair_cos GROUP BY label)
+    SELECT vec_cos.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(cos_own), 6) AS cohesion,
+           ROUND(ANY_VALUE(nearest_other_cos), 6) AS nearest_other_cos,
+           ROUND(AVG(cos_own) - ANY_VALUE(nearest_other_cos), 6) AS margin
+    FROM vec_cos JOIN sep USING (label)
+    GROUP BY vec_cos.label
+    """,
+)
+def cluster_cohesion_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality scorecard per label — cohesion (mean cosine of
+    members to their own centroid) vs separation (cosine to the
+    nearest OTHER centroid) and the margin between them: the
+    silhouette-style diagnostic that says whether label groups form
+    real clusters in embedding space (margin ≤ 0 = the class bleeds
+    into a neighbor — expected on synthetic labels, pinned by the
+    oracle either way). Everything is (label, dim)-keyed: centroids
+    from one hash aggregate, member cosines from a dim-keyed join +
+    per-vector fold, centroid-pair cosines over a |labels|²·dims grid
+    that is trivially small at any corpus scale (centroids are model
+    state, not data)."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    cent = ex.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    vec_cos = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.col("x") * F.col("m"))
+                / (
+                    F.sqrt(F.sum(F.col("x") * F.col("x")))
+                    * F.sqrt(F.sum(F.col("m") * F.col("m")))
+                )
+            ).alias("cos_own")
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("other"), F.col("dim").alias("dim_b"), F.col("m").alias("mb")
+    )
+    pair_cos = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim") == F.col("dim_b")) & (F.col("label") != F.col("other")),
+        )
+        .groupBy("label", "other")
+        .agg(
+            (
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                )
+            ).alias("cos_cc")
+        )
+    )
+    sep = pair_cos.groupBy("label").agg(
+        F.max("cos_cc").alias("nearest_other_cos")
+    )
+    return (
+        vec_cos.join(F.broadcast(sep), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos_own"), 6).alias("cohesion"),
+            F.round(F.any_value(F.col("nearest_other_cos")), 6).alias(
+                "nearest_other_cos"
+            ),
+            F.round(
+                F.avg("cos_own") - F.any_value(F.col("nearest_other_cos")), 6
+            ).alias("margin"),
+        )
+    )
+
+
+@register(
+    "dow_hour_heatmap",
+    """
+    SELECT dayofweek(CAST(ts AS DATE)) AS dow,
+           hour(ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity grid — the traffic heatmap behind
+    capacity planning and maintenance-window choice. One hash
+    aggregate to a ≤168-cell grid; DOW in DuckDB's 0=Sunday
+    numbering (the dow_seasonality_index convention)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek(F.to_date("ts")) - F.lit(1)).alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@register(
+    "order_value_iqr_outliers",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority)
+    SELECT orders.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(q1), 4) AS q1,
+           ROUND(ANY_VALUE(q3), 4) AS q3,
+           CAST(COUNT(*) FILTER (
+             WHERE o_totalprice < q1 - 1.5 * (q3 - q1)
+                OR o_totalprice > q3 + 1.5 * (q3 - q1)) AS BIGINT)
+             AS n_outliers,
+           ROUND(COUNT(*) FILTER (
+             WHERE o_totalprice < q1 - 1.5 * (q3 - q1)
+                OR o_totalprice > q3 + 1.5 * (q3 - q1))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+    FROM orders JOIN q USING (o_orderpriority)
+    GROUP BY orders.o_orderpriority
+    """,
+)
+def order_value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per priority class — values beyond
+    Q1−1.5·IQR / Q3+1.5·IQR, the boxplot rule that needs no
+    distribution assumption (the quantile sibling of anomaly_days_mad's
+    MAD score). Exact interpolated quartiles fold per class, fences
+    re-join broadcast-small, one counting pass — two scans total and
+    both collapse map-side."""
+    o = t(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value(F.col("q1")), 4).alias("q1"),
+            F.round(F.any_value(F.col("q3")), 4).alias("q3"),
+            F.count_if(is_out).alias("n_outliers"),
+            F.round(
+                F.count_if(is_out) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+    )

@@ -120,6 +120,10 @@ _PRIORITY: tuple[str, ...] = (
     "user_lifecycle_states",
     "brand_triple_itemsets",
     "dedup_rate_by_source",
+    "knn_label_accuracy",
+    "cluster_cohesion_separation",
+    "dow_hour_heatmap",
+    "order_value_iqr_outliers",
     # ^ the round-6 registrations outnumber the driver's 50-query
     #   sample; everything past slot 50 (the newest analytics queries)
     #   takes its first driver row in the NEXT round's sample. Interim
