@@ -28,6 +28,9 @@ BNLJ_ALLOWED = {
     # rrf_fused_search's vector arm IS cosine_topk (the size-gated exact
     # baseline above); the BM25 arm and fusion join are equi-joins.
     "rrf_fused_search",
+    # knn_label_accuracy's neighbor search IS cosine_topk too; the vote
+    # and scoring joins are equi-joins on p_id/c_id.
+    "knn_label_accuracy",
 }
 
 

@@ -140,6 +140,14 @@ AUDITED = (
     "session_funnel_ordered",
     "revenue_mix_decomposition",
     "degree_assortativity",
+    "python_datasource_scan",
+    "user_lifecycle_states",
+    "brand_triple_itemsets",
+    "dedup_rate_by_source",
+    "knn_label_accuracy",
+    "cluster_cohesion_separation",
+    "dow_hour_heatmap",
+    "order_value_iqr_outliers",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
