@@ -3003,3 +3003,140 @@ def order_value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_rate"),
         )
     )
+
+
+@register(
+    "attribution_first_vs_last",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, ts, epoch(ts) AS sec, event_id
+      FROM events),
+    attributed AS (
+      SELECT user_id, event_id, sec,
+             MIN(CASE WHEN event_type = 'view' THEN sec END)
+               OVER w AS first_view_sec,
+             MAX(CASE WHEN event_type = 'view' THEN sec END)
+               OVER w AS last_view_sec,
+             event_type
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(first_view_sec) AS BIGINT) AS with_prior_view,
+           ROUND(AVG(sec - last_view_sec), 4) AS avg_gap_last_touch_s,
+           ROUND(AVG(sec - first_view_sec), 4) AS avg_gap_first_touch_s,
+           ROUND(AVG((sec - first_view_sec) - (sec - last_view_sec)), 4)
+             AS avg_window_span_s
+    FROM attributed WHERE event_type = 'purchase'
+    """,
+)
+def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution windows — for every
+    purchase, the earliest and latest view in the preceding 7 days
+    (the two endpoints every multi-touch attribution model
+    interpolates between), summarized as coverage and average
+    time-to-convert under each rule. The RANGE time-frame window
+    computes both endpoints in ONE user-keyed pass — no self-join, no
+    per-purchase probe — which is the at-scale restatement of the
+    as-of-join family (asof_purchase_last_view does last-touch via
+    union+carry-forward; this adds the first-touch endpoint and the
+    windowed-history bound)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("double").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-604800, -1)
+    )
+    view_sec = F.when(F.col("event_type") == "view", F.col("sec"))
+    attributed = ev.select(
+        "event_type",
+        "sec",
+        F.min(view_sec).over(w).alias("first_view_sec"),
+        F.max(view_sec).over(w).alias("last_view_sec"),
+    ).filter(F.col("event_type") == "purchase")
+    return attributed.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("first_view_sec").alias("with_prior_view"),
+        F.round(F.avg(F.col("sec") - F.col("last_view_sec")), 4).alias(
+            "avg_gap_last_touch_s"
+        ),
+        F.round(F.avg(F.col("sec") - F.col("first_view_sec")), 4).alias(
+            "avg_gap_first_touch_s"
+        ),
+        F.round(
+            F.avg(
+                (F.col("sec") - F.col("first_view_sec"))
+                - (F.col("sec") - F.col("last_view_sec"))
+            ),
+            4,
+        ).alias("avg_window_span_s"),
+    )
+
+
+@register(
+    "join_key_skew_report",
+    """
+    WITH keys AS (
+      SELECT 'orders.o_custkey' AS key_col, CAST(o_custkey AS VARCHAR) AS k
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events),
+    freq AS (
+      SELECT key_col, k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM keys GROUP BY key_col, k)
+    SELECT key_col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_key_share,
+           ROUND(MAX(c) / (SUM(c) / CAST(COUNT(*) AS DOUBLE)), 4)
+             AS max_over_mean
+    FROM freq GROUP BY key_col
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — per join-key column: cardinality, the
+    hottest key's row count and share, and max-over-mean frequency
+    (the number AQE's skew-join threshold reasons about): the
+    diagnostic that DECIDES between a plain shuffle, salting
+    (salted_join_user_enrich), or AQE skew splitting before a 100 TB
+    join is launched. One union of per-key counts — each branch is a
+    map-side-combined aggregate on its own key, so profiling costs one
+    pass per table."""
+    o = t(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey").alias("key_col"),
+        F.col("o_custkey").cast("string").alias("k"),
+    )
+    l1 = t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_orderkey").alias("key_col"),
+        F.col("l_orderkey").cast("string").alias("k"),
+    )
+    l2 = t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_partkey").alias("key_col"),
+        F.col("l_partkey").cast("string").alias("k"),
+    )
+    e = t(spark, sf_dir, "events").select(
+        F.lit("events.user_id").alias("key_col"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    keys = o.unionByName(l1).unionByName(l2).unionByName(e)
+    freq = keys.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("key_col").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+            "top_key_share"
+        ),
+        F.round(
+            F.max("c") / (F.sum("c") / F.count(F.lit(1)).cast("double")), 4
+        ).alias("max_over_mean"),
+    )
