@@ -148,6 +148,8 @@ AUDITED = (
     "cluster_cohesion_separation",
     "dow_hour_heatmap",
     "order_value_iqr_outliers",
+    "attribution_first_vs_last",
+    "join_key_skew_report",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
