@@ -264,3 +264,34 @@ def test_python_datasource_stream_reader(spark, tmp_path):
             break
     rows = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert rows == [(i, (i * KNUTH) % MOD) for i in range(60)]
+
+
+def test_python_datasource_pushdown_property(spark):
+    """Property: for any id range, the pushed-down scan returns exactly
+    the Python-range slice of the full deterministic sequence."""
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.sources.pydatasource import (
+        KNUTH,
+        MOD,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+
+    def scan(lo, hi):
+        df = (
+            spark.read.format("synthetic_events")
+            .option("partitions", 5)
+            .option("rows_per_partition", 20)
+            .load()
+            .filter((F.col("id") >= lo) & (F.col("id") <= hi))
+        )
+        return sorted((r["id"], r["value"]) for r in df.collect())
+
+    # deterministic probe grid instead of hypothesis: bounds on, inside,
+    # and outside partition edges, inverted, and degenerate
+    for lo, hi in [(0, 99), (20, 39), (19, 20), (55, 55), (90, 200), (-5, 3),
+                   (60, 59), (100, 300)]:
+        want = [(i, (i * KNUTH) % MOD) for i in range(max(lo, 0), min(hi, 99) + 1)]
+        assert scan(lo, hi) == want, (lo, hi)
