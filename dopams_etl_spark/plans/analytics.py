@@ -3140,3 +3140,118 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c") / (F.sum("c") / F.count(F.lit(1)).cast("double")), 4
         ).alias("max_over_mean"),
     )
+
+
+@register(
+    "customer_setops_yoy",
+    """
+    WITH c96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1996),
+    c97 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE year(o_orderdate) = 1997),
+    both_years AS (SELECT o_custkey FROM c96 INTERSECT
+                   SELECT o_custkey FROM c97),
+    lost AS (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97),
+    gained AS (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c96)
+    SELECT 'both' AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+    FROM both_years
+    UNION ALL
+    SELECT 'lost', CAST(COUNT(*) AS BIGINT), CAST(MIN(o_custkey) AS BIGINT)
+    FROM lost
+    UNION ALL
+    SELECT 'gained', CAST(COUNT(*) AS BIGINT), CAST(MIN(o_custkey) AS BIGINT)
+    FROM gained
+    """,
+)
+def customer_setops_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer movement through the full set-operator
+    family — INTERSECT (active both years), EXCEPT both directions
+    (lost / newly gained) — the U-family siblings beside
+    orders_union_branches' UNION ALL, expressed as the native set
+    operators so Catalyst plans them as semi/anti hash joins on the
+    distinct key sets (dimension-grain, never fact-sized)."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    c97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    both_years = c96.intersect(c97)
+    lost = c96.exceptAll(c97)
+    gained = c97.exceptAll(c96)
+
+    def seg(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("segment"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("min_custkey"),
+        )
+
+    return (
+        seg(both_years, "both")
+        .unionByName(seg(lost, "lost"))
+        .unionByName(seg(gained, "gained"))
+    )
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    WITH profile AS (
+      SELECT user_id,
+             CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*) >= 0.2
+                  THEN 'buyer' ELSE 'browser' END AS segment
+      FROM events GROUP BY user_id)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN profile USING (user_id)
+    GROUP BY segment
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the live event stream enriched against a
+    STATIC dimension (a user-segment profile computed batch-side),
+    then aggregated per segment: the standard streaming-enrichment
+    topology (stream joins dim without watermark bookkeeping; the
+    static side broadcasts and is re-resolvable per micro-batch).
+    Replayed through a finite availableNow file stream so the result
+    is deterministic and the oracle is the batch equivalence — same
+    contract as streaming_hourly_counts."""
+    import tempfile
+
+    from dopams_etl_spark.streaming import read_stream_parquet
+
+    ev = t(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum((F.col("event_type") == "purchase").cast("int")).cast("double")
+            / F.count(F.lit(1))
+            >= 0.2,
+            "buyer",
+        )
+        .otherwise("browser")
+        .alias("segment")
+    )
+    src = tempfile.mkdtemp(prefix="dopams_sse_") + "/events"
+    ev.write.parquet(src)
+    stream = read_stream_parquet(spark, src, ev.schema)
+    enriched = stream.join(F.broadcast(profile), "user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = f"sse_sink_{next(_SSE_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+import itertools as _itertools  # noqa: E402
+
+_SSE_SEQ = _itertools.count()

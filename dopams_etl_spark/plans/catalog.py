@@ -126,6 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "order_value_iqr_outliers",
     "attribution_first_vs_last",
     "join_key_skew_report",
+    "customer_setops_yoy",
+    "streaming_static_enrich",
     # ^ the round-6 registrations outnumber the driver's 50-query
     #   sample; everything past slot 50 (the newest analytics queries)
     #   takes its first driver row in the NEXT round's sample. Interim
