@@ -150,6 +150,7 @@ AUDITED = (
     "order_value_iqr_outliers",
     "attribution_first_vs_last",
     "join_key_skew_report",
+    "customer_setops_yoy",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
