@@ -3255,3 +3255,170 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 import itertools as _itertools  # noqa: E402
 
 _SSE_SEQ = _itertools.count()
+
+
+@register(
+    "population_stability_index",
+    """
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    tagged AS (
+      SELECT value,
+             CAST(ts AS DATE) < d0 + 15 AS in_a
+      FROM events CROSS JOIN b),
+    cuts AS (
+      SELECT quantile_cont(value, 0.1) AS c1, quantile_cont(value, 0.2) AS c2,
+             quantile_cont(value, 0.3) AS c3, quantile_cont(value, 0.4) AS c4,
+             quantile_cont(value, 0.5) AS c5, quantile_cont(value, 0.6) AS c6,
+             quantile_cont(value, 0.7) AS c7, quantile_cont(value, 0.8) AS c8,
+             quantile_cont(value, 0.9) AS c9
+      FROM tagged WHERE in_a),
+    bucketed AS (
+      SELECT in_a,
+             (CASE WHEN value > c1 THEN 1 ELSE 0 END
+              + CASE WHEN value > c2 THEN 1 ELSE 0 END
+              + CASE WHEN value > c3 THEN 1 ELSE 0 END
+              + CASE WHEN value > c4 THEN 1 ELSE 0 END
+              + CASE WHEN value > c5 THEN 1 ELSE 0 END
+              + CASE WHEN value > c6 THEN 1 ELSE 0 END
+              + CASE WHEN value > c7 THEN 1 ELSE 0 END
+              + CASE WHEN value > c8 THEN 1 ELSE 0 END
+              + CASE WHEN value > c9 THEN 1 ELSE 0 END) AS bucket
+      FROM tagged CROSS JOIN cuts),
+    counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM bucketed GROUP BY bucket),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts),
+    shares AS (
+      SELECT bucket, n_a, n_b,
+             (n_a + 0.5) / (ta + 5.0) AS p_a,
+             (n_b + 0.5) / (tb + 5.0) AS p_b
+      FROM counts CROSS JOIN tot)
+    SELECT bucket, n_a, n_b,
+           ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+           ROUND((p_b - p_a) * ln(p_b / p_a), 6) AS psi_term,
+           ROUND(SUM((p_b - p_a) * ln(p_b / p_a)) OVER (), 6) AS psi_total
+    FROM shares
+    """,
+)
+def population_stability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of event value between the first 15
+    days and the rest — Σ (pB−pA)·ln(pB/pA) over period-A deciles, THE
+    model-monitoring drift metric (rule of thumb: <0.1 stable, >0.25
+    retrain). Decile cut-points are a one-row exact-percentile
+    aggregate over period A broadcast onto the fact; bucketing is
+    map-only comparisons; Laplace (+0.5) smoothing keeps empty period-B
+    buckets finite identically on both engines. At gigarow scale the
+    cut-points swap to approx_percentile per the established
+    convention."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "value",
+        (F.to_date("ts") < F.date_add(F.col("d0"), 15)).alias("in_a"),
+    )
+    cuts = tagged.filter("in_a").agg(
+        *[
+            F.percentile("value", F.lit(q / 10.0)).alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    )
+    bucket = None
+    for q in range(1, 10):
+        term = (F.col("value") > F.col(f"c{q}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    counts = (
+        tagged.crossJoin(F.broadcast(cuts))
+        .select("in_a", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("in_a").cast("int")).alias("n_a"),
+            F.sum((~F.col("in_a")).cast("int")).alias("n_b"),
+        )
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") + 0.5) / (F.col("ta") + 5.0)).alias("p_a"),
+        ((F.col("n_b") + 0.5) / (F.col("tb") + 5.0)).alias("p_b"),
+    )
+    psi_term = (F.col("p_b") - F.col("p_a")) * F.log(F.col("p_b") / F.col("p_a"))
+    return shares.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        F.round(psi_term, 6).alias("psi_term"),
+        F.round(F.sum(psi_term).over(Window.partitionBy()), 6).alias(
+            "psi_total"
+        ),
+    )
+
+
+@register(
+    "expected_calibration_error",
+    """
+    WITH d AS (
+      SELECT n_chars, (lang = 'en') AS y,
+             percent_rank() OVER (ORDER BY n_chars) AS p_hat
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p_hat * 10) AS INT), 9) AS bin,
+             p_hat, CASE WHEN y THEN 1.0 ELSE 0.0 END AS y
+      FROM d),
+    per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(p_hat) AS conf, AVG(y) AS acc
+      FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM per_bin)
+    SELECT bin, n, ROUND(conf, 6) AS mean_confidence,
+           ROUND(acc, 6) AS positive_rate,
+           ROUND(abs(conf - acc), 6) AS gap,
+           ROUND(SUM((n / total) * abs(conf - acc)) OVER (), 6) AS ece
+    FROM per_bin CROSS JOIN tot
+    """,
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of a score against a label —
+    rank-normalize the score to [0,1] (percent_rank as the pseudo-
+    probability), bin into 10 confidence bands, and weight each band's
+    |mean confidence − positive rate| gap: the reliability-diagram
+    scalar that says whether a score's VALUE is trustworthy, where AUC
+    (quality_score_auc, same score/label pair) only certifies its
+    ORDER. The rank window sorts the document-grain score column once;
+    at gigarow scale the normalization swaps to an approx-percentile
+    mapping, same convention as the PSI cut-points."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    d = docs.select(
+        F.percent_rank().over(Window.orderBy("n_chars")).alias("p_hat"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    binned = d.select(
+        F.least(F.floor(F.col("p_hat") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p_hat",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("p_hat").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    tot = per_bin.agg(F.sum("n").cast("double").alias("total"))
+    gap = F.abs(F.col("conf") - F.col("acc"))
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("mean_confidence"),
+        F.round("acc", 6).alias("positive_rate"),
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            F.sum((F.col("n") / F.col("total")) * gap).over(Window.partitionBy()),
+            6,
+        ).alias("ece"),
+    )

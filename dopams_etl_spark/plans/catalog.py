@@ -128,6 +128,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_key_skew_report",
     "customer_setops_yoy",
     "streaming_static_enrich",
+    "population_stability_index",
+    "expected_calibration_error",
     # ^ the round-6 registrations outnumber the driver's 50-query
     #   sample; everything past slot 50 (the newest analytics queries)
     #   takes its first driver row in the NEXT round's sample. Interim

@@ -151,6 +151,8 @@ AUDITED = (
     "attribution_first_vs_last",
     "join_key_skew_report",
     "customer_setops_yoy",
+    "population_stability_index",
+    "expected_calibration_error",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
