@@ -3422,3 +3422,94 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece"),
     )
+
+
+def _bootstrap_oracle(reps: int = 50) -> str:
+    return f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {reps - 1})) AS r),
+    draws AS (
+      SELECT r, value,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                                 || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM events CROSS JOIN reps),
+    weighted AS (
+      SELECT r, value,
+             CASE WHEN u < 0.3678794411714423 THEN 0
+                  WHEN u < 0.7357588823428846 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  ELSE 5 END AS w
+      FROM draws),
+    means AS (
+      SELECT r, SUM(w * value) / SUM(w) AS m
+      FROM weighted GROUP BY r HAVING SUM(w) > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(AVG(m), 6) AS boot_mean,
+           ROUND(quantile_cont(m, 0.025), 6) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means
+    """
+
+
+@register("bootstrap_mean_ci", _bootstrap_oracle(50))
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95 % confidence interval for mean event value —
+    the DISTRIBUTED bootstrap (Chamandy et al., Google): classic
+    resampling needs N draws per replicate from a shared index
+    (unshardable); the Poisson trick gives each row an independent
+    Poisson(1) multiplicity per replicate, so 50 replicates become one
+    map-side explode + weight column and one (replicate)-keyed
+    aggregate — no shared state, any partitioning. Draws are
+    md5-deterministic
+    (replicate-salted, same inverse-CDF table as repr literals on both
+    engines), so the oracle reproduces every replicate exactly."""
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit("|"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    # inverse CDF of Poisson(1): P(0)=P(1)=e^-1, P(2)=e^-1/2, ...
+    w = (
+        F.when(u < 0.3678794411714423, 0)
+        .when(u < 0.7357588823428846, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    fanned = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("r"),
+    )
+    weighted = fanned.select("r", "value", w.alias("w"))
+    means = (
+        weighted.groupBy("r")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+    )

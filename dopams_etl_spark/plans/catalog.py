@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_static_enrich",
     "population_stability_index",
     "expected_calibration_error",
+    "bootstrap_mean_ci",
     # ^ the round-6 registrations outnumber the driver's 50-query
     #   sample; everything past slot 50 (the newest analytics queries)
     #   takes its first driver row in the NEXT round's sample. Interim

@@ -153,6 +153,7 @@ AUDITED = (
     "customer_setops_yoy",
     "population_stability_index",
     "expected_calibration_error",
+    "bootstrap_mean_ci",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
