@@ -3513,3 +3513,119 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
         F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "kaplan_meier_retention",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                      AS session_num
+          FROM g),
+    bounds AS (SELECT MAX(ts) AS max_ts FROM events),
+    spans AS (
+      SELECT user_id, session_num,
+             CAST(date_diff('second', MIN(ts), MAX(ts)) // 60 AS BIGINT)
+               AS duration,
+             MAX(ts) >= max_ts - INTERVAL 30 MINUTE AS censored
+      FROM s CROSS JOIN bounds
+      GROUP BY user_id, session_num, max_ts),
+    n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM spans),
+    ev AS (
+      SELECT duration AS t,
+             CAST(COUNT(*) FILTER (WHERE NOT censored) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM spans GROUP BY duration),
+    km AS (
+      SELECT t, d,
+             n0 - COALESCE(SUM(leaving) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM ev CROSS JOIN n_total)
+    SELECT CAST(t AS INT) AS t_minutes, d AS n_ended,
+           at_risk AS n_at_risk,
+           ROUND(exp(SUM(ln(1.0 - d / CAST(at_risk AS DOUBLE)))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+             AS survival
+    FROM km WHERE d > 0 AND at_risk > d
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of SESSION lifetime in minutes
+    (30-min-gap sessions; a session whose last event touches the final
+    30 minutes of the observation window is right-censored — it may
+    still be open) — the churn-analysis estimator that handles
+    censoring correctly where a naive average-duration is biased low.
+    The running product Π(1−dᵢ/nᵢ) is restated as exp(Σ ln(·)) so it
+    becomes one ordered window over the ≤|distinct durations|
+    event-time table; sessions collapse from the fact through the
+    standard two-window sessionization (user_sessions), and the
+    observation bound is a one-row broadcast. Steps with zero ended
+    sessions or an exhausted risk set drop out identically on both
+    engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    run0 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_num", F.sum("new_session").over(run0))
+    bounds = ev.agg(F.max("ts").alias("max_ts"))
+    spans = (
+        s.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "session_num", "max_ts")
+        .agg(
+            F.floor(
+                (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+                / 60
+            ).alias("duration"),
+            (
+                F.max(F.col("ts").cast("long"))
+                >= F.col("max_ts").cast("long") - 1800
+            ).alias("censored"),
+        )
+    )
+    n_total = spans.agg(F.count(F.lit(1)).alias("n0"))
+    evts = spans.groupBy(F.col("duration").alias("t")).agg(
+        F.count_if(~F.col("censored")).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    prior = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    km = evts.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("leaving").over(prior), F.lit(0))
+        ).alias("at_risk"),
+    )
+    run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = km.filter((F.col("d") > 0) & (F.col("at_risk") > F.col("d"))).select(
+        F.col("t").cast("int").alias("t_minutes"),
+        F.col("d").alias("n_ended"),
+        F.col("at_risk").alias("n_at_risk"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.lit(1.0) - F.col("d") / F.col("at_risk").cast("double")
+                    )
+                ).over(run)
+            ),
+            6,
+        ).alias("survival"),
+    )
+    return out

@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "population_stability_index",
     "expected_calibration_error",
     "bootstrap_mean_ci",
+    "kaplan_meier_retention",
     # ^ the round-6 registrations outnumber the driver's 50-query
     #   sample; everything past slot 50 (the newest analytics queries)
     #   takes its first driver row in the NEXT round's sample. Interim

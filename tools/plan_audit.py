@@ -154,6 +154,7 @@ AUDITED = (
     "population_stability_index",
     "expected_calibration_error",
     "bootstrap_mean_ci",
+    "kaplan_meier_retention",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
