@@ -3629,3 +3629,146 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("survival"),
     )
     return out
+
+
+@register(
+    "mann_whitney_value_test",
+    """
+    WITH labeled AS (
+      SELECT value, event_type = 'purchase' AS y FROM events
+      WHERE event_type IN ('purchase', 'view')),
+    ps AS (SELECT value AS s, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM labeled GROUP BY value),
+    r AS (SELECT s, n, n_pos,
+                 COALESCE(SUM(n) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (n + 1.0) / 2.0 AS avg_rank
+          FROM ps),
+    agg AS (
+      SELECT SUM(n_pos * avg_rank) AS r1,
+             CAST(SUM(n_pos) AS DOUBLE) AS n1,
+             CAST(SUM(n - n_pos) AS DOUBLE) AS n2
+      FROM r)
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_view,
+           ROUND(r1 - n1 * (n1 + 1) / 2, 2) AS u_stat,
+           ROUND(((r1 - n1 * (n1 + 1) / 2) - n1 * n2 / 2)
+                 / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 4) AS z_stat
+    FROM agg
+    """,
+)
+def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum test — do purchase events carry
+    systematically different values than views? The NONPARAMETRIC
+    two-sample test (no normality assumption, unlike
+    ab_test_proportion_z's pooled z), via the same midrank machinery as
+    quality_score_auc (U = n₁n₂·AUC): scores collapse to
+    per-distinct-value counts, ONE rank window over |distinct values|
+    rows, closed-form normal approximation for z. Never the pairwise
+    comparison."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    labeled = ev.select(
+        "value", (F.col("event_type") == "purchase").alias("y")
+    )
+    ps = labeled.groupBy(F.col("value").alias("s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("int")).alias("n_pos"),
+    )
+    prior = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    r = ps.select(
+        "n",
+        "n_pos",
+        (
+            F.coalesce(F.sum("n").over(prior), F.lit(0))
+            + (F.col("n") + 1.0) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = r.agg(
+        F.sum(F.col("n_pos") * F.col("avg_rank")).alias("r1"),
+        F.sum("n_pos").cast("double").alias("n1"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("double").alias("n2"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_view"),
+        F.round(u, 2).alias("u_stat"),
+        F.round(
+            (u - F.col("n1") * F.col("n2") / 2)
+            / F.sqrt(
+                F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0
+            ),
+            4,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "chi_square_type_dow",
+    """
+    WITH j AS (
+      SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) AS y,
+             CAST(COUNT(*) AS DOUBLE) AS n_xy
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT x, SUM(n_xy) AS n_x FROM j GROUP BY x),
+    my AS (SELECT y, SUM(n_xy) AS n_y FROM j GROUP BY y),
+    tot AS (SELECT SUM(n_xy) AS n FROM j),
+    dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mx) AS r,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM my) AS c)
+    SELECT ROUND(SUM(power(n_xy - n_x * n_y / n, 2)
+                     / (n_x * n_y / n)), 4) AS chi2,
+           CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+           ROUND(sqrt(SUM(power(n_xy - n_x * n_y / n, 2) / (n_x * n_y / n))
+                      / (ANY_VALUE(n) * LEAST(dims.r - 1, dims.c - 1))), 6)
+             AS cramers_v
+    FROM j JOIN mx USING (x) JOIN my USING (y)
+    CROSS JOIN tot CROSS JOIN dims
+    GROUP BY dims.r, dims.c
+    """,
+)
+def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test + Cramér's V between event type and
+    weekday — the classical significance companion to
+    mutual_information_type_dow's information-theoretic view (same
+    ≤35-cell joint aggregate; chi² answers 'is the dependence real at
+    this sample size', V gives the effect size in [0,1]). Expected
+    counts from broadcast marginals; degrees of freedom from the
+    observed grid dimensions."""
+    ev = t(spark, sf_dir, "events")
+    j = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.dayofweek(F.to_date("ts")).alias("y"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_xy"))
+    mx = j.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = j.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = j.agg(F.sum("n_xy").alias("n"))
+    dims = mx.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        my.agg(F.count(F.lit(1)).alias("c"))
+    )
+    expected = F.col("n_x") * F.col("n_y") / F.col("n")
+    chi2 = F.sum(F.pow(F.col("n_xy") - expected, 2) / expected)
+    return (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .groupBy("r", "c")
+        .agg(
+            F.round(chi2, 4).alias("chi2"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.any_value(F.col("n"))
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .drop("r", "c")
+    )

@@ -132,6 +132,8 @@ _PRIORITY: tuple[str, ...] = (
     "expected_calibration_error",
     "bootstrap_mean_ci",
     "kaplan_meier_retention",
+    "mann_whitney_value_test",
+    "chi_square_type_dow",
     # ^ the round-6 registrations outnumber the driver's 50-query
     #   sample; everything past slot 50 (the newest analytics queries)
     #   takes its first driver row in the NEXT round's sample. Interim

@@ -166,3 +166,44 @@ def test_session_funnel_monotone(spark, q):
 def test_assortativity_bounds(spark, q):
     row = q["degree_assortativity"](spark, SF).collect()[0]
     assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
+
+
+def test_psi_terms_nonnegative(spark, q):
+    """Each PSI term (pB-pA)ln(pB/pA) is individually >= 0."""
+    rows = q["population_stability_index"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["psi_term"] >= -1e-9
+    assert rows[0]["psi_total"] >= -1e-9
+
+
+def test_ece_bounds(spark, q):
+    rows = q["expected_calibration_error"](spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r["gap"] <= 1.0 + 1e-9
+        assert 0.0 <= r["ece"] <= 1.0 + 1e-9
+
+
+def test_bootstrap_ci_orders(spark, q):
+    row = q["bootstrap_mean_ci"](spark, SF).collect()[0]
+    assert row["n_replicates"] == 50
+    assert row["ci_lo"] <= row["boot_mean"] <= row["ci_hi"]
+
+
+def test_kaplan_meier_monotone(spark, q):
+    rows = sorted(
+        q["kaplan_meier_retention"](spark, SF).collect(),
+        key=lambda r: r["t_minutes"],
+    )
+    assert rows, "KM curve should have at least one step"
+    prev = 1.0
+    for r in rows:
+        assert 0.0 < r["survival"] <= prev + 1e-9
+        prev = r["survival"]
+
+
+def test_chi_square_consistency(spark, q):
+    row = q["chi_square_type_dow"](spark, SF).collect()[0]
+    assert row["chi2"] >= 0
+    assert row["dof"] == (5 - 1) * (7 - 1)
+    assert 0.0 <= row["cramers_v"] <= 1.0 + 1e-9

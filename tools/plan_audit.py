@@ -155,6 +155,8 @@ AUDITED = (
     "expected_calibration_error",
     "bootstrap_mean_ci",
     "kaplan_meier_retention",
+    "mann_whitney_value_test",
+    "chi_square_type_dow",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
