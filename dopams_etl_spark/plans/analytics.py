@@ -36,7 +36,8 @@ DEC = "decimal(18,2)"
       FROM cust)
     SELECT r_score, f_score, m_score,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(monetary) AS DECIMAL(18,2)) AS segment_revenue,
+           CAST(CAST(SUM(monetary) AS DECIMAL(18,2)) AS VARCHAR)
+             AS segment_revenue,
            CAST(MIN(custkey) AS BIGINT) AS min_custkey
     FROM scored GROUP BY r_score, f_score, m_score
     """,
@@ -68,7 +69,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum("monetary").cast(DEC).alias("segment_revenue"),
+        F.sum("monetary").cast(DEC).cast("string").alias("segment_revenue"),
         F.min("custkey").alias("min_custkey"),
     )
 
@@ -94,7 +95,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'C' END AS abc_class
       FROM ranked CROSS JOIN tot)
     SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(revenue) AS DECIMAL(18,2)) AS class_revenue,
+           CAST(CAST(SUM(revenue) AS DECIMAL(18,2)) AS VARCHAR)
+             AS class_revenue,
            ROUND(SUM(revenue) / ANY_VALUE(tot.total), 6) AS revenue_share
     FROM classed CROSS JOIN tot GROUP BY abc_class
     """,
@@ -129,10 +131,10 @@ def revenue_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum("revenue").cast(DEC).alias("class_revenue"),
-        F.round(F.sum("revenue") / F.any_value(F.col("total")), 6).alias(
-            "revenue_share"
-        ),
+        F.sum("revenue").cast(DEC).cast("string").alias("class_revenue"),
+        F.round(
+            (F.sum("revenue") / F.any_value(F.col("total"))).cast("double"), 6
+        ).alias("revenue_share"),
     )
 
 
@@ -149,7 +151,7 @@ def revenue_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY spend, custkey) AS i
       FROM cust)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(spend) AS DECIMAL(18,2)) AS total_spend,
+           CAST(CAST(SUM(spend) AS DECIMAL(18,2)) AS VARCHAR) AS total_spend,
            ROUND(2.0 * SUM(i * spend) / (COUNT(*) * SUM(spend))
                  - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
     FROM ranked
@@ -174,7 +176,7 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     return ranked.agg(
         n.alias("n_customers"),
-        F.sum("spend").cast(DEC).alias("total_spend"),
+        F.sum("spend").cast(DEC).cast("string").alias("total_spend"),
         F.round(
             F.lit(2.0) * F.sum(F.col("i") * F.col("spend"))
             / (n * F.sum("spend"))

@@ -43,62 +43,23 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # 1) the one registered query without a driver CORRECTNESS row —
-    #    bloom_decontaminate_docs landed in r5's final snapshot commit
-    #    AFTER the driver's 50-query sample ran (VERDICT r5 item 2);
-    "bloom_decontaminate_docs",
-    # 2) round-6 additions — never driver-sampled, need their first row
-    #    (new registrations are inserted here as they land);
-    "kmeans_fixed_seed_assign",
-    "interval_overlap_merge",
-    "event_transition_matrix",
-    "event_value_robust_zscore",
-    "rolling_median_event_value",
-    "skyline_orders_pareto",
-    "supplier_cooccur_triangles",
-    "tfidf_keyword_extract",
-    "temperature_sample_langs",
-    "quality_score_auc",
-    "weighted_sample_docs",
-    "supplier_customer_hits",
-    "cms_user_counts",
-    "embedding_random_projection",
-    "xml_source_roundtrip",
-    "streaming_session_window_counts",
-    "supplier_customer_bfs",
-    "user_event_entropy",
+    # Round-7 budget (VERDICT r6 items 1 & 4): the 50-slot sample is
+    # spent draining ALL evidence debt this round — nothing registered
+    # before r7 is left without a green driver row afterwards.
+    # 1) the three red r6 rows — decimal-stringify fix applied
+    #    (hash_match:false in CORRECTNESS_r06.json; root cause: bare
+    #    DECIMAL outputs vs DuckDB's float64 pandas bridge);
     "lineitem_metrics_unpivot",
-    "user_value_ewma",
-    "doc_readability_flesch",
-    "cluster_representatives",
-    "corpus_profile",
     "customer_rfm_segments",
     "revenue_pareto_abc",
+    # 2) green rows made stale by this round's decimal sweep (output
+    #    dtype changed: stringified/double-cast per the q1 convention);
     "customer_spend_gini",
-    "dow_seasonality_index",
-    "brand_basket_lift",
-    "daily_autocorr_lags",
-    "event_type_trend",
-    "cusum_changepoint",
-    "value_histogram_equiwidth",
-    "rolling_weekly_active_users",
-    "doc_lexical_diversity",
-    "corpus_zipf_slope",
-    "heaps_vocab_growth",
-    "lang_char_divergence",
-    "trigram_novelty_rate",
-    "rrf_fused_search",
-    "sorted_neighborhood_pairs",
-    "graph_degree_histogram",
-    "bucketed_order_revenue",
-    "part_affinity_topk",
-    "user_burstiness",
-    "benford_order_totals",
-    "order_cycle_percentiles",
-    "binary_file_ingest",
-    # 3) the flagship gold MV — one fresh showcase row per round (kept
-    #    inside the 50-entry sample window on purpose);
-    "firs_mv",
+    "tiered_dedup_docs",
+    "gender_infer",
+    # 3) the 34 round-6 registrations that landed after the r6 sample
+    #    ran — never driver-checked (VERDICT r6 "What's missing" #1);
+    #    all 34 were judge-verified green at sf0.01;
     "label_propagation_communities",
     "seasonal_naive_backtest",
     "ab_test_proportion_z",
@@ -134,15 +95,62 @@ _PRIORITY: tuple[str, ...] = (
     "kaplan_meier_retention",
     "mann_whitney_value_test",
     "chi_square_type_dow",
-    # ^ the round-6 registrations outnumber the driver's 50-query
-    #   sample; everything past slot 50 (the newest analytics queries)
-    #   takes its first driver row in the NEXT round's sample. Interim
-    #   evidence for each: tools/check.py green at sf0.001 AND sf0.01
-    #   (both recorded in the adding commit's message).
-    # 4) queries whose shared machinery changed this round (lazy
-    #    dedup boundary, vectorized MG pass, persist_bounded collision
-    #    fix, kmeans seeds param) — all hold green r5 driver rows and
-    #    local check evidence; re-sampled as budget allows;
+    # 4) the flagship gold MV — one fresh showcase row per round (kept
+    #    inside the 50-entry sample window on purpose);
+    "firs_mv",
+    # 5) round-7 registrations (slots 41–50 only — capped at the sample
+    #    headroom so no backlog re-accumulates; each lands with
+    #    tools/check.py green at sf0.001 AND sf0.01 under the hardened
+    #    decimal-strict checker);
+    # 6) r6-sampled green rows, re-confirmed as budget allows —
+    #    everything below holds a green row from r6 or earlier;
+    "bloom_decontaminate_docs",
+    "kmeans_fixed_seed_assign",
+    "interval_overlap_merge",
+    "event_transition_matrix",
+    "event_value_robust_zscore",
+    "rolling_median_event_value",
+    "skyline_orders_pareto",
+    "supplier_cooccur_triangles",
+    "tfidf_keyword_extract",
+    "temperature_sample_langs",
+    "quality_score_auc",
+    "weighted_sample_docs",
+    "supplier_customer_hits",
+    "cms_user_counts",
+    "embedding_random_projection",
+    "xml_source_roundtrip",
+    "streaming_session_window_counts",
+    "supplier_customer_bfs",
+    "user_event_entropy",
+    "user_value_ewma",
+    "doc_readability_flesch",
+    "cluster_representatives",
+    "corpus_profile",
+    "dow_seasonality_index",
+    "brand_basket_lift",
+    "daily_autocorr_lags",
+    "event_type_trend",
+    "cusum_changepoint",
+    "value_histogram_equiwidth",
+    "rolling_weekly_active_users",
+    "doc_lexical_diversity",
+    "corpus_zipf_slope",
+    "heaps_vocab_growth",
+    "lang_char_divergence",
+    "trigram_novelty_rate",
+    "rrf_fused_search",
+    "sorted_neighborhood_pairs",
+    "graph_degree_histogram",
+    "bucketed_order_revenue",
+    "part_affinity_topk",
+    "user_burstiness",
+    "benford_order_totals",
+    "order_cycle_percentiles",
+    "binary_file_ingest",
+    # 7) queries whose shared machinery changed in r6 — all hold green
+    #    driver rows and local check evidence; re-sampled as budget
+    #    allows;
     "dedup_incremental_batch",
     "heavy_hitter_users",
     "minhash_lsh_pairs",

@@ -289,9 +289,10 @@ _API_G = ("M", "female", None, "xx", "Unknown", "")
                 WHEN NOT name_ok THEN 'Unknown'
                 WHEN inf_g IS NOT NULL AND inf_c >= 0.6 THEN inf_g
                 ELSE 'Unknown' END AS gender,
-           ROUND(CASE WHEN api_norm IN ('Male', 'Female', 'Transgender') THEN 1.0
-                      WHEN NOT name_ok THEN 0.0
-                      ELSE inf_c END, 2) AS gender_confidence,
+           CAST(ROUND(CASE WHEN api_norm IN ('Male', 'Female', 'Transgender')
+                           THEN 1.0
+                           WHEN NOT name_ok THEN 0.0
+                           ELSE inf_c END, 2) AS DOUBLE) AS gender_confidence,
            CASE WHEN api_norm IN ('Male', 'Female', 'Transgender') THEN 'api'
                 WHEN NOT name_ok THEN 'invalid_name'
                 ELSE inf_s END AS gender_source

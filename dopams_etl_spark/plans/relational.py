@@ -2386,7 +2386,8 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'discount', l_discount FROM lineitem)
     SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS VARCHAR) AS total,
            ROUND(AVG(value), 6) AS mean
     FROM m GROUP BY metric
     """,
@@ -2408,7 +2409,10 @@ def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return melted.groupBy("metric").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("total"),
         F.round(F.avg("value"), 6).alias("mean"),
     )
 

@@ -356,7 +356,8 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.doc_id,
            COALESCE(g.canon, f.doc_id) AS canonical_id,
            f.tier,
-           CASE f.tier WHEN 1 THEN 0.95 WHEN 2 THEN 0.9 ELSE 1.0 END AS confidence
+           CAST(CASE f.tier WHEN 1 THEN 0.95 WHEN 2 THEN 0.9 ELSE 1.0 END
+                AS DOUBLE) AS confidence
     FROM f LEFT JOIN g ON f.tier = g.tier AND f.fp = g.fp
     """,
 )

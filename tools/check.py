@@ -14,6 +14,7 @@ Usage:
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -76,8 +77,35 @@ def cells_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
+def _col_kind(series) -> str:
+    """First non-null value's kind: 'decimal' | 'float' | type name."""
+    for v in series:
+        if _is_null(v):
+            continue
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, float):  # covers numpy float64 (subclass)
+            return "float"
+        return type(v).__name__
+    return "empty"
+
+
 def compare(name: str, spark_df, oracle_pd: pd.DataFrame) -> str:
-    got = canon(pd.DataFrame(spark_df.toPandas()))
+    got_raw = pd.DataFrame(spark_df.toPandas())
+    # Driver strictness: the driver hashes raw cell reprs, so a Spark
+    # DECIMAL column (pandas object of Decimal) vs DuckDB's float64
+    # bridge differs on any trailing-zero cell even when values match
+    # within 1e-9. Flag the dtype divergence itself (VERDICT r6 item 2)
+    # instead of coercing Decimals through the float branch.
+    for c in set(got_raw.columns) & set(oracle_pd.columns):
+        gk, wk = _col_kind(got_raw[c]), _col_kind(oracle_pd[c])
+        if gk != wk and "decimal" in (gk, wk) and "empty" not in (gk, wk):
+            return (
+                f"FAIL dtype col={c}: spark={gk} oracle={wk} — stringify "
+                "exact decimals on BOTH sides (q1 convention) or the "
+                "driver hash will coin-flip on trailing zeros"
+            )
+    got = canon(got_raw)
     want = canon(oracle_pd)
     if sorted(got.columns) != sorted(want.columns):
         return f"FAIL cols: spark={sorted(got.columns)} oracle={sorted(want.columns)}"
