@@ -1125,17 +1125,25 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream join and aggregation.
     ``test_scale_posture.py::test_bucketed_join_no_exchange`` asserts
     the Exchange-free plan, so the property is machine-checked. The
-    oracle is the plain join — bucketing must be invisible to results."""
+    oracle is the plain join — bucketing must be invisible to results.
+    Table names and the warehouse path carry a per-run uuid suffix so a
+    concurrent session running the catalog (driver sampling beside a
+    local check, parallel pytest) can't race on shared tables."""
+    import tempfile
+    import uuid
+
     from dopams_etl_spark.operators.bucketing import bucketed_equijoin, write_bucketed
 
     orders = t(spark, sf_dir, "orders").select("o_orderkey")
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    base = "/tmp/dopams_bucketed"
-    write_bucketed(orders, "b_orders", "o_orderkey", 8, f"{base}/b_orders")
-    write_bucketed(li, "b_lineitem", "l_orderkey", 8, f"{base}/b_lineitem")
-    joined = bucketed_equijoin(spark, "b_orders", "b_lineitem", "o_orderkey", "l_orderkey")
+    run = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix="dopams_bucketed_")
+    t_o, t_l = f"b_orders_{run}", f"b_lineitem_{run}"
+    write_bucketed(orders, t_o, "o_orderkey", 8, f"{base}/{t_o}")
+    write_bucketed(li, t_l, "l_orderkey", 8, f"{base}/{t_l}")
+    joined = bucketed_equijoin(spark, t_o, t_l, "o_orderkey", "l_orderkey")
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(

@@ -145,43 +145,88 @@ class JsonlSinkDataSource(DataSource):
         return "jsonl_sink"
 
     def writer(self, schema, overwrite: bool) -> "JsonlShardWriter":
-        return JsonlShardWriter(self.options["path"])
+        return JsonlShardWriter(self.options["path"], overwrite)
 
 
 class JsonlShardWriter(DataSourceWriter):
-    def __init__(self, path: str):
+    """Task-attempt-safe two-phase commit: each attempt writes a
+    uniquely named temp file (``.part-<pid>.<taskAttemptId>.tmp``), and
+    only ``commit()`` renames the winning attempts to their final
+    ``part-<pid>.jsonl`` names — a retried/speculative attempt of the
+    same partition can never tear the published shard. ``overwrite``
+    clears prior shards (including stale ones from a run with MORE
+    partitions) at commit time; without it, committing into a non-empty
+    sink directory fails rather than silently mixing runs. Assumes
+    driver and executors share the sink filesystem (true for local mode
+    and any shared/NFS/object-fuse mount; an object-store port swaps the
+    renames for a copy-then-delete finalize)."""
+
+    def __init__(self, path: str, overwrite: bool = False):
         self.path = path
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _ShardCommit:
         import json
         import os
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
-        shard = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}.{ctx.taskAttemptId()}.tmp"
+        )
         n = 0
-        with open(shard, "w") as fh:
+        with open(tmp, "w") as fh:
             for row in iterator:
                 fh.write(json.dumps(row.asDict(), default=str, sort_keys=True))
                 fh.write("\n")
                 n += 1
-        return _ShardCommit(shard, n)
+        return _ShardCommit(tmp, n)
+
+    def _final_name(self, tmp_path: str) -> str:
+        import os
+
+        # ".part-00003.<attempt>.tmp" -> "part-00003.jsonl"
+        base = os.path.basename(tmp_path)
+        pid = base.split(".")[1]
+        return os.path.join(self.path, f"{pid}.jsonl")
 
     def commit(self, messages) -> None:
+        import glob
         import json
         import os
 
+        committed = [m for m in messages if m is not None]
+        prior = sorted(glob.glob(os.path.join(self.path, "part-*.jsonl")))
+        if prior and not self.overwrite:
+            raise ValueError(
+                f"jsonl_sink: {self.path} already contains {len(prior)} "
+                "shard(s); use mode('overwrite') to replace them"
+            )
+        for stale in prior:  # includes shards from a wider prior run
+            os.remove(stale)
+        shards = []
+        for m in committed:
+            final = self._final_name(m.path)
+            os.replace(m.path, final)
+            shards.append(final)
         manifest = {
-            "shards": sorted(m.path for m in messages if m is not None),
-            "rows": sum(m.rows for m in messages if m is not None),
+            "shards": sorted(shards),
+            "rows": sum(m.rows for m in committed),
         }
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
             json.dump(manifest, fh, sort_keys=True)
+        # losing speculative attempts leave their temps behind; sweep them
+        for orphan in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+            os.remove(orphan)
 
     def abort(self, messages) -> None:
+        import glob
         import os
 
+        for orphan in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+            os.remove(orphan)
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)

@@ -229,6 +229,44 @@ def test_python_datasource_jsonl_writer(spark, tmp_path):
     ]
 
 
+def test_python_datasource_jsonl_writer_overwrite(spark, tmp_path):
+    """Two-phase commit semantics: overwrite clears stale shards from a
+    wider prior run (4 shards -> 2), non-overwrite into a non-empty sink
+    fails instead of mixing runs, and no .tmp attempt files survive a
+    successful commit."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    from dopams_etl_spark.sources.pydatasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "jsonl_ow")
+    # (the Python DataSource write API only accepts Append/Overwrite;
+    # append into an EMPTY dir is the fresh-write path)
+    wide = spark.range(0, 40).selectExpr("id").repartition(4)
+    wide.write.format("jsonl_sink").option("path", out).mode("append").save()
+    assert len(glob.glob(os.path.join(out, "part-*.jsonl"))) == 4
+
+    narrow = spark.range(0, 10).selectExpr("id").repartition(2)
+    narrow.write.format("jsonl_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    shards = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert len(shards) == 2, "stale shards from the 4-partition run remain"
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sorted(manifest["shards"]) == shards
+    assert manifest["rows"] == 10
+    assert not glob.glob(os.path.join(out, ".part-*.tmp"))
+
+    with pytest.raises(Exception, match="overwrite"):
+        narrow.write.format("jsonl_sink").option("path", out).mode(
+            "append"
+        ).save()
+
+
 def test_python_datasource_stream_reader(spark, tmp_path):
     """Streaming side: the micro-batch tick source drains its offset
     range under availableNow and the batches reassemble the exact
