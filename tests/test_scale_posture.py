@@ -7,18 +7,39 @@ from dopams_etl_spark.operators.skew import salted_aggregate, salted_broadcast_l
 
 
 def test_gold_partition_pruning(spark, tmp_path):
+    """The 100 TB read-path guarantee on the flagship gold table
+    (reference analog: `firs_mv.sql:5` keyed by registration year): a
+    year-filtered read of firs_mv must prune `fir_year` partitions AT
+    THE SCAN — the equality predicate lands in the scan's
+    PartitionFilters, and only that year's files are listed."""
     from dopams_etl_spark.gold import refresh_gold
 
     out = str(tmp_path / "gold")
     refresh_gold(spark, "/root/testdata/sf0.001", out, ("firs_mv",))
     df = spark.read.parquet(f"{out}/firs_mv")
-    years = [r["fir_year"] for r in df.select("fir_year").distinct().collect()]
-    assert years, "no partitions written"
+    years = sorted(r["fir_year"] for r in df.select("fir_year").distinct().collect())
+    # pruning is only meaningful against multiple partitions
+    assert len(years) >= 2, f"need >=2 fir_year partitions, got {years}"
     pruned = df.filter(F.col("fir_year") == years[0])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # pruning happens at the source: the year filter appears as a
-    # PartitionFilter on the scan, not a post-scan Filter
+    # PartitionFilter on the scan (isnotnull guard + the equality
+    # itself), not as a post-scan Filter over all partitions
     assert "PartitionFilters: [isnotnull(fir_year" in plan
+    assert f"(fir_year#" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0], plan
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert f"= {years[0]})" in part_filters, part_filters
+    # physical evidence: after execution the scan's runtime metrics show
+    # exactly ONE partition read (inputFiles()/plan stats both list the
+    # whole relation pre-pruning, so only the executed metric proves it)
+    pruned.collect()
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    metrics = {}
+    it = scan.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    assert metrics["numPartitions"] == 1, metrics
 
 
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
