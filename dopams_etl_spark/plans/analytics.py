@@ -3782,3 +3782,97 @@ def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("r", "c")
     )
+
+
+@register(
+    "woe_information_value",
+    """
+    WITH b AS (
+      SELECT NTILE(5) OVER (ORDER BY o_totalprice, o_orderkey) AS bin,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders),
+    c AS (SELECT bin,
+                 CAST(SUM(pos) AS DOUBLE) AS np,
+                 CAST(SUM(1 - pos) AS DOUBLE) AS nn,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY bin),
+    tot AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM c)
+    SELECT bin, n, CAST(np AS BIGINT) AS n_pos,
+           ROUND(LN((np / tp) / (nn / tn)), 6) AS woe,
+           ROUND((np / tp - nn / tn) * LN((np / tp) / (nn / tn)), 6) AS iv_term
+    FROM c CROSS JOIN tot
+    WHERE np > 0 AND nn > 0
+    """,
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning — the
+    credit-scoring feature diagnostic: o_totalprice quintiles scored by
+    how strongly each separates urgent/high-priority orders from the
+    rest (woe = ln(bin's share of positives / share of negatives);
+    IV = sum of iv_terms). The NTILE sorts only (price, key) pairs —
+    the same bounded global sort as the RFM grid — and the totals ride
+    along as a one-row broadcast. Degenerate all-pos/all-neg bins are
+    excluded identically on both sides (LN would diverge)."""
+    o = t(spark, sf_dir, "orders")
+    b = o.select(
+        F.ntile(5)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pos"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum("pos").cast("double").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).cast("double").alias("nn"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = c.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
+    share = (F.col("np") / F.col("tp")) / (F.col("nn") / F.col("tn"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter((F.col("np") > 0) & (F.col("nn") > 0))
+        .select(
+            "bin",
+            "n",
+            F.col("np").cast("bigint").alias("n_pos"),
+            F.round(F.log(share), 6).alias("woe"),
+            F.round(
+                (F.col("np") / F.col("tp") - F.col("nn") / F.col("tn"))
+                * F.log(share),
+                6,
+            ).alias("iv_term"),
+        )
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS r_qty_price,
+           ROUND(corr(l_quantity, l_discount), 6) AS r_qty_disc,
+           ROUND(corr(l_extendedprice, l_discount), 6) AS r_price_disc
+    FROM lineitem
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures —
+    the collinearity screen a feature pipeline runs before model
+    training. All three coefficients come out of ONE map-side-combined
+    aggregate pass (each corr is a handful of running sums), so the
+    fact table is scanned once and nothing but a single one-row
+    reduction crosses the wire — the cheapest possible shape at any
+    scale."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "r_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("r_qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+            "r_price_disc"
+        ),
+    )

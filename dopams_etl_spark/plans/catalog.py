@@ -98,10 +98,18 @@ _PRIORITY: tuple[str, ...] = (
     # 4) the flagship gold MV — one fresh showcase row per round (kept
     #    inside the 50-entry sample window on purpose);
     "firs_mv",
-    # 5) round-7 registrations (slots 41–50 only — capped at the sample
-    #    headroom so no backlog re-accumulates; each lands with
+    # 5) round-7 registrations (slots 43–50 only — capped at the sample
+    #    headroom so no backlog re-accumulates; each landed with
     #    tools/check.py green at sf0.001 AND sf0.01 under the hardened
     #    decimal-strict checker);
+    "ohlc_hourly_bars",
+    "time_weighted_avg_value",
+    "throttle_dedup_events",
+    "daily_new_vs_returning",
+    "woe_information_value",
+    "lineitem_corr_matrix",
+    "embedding_dim_stats",
+    "vocab_jaccard_sources",
     # 6) r6-sampled green rows, re-confirmed as budget allows —
     #    everything below holds a green row from r6 or earlier;
     "bloom_decontaminate_docs",
@@ -211,7 +219,6 @@ _PRIORITY: tuple[str, ...] = (
     "exact_dedup_docs",
     "ngram_jaccard_dups",
     "simhash_dups",
-    "tiered_dedup_docs",
     "cosine_topk_embeddings",
     "ivf_topk_embeddings",
     "embedding_near_dup_pairs",
@@ -272,6 +279,7 @@ def _ensure_loaded() -> None:
         domain,
         relational,
         surfaces,
+        temporal,
         textops,
     )
 

@@ -2649,3 +2649,111 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs").cast("double"), 6
         ).alias("exact_dup_rate"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH e AS (
+      SELECT t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN range(64) t(i))
+    SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_SAMP(v), 6) AS sd,
+           ROUND(MIN(v), 6) AS vmin,
+           ROUND(MAX(v), 6) AS vmax
+    FROM e GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    profile that feeds feature standardization (mean/sd per dim) and
+    catches dead or exploding dimensions before ANN indexing. posexplode
+    fans each vector into (dim, value) rows — map-only, no shuffle —
+    then ONE hash aggregate on the 64 dim keys with map-side partials,
+    so the shuffled data is 64 rows per task regardless of corpus size.
+    float32 values widen to double identically on both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode("embedding").alias("dim", "v_raw")
+    ).select("dim", F.col("v_raw").cast("double").alias("v"))
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_samp("v"), 6).alias("sd"),
+        F.round(F.min("v"), 6).alias("vmin"),
+        F.round(F.max("v"), 6).alias("vmax"),
+    ).select(F.col("dim").cast("int").alias("dim"), "n", "mean", "sd", "vmin", "vmax")
+
+
+@register(
+    "vocab_jaccard_sources",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT source, u.tok
+      FROM documents,
+           UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(tok)
+      WHERE u.tok <> ''),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_common,
+           ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.source = inter.src_a
+    JOIN sz sb ON sb.source = inter.src_b
+    """,
+)
+def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between document sources — Jaccard similarity
+    of each source pair's distinct-token sets, the corpus-mixing
+    diagnostic (near-identical vocabularies → redundant sources;
+    disjoint → a domain gap worth weighting for). The pair join is
+    keyed on the TOKEN, never source×source: each token contributes
+    only the source pairs that actually share it, so cost scales with
+    shared-vocabulary postings (bounded by distinct tokens × source
+    fan-out), not |sources|² × vocab. Source-level sizes ride in as a
+    broadcast. Same whitespace tokenizer as the lang-ID family."""
+    docs = t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sz = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("source").alias("src_a"), "tok")
+    b = tok.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
