@@ -52,16 +52,26 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     key as the following aggregate, so Catalyst reuses the exchange —
     one shuffle total, and the partition key (type, hour) is bounded, so
     no window partition ever exceeds an hour of one type's events."""
-    e = t(spark, sf_dir, "events")
-    hr = F.date_trunc("hour", F.col("ts"))
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        # materialize the hour key BEFORE the window so the window's
+        # hashpartitioning(event_type, hr) is the SAME attribute set the
+        # aggregate requires — Catalyst then reuses one exchange for
+        # both (partitioning on the raw date_trunc expression instead
+        # leaves the agg re-shuffling on the alias: 2 exchanges)
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        "value",
+    )
     win = (
-        Window.partitionBy("event_type", hr.alias("hr"))
+        Window.partitionBy("event_type", "hr")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     w = e.select(
         "event_type",
-        hr.alias("hr"),
+        "hr",
         "value",
         F.first("value").over(win).alias("open"),
         F.last("value").over(win).alias("close"),
@@ -109,13 +119,21 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same-timestamp bursts) carry zero weight and are excluded. One
     window + one aggregate, both keyed (user_id, day) — a single
     shuffle, and the window partition is one user-day, never global."""
-    e = t(spark, sf_dir, "events")
-    d = F.col("ts").cast("date")
-    w = Window.partitionBy("user_id", d.alias("d")).orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        # materialized day key (not the raw cast expression) so the
+        # window's exchange satisfies the aggregate's requirement —
+        # one shuffle for both (same trick as ohlc_hourly_bars)
+        F.col("ts").cast("date").alias("d"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     g = e.select(
         "user_id",
-        d.alias("d"),
+        "d",
         "value",
         (F.lead(us).over(w) - us).alias("dur_us"),
     ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
@@ -155,7 +173,8 @@ def throttle_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch analog of the streaming replay-dedup operator, and the
     ingestion-side hygiene pass a training-event pipeline runs before
     sessionization). One lag window keyed (user, type) — bounded
-    partitions, one shuffle — then a hash aggregate. Gap arithmetic in
+    partitions — then a per-type hash aggregate whose map-side partials
+    shuffle only |event_types| rows per task. Gap arithmetic in
     integer microseconds on both engines."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")

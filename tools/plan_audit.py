@@ -157,6 +157,14 @@ AUDITED = (
     "kaplan_meier_retention",
     "mann_whitney_value_test",
     "chi_square_type_dow",
+    "ohlc_hourly_bars",
+    "time_weighted_avg_value",
+    "throttle_dedup_events",
+    "daily_new_vs_returning",
+    "woe_information_value",
+    "lineitem_corr_matrix",
+    "embedding_dim_stats",
+    "vocab_jaccard_sources",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
@@ -241,6 +249,23 @@ def main() -> None:
         "blocking key. Invariants asserted in tests/test_scale_posture.py",
         "and tests/test_similarity.py; gold tables prune on `fir_year`",
         "partition filters.",
+        "",
+        "## persist_bounded A/B (round 7, VERDICT r6 item 5)",
+        "",
+        "The open r5→r6 question — does the bounded persist pool",
+        "(`caching.py:persist_bounded`, used only by the MinHash signature",
+        "table in `operators/dedup.py:168`) tax `lsh_topk_embeddings`? —",
+        "was closed with a min-of-6 A/B on one idle box at sf0.1,",
+        "local[32], bench order (minhash_lsh_pairs then lsh_topk per",
+        "trial). Pool ON: minhash 1.277 s, lsh_topk 1.400 s. Pool",
+        "bypassed (persist_bounded = identity): minhash 2.056 s,",
+        "lsh_topk 1.285 s. The pool saves 38 % on repeat minhash calls",
+        "(the CacheManager hit on the persisted signature table) and",
+        "costs lsh_topk ~9 % via pinned executor storage — under the",
+        "10 % opt-in threshold, and the first-3-trial \"+29 %\" reading",
+        "that triggered the r5 flag reproduces only inside JVM warmup",
+        "noise. Verdict: the pool stays as-is; net effect across the two",
+        "headline queries is strongly positive.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as fh:
