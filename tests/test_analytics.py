@@ -207,3 +207,95 @@ def test_chi_square_consistency(spark, q):
     assert row["chi2"] >= 0
     assert row["dof"] == (5 - 1) * (7 - 1)
     assert 0.0 <= row["cramers_v"] <= 1.0 + 1e-9
+
+
+def test_ohlc_bounds(spark, q):
+    rows = q["ohlc_hourly_bars"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["high"]
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        if r["n_events"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
+
+
+def test_twap_within_value_range(spark, q):
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.catalog import load_table
+
+    rows = q["time_weighted_avg_value"](spark, SF).collect()
+    assert rows
+    e = load_table(spark, "events", SF)
+    bounds = {
+        (r["user_id"], str(r["d"])): (r["lo"], r["hi"])
+        for r in e.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[(r["user_id"], r["day"])]
+        # a convex time-weighted combination can't leave the value hull
+        assert lo - 1e-6 <= r["twap"] <= hi + 1e-6
+
+
+def test_throttle_partitions_every_event(spark, q):
+    from dopams_etl_spark.catalog import load_table
+
+    rows = q["throttle_dedup_events"](spark, SF).collect()
+    total = load_table(spark, "events", SF).count()
+    assert sum(r["kept"] + r["dropped"] for r in rows) == total
+    assert all(r["kept"] >= 1 for r in rows)  # first event always kept
+
+
+def test_new_returning_sums_to_active(spark, q):
+    from dopams_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = q["daily_new_vs_returning"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["new_users"] + r["returning_users"] == r["active_users"]
+    # every user is new exactly once across all days
+    n_users = (
+        load_table(spark, "events", SF).select("user_id").distinct().count()
+    )
+    assert sum(r["new_users"] for r in rows) == n_users
+
+
+def test_woe_iv_consistency(spark, q):
+    import math
+
+    rows = q["woe_information_value"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # iv_term = (p_share - n_share) * woe is nonnegative by sign
+        # agreement (both factors share the sign of woe)
+        assert r["iv_term"] >= -1e-9
+        assert math.isfinite(r["woe"])
+
+
+def test_corr_matrix_bounds(spark, q):
+    row = q["lineitem_corr_matrix"](spark, SF).collect()[0]
+    for c in ("r_qty_price", "r_qty_disc", "r_price_disc"):
+        assert -1.0 - 1e-9 <= row[c] <= 1.0 + 1e-9
+
+
+def test_embedding_dim_stats_shape(spark, q):
+    rows = q["embedding_dim_stats"](spark, SF).collect()
+    assert len(rows) == 64  # one row per dimension, none dropped
+    n = {r["n"] for r in rows}
+    assert len(n) == 1  # every dim observed in every vector
+    for r in rows:
+        assert r["vmin"] <= r["mean"] <= r["vmax"]
+        assert r["sd"] >= 0
+
+
+def test_vocab_jaccard_bounds(spark, q):
+    rows = q["vocab_jaccard_sources"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["src_a"] < r["src_b"]  # canonical pair orientation
+        assert 0.0 <= r["jaccard"] <= 1.0 + 1e-9
+        assert r["n_common"] >= 1  # pairs only exist via shared tokens
