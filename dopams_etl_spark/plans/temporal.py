@@ -13,9 +13,14 @@ BIGINTs — no float time arithmetic anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dopams_etl_spark.operators.timeseries import (
+    ohlc_bars,
+    throttle_events,
+    time_weighted_avg,
+)
 from dopams_etl_spark.plans.catalog import register, t
 
 # throttle window: a repeat event of the same (user, type) within this
@@ -64,32 +69,15 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    win = (
-        Window.partitionBy("event_type", "hr")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    w = e.select(
-        "event_type",
-        "hr",
-        "value",
-        F.first("value").over(win).alias("open"),
-        F.last("value").over(win).alias("close"),
-    )
-    return w.groupBy("event_type", "hr").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.any_value("open"), 6).alias("open"),
-        F.round(F.max("value"), 6).alias("high"),
-        F.round(F.min("value"), 6).alias("low"),
-        F.round(F.any_value("close"), 6).alias("close"),
-    ).select(
+    bars = ohlc_bars(e, ["event_type", "hr"], "ts", "event_id", "value")
+    return bars.select(
         "event_type",
         F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
         "n_events",
-        "open",
-        "high",
-        "low",
-        "close",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
     )
 
 
@@ -129,21 +117,12 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    g = e.select(
+    g = time_weighted_avg(e, ["user_id", "d"], "ts", "event_id", "value")
+    return g.select(
         "user_id",
-        "d",
-        "value",
-        (F.lead(us).over(w) - us).alias("dur_us"),
-    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
-    return g.groupBy("user_id", "d").agg(
-        F.count(F.lit(1)).alias("n_intervals"),
-        F.round(
-            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
-        ).alias("twap"),
-    ).select(
-        "user_id", F.col("d").cast("string").alias("day"), "n_intervals", "twap"
+        F.col("d").cast("string").alias("day"),
+        "n_intervals",
+        F.round("twap", 6).alias("twap"),
     )
 
 
@@ -177,15 +156,12 @@ def throttle_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle only |event_types| rows per task. Gap arithmetic in
     integer microseconds on both engines."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    g = e.select(
-        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    g = throttle_events(
+        e, ["user_id", "event_type"], "ts", "event_id", THROTTLE_US
     )
-    keep = F.col("gap_us").isNull() | (F.col("gap_us") > THROTTLE_US)
     return g.groupBy("event_type").agg(
-        F.count(F.when(keep, 1)).alias("kept"),
-        F.count(F.when(~keep, 1)).alias("dropped"),
+        F.count(F.when(F.col("kept"), 1)).alias("kept"),
+        F.count(F.when(~F.col("kept"), 1)).alias("dropped"),
     )
 
 

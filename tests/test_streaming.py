@@ -201,3 +201,62 @@ def test_stream_stream_interval_join_across_batches(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpoint recovery — the operational guarantee a 100 TB stream
+    depends on: stop a windowed-count query, add new data, restart the
+    SAME query from its checkpoint, and the sink must (a) contain no
+    duplicate (window, key) rows across the two runs and (b) agree with
+    a batch aggregate over the full data for every emitted window —
+    including boundary windows that were OPEN (unemitted state) at the
+    first shutdown and only closed by second-run data, which proves
+    state survived the restart."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    ev = (
+        _events_subset(spark, 400)
+        .select("ts", "event_type")
+        .orderBy("ts")
+        .collect()
+    )
+    half = len(ev) // 2
+    schema = "ts timestamp, event_type string"
+    part1 = spark.createDataFrame(ev[:half], schema)
+    part2 = spark.createDataFrame(ev[half:], schema)  # strictly later: no late data
+    part1.write.mode("append").parquet(src)
+
+    def run_once():
+        stream = read_stream_parquet(spark, src, part1.schema)
+        counts = windowed_event_counts(stream, "ts", "event_type", window="1 hour")
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    part2.write.mode("append").parquet(src)
+    run_once()  # restart: checkpoint skips part1 files, resumes state
+
+    sink = spark.read.parquet(out)
+    rows = sink.collect()
+    assert len(rows) > n_first, "second run emitted nothing"
+    keys = [(r["window_start"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate windows across restart"
+    batch = spark.createDataFrame(ev, schema)
+    want = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert want[(r["window_start"], r["event_type"])] == r["n"]
