@@ -110,7 +110,11 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_corr_matrix",
     "embedding_dim_stats",
     "vocab_jaccard_sources",
-    # 6) r6-sampled green rows, re-confirmed as budget allows —
+    # 6) changed this round AFTER the 50-slot budget filled (single-scan
+    #    changelog rewrite; output identical, tools/check.py green at
+    #    sf0.001 + sf0.01) — first in line for a fresh row next round;
+    "cdc_orders_snapshot",
+    # 7) r6-sampled green rows, re-confirmed as budget allows —
     #    everything below holds a green row from r6 or earlier;
     "bloom_decontaminate_docs",
     "kmeans_fixed_seed_assign",
@@ -202,7 +206,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_user_sessions",
     "streaming_view_purchase_join",
     "streaming_dedup_counts",
-    "cdc_orders_snapshot",
     "scd2_user_event_history",
     "hard_negative_mining",
     "frame_dup_videos",

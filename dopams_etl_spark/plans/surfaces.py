@@ -696,19 +696,42 @@ def cdc_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
     k = F.col("o_orderkey")
-    upd1 = o.filter((k % 7 == 0) & ~(k % 11 == 0)).select(
-        "o_orderkey", (F.col("price") + 5).alias("price"),
-        F.lit(1).alias("seq"), F.lit("U").alias("op"))
-    upd2 = o.filter((k % 7 == 0) & ~(k % 11 == 0)).select(
-        "o_orderkey", (F.col("price") + 10).alias("price"),
-        F.lit(2).alias("seq"), F.lit("U").alias("op"))
-    dels = o.filter(k % 11 == 0).select(
-        "o_orderkey", F.lit(None).cast("double").alias("price"),
-        F.lit(1).alias("seq"), F.lit("D").alias("op"))
-    ins = o.filter(k % 13 == 0).select(
-        (k + 20000000).alias("o_orderkey"), "price",
-        F.lit(1).alias("seq"), F.lit("I").alias("op"))
-    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    # The synthetic changelog's four branches (2 update versions, the
+    # tombstones, the shifted re-inserts) come out of ONE pass: each row
+    # emits a conditional array of change structs, exploded and
+    # null-filtered — a UNION of four filtered branches would re-scan
+    # the base table per branch (9 scans total in the executed plan; a
+    # production changelog is a separate small input, but the fixture
+    # shouldn't model a 9× base read either).
+    ch = F.array(
+        F.when(
+            (k % 7 == 0) & ~(k % 11 == 0),
+            F.struct(k.alias("o_orderkey"), (F.col("price") + 5).alias("price"),
+                     F.lit(1).alias("seq"), F.lit("U").alias("op")),
+        ),
+        F.when(
+            (k % 7 == 0) & ~(k % 11 == 0),
+            F.struct(k.alias("o_orderkey"), (F.col("price") + 10).alias("price"),
+                     F.lit(2).alias("seq"), F.lit("U").alias("op")),
+        ),
+        F.when(
+            k % 11 == 0,
+            F.struct(k.alias("o_orderkey"),
+                     F.lit(None).cast("double").alias("price"),
+                     F.lit(1).alias("seq"), F.lit("D").alias("op")),
+        ),
+        F.when(
+            k % 13 == 0,
+            F.struct((k + 20000000).alias("o_orderkey"),
+                     F.col("price").alias("price"),
+                     F.lit(1).alias("seq"), F.lit("I").alias("op")),
+        ),
+    )
+    changes = (
+        o.select(F.explode(ch).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("c.o_orderkey", "c.price", "c.seq", "c.op")
+    )
     snap = apply_changelog(o, changes, "o_orderkey", "seq", "op")
     return snap.select("o_orderkey", F.round("price", 2).alias("price"))
 
