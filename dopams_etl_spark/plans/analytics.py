@@ -3876,3 +3876,66 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_price_disc"
         ),
     )
+
+
+@register(
+    "stratified_kfold_assign",
+    """
+    WITH f AS (
+      SELECT label,
+             ('0x' || substr(md5(CAST(label AS VARCHAR) || ':' ||
+                                 CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 5
+               AS fold
+      FROM embeddings),
+    tot AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+            FROM f GROUP BY label)
+    SELECT f.label, CAST(fold AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / CAST(ANY_VALUE(n_label) AS DOUBLE), 6) AS share
+    FROM f JOIN tot ON f.label = tot.label
+    GROUP BY f.label, fold
+    """,
+)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold split — every labeled embedding
+    hashed (md5 of label:id) into one of 5 folds, reported as the
+    (label, fold) balance grid: the train/eval split machinery an ML
+    data pipeline needs to be REPRODUCIBLE across runs, engines, and
+    partitionings (no rand(), no row_number over an arbitrary order —
+    the fold is a pure function of the row's identity, the same
+    convention as the weighted/temperature samplers). Map-only
+    assignment into a ≤ |labels|×5 aggregate; per-label totals join
+    back broadcast-small."""
+    emb = t(spark, sf_dir, "embeddings")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("label").cast("string"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    f = emb.select("label", fold.alias("fold"))
+    tot = f.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    return (
+        f.groupBy("label", "fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "label")
+        .select(
+            "label",
+            F.col("fold").cast("int").alias("fold"),
+            "n",
+            F.round(F.col("n") / F.col("n_label").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )

@@ -114,6 +114,22 @@ _PRIORITY: tuple[str, ...] = (
     #    changelog rewrite; output identical, tools/check.py green at
     #    sf0.001 + sf0.01) — first in line for a fresh row next round;
     "cdc_orders_snapshot",
+    # 6b) round-7 second wave — registered past the 50-slot line on
+    #     purpose (the r7 sample is spent clearing the r6 backlog);
+    #     these 10 head the r8 queue so the registry stays provably
+    #     draining (10 « the ~49-slot r8 headroom). Evidence: each
+    #     landed tools/check.py green at sf0.001 AND sf0.01 under the
+    #     decimal-strict checker;
+    "queue_depth_daily",
+    "seasonal_decompose_daily",
+    "multi_touch_attribution_linear",
+    "funnel_time_to_convert",
+    "time_weighted_median_value",
+    "lang_id_confusion_matrix",
+    "bigram_pmi_topk",
+    "embedding_norm_outliers",
+    "minhash_jaccard_estimate_error",
+    "stratified_kfold_assign",
     # 7) r6-sampled green rows, re-confirmed as budget allows —
     #    everything below holds a green row from r6 or earlier;
     "bloom_decontaminate_docs",

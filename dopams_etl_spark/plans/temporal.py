@@ -204,3 +204,321 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         "returning_users",
     )
+
+
+@register(
+    "queue_depth_daily",
+    """
+    WITH closes AS (
+      SELECT l_orderkey AS okey, CAST(MAX(l_shipdate) AS DATE) AS close_d
+      FROM lineitem GROUP BY l_orderkey),
+    spans AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS open_d,
+             COALESCE(close_d, CAST(o_orderdate AS DATE)) AS close_d
+      FROM orders LEFT JOIN closes ON o_orderkey = okey),
+    deltas AS (
+      SELECT open_d AS d, 1 AS delta FROM spans
+      UNION ALL
+      SELECT close_d + 1, -1 FROM spans),
+    daily AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS net
+              FROM deltas GROUP BY d)
+    SELECT CAST(d AS VARCHAR) AS day, net,
+           CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def queue_depth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line queue depth — how many orders are OPEN (placed, not yet
+    fully shipped) at the end of each day: +1 at the order date, −1 the
+    day after the order's last lineitem ship date, running-summed. The
+    interval-stabbing question answered without expanding each order into
+    its covered days (an order open 200 days would fan out 200×): one
+    per-order close aggregate (orderkey-co-partitioned join), a delta
+    aggregate to day grain, then a running sum over only |days| rows —
+    the classic event-sweep rewrite that keeps 100 TB of spans out of
+    the window."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("open_d")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_d")
+    )
+    spans = (
+        o.join(closes, o["o_orderkey"] == closes["okey"], "left")
+        .select("open_d", F.coalesce("close_d", "open_d").alias("close_d"))
+    )
+    deltas = spans.select(
+        F.col("open_d").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.date_add("close_d", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        "net",
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    )
+
+
+@register(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tr AS (
+      SELECT d, dow, n,
+             AVG(n) OVER w AS trend,
+             COUNT(*) OVER w AS w_n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (SELECT d, dow, n, trend, n - trend AS detr
+            FROM tr WHERE w_n = 7),
+    seas AS (SELECT dow, AVG(detr) AS seasonal FROM det GROUP BY dow)
+    SELECT CAST(det.d AS VARCHAR) AS day, det.n,
+           ROUND(trend, 6) AS trend,
+           ROUND(seasonal, 6) AS seasonal,
+           ROUND(det.n - trend - seasonal, 6) AS resid
+    FROM det JOIN seas ON det.dow = seas.dow
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event count:
+    trend = centered 7-day moving average (only days with the full
+    window), seasonal = mean detrended value per weekday, residual =
+    the rest — the STL-lite baseline behind anomaly thresholds and
+    forecast sanity checks. The fact collapses to day grain first, so
+    every window/join below runs on |days| rows; DOW normalized to
+    DuckDB's 0=Sunday numbering per the dow_seasonality convention."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        (F.dayofweek(F.col("ts").cast("date")) - F.lit(1)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "dow", "n",
+        F.avg("n").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    det = tr.filter(F.col("w_n") == 7).select(
+        "d", "dow", "n", "trend", (F.col("n") - F.col("trend")).alias("detr")
+    )
+    seas = det.groupBy("dow").agg(F.avg("detr").alias("seasonal"))
+    return det.join(F.broadcast(seas), "dow").select(
+        F.col("d").cast("string").alias("day"),
+        "n",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6).alias(
+            "resid"
+        ),
+    )
+
+
+@register(
+    "multi_touch_attribution_linear",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS pmark
+      FROM events),
+    nxt AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(pmark IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS conv_id
+      FROM marked),
+    touches AS (
+      SELECT event_type, conv_id FROM nxt
+      WHERE conv_id IS NOT NULL AND event_type IN ('view', 'click')),
+    sized AS (
+      SELECT event_type, conv_id,
+             CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_t
+      FROM touches)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(1.0 / n_t), 6) AS linear_credit
+    FROM sized GROUP BY event_type
+    """,
+)
+def multi_touch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — every view/click preceding a
+    purchase (the user's NEXT purchase, strictly after the touch) splits
+    that conversion's credit equally, the even-handed complement to the
+    first/last-touch models in attribution_first_vs_last. The
+    next-purchase assignment is one user-keyed reverse window
+    (last_value IGNORE NULLS over the descending order — no per-touch
+    subquery), conversion sizes one conv-keyed window, and the output
+    collapses to |event_types| rows."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "pmark"
+        ),
+    )
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = marked.select(
+        "event_type",
+        F.last("pmark", ignorenulls=True).over(w_desc).alias("conv_id"),
+    )
+    touches = nxt.filter(
+        F.col("conv_id").isNotNull()
+        & F.col("event_type").isin("view", "click")
+    )
+    sized = touches.select(
+        "event_type",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("conv_id"))
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    return sized.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum(F.lit(1.0) / F.col("n_t")), 6).alias("linear_credit"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY e.user_id),
+    d AS (
+      SELECT (epoch_us(first_purchase) - epoch_us(first_view)) / 60000000.0
+               AS mins
+      FROM fv JOIN fp ON fv.user_id = fp.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(mins, 0.25), 4) AS p25_min,
+           ROUND(quantile_cont(mins, 0.5), 4) AS p50_min,
+           ROUND(quantile_cont(mins, 0.75), 4) AS p75_min,
+           ROUND(quantile_cont(mins, 0.9), 4) AS p90_min
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — minutes from each user's first
+    view to their first purchase at-or-after it, summarized as exact
+    interpolated percentiles (the funnel-latency companion to the
+    step-count funnels: how LONG conversion takes, not just whether).
+    Two user-keyed min-aggregates and a co-partitioned join collapse the
+    fact to one double per converted user; the percentile sorts only
+    |users| values. Durations in exact integer microseconds before the
+    single division."""
+    ev = t(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    d = fv.join(fp, "user_id").select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+            / F.lit(60000000.0)
+        ).alias("mins")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("mins", F.lit(0.25)), 4).alias("p25_min"),
+        F.round(F.percentile("mins", F.lit(0.5)), 4).alias("p50_min"),
+        F.round(F.percentile("mins", F.lit(0.75)), 4).alias("p75_min"),
+        F.round(F.percentile("mins", F.lit(0.9)), 4).alias("p90_min"),
+    )
+
+
+@register(
+    "time_weighted_median_value",
+    """
+    WITH g AS (
+      SELECT event_type, event_id, value,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events),
+    wt AS (SELECT event_type, event_id, value, dur_us
+           FROM g WHERE dur_us IS NOT NULL AND dur_us > 0),
+    c AS (
+      SELECT event_type, value,
+             SUM(dur_us) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(dur_us) OVER (PARTITION BY event_type) AS tot_w
+      FROM wt),
+    hit AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cum_w, value) AS rn
+      FROM c WHERE cum_w * 2 >= tot_w)
+    SELECT event_type, ROUND(value, 6) AS weighted_median
+    FROM hit WHERE rn = 1
+    """,
+)
+def time_weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted median of event value per type — the robust
+    center of 'what value was in effect' over TIME rather than over
+    samples (a burst of 100 identical readings in one second counts one
+    second, not 100 votes). Weights are the exact integer-microsecond
+    holding times from the TWAP machinery, so the cumulative-weight
+    comparisons are BIGINT-exact on both engines — a float-weighted
+    median could disagree at the crossover row; an integer one cannot.
+    One user-keyed lag window, then per-type sort windows over the
+    weighted rows; the lower weighted median (first value whose
+    cumulative weight reaches half the total) with (value, event_id)
+    tie-break."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", "event_id", "value",
+        (F.lead(us).over(w_user) - us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "event_type", "value",
+        F.sum("dur_us").over(w_cum).alias("cum_w"),
+        F.sum("dur_us").over(Window.partitionBy("event_type")).alias("tot_w"),
+    )
+    hit = c.filter(F.col("cum_w") * 2 >= F.col("tot_w")).select(
+        "event_type", "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("cum_w", "value"))
+        .alias("rn"),
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "event_type", F.round("value", 6).alias("weighted_median")
+    )

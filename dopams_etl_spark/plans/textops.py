@@ -2757,3 +2757,287 @@ def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    r"""
+    WITH h AS (
+      SELECT lang AS true_lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({de}))) AS h_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({en}))) AS h_en,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({es}))) AS h_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ({fr}))) AS h_fr
+      FROM documents),
+    pred AS (
+      SELECT true_lang,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                  WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                  WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                  ELSE 'und' END AS pred_lang
+      FROM h),
+    tot AS (SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM pred GROUP BY true_lang)
+    SELECT pred.true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / CAST(ANY_VALUE(n_true) AS DOUBLE), 6) AS recall
+    FROM pred JOIN tot ON pred.true_lang = tot.true_lang
+    GROUP BY pred.true_lang, pred_lang
+    """.replace("{de}", _STOP_DE).replace("{en}", _STOP_EN)
+    .replace("{es}", _STOP_ES).replace("{fr}", _STOP_FR),
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as data — the heuristic language-ID's
+    confusion matrix against the corpus's ground-truth ``lang`` column:
+    per (true, predicted) cell, the count and per-true-language recall.
+    This is the eval loop every quality/lang filter in a training-data
+    pipeline needs before its threshold is trusted. Map-only scoring
+    into a ≤ |langs|² cell aggregate; the per-language totals join back
+    broadcast-small."""
+    docs = t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        lang_id("text").alias("pred_lang"),
+    )
+    tot = pred.groupBy("true_lang").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n") / F.col("n_true").cast("double"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+@register(
+    "bigram_pmi_topk",
+    r"""
+    WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+    uni AS (SELECT unnest(toks) AS w FROM tk),
+    ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni
+             WHERE w <> '' GROUP BY w),
+    un AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM ucnt),
+    bi AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1]))
+             AS bg
+           FROM tk WHERE len(toks) >= 2),
+    bcnt AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                    CAST(COUNT(*) AS BIGINT) AS c_bi
+             FROM bi GROUP BY 1, 2),
+    bn AS (SELECT CAST(SUM(c_bi) AS BIGINT) AS n_bi FROM bcnt),
+    scored AS (
+      SELECT w1, w2, c_bi,
+             ROUND(LN((c_bi / CAST(n_bi AS DOUBLE))
+                      / ((ca.c / CAST(n_uni AS DOUBLE))
+                         * (cb.c / CAST(n_uni AS DOUBLE)))), 6) AS pmi
+      FROM bcnt
+      JOIN ucnt ca ON ca.w = w1
+      JOIN ucnt cb ON cb.w = w2
+      CROSS JOIN un CROSS JOIN bn
+      WHERE c_bi >= 5 AND w1 <> '' AND w2 <> '')
+    SELECT w1, w2, c_bi, pmi
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — pointwise mutual information of ADJACENT
+    token bigrams (pmi = ln(p(w1w2) / p(w1)p(w2)), count >= 5), the
+    classic phrase detector feeding tokenizer merges and stop-phrase
+    lists. Adjacency keeps the pair space linear in corpus tokens (never
+    the quadratic within-document co-occurrence); unigram and bigram
+    counts are token-keyed hash aggregates, the probability
+    normalizers one-row broadcasts, and only the ≤50-row top-k is ever
+    globally sorted."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    uni = toks.select(F.explode("toks").alias("w")).filter(F.col("w") != "")
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    un = ucnt.agg(F.sum("c").alias("n_uni"))
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    bn = bcnt.agg(F.sum("c_bi").alias("n_bi"))
+    ca = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    cb = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bcnt.filter((F.col("c_bi") >= 5) & (F.col("w1") != "") & (F.col("w2") != ""))
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .select(
+            "w1", "w2", "c_bi",
+            F.round(
+                F.log(
+                    (F.col("c_bi") / F.col("n_bi").cast("double"))
+                    / (
+                        (F.col("c1") / F.col("n_uni").cast("double"))
+                        * (F.col("c2") / F.col("n_uni").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    stats AS (SELECT AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sd FROM n)
+    SELECT vec_id, ROUND(nrm, 6) AS norm,
+           ROUND((nrm - mu) / sd, 4) AS z
+    FROM n CROSS JOIN stats
+    ORDER BY ABS((nrm - mu) / sd) DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene — the 10 most norm-anomalous vectors by z-score
+    (degenerate all-zero rows, exploding activations, unnormalized
+    imports all surface here before they poison cosine search). The
+    norm is a left-to-right fold over each list on BOTH engines, so the
+    per-vector double is bit-identical; corpus mean/sd ride along as a
+    one-row broadcast and only the 10-row result is globally sorted."""
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    stats = n.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sd")
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sd")
+    return (
+        n.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("norm"),
+            F.round(z, 4).alias("z"),
+            F.abs(z).alias("_az"),
+        )
+        .orderBy(F.col("_az").desc(), "vec_id")
+        .limit(10)
+        .drop("_az")
+    )
+
+
+@register(
+    "minhash_jaccard_estimate_error",
+    r"""
+    WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+          FROM tk),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+    ab AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 8))::BIGINT % __MOD__ AS a,
+                  ('0x' || substr(md5(shingle), 9, 8))::BIGINT % __MOD__ AS b
+           FROM e),
+    m AS (SELECT doc_id, f.i,
+                 MIN(((__P__[f.i+1] * a) % __MOD__ + (__Q__[f.i+1] * b) % __MOD__)
+                     % __MOD__) AS h
+          FROM ab CROSS JOIN range(0, 32) f(i) GROUP BY doc_id, f.i),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS mh FROM m GROUP BY doc_id),
+    banded AS (SELECT doc_id, mh, r.b,
+                      md5(CAST(mh[4*r.b+1] AS VARCHAR) || '_' ||
+                          CAST(mh[4*r.b+2] AS VARCHAR) || '_' ||
+                          CAST(mh[4*r.b+3] AS VARCHAR) || '_' ||
+                          CAST(mh[4*r.b+4] AS VARCHAR)) AS bh
+               FROM sig CROSS JOIN range(0, 8) r(b)),
+    p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM banded a JOIN banded b2
+            ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+    j AS (SELECT id_a, id_b,
+                 ROUND(len(list_filter(range(1, 33), i -> ma.mh[i] = mb.mh[i]))
+                       / 32.0, 6) AS est_jaccard,
+                 ROUND(len(list_intersect(sa.sh, sb.sh))
+                       / CAST(len(sa.sh) + len(sb.sh)
+                              - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+                       6) AS exact_jaccard
+          FROM p
+          JOIN sig ma ON ma.doc_id = id_a JOIN sig mb ON mb.doc_id = id_b
+          JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, est_jaccard, exact_jaccard,
+           ROUND(ABS(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM j
+    """.replace("__MOD__", str(MINHASH_MOD))
+    .replace("__P__", "[" + ",".join(map(str, MINHASH_P[:32])) + "]")
+    .replace("__Q__", "[" + ",".join(map(str, MINHASH_Q[:32])) + "]"),
+)
+def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy report — for every LSH candidate pair, the
+    MinHash-estimated Jaccard next to the EXACT shingle-set Jaccard and
+    their absolute error: the measurement that justifies (or indicts)
+    the 32-hash/8-band operating point before a 100 TB dedup run trusts
+    it. The exact side touches only the candidate pairs (array
+    intersection per pair), never all pairs, so the report costs one
+    LSH pass plus candidate-count work. Same md5u universal-hash family
+    as minhash_lsh_pairs, replicated value-level in the oracle."""
+    from dopams_etl_spark.functions.textfns import word_shingles
+    from dopams_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, hash_fn="md5u"
+    )
+    sh = docs.select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = inter / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(exact, 6).alias("exact_jaccard"),
+        )
+    )
+    return out.withColumn(
+        "abs_err",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+    )
