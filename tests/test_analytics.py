@@ -299,3 +299,108 @@ def test_vocab_jaccard_bounds(spark, q):
         assert r["src_a"] < r["src_b"]  # canonical pair orientation
         assert 0.0 <= r["jaccard"] <= 1.0 + 1e-9
         assert r["n_common"] >= 1  # pairs only exist via shared tokens
+
+
+def test_queue_depth_conserves(spark, q):
+    rows = sorted(q["queue_depth_daily"](spark, SF).collect(), key=lambda r: r["day"])
+    assert rows
+    # every +1 open has a matching -1 close: net deltas sum to zero and
+    # the running depth is never negative
+    assert sum(r["net"] for r in rows) == 0
+    assert rows[-1]["open_orders"] == 0
+    assert all(r["open_orders"] >= 0 for r in rows)
+
+
+def test_seasonal_decompose_identity(spark, q):
+    rows = q["seasonal_decompose_daily"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["n"] - (r["trend"] + r["seasonal"] + r["resid"])) < 1e-4
+
+
+def test_linear_attribution_credit_conserved(spark, q):
+    rows = q["multi_touch_attribution_linear"](spark, SF).collect()
+    assert rows
+    total_credit = sum(r["linear_credit"] for r in rows)
+    # credit splits 1/n per conversion: the total equals the number of
+    # conversions that received at least one touch (an integer)
+    assert abs(total_credit - round(total_credit)) < 1e-3
+    assert total_credit > 0
+
+
+def test_funnel_ttc_monotone(spark, q):
+    r = q["funnel_time_to_convert"](spark, SF).collect()[0]
+    assert r["n_converted"] > 0
+    assert 0 <= r["p25_min"] <= r["p50_min"] <= r["p75_min"] <= r["p90_min"]
+
+
+def test_weighted_median_in_hull(spark, q):
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.catalog import load_table
+
+    rows = q["time_weighted_median_value"](spark, SF).collect()
+    assert rows
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in load_table(spark, "events", SF)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r["event_type"]]
+        assert lo - 1e-6 <= r["weighted_median"] <= hi + 1e-6
+
+
+def test_confusion_matrix_partitions_corpus(spark, q):
+    from dopams_etl_spark.catalog import load_table
+
+    rows = q["lang_id_confusion_matrix"](spark, SF).collect()
+    n_docs = load_table(spark, "documents", SF).count()
+    assert sum(r["n"] for r in rows) == n_docs
+    by_true = {}
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0 + 1e-9
+        by_true.setdefault(r["true_lang"], 0.0)
+        by_true[r["true_lang"]] += r["recall"]
+    for lang, s in by_true.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_bigram_pmi_support_floor(spark, q):
+    rows = q["bigram_pmi_topk"](spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r["c_bi"] >= 5 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_norm_outliers_ranked(spark, q):
+    rows = q["embedding_norm_outliers"](spark, SF).collect()
+    assert len(rows) == 10
+    azs = [abs(r["z"]) for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(azs, azs[1:]))
+    assert all(r["norm"] >= 0 for r in rows)
+
+
+def test_minhash_error_bounds(spark, q):
+    rows = q["minhash_jaccard_estimate_error"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["exact_jaccard"] <= 1.0 + 1e-9
+        # an LSH candidate shares at least one full band: >= 4/32 agreement
+        assert r["est_jaccard"] >= 4 / 32 - 1e-9
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 2e-6
+
+
+def test_kfold_shares_partition_labels(spark, q):
+    rows = q["stratified_kfold_assign"](spark, SF).collect()
+    assert rows
+    by_label = {}
+    for r in rows:
+        assert 0 <= r["fold"] <= 4
+        by_label.setdefault(r["label"], 0.0)
+        by_label[r["label"]] += r["share"]
+    for label, s in by_label.items():
+        assert abs(s - 1.0) < 1e-4, (label, s)
