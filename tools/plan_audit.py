@@ -165,6 +165,16 @@ AUDITED = (
     "lineitem_corr_matrix",
     "embedding_dim_stats",
     "vocab_jaccard_sources",
+    "queue_depth_daily",
+    "seasonal_decompose_daily",
+    "multi_touch_attribution_linear",
+    "funnel_time_to_convert",
+    "time_weighted_median_value",
+    "lang_id_confusion_matrix",
+    "bigram_pmi_topk",
+    "embedding_norm_outliers",
+    "minhash_jaccard_estimate_error",
+    "stratified_kfold_assign",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
