@@ -1,0 +1,38 @@
+"""Exact money aggregation via integer cents.
+
+Summing DECIMAL(18,2) columns keeps money exact under any partitioning,
+but Spark's decimal aggregate runs ~2× slower than a long sum (measured
+0.62 s vs 0.36 s for the q1 aggregate at sf0.1). For 2-decimal money
+the same exactness comes cheaper: scale to integer CENTS before the
+aggregate (``round(x*100)`` — the input is 2-dp so the rounding only
+strips float representation noise, never a real digit), SUM the longs
+(integer addition is associative: partitioning-invariant), and format
+back through DECIMAL(18,2) AFTER the aggregate, on group-count rows.
+The output strings are bit-identical to the decimal-sum path, so DuckDB
+oracles that sum DECIMAL directly still match value-for-value.
+
+Overflow headroom: 9.2e18 long ÷ (1e7 cents/row avg) ≈ 9e11 rows per
+GROUP — beyond that (or for >2-dp currencies) fall back to the decimal
+sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,2)"
+
+
+def money_cents(col: Column | str) -> Column:
+    """2-dp money column → exact integer cents (long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+def cents_to_money_string(col: Column | str) -> Column:
+    """Summed cents (long) → canonical '1234.00'-style string, exact
+    (decimal division, never a double). Post-aggregate only: runs on
+    group-count rows."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(38,0)") / 100).cast(_DEC).cast("string")

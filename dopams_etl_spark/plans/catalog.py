@@ -111,9 +111,12 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_dim_stats",
     "vocab_jaccard_sources",
     # 6) changed this round AFTER the 50-slot budget filled (single-scan
-    #    changelog rewrite; output identical, tools/check.py green at
-    #    sf0.001 + sf0.01) — first in line for a fresh row next round;
+    #    changelog rewrite; integer-cents exact money sums in q1 /
+    #    criminal_profiles_mv — outputs identical, tools/check.py green
+    #    at sf0.001 + sf0.01) — first in line for fresh rows next round;
     "cdc_orders_snapshot",
+    "q1_pricing_summary",
+    "criminal_profiles_mv",
     # 6b) round-7 second wave — registered past the 50-slot line on
     #     purpose (the r7 sample is spent clearing the r6 backlog);
     #     these 10 head the r8 queue so the registry stays provably
@@ -187,7 +190,6 @@ _PRIORITY: tuple[str, ...] = (
     # 5) remaining flagships + entity resolution — green r5 rows,
     #    re-confirmed whenever the budget reaches them;
     "accuseds_mv",
-    "criminal_profiles_mv",
     "advanced_search_firs",
     "advanced_search_accuseds",
     "entity_resolution_blocked",

@@ -33,6 +33,7 @@ from dopams_etl_spark.functions.sections import classify_domicile, classify_sect
 from dopams_etl_spark.functions.status import normalize_status, parse_accused_status
 from dopams_etl_spark.functions.units import display_unit, standardize_quantity
 from dopams_etl_spark.operators.aggregates import collect_sorted_structs, count_if
+from dopams_etl_spark.functions.money import cents_to_money_string, money_cents
 from dopams_etl_spark.plans.catalog import register, t
 
 DEC = "decimal(18,2)"
@@ -701,7 +702,7 @@ def criminal_profiles_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set(F.upper("l_returnflag"))), ",").alias(
             "crime_flags"
         ),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("string").alias("total_qty"),
+        F.sum(money_cents("l_quantity")).alias("_tq_cents"),
     )
     latest = latest_per_key(pc, "l_partkey", "o_orderdate", tiebreak="o_orderkey").select(
         "l_partkey",
@@ -721,7 +722,7 @@ def criminal_profiles_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latest_crime_date",
             "last_arrest_date",
             "crime_flags",
-            "total_qty",
+            cents_to_money_string("_tq_cents").alias("total_qty"),
         )
     )
 
@@ -1434,7 +1435,7 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("accused_details"),
         count_if(F.col("l_returnflag") == "R").cast("long").alias("convictions_count"),
         count_if(F.col("l_returnflag") == "A").cast("long").alias("acquittals_count"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("string").alias("total_qty"),
+        F.sum(money_cents("l_quantity")).alias("_tq_cents"),
         F.array_join(
             F.array_sort(F.collect_set(F.when(F.col("p_size") > 25, F.upper("p_name")))), ","
         ).alias("drugs"),
@@ -1517,7 +1518,7 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("disposal_counts", F.lit("")).alias("disposal_counts"),
         F.coalesce("convictions_count", F.lit(0)).alias("convictions_count"),
         F.coalesce("acquittals_count", F.lit(0)).alias("acquittals_count"),
-        F.coalesce(F.col("total_qty"), F.lit("0.00")).alias("total_qty"),
+        F.coalesce(cents_to_money_string("_tq_cents"), F.lit("0.00")).alias("total_qty"),
         F.coalesce("chargesheets", F.lit("")).alias("chargesheets"),
         F.coalesce("documents", F.lit("")).alias("documents"),
         due_date("o_orderdate", 180).alias("due_180"),
