@@ -40,8 +40,18 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+# (application-id, sf_dir, table) -> DataFrame. ``spark.read.parquet``
+# does a file listing + footer/schema read EVERY call (~70 ms per table);
+# across a 247-query catalog that re-reads identical metadata thousands
+# of times. DataFrames are immutable lazy plans, so handing back the same
+# object is semantically identical — this is the parquet analog of a
+# metastore's cached table definition. Keyed by applicationId so a new
+# session (fresh JVM, different conf) never sees another session's plan.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one catalog table.
+    """Read one catalog table (memoized per session — see _TABLE_CACHE).
 
     No ``mergeSchema`` — the testdata schemas are fixed, and footer merging
     costs a full file listing + footer read per query. Schema evolution is
@@ -58,6 +68,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # Harmless where the native ntz read applies; required on builds
         # where the TIMESTAMP(NANOS) scan would otherwise raise
@@ -79,6 +93,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # relational queries (shuffling raw rows costs more than the map side
     # saves when per-row work is cheap); only the per-row-expensive
     # text/vector operators repartition, via partitioning.ensure_parallelism.
+    _TABLE_CACHE[key] = df
     return df
 
 
