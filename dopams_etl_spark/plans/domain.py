@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from dopams_etl_spark.functions.cleaning import (
     coerce_bool,
     coerce_numeric,
-    collapse_whitespace,
     normalize_blank,
     strip_alias,
 )
