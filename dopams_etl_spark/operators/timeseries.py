@@ -67,6 +67,39 @@ def time_weighted_avg(
     )
 
 
+def interval_depth_daily(
+    spans: DataFrame,
+    open_col: str,
+    close_col: str,
+) -> DataFrame:
+    """Sweep-line concurrent-interval count: given (open_date,
+    close_date) spans (inclusive on both ends), the number of spans
+    open at the END of each day — without expanding each span into its
+    covered days (a 200-day span would fan out 200×). Each span emits
+    +1 at its open date and −1 the day after its close; the deltas
+    aggregate to day grain and a running sum over only |days| rows
+    yields the depth. Returns (d, net, open_count); the final day's
+    running depth is always 0 (every +1 has a −1). Integer arithmetic
+    end-to-end — partitioning-invariant."""
+    deltas = spans.select(
+        F.col(open_col).alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add(F.col(close_col), 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("d").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "d", "net", F.sum("net").over(w).cast("bigint").alias("open_count")
+    )
+
+
 def ohlc_bars(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dopams_etl_spark.operators.timeseries import (
+    interval_depth_daily,
     ohlc_bars,
     throttle_events,
     time_weighted_avg,
@@ -249,19 +250,11 @@ def queue_depth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(closes, o["o_orderkey"] == closes["okey"], "left")
         .select("open_d", F.coalesce("close_d", "open_d").alias("close_d"))
     )
-    deltas = spans.select(
-        F.col("open_d").alias("d"), F.lit(1).alias("delta")
-    ).unionByName(
-        spans.select(F.date_add("close_d", 1).alias("d"), F.lit(-1).alias("delta"))
-    )
-    daily = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return daily.select(
+    depth = interval_depth_daily(spans, "open_d", "close_d")
+    return depth.select(
         F.col("d").cast("string").alias("day"),
         "net",
-        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+        F.col("open_count").alias("open_orders"),
     )
 
 

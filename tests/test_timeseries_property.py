@@ -101,3 +101,37 @@ def test_ohlc_matches_bruteforce(spark_global, rows):
         want[k] = (len(vs), float(vals[0]), float(max(vals)),
                    float(min(vals)), float(vals[-1]))
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40),
+              st.integers(min_value=0, max_value=20)),
+    min_size=1, max_size=14))
+def test_interval_depth_matches_bruteforce(spark_global, raw):
+    """Sweep-line depth == per-day brute-force stab count (open <= d <=
+    close, inclusive), for arbitrary overlapping/degenerate spans."""
+    import datetime
+
+    from dopams_etl_spark.operators.timeseries import interval_depth_daily
+
+    base = datetime.date(2024, 1, 1)
+    spans = [(base + datetime.timedelta(days=o), base + datetime.timedelta(days=o + dur))
+             for o, dur in raw]
+    df = spark_global.createDataFrame(spans, "open_d date, close_d date")
+    got = {
+        r["d"]: r["open_count"]
+        for r in interval_depth_daily(df, "open_d", "close_d").collect()
+    }
+    lo = min(o for o, _c in spans)
+    hi = max(c for _o, c in spans)
+    d = lo
+    while d <= hi + datetime.timedelta(days=1):
+        want = sum(1 for o, c in spans if o <= d <= c)
+        # only days present in the delta output carry a row; absent days
+        # inherit the previous running depth, so assert on emitted days
+        if d in got:
+            assert got[d] == want, (d, got[d], want)
+        d += datetime.timedelta(days=1)
+    # conservation: last emitted day is one past the max close, depth 0
+    assert got[max(got)] == 0
