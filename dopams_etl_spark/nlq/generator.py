@@ -63,6 +63,12 @@ def generate_sql(spark: SparkSession, plan: QueryPlan, question: str) -> str:
     table = plan.tables[0]
     where = _term_predicate(spark, table, plan.search_terms)
     if plan.intent == "count_aggregate":
+        if plan.group_column:
+            g = plan.group_column  # catalog-sourced identifier, never free text
+            return (
+                f"SELECT {g}, COUNT(*) AS n FROM {table}{where} "
+                f"GROUP BY {g} ORDER BY n DESC, {g} LIMIT {plan.limit}"
+            )
         return f"SELECT COUNT(*) AS n FROM {table}{where}"
     if plan.intent == "schema":
         return f"SELECT * FROM {table} WHERE 1 = 0"

@@ -46,6 +46,7 @@ class QueryPlan:
     needs_aggregation: bool = False
     needs_join: bool = False
     limit: int = DEFAULT_LIMIT
+    group_column: str | None = None
 
 
 def detect_intent(question: str) -> tuple[str, float]:
@@ -95,10 +96,40 @@ def extract_search_terms(question: str) -> list[str]:
     return flat
 
 
+def extract_group_column(
+    spark: SparkSession, question: str, table: str
+) -> str | None:
+    """'per X' / 'by X' / 'for each X' → a column of ``table`` whose
+    name contains X. The candidate is matched against the LIVE catalog
+    column list and the CATALOG's spelling is returned — free question
+    text never reaches SQL as an identifier."""
+    m = re.search(
+        r"\b(?:per|by|for each)\s+([a-z_ ]+?)"
+        r"(?:\s+(?:in|from|of|with|on)\b|[?.!,]|$)",
+        question.lower(),
+    )
+    if not m:
+        return None
+    want = m.group(1).strip().replace(" ", "")
+    if not want:
+        return None
+    cols = [c.name for c in spark.catalog.listColumns(table)]
+    for c in cols:  # exact name first
+        if c.lower() == want:
+            return c
+    for c in cols:  # then containment on underscore-normalized names
+        if want in c.lower().replace("_", ""):
+            return c
+    return None
+
+
 def plan_query(spark: SparkSession, question: str) -> QueryPlan:
     intent, conf = detect_intent(question)
     q = question.lower()
     tables = match_tables(spark, question)
+    group_column = (
+        extract_group_column(spark, question, tables[0]) if tables else None
+    )
     return QueryPlan(
         intent=intent,
         confidence=conf,
@@ -108,4 +139,5 @@ def plan_query(spark: SparkSession, question: str) -> QueryPlan:
         or any(w in q for w in ("per ", "group", "average", "sum")),
         needs_join=len(tables) > 1,
         limit=extract_limit(question),
+        group_column=group_column,
     )

@@ -167,3 +167,29 @@ def test_format_answer_shapes(spark):
     from dopams_etl_spark.nlq.generator import NLQAnswer
     bad = NLQAnswer(False, "q", None, None, None, error="no matching table")
     assert "no matching table" in format_answer(bad)
+
+
+def test_group_by_synthesis(spark):
+    """'per X' / 'by X' resolves X against the live catalog and the
+    count groups by that column; unknown X falls back to a plain count;
+    the group identifier always comes from the catalog, never from the
+    question text."""
+    from dopams_etl_spark.catalog import register_views
+    from dopams_etl_spark.nlq.generator import answer_question
+    from dopams_etl_spark.nlq.planner import extract_group_column
+
+    register_views(spark, "/root/testdata/sf0.001")
+    assert extract_group_column(spark, "how many orders per priority?", "orders") == "o_orderpriority"
+    assert extract_group_column(spark, "count events by event type", "events") == "event_type"
+    assert extract_group_column(spark, "how many orders per dragon?", "orders") is None
+
+    ans = answer_question(spark, "How many orders per priority?")
+    assert ans.ok, ans.error
+    assert "GROUP BY o_orderpriority" in ans.sql
+    rows = {r[0]: r[1] for r in ans.result.rows}
+    assert len(rows) == 5  # the five TPC-H priorities
+    assert sum(rows.values()) == 1500
+
+    # unknown group word -> plain count fallback, still answers
+    ans2 = answer_question(spark, "How many orders per dragon?")
+    assert ans2.ok and "GROUP BY" not in ans2.sql
