@@ -63,13 +63,16 @@ def generate_sql(spark: SparkSession, plan: QueryPlan, question: str) -> str:
     table = plan.tables[0]
     where = _term_predicate(spark, table, plan.search_terms)
     if plan.intent == "count_aggregate":
+        # measure + group identifiers are catalog-sourced, never free text
+        agg = f"{plan.measure[0]}({plan.measure[1]})" if plan.measure else "COUNT(*)"
+        alias = plan.measure[0].lower() if plan.measure else "n"
         if plan.group_column:
-            g = plan.group_column  # catalog-sourced identifier, never free text
+            g = plan.group_column
             return (
-                f"SELECT {g}, COUNT(*) AS n FROM {table}{where} "
-                f"GROUP BY {g} ORDER BY n DESC, {g} LIMIT {plan.limit}"
+                f"SELECT {g}, {agg} AS {alias} FROM {table}{where} "
+                f"GROUP BY {g} ORDER BY {alias} DESC, {g} LIMIT {plan.limit}"
             )
-        return f"SELECT COUNT(*) AS n FROM {table}{where}"
+        return f"SELECT {agg} AS {alias} FROM {table}{where}"
     if plan.intent == "schema":
         return f"SELECT * FROM {table} WHERE 1 = 0"
     return f"SELECT * FROM {table}{where} LIMIT {plan.limit}"

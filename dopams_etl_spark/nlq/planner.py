@@ -47,6 +47,8 @@ class QueryPlan:
     needs_join: bool = False
     limit: int = DEFAULT_LIMIT
     group_column: str | None = None
+    # (AGG function, catalog column) for 'average X' / 'total X' asks
+    measure: tuple[str, str] | None = None
 
 
 def detect_intent(question: str) -> tuple[str, float]:
@@ -123,6 +125,45 @@ def extract_group_column(
     return None
 
 
+_NUMERIC_TYPES = ("int", "bigint", "double", "float", "decimal", "long", "smallint")
+_AGG_WORDS = {"average": "AVG", "avg": "AVG", "mean": "AVG",
+              "total": "SUM", "sum": "SUM", "maximum": "MAX", "max": "MAX",
+              "minimum": "MIN", "min": "MIN"}
+
+
+def extract_measure(
+    spark: SparkSession, question: str, table: str
+) -> tuple[str, str] | None:
+    """'average X' / 'total X' / 'max X' → (AGG, numeric column of
+    ``table`` whose name contains X). Catalog-matched like
+    ``extract_group_column`` — the returned identifier is the catalog's
+    spelling, and only numeric columns qualify (an AVG over a string
+    column is never synthesized)."""
+    m = re.search(
+        r"\b(average|avg|mean|total|sum|maximum|max|minimum|min)\s+(?:of\s+)?"
+        r"([a-z_ ]+?)(?:\s+(?:per|by|for|in|from|of|with|on)\b|[?.!,]|$)",
+        question.lower(),
+    )
+    if not m:
+        return None
+    agg = _AGG_WORDS[m.group(1)]
+    words = [w.replace(" ", "") for w in
+             (m.group(2).strip(), *m.group(2).strip().split()[::-1]) if w]
+    cols = [
+        c
+        for c in spark.catalog.listColumns(table)
+        if c.dataType.startswith(_NUMERIC_TYPES)
+    ]
+    for want in words:  # full phrase first, then each word, rightmost first
+        for c in cols:
+            if c.name.lower() == want:
+                return agg, c.name
+        for c in cols:
+            if want in c.name.lower().replace("_", ""):
+                return agg, c.name
+    return None
+
+
 def plan_query(spark: SparkSession, question: str) -> QueryPlan:
     intent, conf = detect_intent(question)
     q = question.lower()
@@ -130,6 +171,7 @@ def plan_query(spark: SparkSession, question: str) -> QueryPlan:
     group_column = (
         extract_group_column(spark, question, tables[0]) if tables else None
     )
+    measure = extract_measure(spark, q, tables[0]) if tables else None
     return QueryPlan(
         intent=intent,
         confidence=conf,
@@ -140,4 +182,5 @@ def plan_query(spark: SparkSession, question: str) -> QueryPlan:
         needs_join=len(tables) > 1,
         limit=extract_limit(question),
         group_column=group_column,
+        measure=measure,
     )

@@ -193,3 +193,28 @@ def test_group_by_synthesis(spark):
     # unknown group word -> plain count fallback, still answers
     ans2 = answer_question(spark, "How many orders per dragon?")
     assert ans2.ok and "GROUP BY" not in ans2.sql
+
+
+def test_measure_aggregate_synthesis(spark):
+    """'average/total/max X' resolves X against the table's NUMERIC
+    columns and the generator emits the aggregate; with 'per Y' it
+    combines into a grouped aggregate; no numeric match falls back to
+    the count path."""
+    from dopams_etl_spark.catalog import register_views
+    from dopams_etl_spark.nlq.generator import answer_question
+    from dopams_etl_spark.nlq.planner import extract_measure
+
+    register_views(spark, "/root/testdata/sf0.001")
+    assert extract_measure(spark, "average order price", "orders") == ("AVG", "o_totalprice")
+    assert extract_measure(spark, "total quantity", "lineitem") == ("SUM", "l_quantity")
+    assert extract_measure(spark, "maximum value", "events") == ("MAX", "value")
+    # string columns never qualify as measures
+    assert extract_measure(spark, "average name", "customer") is None
+
+    ans = answer_question(spark, "What is the average order price per priority?")
+    assert ans.ok, ans.error
+    assert "AVG(o_totalprice)" in ans.sql and "GROUP BY o_orderpriority" in ans.sql
+    assert len(ans.result.rows) == 5
+
+    ans2 = answer_question(spark, "total revenue of orders")  # no 'revenue' column
+    assert ans2.ok and "COUNT(*)" in ans2.sql
