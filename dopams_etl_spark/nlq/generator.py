@@ -36,16 +36,25 @@ def _string_columns(spark: SparkSession, table: str) -> list[str]:
     return [c.name for c in spark.catalog.listColumns(table) if c.dataType == "string"]
 
 
-def _term_predicate(spark: SparkSession, table: str, terms: list[str]) -> str:
-    """OR of lower(col) LIKE '%term%' over the table's string columns —
-    the reference's search-term fan-out (``nodes.py`` search node)."""
+def _where_clause(spark: SparkSession, table: str, plan: QueryPlan) -> str:
+    """Compose the WHERE from the plan's predicates: an OR fan-out of
+    lower(col) LIKE '%term%' over the table's string columns (the
+    reference's search node) ANDed with any year filter on the table's
+    date column. Identifiers are catalog-sourced; literals are quoted
+    with embedded quotes doubled."""
+    parts: list[str] = []
     cols = _string_columns(spark, table)
-    if not cols or not terms:
-        return ""
-    clauses = [
-        f"lower({c}) LIKE '%{_quote_literal(t)}%'" for t in terms for c in cols
-    ]
-    return " WHERE " + " OR ".join(clauses)
+    if cols and plan.search_terms:
+        likes = [
+            f"lower({c}) LIKE '%{_quote_literal(t)}%'"
+            for t in plan.search_terms
+            for c in cols
+        ]
+        parts.append("(" + " OR ".join(likes) + ")")
+    if plan.year_filter:
+        date_col, year = plan.year_filter
+        parts.append(f"year({date_col}) = {int(year)}")
+    return " WHERE " + " AND ".join(parts) if parts else ""
 
 
 def generate_sql(spark: SparkSession, plan: QueryPlan, question: str) -> str:
@@ -61,7 +70,7 @@ def generate_sql(spark: SparkSession, plan: QueryPlan, question: str) -> str:
     if not plan.tables:
         raise ValueError("no table matched the question")
     table = plan.tables[0]
-    where = _term_predicate(spark, table, plan.search_terms)
+    where = _where_clause(spark, table, plan)
     if plan.intent == "count_aggregate":
         # measure + group identifiers are catalog-sourced, never free text
         agg = f"{plan.measure[0]}({plan.measure[1]})" if plan.measure else "COUNT(*)"

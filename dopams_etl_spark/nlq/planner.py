@@ -49,6 +49,8 @@ class QueryPlan:
     group_column: str | None = None
     # (AGG function, catalog column) for 'average X' / 'total X' asks
     measure: tuple[str, str] | None = None
+    # (date column, year) for 'in 1995'-style asks
+    year_filter: tuple[str, int] | None = None
 
 
 def detect_intent(question: str) -> tuple[str, float]:
@@ -164,6 +166,22 @@ def extract_measure(
     return None
 
 
+def extract_year_filter(
+    spark: SparkSession, question: str, table: str
+) -> tuple[str, int] | None:
+    """A standalone 19xx/20xx year in the question + a date/timestamp
+    column on the table → (that column, year). The first temporal
+    catalog column anchors the filter (the tables here have one
+    canonical event/order date)."""
+    m = re.search(r"\b(19\d{2}|20\d{2})\b", question)
+    if not m:
+        return None
+    for c in spark.catalog.listColumns(table):
+        if c.dataType in ("date", "timestamp", "timestamp_ntz"):
+            return c.name, int(m.group(1))
+    return None
+
+
 def plan_query(spark: SparkSession, question: str) -> QueryPlan:
     intent, conf = detect_intent(question)
     q = question.lower()
@@ -172,15 +190,23 @@ def plan_query(spark: SparkSession, question: str) -> QueryPlan:
         extract_group_column(spark, question, tables[0]) if tables else None
     )
     measure = extract_measure(spark, q, tables[0]) if tables else None
+    year_filter = (
+        extract_year_filter(spark, question, tables[0]) if tables else None
+    )
+    terms = extract_search_terms(question)
+    if year_filter:
+        # a year consumed as a date filter is not ALSO a LIKE search term
+        terms = [t for t in terms if t != str(year_filter[1])]
     return QueryPlan(
         intent=intent,
         confidence=conf,
         tables=tables,
-        search_terms=extract_search_terms(question),
+        search_terms=terms,
         needs_aggregation=intent == "count_aggregate"
         or any(w in q for w in ("per ", "group", "average", "sum")),
         needs_join=len(tables) > 1,
         limit=extract_limit(question),
         group_column=group_column,
         measure=measure,
+        year_filter=year_filter,
     )

@@ -218,3 +218,25 @@ def test_measure_aggregate_synthesis(spark):
 
     ans2 = answer_question(spark, "total revenue of orders")  # no 'revenue' column
     assert ans2.ok and "COUNT(*)" in ans2.sql
+
+
+def test_year_filter_synthesis(spark):
+    """A standalone year anchors to the table's date column as
+    year(col) = y, composes with grouping/measures, and is removed from
+    the LIKE search terms so it doesn't double as a string scan."""
+    from dopams_etl_spark.catalog import register_views
+    from dopams_etl_spark.nlq.generator import answer_question
+    from dopams_etl_spark.nlq.planner import plan_query
+
+    register_views(spark, "/root/testdata/sf0.001")
+    p = plan_query(spark, "how many orders in 1995 per priority?")
+    assert p.year_filter == ("o_orderdate", 1995)
+    assert "1995" not in p.search_terms
+
+    ans = answer_question(spark, "How many orders in 1995 per priority?")
+    assert ans.ok, ans.error
+    assert "year(o_orderdate) = 1995" in ans.sql
+    assert "GROUP BY o_orderpriority" in ans.sql
+    total_1995 = sum(r[1] for r in ans.result.rows)
+    ans_all = answer_question(spark, "How many orders are there?")
+    assert 0 < total_1995 < ans_all.result.rows[0][0]
