@@ -155,6 +155,52 @@ def stream_upsert_parquet(
     )
 
 
+def append_once_batch(batch: DataFrame, batch_id: int, target_path: str) -> bool:
+    """Apply one micro-batch as an exactly-once APPEND. Appends are not
+    idempotent (unlike the latest-wins merge above), so a batch replayed
+    after a sink-write-then-crash must be detected and skipped: every
+    applied batch writes its ``_batch_id`` alongside the data, and a
+    batch whose id already appears in the target is a replay — the
+    ledger travels WITH the data, so recovery needs no side store. This
+    is the pattern Delta formalizes as ``txnAppId``/``txnVersion``;
+    parquet-level it costs one column-pruned id probe per batch.
+    Returns True when the batch was applied, False on a skipped replay."""
+    spark = batch.sparkSession
+    try:
+        seen = (
+            spark.read.parquet(target_path)
+            .filter(F.col("_batch_id") == batch_id)
+            .limit(1)
+            .count()
+        )
+        if seen:
+            return False
+    except Exception:
+        pass  # first batch: target does not exist yet
+    batch.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+        target_path
+    )
+    return True
+
+
+def stream_append_once(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Exactly-once append sink via ``foreachBatch`` + the batch-id
+    ledger (``append_once_batch``): at-least-once delivery from the
+    engine plus an idempotent apply equals exactly-once in the target."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, i: append_once_batch(b, i, target_path)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     key_cols: list[str],

@@ -260,3 +260,38 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     }
     for r in rows:
         assert want[(r["window_start"], r["event_type"])] == r["n"]
+
+
+def test_append_once_skips_replayed_batches(spark, tmp_path):
+    """Exactly-once append: the batch-id ledger rejects a replayed
+    micro-batch (at-least-once redelivery after a sink-write crash)
+    while admitting new ids — the streamed result equals the source
+    exactly, no duplicates, and a manual replay of an applied id is a
+    no-op."""
+    from dopams_etl_spark.streaming import append_once_batch, stream_append_once
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    ev = _events_subset(spark, 100).select("event_id", "user_id")
+    ev.write.parquet(src)
+
+    from dopams_etl_spark.streaming import read_stream_parquet
+
+    stream = read_stream_parquet(spark, src, ev.schema)
+    q = stream_append_once(stream, out, ck)
+    q.awaitTermination(120)
+    sink = spark.read.parquet(out)
+    n = sink.count()
+    assert n == 100
+    applied_ids = [r["_batch_id"] for r in sink.select("_batch_id").distinct().collect()]
+    assert applied_ids, "no batch ids recorded"
+
+    # replay an ALREADY-APPLIED batch id -> skipped, count unchanged
+    replay = spark.read.parquet(src).limit(10)
+    assert append_once_batch(replay, applied_ids[0], out) is False
+    assert spark.read.parquet(out).count() == n
+
+    # a NEW batch id -> applied
+    assert append_once_batch(replay, max(applied_ids) + 1, out) is True
+    assert spark.read.parquet(out).count() == n + 10
