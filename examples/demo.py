@@ -43,6 +43,10 @@ def main() -> None:
     ans = answer_question(spark, "How many orders are there?")
     first = ans.result.rows[0] if ans.result and ans.result.rows else None
     print(f"3. NLQ: {ans.sql!r} -> {first}")
+    grouped = answer_question(
+        spark, "What is the average order price per priority in 1995?"
+    )
+    print(f"3b. NLQ synthesis: {grouped.sql!r} -> {len(grouped.result.rows)} rows")
 
     # 4. Training-data pipeline: dedup -> quality -> tiers on documents
     dedup = qs["exact_dedup_docs"](spark, SF_DIR)
@@ -71,6 +75,15 @@ def main() -> None:
     dup_docs = spans.filter(spans["n_dup_spans"] > 0).count()
     print(f"7. split {split}; hybrid top-1 per query {top1}; "
           f"{dup_docs} docs carry cross-doc duplicated spans")
+
+    # 8. Round-7 time-series layer on the events stream
+    bars = qs["ohlc_hourly_bars"](spark, SF_DIR)
+    depth = qs["queue_depth_daily"](spark, SF_DIR)
+    twm = {r["event_type"]: r["weighted_median"] for r in
+           qs["time_weighted_median_value"](spark, SF_DIR).collect()}
+    print(f"8. time-series: {bars.count()} OHLC bars; "
+          f"{depth.count()} queue-depth days; "
+          f"duration-weighted medians {twm}")
 
     print("\ndemo complete.")
 
