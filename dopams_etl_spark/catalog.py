@@ -12,6 +12,7 @@ predicate pushdown; schema evolution is reader-side schema union
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,18 +41,31 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
-# (application-id, sf_dir, table) -> DataFrame. ``spark.read.parquet``
-# does a file listing + footer/schema read EVERY call (~70 ms per table);
-# across a 247-query catalog that re-reads identical metadata thousands
-# of times. DataFrames are immutable lazy plans, so handing back the same
+# session -> {(sf_dir, table): DataFrame}. ``spark.read.parquet`` does a
+# file listing + footer/schema read EVERY call (~70 ms per table); across
+# a 247-query catalog that re-reads identical metadata thousands of
+# times. DataFrames are immutable lazy plans, so handing back the same
 # object is semantically identical — this is the parquet analog of a
-# metastore's cached table definition. Keyed by applicationId so a new
-# session (fresh JVM, different conf) never sees another session's plan.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# metastore's cached table definition. Keyed WEAKLY by the SparkSession
+# object itself: a ``newSession()`` (same applicationId, different conf)
+# gets its own entries, and a collected session's plans evict with it.
+# The cached plan snapshots the file listing at first read — correct for
+# the fixed read-only testdata this catalog fronts; callers loading a
+# directory they mutate must pass ``cache=False``.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one catalog table (memoized per session — see _TABLE_CACHE).
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    cache: bool = True,
+) -> DataFrame:
+    """Read one catalog table (memoized per session — see _TABLE_CACHE;
+    pass ``cache=False`` when reading a directory whose files change,
+    since the cached plan pins its first file listing).
 
     No ``mergeSchema`` — the testdata schemas are fixed, and footer merging
     costs a full file listing + footer read per query. Schema evolution is
@@ -68,10 +82,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
+    per_session = _TABLE_CACHE.setdefault(spark, {}) if cache else None
+    if per_session is not None:
+        cached = per_session.get((sf_dir, name))
+        if cached is not None:
+            return cached
     if name == "events":
         # Harmless where the native ntz read applies; required on builds
         # where the TIMESTAMP(NANOS) scan would otherwise raise
@@ -93,7 +108,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # relational queries (shuffling raw rows costs more than the map side
     # saves when per-row work is cheap); only the per-row-expensive
     # text/vector operators repartition, via partitioning.ensure_parallelism.
-    _TABLE_CACHE[key] = df
+    if per_session is not None:
+        per_session[(sf_dir, name)] = df
     return df
 
 

@@ -25,8 +25,9 @@ def throttle_events(
     min_gap_us: int,
 ) -> DataFrame:
     """Flag each event kept/dropped by gap-based throttling: within each
-    key group (ordered by ts then id), an event closer than
-    ``min_gap_us`` microseconds to its PREDECESSOR EVENT is dropped.
+    key group (ordered by ts then id), an event within ``min_gap_us``
+    microseconds (INCLUSIVE — a gap of exactly ``min_gap_us`` drops) of
+    its PREDECESSOR EVENT is dropped.
 
     Note the predecessor is the previous event, not the previous KEPT
     event — the true debounce recurrence is sequential and

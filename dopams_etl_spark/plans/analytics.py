@@ -1126,11 +1126,15 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test_scale_posture.py::test_bucketed_join_no_exchange`` asserts
     the Exchange-free plan, so the property is machine-checked. The
     oracle is the plain join — bucketing must be invisible to results.
-    Table names and the warehouse path carry a per-run uuid suffix so a
-    concurrent session running the catalog (driver sampling beside a
-    local check, parallel pytest) can't race on shared tables."""
+    Table names and the warehouse path carry the APPLICATION id, so
+    concurrent sessions (driver sampling beside a local check, parallel
+    pytest) can't race on shared tables, while repeat calls within one
+    session overwrite the same pair instead of leaking a new bucketed
+    copy of orders+lineitem per invocation (queries run sequentially in
+    a session, so same-session reuse cannot race)."""
+    import os
+    import re
     import tempfile
-    import uuid
 
     from dopams_etl_spark.operators.bucketing import bucketed_equijoin, write_bucketed
 
@@ -1138,8 +1142,8 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    run = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix="dopams_bucketed_")
+    run = re.sub(r"[^0-9a-zA-Z]", "", spark.sparkContext.applicationId)[-16:]
+    base = os.path.join(tempfile.gettempdir(), f"dopams_bucketed_{run}")
     t_o, t_l = f"b_orders_{run}", f"b_lineitem_{run}"
     write_bucketed(orders, t_o, "o_orderkey", 8, f"{base}/{t_o}")
     write_bucketed(li, t_l, "l_orderkey", 8, f"{base}/{t_l}")
@@ -3883,9 +3887,9 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (
       SELECT label,
-             ('0x' || substr(md5(CAST(label AS VARCHAR) || ':' ||
-                                 CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 5
-               AS fold
+             ('0x' || substr(md5(COALESCE(CAST(label AS VARCHAR), '') || ':' ||
+                                 COALESCE(CAST(vec_id AS VARCHAR), '')), 1, 8))
+               ::BIGINT % 5 AS fold
       FROM embeddings),
     tot AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
             FROM f GROUP BY label)
@@ -3907,13 +3911,17 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment into a ≤ |labels|×5 aggregate; per-label totals join
     back broadcast-small."""
     emb = t(spark, sf_dir, "embeddings")
+    # COALESCE('') on both engines: concat_ws SKIPS nulls while SQL ||
+    # null-propagates — explicit empty-string defaults make a null label
+    # or id hash identically everywhere instead of diverging
     fold = (
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat_ws(
-                        ":", F.col("label").cast("string"),
-                        F.col("vec_id").cast("string"),
+                    F.concat(
+                        F.coalesce(F.col("label").cast("string"), F.lit("")),
+                        F.lit(":"),
+                        F.coalesce(F.col("vec_id").cast("string"), F.lit("")),
                     )
                 ),
                 1,

@@ -2655,8 +2655,8 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dim_stats",
     """
     WITH e AS (
-      SELECT t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS v
-      FROM embeddings CROSS JOIN range(64) t(i))
+      SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(i))
     SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(AVG(v), 6) AS mean,
            ROUND(STDDEV_SAMP(v), 6) AS sd,
@@ -2668,7 +2668,10 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension corpus statistics over the embedding column — the
     profile that feeds feature standardization (mean/sd per dim) and
-    catches dead or exploding dimensions before ANN indexing. posexplode
+    catches dead or exploding dimensions before ANN indexing. Both
+    sides enumerate each vector's ACTUAL length (posexplode /
+    correlated generate_series), so mixed-dimension corpora profile
+    correctly instead of truncating or null-padding. posexplode
     fans each vector into (dim, value) rows — map-only, no shuffle —
     then ONE hash aggregate on the 64 dim keys with map-side partials,
     so the shuffled data is 64 rows per task regardless of corpus size.

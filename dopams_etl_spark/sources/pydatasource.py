@@ -193,24 +193,33 @@ class JsonlShardWriter(DataSourceWriter):
         return os.path.join(self.path, f"{pid}.jsonl")
 
     def commit(self, messages) -> None:
+        """Install order matters for crash safety: new shards are
+        renamed into place FIRST (``os.replace`` atomically supersedes a
+        same-named prior shard), THEN stale extras from a wider prior
+        run are deleted, THEN the manifest is rewritten — so at every
+        instant the directory holds at least one complete generation and
+        a crash mid-commit never deletes data that has no replacement.
+        Residual window (plain-FS limit, documented rather than hidden):
+        between the first rename and the manifest rewrite, a reader of
+        the OLD manifest can observe new content under old names."""
         import glob
         import json
         import os
 
         committed = [m for m in messages if m is not None]
-        prior = sorted(glob.glob(os.path.join(self.path, "part-*.jsonl")))
+        prior = set(glob.glob(os.path.join(self.path, "part-*.jsonl")))
         if prior and not self.overwrite:
             raise ValueError(
                 f"jsonl_sink: {self.path} already contains {len(prior)} "
                 "shard(s); use mode('overwrite') to replace them"
             )
-        for stale in prior:  # includes shards from a wider prior run
-            os.remove(stale)
         shards = []
         for m in committed:
             final = self._final_name(m.path)
             os.replace(m.path, final)
             shards.append(final)
+        for stale in sorted(prior - set(shards)):
+            os.remove(stale)  # extras from a prior run with MORE partitions
         manifest = {
             "shards": sorted(shards),
             "rows": sum(m.rows for m in committed),

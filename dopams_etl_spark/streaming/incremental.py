@@ -165,6 +165,8 @@ def append_once_batch(batch: DataFrame, batch_id: int, target_path: str) -> bool
     is the pattern Delta formalizes as ``txnAppId``/``txnVersion``;
     parquet-level it costs one column-pruned id probe per batch.
     Returns True when the batch was applied, False on a skipped replay."""
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     try:
         seen = (
@@ -175,8 +177,13 @@ def append_once_batch(batch: DataFrame, batch_id: int, target_path: str) -> bool
         )
         if seen:
             return False
-    except Exception:
-        pass  # first batch: target does not exist yet
+    except AnalysisException as exc:
+        # ONLY a missing target means "first batch". Any other probe
+        # failure (corrupt footer, permissions, transient FS error) must
+        # abort the batch — swallowing it would skip the replay check
+        # and break the exactly-once contract with silent duplicates.
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
     batch.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
         target_path
     )
