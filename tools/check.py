@@ -7,8 +7,11 @@ within 1e-9 after the query's own rounding — anything bigger is a FAIL,
 mirroring the driver's value-hash check.
 
 Usage:
-    python tools/check.py            # all queries, sf0.001
-    python tools/check.py q1 firs_mv # subset
+    python tools/check.py             # all queries, sf0.001
+    python tools/check.py q1 firs_mv  # subset
+    python tools/check.py --sample 50 # first N of the driver's
+                                      # priority order (what the round
+                                      # driver will actually sample)
     CHECK_SF_DIR=/root/testdata/sf0.01 python tools/check.py
 """
 
@@ -127,8 +130,13 @@ def main() -> int:
     spark = get_spark("check")
     spark.sparkContext.setLogLevel("ERROR")
 
-    wanted = set(sys.argv[1:])
+    args = sys.argv[1:]
     qs = se.queries()
+    if args[:1] == ["--sample"]:
+        n = int(args[1]) if len(args) > 1 else 50
+        wanted = set(list(qs)[:n])
+    else:
+        wanted = set(args)
     oracles = se.oracle_sql()
     fails = 0
     for name, fn in qs.items():
