@@ -3564,7 +3564,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS at_risk
       FROM ev CROSS JOIN n_total)
     SELECT CAST(t AS INT) AS t_minutes, d AS n_ended,
-           at_risk AS n_at_risk,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
            ROUND(exp(SUM(ln(1.0 - d / CAST(at_risk AS DOUBLE)))
                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
              AS survival

@@ -43,23 +43,49 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # Round-7 budget (VERDICT r6 items 1 & 4): the 50-slot sample is
-    # spent draining ALL evidence debt this round — nothing registered
-    # before r7 is left without a green driver row afterwards.
-    # 1) the three red r6 rows — decimal-stringify fix applied
-    #    (hash_match:false in CORRECTNESS_r06.json; root cause: bare
-    #    DECIMAL outputs vs DuckDB's float64 pandas bridge);
+    # Round-8 budget: 50-slot sample = 1 red-row fix + 3 changed-in-r7
+    # + 10 never-checked second-wave + firs_mv flagship (15 slots), with
+    # the remaining ~35 reserved for round-8 registrations (capped at
+    # that headroom so the registry stays fully driver-checked).
+    # 1) the ONLY red r7 row — HUGEINT fix applied (oracle's
+    #    n0 - SUM(...) OVER was HUGEINT → float64 pandas bridge, so the
+    #    driver hashed ``3`` vs ``3.0``; now CAST(... AS BIGINT);
+    #    machine-guarded registry-wide by
+    #    tests/test_oracle_dtypes.py::test_numeric_family_parity);
+    "kaplan_meier_retention",
+    # 2) changed in r7 after that round's 50-slot budget filled
+    #    (single-scan changelog rewrite; integer-cents exact money sums
+    #    — outputs identical, tools/check.py green at sf0.001+sf0.01);
+    "cdc_orders_snapshot",
+    "q1_pricing_summary",
+    "criminal_profiles_mv",
+    # 3) round-7 second wave — never driver-checked; each landed
+    #    tools/check.py green at sf0.001 AND sf0.01 under the
+    #    decimal-strict checker;
+    "queue_depth_daily",
+    "seasonal_decompose_daily",
+    "multi_touch_attribution_linear",
+    "funnel_time_to_convert",
+    "time_weighted_median_value",
+    "lang_id_confusion_matrix",
+    "bigram_pmi_topk",
+    "embedding_norm_outliers",
+    "minhash_jaccard_estimate_error",
+    "stratified_kfold_assign",
+    # 4) the flagship gold MV — one fresh showcase row per round (kept
+    #    inside the 50-entry sample window on purpose);
+    "firs_mv",
+    # 5) ROUND-8 REGISTRATIONS GO HERE (slots 16–50) — append new
+    #    queries directly below this comment so they land inside the
+    #    sample window; cap at the headroom.
+    # 6) green r7 rows, re-confirmed as budget allows — everything
+    #    below holds a green driver row from r7 or earlier;
     "lineitem_metrics_unpivot",
     "customer_rfm_segments",
     "revenue_pareto_abc",
-    # 2) green rows made stale by this round's decimal sweep (output
-    #    dtype changed: stringified/double-cast per the q1 convention);
     "customer_spend_gini",
     "tiered_dedup_docs",
     "gender_infer",
-    # 3) the 34 round-6 registrations that landed after the r6 sample
-    #    ran — never driver-checked (VERDICT r6 "What's missing" #1);
-    #    all 34 were judge-verified green at sf0.01;
     "label_propagation_communities",
     "seasonal_naive_backtest",
     "ab_test_proportion_z",
@@ -92,16 +118,8 @@ _PRIORITY: tuple[str, ...] = (
     "population_stability_index",
     "expected_calibration_error",
     "bootstrap_mean_ci",
-    "kaplan_meier_retention",
     "mann_whitney_value_test",
     "chi_square_type_dow",
-    # 4) the flagship gold MV — one fresh showcase row per round (kept
-    #    inside the 50-entry sample window on purpose);
-    "firs_mv",
-    # 5) round-7 registrations (slots 43–50 only — capped at the sample
-    #    headroom so no backlog re-accumulates; each landed with
-    #    tools/check.py green at sf0.001 AND sf0.01 under the hardened
-    #    decimal-strict checker);
     "ohlc_hourly_bars",
     "time_weighted_avg_value",
     "throttle_dedup_events",
@@ -110,29 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_corr_matrix",
     "embedding_dim_stats",
     "vocab_jaccard_sources",
-    # 6) changed this round AFTER the 50-slot budget filled (single-scan
-    #    changelog rewrite; integer-cents exact money sums in q1 /
-    #    criminal_profiles_mv — outputs identical, tools/check.py green
-    #    at sf0.001 + sf0.01) — first in line for fresh rows next round;
-    "cdc_orders_snapshot",
-    "q1_pricing_summary",
-    "criminal_profiles_mv",
-    # 6b) round-7 second wave — registered past the 50-slot line on
-    #     purpose (the r7 sample is spent clearing the r6 backlog);
-    #     these 10 head the r8 queue so the registry stays provably
-    #     draining (10 « the ~49-slot r8 headroom). Evidence: each
-    #     landed tools/check.py green at sf0.001 AND sf0.01 under the
-    #     decimal-strict checker;
-    "queue_depth_daily",
-    "seasonal_decompose_daily",
-    "multi_touch_attribution_linear",
-    "funnel_time_to_convert",
-    "time_weighted_median_value",
-    "lang_id_confusion_matrix",
-    "bigram_pmi_topk",
-    "embedding_norm_outliers",
-    "minhash_jaccard_estimate_error",
-    "stratified_kfold_assign",
     # 7) r6-sampled green rows, re-confirmed as budget allows —
     #    everything below holds a green row from r6 or earlier;
     "bloom_decontaminate_docs",

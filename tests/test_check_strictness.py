@@ -41,6 +41,23 @@ def test_stringified_decimal_passes():
     assert compare("t", got, want).startswith("PASS")
 
 
+def test_int_vs_float_column_fails():
+    """The round-7 ``kaplan_meier_retention`` failure shape: Spark int64
+    against DuckDB HUGEINT→float64 — reprs ``3`` vs ``3.0`` mismatch the
+    driver hash on every row even though the float branch calls them
+    equal. The hardened checker must FAIL the dtype divergence."""
+    got = _FakeSparkDF(pd.DataFrame({"k": [1, 2], "n_at_risk": [3, 9549]}))
+    want = pd.DataFrame({"k": [1, 2], "n_at_risk": [3.0, 9549.0]})
+    verdict = compare("t", got, want)
+    assert verdict.startswith("FAIL dtype"), verdict
+
+
+def test_matching_int_columns_pass():
+    got = _FakeSparkDF(pd.DataFrame({"k": [1], "n": [3]}))
+    want = pd.DataFrame({"k": [1], "n": [3]})
+    assert compare("t", got, want).startswith("PASS")
+
+
 def test_float_tolerance_unchanged():
     """Genuine double columns still compare within 1e-9 (both engines
     round on both sides; tiny representation noise is not a defect)."""

@@ -52,6 +52,73 @@ def test_no_bare_decimal_oracle_outputs(duck):
     assert not offenders, f"bare DECIMAL oracle outputs: {offenders}"
 
 
+_DUCK_INT = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT")
+_DUCK_FLOAT = ("FLOAT", "DOUBLE", "REAL")
+
+
+def _duck_family(t: str) -> str:
+    t = t.upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"  # pandas-bridges to float64 — always an offense
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT:
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    return "other"
+
+
+def _spark_family(dt) -> str:
+    from pyspark.sql.types import (
+        BooleanType, ByteType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType,
+    )
+
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return "int"
+    if isinstance(dt, (FloatType, DoubleType)):
+        return "float"
+    if isinstance(dt, BooleanType):
+        return "bool"
+    return "other"
+
+
+def test_numeric_family_parity(duck, spark):
+    """The driver hashes raw cell reprs, so a Spark int64 column against
+    a DuckDB DOUBLE (or HUGEINT → float64-bridged) column mismatches on
+    EVERY row (``3`` vs ``3.0``) even when values are identical — the
+    exact root cause of the r7 ``kaplan_meier_retention`` failure
+    (``SUM(BIGINT)`` window → HUGEINT → float64). Enforce: no HUGEINT
+    oracle outputs, and int/float/bool family agreement per column."""
+    offenders = {}
+    oracles = catalog.oracle_sql()
+    for name, fn in catalog.queries().items():
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        desc = duck.execute("DESCRIBE " + sql).df()
+        duck_fams = {
+            r.column_name: _duck_family(r.column_type)
+            for r in desc.itertuples()
+        }
+        bad = []
+        for f in fn(spark, SF).schema.fields:
+            df_fam = duck_fams.get(f.name)
+            sp_fam = _spark_family(f.dataType)
+            if df_fam == "hugeint":
+                bad.append((f.name, "HUGEINT oracle output — CAST AS BIGINT"))
+            elif df_fam in ("int", "float", "bool") or sp_fam in (
+                "int", "float", "bool"
+            ):
+                if df_fam != sp_fam:
+                    bad.append((f.name, f"spark={sp_fam} oracle={df_fam}"))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"numeric-family mismatches: {offenders}"
+
+
 def test_no_decimal_spark_outputs(spark):
     """Compile every registered Spark query's schema: no output column
     may be DecimalType — toPandas would surface Decimal objects that

@@ -108,6 +108,27 @@ def compare(name: str, spark_df, oracle_pd: pd.DataFrame) -> str:
                 "exact decimals on BOTH sides (q1 convention) or the "
                 "driver hash will coin-flip on trailing zeros"
             )
+        # int-vs-float divergence (e.g. DuckDB HUGEINT → float64 bridge,
+        # the r7 kaplan_meier_retention failure): the driver's raw-repr
+        # hash sees ``3`` vs ``3.0`` on EVERY row. Flag it even though
+        # the float-tolerance branch would call the values equal.
+        def _num(k):
+            if k == "int" or k.startswith(("int8", "int16", "int32",
+                                           "int64", "uint")):
+                return "int"
+            if k.startswith("float"):
+                return "float"
+            return k
+        if (
+            "empty" not in (gk, wk)
+            and {_num(gk), _num(wk)} == {"int", "float"}
+        ):
+            return (
+                f"FAIL dtype col={c}: spark={gk} oracle={wk} — integer "
+                "column on one side, float on the other: CAST both sides "
+                "to the same family (BIGINT/DOUBLE) or the driver hash "
+                "mismatches on every row"
+            )
     got = canon(got_raw)
     want = canon(oracle_pd)
     if sorted(got.columns) != sorted(want.columns):
