@@ -169,13 +169,24 @@ def extract_measure(
 def extract_year_filter(
     spark: SparkSession, question: str, table: str
 ) -> tuple[str, int] | None:
-    """A standalone 19xx/20xx year in the question + a date/timestamp
-    column on the table → (that column, year). The first temporal
-    catalog column anchors the filter (the tables here have one
-    canonical event/order date)."""
-    m = re.search(r"\b(19\d{2}|20\d{2})\b", question)
+    """A 19xx/20xx year WITH a temporal cue ("in 1995", "during 2016",
+    "since/before/after/from/until/of <year>", or "<year> orders") + a
+    date/timestamp column on the table → (that column, year). The cue
+    requirement keeps 4-digit identifier lookups ("find order 2016")
+    as plain search terms instead of silently becoming
+    ``year(o_orderdate)=2016``. The first temporal catalog column
+    anchors the filter (the tables here have one canonical event/order
+    date)."""
+    m = re.search(
+        r"\b(?:in|during|since|before|after|from|until|till|through|for|of"
+        r"|year)\s+(19\d{2}|20\d{2})\b"
+        r"|\b(19\d{2}|20\d{2})\s+(?:orders?|customers?|events?|sales"
+        r"|revenue|data)\b",
+        question.lower(),
+    )
     if not m:
         return None
+    m = re.search(r"\b(19\d{2}|20\d{2})\b", m.group(0))
     for c in spark.catalog.listColumns(table):
         if c.dataType in ("date", "timestamp", "timestamp_ntz"):
             return c.name, int(m.group(1))

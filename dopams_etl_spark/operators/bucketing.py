@@ -47,6 +47,64 @@ def write_bucketed(
     )
 
 
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def cleanup_bucketed_at_exit(
+    spark: SparkSession, base_dir: str, tables: tuple[str, ...]
+) -> None:
+    """Register an interpreter-exit cleanup for this application's
+    bucketed scratch: DROP the metastore entries (best-effort — the
+    session may already be stopped) and remove ``base_dir``. Lazy
+    evaluation forbids cleaning eagerly (the returned DataFrame still
+    reads these files), and per-application naming means nobody else
+    ever reads them — so exit-time is exactly when they become garbage.
+    Idempotent per base_dir."""
+    import atexit
+    import shutil
+
+    if base_dir in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(base_dir)
+
+    def _cleanup() -> None:
+        for tbl in tables:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            except Exception:
+                pass  # session already gone; dir removal is the real cleanup
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+    atexit.register(_cleanup)
+
+
+def sweep_stale_bucketed_dirs(
+    parent: str, keep: str, max_age_seconds: float = 86400.0
+) -> int:
+    """Remove ``dopams_bucketed_*`` scratch dirs abandoned by crashed
+    prior applications (atexit never ran). Only dirs untouched for
+    ``max_age_seconds`` are swept: a recent one may belong to a LIVE
+    concurrent session whose lazy plans still read it. Returns the
+    number of dirs removed."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    removed = 0
+    now = time.time()
+    for d in glob.glob(os.path.join(parent, "dopams_bucketed_*")):
+        if d == keep:
+            continue
+        try:
+            if now - os.path.getmtime(d) > max_age_seconds:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue  # raced with its owner's own cleanup
+    return removed
+
+
 def bucketed_equijoin(
     spark: SparkSession,
     left_table: str,

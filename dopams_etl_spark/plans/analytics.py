@@ -1131,12 +1131,22 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest) can't race on shared tables, while repeat calls within one
     session overwrite the same pair instead of leaking a new bucketed
     copy of orders+lineitem per invocation (queries run sequentially in
-    a session, so same-session reuse cannot race)."""
+    a session, so same-session reuse cannot race). This application's
+    base dir is removed at interpreter exit (atexit — the returned
+    DataFrame is lazy, so cleanup must outlive the query), and stale
+    ``dopams_bucketed_*`` dirs abandoned by crashed PRIOR applications
+    are swept when older than a day — recent dirs may belong to a live
+    concurrent session and are left alone."""
     import os
     import re
     import tempfile
 
-    from dopams_etl_spark.operators.bucketing import bucketed_equijoin, write_bucketed
+    from dopams_etl_spark.operators.bucketing import (
+        bucketed_equijoin,
+        cleanup_bucketed_at_exit,
+        sweep_stale_bucketed_dirs,
+        write_bucketed,
+    )
 
     orders = t(spark, sf_dir, "orders").select("o_orderkey")
     li = t(spark, sf_dir, "lineitem").select(
@@ -1147,6 +1157,8 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_o, t_l = f"b_orders_{run}", f"b_lineitem_{run}"
     write_bucketed(orders, t_o, "o_orderkey", 8, f"{base}/{t_o}")
     write_bucketed(li, t_l, "l_orderkey", 8, f"{base}/{t_l}")
+    cleanup_bucketed_at_exit(spark, base, (t_o, t_l))
+    sweep_stale_bucketed_dirs(os.path.dirname(base), keep=base)
     joined = bucketed_equijoin(spark, t_o, t_l, "o_orderkey", "l_orderkey")
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_items"),

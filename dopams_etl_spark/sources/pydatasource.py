@@ -162,8 +162,16 @@ class JsonlShardWriter(DataSourceWriter):
     renames for a copy-then-delete finalize)."""
 
     def __init__(self, path: str, overwrite: bool = False):
+        import uuid
+
         self.path = path
         self.overwrite = overwrite
+        # Driver-minted job id, serialized to every task: temp files are
+        # scoped ``.part-<pid>.<job_id>.<attempt>.tmp`` so the orphan
+        # sweeps below glob ONLY this job's attempts — a commit never
+        # deletes a concurrent writer's in-flight temps for the same
+        # sink path (which would fail that job's later commit renames).
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _ShardCommit:
         import json
@@ -174,7 +182,8 @@ class JsonlShardWriter(DataSourceWriter):
         pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(
-            self.path, f".part-{pid:05d}.{ctx.taskAttemptId()}.tmp"
+            self.path,
+            f".part-{pid:05d}.{self.job_id}.{ctx.taskAttemptId()}.tmp",
         )
         n = 0
         with open(tmp, "w") as fh:
@@ -226,15 +235,21 @@ class JsonlShardWriter(DataSourceWriter):
         }
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
             json.dump(manifest, fh, sort_keys=True)
-        # losing speculative attempts leave their temps behind; sweep them
-        for orphan in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+        # losing speculative attempts leave their temps behind; sweep
+        # ONLY this job's temps (job-id-scoped glob — never a concurrent
+        # writer's in-flight files)
+        for orphan in glob.glob(
+            os.path.join(self.path, f".part-*.{self.job_id}.*.tmp")
+        ):
             os.remove(orphan)
 
     def abort(self, messages) -> None:
         import glob
         import os
 
-        for orphan in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+        for orphan in glob.glob(
+            os.path.join(self.path, f".part-*.{self.job_id}.*.tmp")
+        ):
             os.remove(orphan)
         for m in messages:
             if m is not None and os.path.exists(m.path):

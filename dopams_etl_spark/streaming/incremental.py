@@ -158,35 +158,63 @@ def stream_upsert_parquet(
 def append_once_batch(batch: DataFrame, batch_id: int, target_path: str) -> bool:
     """Apply one micro-batch as an exactly-once APPEND. Appends are not
     idempotent (unlike the latest-wins merge above), so a batch replayed
-    after a sink-write-then-crash must be detected and skipped: every
-    applied batch writes its ``_batch_id`` alongside the data, and a
-    batch whose id already appears in the target is a replay — the
-    ledger travels WITH the data, so recovery needs no side store. This
-    is the pattern Delta formalizes as ``txnAppId``/``txnVersion``;
-    parquet-level it costs one column-pruned id probe per batch.
+    after a sink-write-then-crash must be detected and skipped.
+
+    Ledger and data must commit ATOMICALLY — a batch-id column embedded
+    in a multi-file append is not enough, because a crash mid-commit
+    leaves SOME part files (carrying the id) in the target: the
+    restarted batch's probe then sees the id and skips, permanently
+    losing the unwritten rows. Instead each batch stages to a hidden
+    ``_staging/`` dir under the target and is PUBLISHED by one directory
+    rename to the partition path ``batch_id=<id>/``. The published
+    directory IS the ledger entry, so the rename commits ledger+data
+    together: crash before it leaves only underscore-hidden staging
+    files Spark readers ignore (swept on the next successful publish of
+    the same id); crash after it is a completed commit the replay
+    detects by directory existence — one filesystem metadata probe, no
+    data scan. This mirrors Delta's ``txnAppId``/``txnVersion`` commit.
+
+    Requires atomic directory rename (local FS, HDFS). On object stores
+    (S3/GCS) rename is copy+delete — use a manifest-committing table
+    format there instead; this function makes no exactly-once claim on
+    such stores. Readers get the batch id via partition discovery as a
+    ``batch_id`` column, and the partition layout makes any downstream
+    per-batch filter a directory prune.
+
     Returns True when the batch was applied, False on a skipped replay."""
-    from pyspark.errors import AnalysisException
+    import uuid
 
     spark = batch.sparkSession
-    try:
-        seen = (
-            spark.read.parquet(target_path)
-            .filter(F.col("_batch_id") == batch_id)
-            .limit(1)
-            .count()
-        )
-        if seen:
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    target = hadoop_path(target_path)
+    fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    published = hadoop_path(target, f"batch_id={batch_id}")
+    if fs.exists(published):
+        return False
+    staging = hadoop_path(target, f"_staging/{batch_id}-{uuid.uuid4().hex}")
+    batch.write.mode("overwrite").parquet(str(staging))
+    if not fs.rename(staging, published):
+        # Lost a publish race (another attempt of the SAME batch id
+        # committed between our probe and rename) or the rename failed
+        # outright. Clean our private staging dir, then re-probe: an
+        # existing published dir means the batch IS committed (replay);
+        # anything else is a real failure the engine must see and retry.
+        fs.delete(staging, True)
+        if fs.exists(published):
             return False
-    except AnalysisException as exc:
-        # ONLY a missing target means "first batch". Any other probe
-        # failure (corrupt footer, permissions, transient FS error) must
-        # abort the batch — swallowing it would skip the replay check
-        # and break the exactly-once contract with silent duplicates.
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-    batch.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
-        target_path
-    )
+        raise IOError(
+            f"append_once_batch: publish rename failed for batch {batch_id} "
+            f"-> {published}"
+        )
+    # Lazy sweep: orphaned staging dirs for THIS batch id only (our own
+    # crashed prior attempts — scoping by id never touches a concurrent
+    # writer's in-flight staging for other batches).
+    staging_root = hadoop_path(target, "_staging")
+    if fs.exists(staging_root):
+        for st in fs.listStatus(staging_root):
+            if st.getPath().getName().startswith(f"{batch_id}-"):
+                fs.delete(st.getPath(), True)
     return True
 
 

@@ -240,3 +240,20 @@ def test_year_filter_synthesis(spark):
     total_1995 = sum(r[1] for r in ans.result.rows)
     ans_all = answer_question(spark, "How many orders are there?")
     assert 0 < total_1995 < ans_all.result.rows[0][0]
+
+
+def test_bare_year_token_stays_a_search_term(spark):
+    """A 4-digit token WITHOUT a temporal cue is an identifier, not a
+    year filter — "find order 2016" must keep '2016' as a LIKE search
+    term instead of silently becoming year(o_orderdate)=2016."""
+    from dopams_etl_spark.catalog import register_views
+    from dopams_etl_spark.nlq.planner import plan_query
+
+    register_views(spark, "/root/testdata/sf0.001")
+    p = plan_query(spark, "find order 2016")
+    assert p.year_filter is None
+    assert "2016" in p.search_terms
+
+    # ... while every cue form still synthesizes the filter
+    for q in ("orders during 2016", "orders since 2016", "2016 orders"):
+        assert plan_query(spark, q).year_filter == ("o_orderdate", 2016), q

@@ -267,6 +267,32 @@ def test_python_datasource_jsonl_writer_overwrite(spark, tmp_path):
         ).save()
 
 
+def test_jsonl_writer_sweep_is_job_scoped(spark, tmp_path):
+    """A commit's orphan sweep must delete ONLY its own job's attempt
+    temps: a concurrent writer's in-flight ``.part-*.tmp`` for the same
+    sink path survives (deleting it would fail that job's later commit
+    renames)."""
+    import glob
+    import os
+
+    from dopams_etl_spark.sources.pydatasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "jsonl_cc")
+    os.makedirs(out)
+    foreign = os.path.join(out, ".part-00000.fedcba987654.7.tmp")
+    with open(foreign, "w") as fh:
+        fh.write('{"id": 999}\n')
+
+    df = spark.range(0, 6).selectExpr("id").repartition(2)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    assert os.path.exists(foreign), "swept a concurrent job's temp file"
+    # ... while this job's own temps are gone
+    leftovers = set(glob.glob(os.path.join(out, ".part-*.tmp"))) - {foreign}
+    assert not leftovers
+
+
 def test_python_datasource_stream_reader(spark, tmp_path):
     """Streaming side: the micro-batch tick source drains its offset
     range under availableNow and the batches reassemble the exact

@@ -284,7 +284,7 @@ def test_append_once_skips_replayed_batches(spark, tmp_path):
     sink = spark.read.parquet(out)
     n = sink.count()
     assert n == 100
-    applied_ids = [r["_batch_id"] for r in sink.select("_batch_id").distinct().collect()]
+    applied_ids = [r["batch_id"] for r in sink.select("batch_id").distinct().collect()]
     assert applied_ids, "no batch ids recorded"
 
     # replay an ALREADY-APPLIED batch id -> skipped, count unchanged
@@ -295,3 +295,32 @@ def test_append_once_skips_replayed_batches(spark, tmp_path):
     # a NEW batch id -> applied
     assert append_once_batch(replay, max(applied_ids) + 1, out) is True
     assert spark.read.parquet(out).count() == n + 10
+
+
+def test_append_once_crash_before_publish_is_retried(spark, tmp_path):
+    """Atomic-publish recovery: a crash AFTER staging but BEFORE the
+    publish rename must leave the batch uncommitted — staged rows are
+    invisible to readers (underscore-hidden), and a retry of the same
+    batch id applies it (the pre-fix embedded-ledger design lost these
+    rows forever because the probe saw the id in partial part files)."""
+    from dopams_etl_spark.streaming import append_once_batch
+
+    out = str(tmp_path / "out")
+    ev = _events_subset(spark, 30).select("event_id", "user_id")
+    assert append_once_batch(ev.limit(20), 0, out) is True
+
+    # Simulate batch 1 crashing mid-commit: data staged, never renamed.
+    staged = ev.limit(7)
+    staged.write.parquet(str(tmp_path / "out" / "_staging" / "1-deadbeef"))
+    sink = spark.read.parquet(out)
+    assert sink.count() == 20, "staged rows must be invisible to readers"
+
+    # The engine redelivers batch 1: it must APPLY (orphaned staging is
+    # not a commit) and sweep its own dead staging attempt.
+    assert append_once_batch(staged, 1, out) is True
+    assert spark.read.parquet(out).count() == 27
+    assert not (tmp_path / "out" / "_staging" / "1-deadbeef").exists()
+
+    # Replay of the now-committed id is a directory-existence no-op.
+    assert append_once_batch(staged, 1, out) is False
+    assert spark.read.parquet(out).count() == 27
