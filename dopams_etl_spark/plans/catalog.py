@@ -75,9 +75,36 @@ _PRIORITY: tuple[str, ...] = (
     # 4) the flagship gold MV — one fresh showcase row per round (kept
     #    inside the 50-entry sample window on purpose);
     "firs_mv",
-    # 5) ROUND-8 REGISTRATIONS GO HERE (slots 16–50) — append new
-    #    queries directly below this comment so they land inside the
-    #    sample window; cap at the headroom.
+    # 5) round-8 registrations (slots 16–40, inside the sample window;
+    #    capped below the 50-slot headroom): the TPC-H decision-support
+    #    sweep (plans/tpch.py) and the statistical-inference additions
+    #    (plans/stats.py). Each landed tools/check.py green at sf0.001
+    #    AND sf0.01 under the decimal/int-strict checker.
+    "q4_priority_late_exists",
+    "q6_forecast_revenue_delta",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    "ks_test_two_sample",
+    "theil_sen_daily_trend",
+    "mann_kendall_trend",
+    "ses_level_daily",
+    "attribution_time_decay",
+    "precision_recall_deciles",
+    "js_divergence_daily_drift",
+    "cohens_kappa_priority_value",
+    "trailing_week_range_frame",
+    "asof_nearest_tolerance_join",
     # 6) green r7 rows, re-confirmed as budget allows — everything
     #    below holds a green driver row from r7 or earlier;
     "lineitem_metrics_unpivot",
@@ -294,9 +321,11 @@ def _ensure_loaded() -> None:
         analytics,
         domain,
         relational,
+        stats,
         surfaces,
         temporal,
         textops,
+        tpch,
     )
 
 

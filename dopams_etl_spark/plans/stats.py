@@ -1,0 +1,607 @@
+"""Statistical-testing and advanced-window queries (beyond-reference).
+
+Round-8 additions extending the analytics layer (`plans/analytics.py`)
+with the remaining classical inference tools a data-science workload
+expects from an engine — two-sample distribution tests, robust trend
+estimators, exponential smoothing, inter-rater agreement, time-decay
+attribution, distribution-drift monitoring, interval RANGE window
+frames, and nearest-neighbor (bidirectional) as-of joins.
+
+Parity conventions as everywhere (`plans/catalog.py`): identical column
+aliases, counts cast BIGINT, ratios rounded 6 (z-stats 4) as double on
+both sides, durations in integer seconds — never float time math — and
+every pairwise construction runs over an AGGREGATED (days/values) table
+whose size is bounded regardless of fact cardinality, so the 100 TB
+posture is pre-aggregate-then-pair, never fact².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.plans.catalog import register, t
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounded daily order revenue — the shared bounded (≤ |days|) input
+    for the trend estimators below. Rounding BEFORE pairing keeps the
+    pairwise arithmetic identical across engines."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+
+
+_DAILY_SQL = """
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "ks_test_two_sample",
+    """
+    WITH labeled AS (
+      SELECT value AS s, event_type = 'purchase' AS y FROM events
+      WHERE event_type IN ('purchase', 'view')),
+    ps AS (SELECT s,
+                  CAST(COUNT(*) FILTER (WHERE y) AS BIGINT) AS n1_s,
+                  CAST(COUNT(*) FILTER (WHERE NOT y) AS BIGINT) AS n2_s
+           FROM labeled GROUP BY s),
+    tot AS (SELECT CAST(SUM(n1_s) AS DOUBLE) AS n1,
+                   CAST(SUM(n2_s) AS DOUBLE) AS n2 FROM ps),
+    e AS (SELECT SUM(n1_s) OVER (ORDER BY s) / n1 AS f1,
+                 SUM(n2_s) OVER (ORDER BY s) / n2 AS f2,
+                 n1, n2
+          FROM ps CROSS JOIN tot)
+    SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_view,
+           ROUND(MAX(ABS(f1 - f2)), 6) AS ks_stat
+    FROM e GROUP BY n1, n2
+    """,
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic — are purchase and view
+    values drawn from the same distribution? D = max |ECDF₁ − ECDF₂|,
+    the distribution-free companion to mann_whitney_value_test (which
+    only detects location shift; KS sees any shape difference). Scores
+    collapse to per-distinct-value counts first, so the ECDFs are ONE
+    ordered window over |distinct values| rows — never a sort of the raw
+    fact — and max() reduces them to a single row."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ps = (
+        ev.select("value", (F.col("event_type") == "purchase").alias("y"))
+        .groupBy(F.col("value").alias("s"))
+        .agg(
+            F.count_if(F.col("y")).alias("n1_s"),
+            F.count_if(~F.col("y")).alias("n2_s"),
+        )
+    )
+    tot = ps.agg(
+        F.sum("n1_s").cast("double").alias("n1"),
+        F.sum("n2_s").cast("double").alias("n2"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    e = ps.crossJoin(F.broadcast(tot)).select(
+        (F.sum("n1_s").over(w) / F.col("n1")).alias("f1"),
+        (F.sum("n2_s").over(w) / F.col("n2")).alias("f2"),
+        "n1",
+        "n2",
+    )
+    return e.groupBy("n1", "n2").agg(
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_stat")
+    ).select(
+        F.col("n1").cast("long").alias("n_purchase"),
+        F.col("n2").cast("long").alias("n_view"),
+        "ks_stat",
+    )
+
+
+@register(
+    "theil_sen_daily_trend",
+    f"""
+    WITH d AS ({_DAILY_SQL}),
+    pairs AS (
+      SELECT (b.rev - a.rev) / date_diff('day', a.day, b.day) AS slope
+      FROM d a JOIN d b ON b.day > a.day)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+           ROUND(MEDIAN(slope), 6) AS sen_slope
+    FROM pairs
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the daily-revenue trend: the MEDIAN of all
+    pairwise slopes — robust to ~29% outliers where OLS breaks on one
+    bad day. The pairing runs over the AGGREGATED day table (≤ a few
+    thousand rows at any fact scale, so days²/2 slopes stay in the
+    millions — bounded by calendar, not data volume); revenue is rounded
+    before pairing so both engines divide identical numerators."""
+    d = _daily_revenue(spark, sf_dir)
+    a = d.select(F.col("day").alias("da"), F.col("rev").alias("ra"))
+    b = d.select(F.col("day").alias("db"), F.col("rev").alias("rb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        (
+            (F.col("rb") - F.col("ra"))
+            / F.datediff(F.col("db"), F.col("da"))
+        ).alias("slope")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_days"))
+    return pairs.agg(
+        F.round(F.median("slope"), 6).alias("sen_slope")
+    ).crossJoin(F.broadcast(n)).select("n_days", "sen_slope")
+
+
+@register(
+    "mann_kendall_trend",
+    f"""
+    WITH d AS ({_DAILY_SQL}),
+    s AS (SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                               WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM d a JOIN d b ON b.day > a.day),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+    SELECT n_days, s_stat,
+           ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                           / sqrt(n_days*(n_days-1)*(2*n_days+5)/18.0)
+                      WHEN s_stat < 0 THEN (s_stat + 1)
+                           / sqrt(n_days*(n_days-1)*(2*n_days+5)/18.0)
+                      ELSE 0.0 END, 4) AS z_stat
+    FROM s CROSS JOIN n
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily revenue: S = Σ
+    sign(yⱼ−yᵢ) over ordered day pairs, normal-approximated with the
+    standard continuity correction (no tie correction — rounded revenue
+    ties are counted as 0 by sign() identically on both engines, and
+    the variance formula is stated the same way on both sides). Like
+    Theil–Sen, the pair space is the bounded day table."""
+    d = _daily_revenue(spark, sf_dir)
+    a = d.select(F.col("day").alias("da"), F.col("rev").alias("ra"))
+    b = d.select(F.col("day").alias("db"), F.col("rev").alias("rb"))
+    s = a.join(b, F.col("db") > F.col("da")).agg(
+        F.sum(
+            F.when(F.col("rb") > F.col("ra"), 1)
+            .when(F.col("rb") < F.col("ra"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_days"))
+    joined = s.crossJoin(F.broadcast(n))
+    nn = F.col("n_days")
+    var = nn * (nn - 1) * (2 * nn + 5) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var))
+        .otherwise(0.0)
+    )
+    return joined.select("n_days", "s_stat", F.round(z, 4).alias("z_stat"))
+
+
+@register(
+    "ses_level_daily",
+    f"""
+    WITH d AS ({_DAILY_SQL}),
+    idx AS (SELECT rev, row_number() OVER (ORDER BY day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM d)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           ROUND(SUM(CASE WHEN rn = 1 THEN POWER(0.7, n - 1) * rev
+                          ELSE 0.3 * POWER(0.7, n - rn) * rev END), 2)
+             AS ses_level
+    FROM idx
+    """,
+)
+def ses_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (α=0.3) of daily revenue, CLOSED
+    FORM: the recursion lₜ = αxₜ + (1−α)lₜ₋₁ unrolls to one weighted sum
+    with geometric weights α(1−α)^(n−t) (and (1−α)^(n−1) on the seed
+    l₁=x₁) — so the 'inherently sequential' smoother becomes a single
+    parallel aggregate over the day table; weights beyond ~700 days
+    underflow to 0 harmlessly. The forecast for any horizon is this
+    final level."""
+    d = _daily_revenue(spark, sf_dir)
+    idx = d.select(
+        "rev",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    alpha = 0.3
+    wt = F.when(
+        F.col("rn") == 1, F.pow(F.lit(1 - alpha), F.col("n") - 1)
+    ).otherwise(alpha * F.pow(F.lit(1 - alpha), F.col("n") - F.col("rn")))
+    return idx.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(F.sum(wt * F.col("rev")), 2).alias("ses_level"),
+    )
+
+
+@register(
+    "attribution_time_decay",
+    """
+    WITH p AS (SELECT event_id AS pid, user_id, ts AS pts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+    touch AS (
+      SELECT pid, date_diff('second', vts, pts) AS dsec
+      FROM p JOIN v USING (user_id)
+      WHERE vts < pts AND vts >= pts - INTERVAL 7 DAY),
+    w AS (SELECT pid, dsec // 86400 AS days_before,
+                 POWER(0.5, dsec / 86400.0) AS wt
+          FROM touch),
+    norm AS (SELECT days_before,
+                    wt / SUM(wt) OVER (PARTITION BY pid) AS credit
+             FROM w)
+    SELECT CAST(days_before AS INT) AS days_before,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(credit), 4) AS credit
+    FROM norm GROUP BY 1
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (half-life = 1 day),
+    completing the attribution family (first/last in
+    attribution_first_vs_last, linear in multi_touch_attribution_linear):
+    each view in the 7 days before a purchase earns weight 2^(−Δt/1d),
+    normalized per purchase, credit aggregated by days-before-purchase.
+    The purchase×view pairing is an equi-join on user_id with a range
+    residual — per-user fan-out bounded by 7-day activity — and Δt is
+    integer SECONDS on both engines (never float timestamp math), so
+    the decay weights are bit-identical."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    dsec = F.col("pts").cast("long") - F.col("vts").cast("long")
+    touch = p.join(v, F.col("pu") == F.col("vu")).filter(
+        (F.col("vts") < F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+    ).select("pid", dsec.alias("dsec"))
+    w = touch.select(
+        "pid",
+        F.floor(F.col("dsec") / 86400).alias("days_before"),
+        F.pow(F.lit(0.5), F.col("dsec") / 86400.0).alias("wt"),
+    )
+    norm = w.select(
+        "days_before",
+        (F.col("wt") / F.sum("wt").over(Window.partitionBy("pid"))).alias(
+            "credit"
+        ),
+    )
+    return norm.groupBy(
+        F.col("days_before").cast("int").alias("days_before")
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit"), 4).alias("credit"),
+    )
+
+
+@register(
+    "precision_recall_deciles",
+    """
+    WITH labeled AS (
+      SELECT value AS s, event_id,
+             CAST(event_type = 'purchase' AS INT) AS y
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    r AS (SELECT ntile(10) OVER (ORDER BY s DESC, event_id) AS decile, y
+          FROM labeled),
+    g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM r GROUP BY decile),
+    c AS (SELECT decile, n, pos,
+                 SUM(n) OVER (ORDER BY decile) AS cum_n,
+                 SUM(pos) OVER (ORDER BY decile) AS cum_pos,
+                 SUM(pos) OVER () AS tot_pos
+          FROM g)
+    SELECT CAST(decile AS INT) AS decile, n, pos,
+           ROUND(cum_pos / CAST(cum_n AS DOUBLE), 6) AS precision_at,
+           ROUND(cum_pos / CAST(tot_pos AS DOUBLE), 6) AS recall_at
+    FROM c
+    """,
+)
+def precision_recall_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve at score deciles — value as the ranking
+    score, purchase as the positive class: the threshold-sweep
+    evaluation that complements quality_score_auc (a scalar) and
+    expected_calibration_error (probability quality). ntile runs over a
+    DETERMINISTIC order (score desc, event_id) so tied scores split
+    into the same deciles on both engines; the cumulative sums then run
+    over exactly 10 rows."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    labeled = ev.select(
+        F.col("value").alias("s"),
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    r = labeled.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.col("s").desc(), F.col("event_id")))
+        .alias("decile"),
+        "y",
+    )
+    g = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("pos").over(wt).alias("tot_pos"),
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n",
+        "pos",
+        F.round(F.col("cum_pos") / F.col("cum_n").cast("double"), 6).alias(
+            "precision_at"
+        ),
+        F.round(F.col("cum_pos") / F.col("tot_pos").cast("double"), 6).alias(
+            "recall_at"
+        ),
+    )
+
+
+@register(
+    "js_divergence_daily_drift",
+    """
+    WITH de AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+    days AS (SELECT day, CAST(SUM(c) AS DOUBLE) AS nd FROM de GROUP BY day),
+    gtot AS (SELECT event_type, CAST(SUM(c) AS DOUBLE) AS cg FROM de
+             GROUP BY event_type),
+    gq AS (SELECT event_type, cg / (SELECT SUM(cg) FROM gtot) AS q FROM gtot),
+    grid AS (
+      SELECT d.day, d.nd, g.event_type, g.q,
+             COALESCE(de.c, 0) / d.nd AS p
+      FROM days d CROSS JOIN gq g
+      LEFT JOIN de ON de.day = d.day AND de.event_type = g.event_type),
+    terms AS (
+      SELECT day, nd,
+             CASE WHEN p > 0 THEN 0.5 * p * log2(p / ((p + q) / 2))
+                  ELSE 0 END
+             + 0.5 * q * log2(q / ((p + q) / 2)) AS term
+      FROM grid)
+    SELECT day, CAST(nd AS BIGINT) AS n_events,
+           ROUND(SUM(term), 6) AS jsd
+    FROM terms GROUP BY day, nd
+    """,
+)
+def js_divergence_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Jensen–Shannon divergence of the event-type mix against
+    the global mix — the bounded, symmetric drift monitor (JSD ∈ [0,1]
+    in log₂) where population_stability_index and lang_char_divergence
+    are unbounded KLs. The (day × type) grid is completed by a cross
+    join of two TINY aggregates (days × 5 types) so zero-count cells
+    contribute their exact limit (p·log p → 0, while the q-side term
+    stays), and all probability math happens on per-grain aggregates,
+    never fact rows."""
+    ev = t(spark, sf_dir, "events")
+    de = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    days = de.groupBy(F.col("day").alias("d_day")).agg(
+        F.sum("c").cast("double").alias("nd")
+    )
+    glob = de.groupBy(F.col("event_type").alias("g_type")).agg(
+        F.sum("c").cast("double").alias("cg")
+    )
+    tot = glob.agg(F.sum("cg").alias("tot"))
+    gq = glob.crossJoin(F.broadcast(tot)).select(
+        "g_type", (F.col("cg") / F.col("tot")).alias("q")
+    )
+    grid = (
+        days.crossJoin(F.broadcast(gq))
+        .join(
+            de,
+            (F.col("d_day") == F.col("day"))
+            & (F.col("g_type") == F.col("event_type")),
+            "left",
+        )
+        .select(
+            F.col("d_day").alias("day"),
+            "nd",
+            "q",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("nd")).alias("p"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.when(
+            F.col("p") > 0, 0.5 * F.col("p") * F.log2(F.col("p") / m)
+        ).otherwise(0.0)
+        + 0.5 * F.col("q") * F.log2(F.col("q") / m)
+    )
+    return (
+        grid.select("day", "nd", term.alias("term"))
+        .groupBy("day", "nd")
+        .agg(F.round(F.sum("term"), 6).alias("jsd"))
+        .select("day", F.col("nd").cast("long").alias("n_events"), "jsd")
+    )
+
+
+@register(
+    "cohens_kappa_priority_value",
+    """
+    WITH m AS (SELECT MEDIAN(o_totalprice) AS med FROM orders),
+    r AS (SELECT CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT) AS a,
+                 CAST(o_totalprice > med AS INT) AS b
+          FROM orders CROSS JOIN m),
+    c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(a * b) AS DOUBLE) AS n11,
+                 CAST(SUM(a * (1 - b)) AS DOUBLE) AS n10,
+                 CAST(SUM((1 - a) * b) AS DOUBLE) AS n01,
+                 CAST(SUM((1 - a) * (1 - b)) AS DOUBLE) AS n00
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND((n11 + n00) / n, 6) AS observed_agreement,
+           ROUND(((n11 + n00) / n
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n00 + n01) * (n00 + n10)) / (n * n))
+                 / (1 - ((n11 + n10) * (n11 + n01)
+                         + (n00 + n01) * (n00 + n10)) / (n * n)), 6)
+             AS kappa
+    FROM c
+    """,
+)
+def cohens_kappa_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary 'raters' of order importance —
+    priority says urgent/high vs. totalprice says above-median —
+    agreement corrected for chance (the metric behind annotator-quality
+    gates in labeling pipelines). The median threshold is a one-row
+    broadcast; the 2×2 contingency comes from one conditional-sum pass;
+    kappa is closed-form on that single row. Both engines interpolate
+    the even-count median identically."""
+    o = t(spark, sf_dir, "orders")
+    m = o.agg(F.median("o_totalprice").alias("med"))
+    r = o.crossJoin(F.broadcast(m)).select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("a"),
+        (F.col("o_totalprice") > F.col("med")).cast("int").alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("double").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("double").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("double").alias("n00"),
+    )
+    n, n11, n10, n01, n00 = (
+        F.col("n"),
+        F.col("n11"),
+        F.col("n10"),
+        F.col("n01"),
+        F.col("n00"),
+    )
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) / (n * n)
+    return c.select(
+        n.cast("long").alias("n_orders"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "trailing_week_range_frame",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      ROUND(SUM(o_totalprice), 2) AS rev,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT day, rev,
+           ROUND(SUM(rev) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+             AS rev_7d,
+           CAST(SUM(n_orders) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS orders_7d
+    FROM d
+    """,
+)
+def trailing_week_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-calendar-day revenue via a RANGE window frame — the
+    gap-aware rolling sum: where the rolling_* family's ROWS frames
+    silently span calendar gaps (6 *rows* back may be 3 weeks back over
+    sparse days), a RANGE frame bounds the window by VALUE distance.
+    Spark expresses interval-RANGE as rangeBetween over the epoch-day
+    ordinal (identical semantics to DuckDB's INTERVAL PRECEDING). The
+    frame runs over the aggregated day table."""
+    d = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .withColumn("day_ord", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("day_ord").rangeBetween(-6, 0)
+    return d.select(
+        "day",
+        "rev",
+        F.round(F.sum("rev").over(w), 2).alias("rev_7d"),
+        F.sum("n_orders").over(w).alias("orders_7d"),
+    )
+
+
+@register(
+    "asof_nearest_tolerance_join",
+    """
+    WITH p AS (SELECT event_id AS pid, user_id, ts AS pts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS vid, user_id, ts AS vts FROM events
+          WHERE event_type = 'view'),
+    cand AS (
+      SELECT pid, vid, ABS(date_diff('second', vts, pts)) AS adiff, vts
+      FROM p JOIN v USING (user_id)
+      WHERE vts BETWEEN pts - INTERVAL 30 MINUTE
+                    AND pts + INTERVAL 30 MINUTE),
+    best AS (SELECT pid, vid, adiff,
+                    row_number() OVER (PARTITION BY pid
+                                       ORDER BY adiff, vts, vid) AS rn
+             FROM cand)
+    SELECT pid AS purchase_id, vid AS view_id,
+           CAST(adiff AS BIGINT) AS abs_seconds
+    FROM best WHERE rn = 1
+    """,
+)
+def asof_nearest_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join with tolerance — for each purchase, the
+    closest view event of the same user within ±30 minutes, either
+    direction (asof_purchase_last_view is backward-only; 'nearest' is
+    the sensor-alignment variant pandas calls merge_asof
+    direction='nearest'). Candidates form through the user_id equi-join
+    with the tolerance as a range residual (hash join, per-user fan-out
+    bounded by 30-minute activity), then one row_number per purchase
+    picks min |Δt| with earlier-then-id tie-breaks. Δt is integer
+    seconds on both engines."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    adiff = F.abs(F.col("pts").cast("long") - F.col("vts").cast("long"))
+    cand = p.join(v, F.col("pu") == F.col("vu")).filter(
+        (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("vts") <= F.col("pts") + F.expr("INTERVAL 30 MINUTES"))
+    ).select("pid", "vid", adiff.alias("adiff"), "vts")
+    w = Window.partitionBy("pid").orderBy("adiff", "vts", "vid")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("pid").alias("purchase_id"),
+            F.col("vid").alias("view_id"),
+            F.col("adiff").alias("abs_seconds"),
+        )
+    )

@@ -31,6 +31,13 @@ BNLJ_ALLOWED = {
     # knn_label_accuracy's neighbor search IS cosine_topk too; the vote
     # and scoring joins are equi-joins on p_id/c_id.
     "knn_label_accuracy",
+    # Theil–Sen / Mann–Kendall pair the AGGREGATED daily-revenue table
+    # with itself under a pure inequality (day_b > day_a): the pair
+    # space is bounded by calendar days² (≤ ~3M pairs for a decade)
+    # regardless of fact cardinality — the pre-aggregate-then-pair
+    # posture documented in plans/stats.py, not an unbounded NLJ.
+    "theil_sen_daily_trend",
+    "mann_kendall_trend",
 }
 
 

@@ -175,6 +175,32 @@ AUDITED = (
     "embedding_norm_outliers",
     "minhash_jaccard_estimate_error",
     "stratified_kfold_assign",
+    # round 8: TPC-H decision-support sweep + statistical inference
+    "q4_priority_late_exists",
+    "q6_forecast_revenue_delta",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    "ks_test_two_sample",
+    "theil_sen_daily_trend",
+    "mann_kendall_trend",
+    "ses_level_daily",
+    "attribution_time_decay",
+    "precision_recall_deciles",
+    "js_divergence_daily_drift",
+    "cohens_kappa_priority_value",
+    "trailing_week_range_frame",
+    "asof_nearest_tolerance_join",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
