@@ -105,6 +105,17 @@ _PRIORITY: tuple[str, ...] = (
     "cohens_kappa_priority_value",
     "trailing_week_range_frame",
     "asof_nearest_tolerance_join",
+    # 5b) round-8 second wave — registered past the 50-slot line on
+    #     purpose (the r8 sample is committed above); these 6 head the
+    #     r9 queue so the registry stays provably draining (6 « the
+    #     r9 headroom). Each landed tools/check.py green at sf0.001
+    #     AND sf0.01 under the strict checker;
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_parts_supplier_counts",
+    "q20_dominant_part_suppliers",
+    "cube_region_priority_revenue",
+    "dsir_importance_weights",
     # 6) green r7 rows, re-confirmed as budget allows — everything
     #    below holds a green driver row from r7 or earlier;
     "lineitem_metrics_unpivot",

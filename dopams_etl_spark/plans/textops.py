@@ -3044,3 +3044,101 @@ def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFram
         "abs_err",
         F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
     )
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS b
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    tgt AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS ct FROM tok
+            WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS cr FROM tok GROUP BY b),
+    nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_t FROM tok WHERE lang = 'en'),
+    nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_r FROM tok),
+    lr AS (SELECT raw.b,
+                  ln((COALESCE(ct, 0) + 1) / (n_t + 256))
+                  - ln((cr + 1) / (n_r + 256)) AS logratio
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+           CROSS JOIN nt CROSS JOIN nr),
+    dw AS (SELECT doc_id, ROUND(SUM(logratio), 4) AS dsir_weight,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM tok JOIN lr ON tok.b = lr.b
+           WHERE lang <> 'en'
+           GROUP BY doc_id)
+    SELECT doc_id, n_tokens, dsir_weight
+    FROM dw ORDER BY dsir_weight DESC, doc_id LIMIT 20
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each candidate
+    (non-English) document by its log importance weight under
+    bag-of-hashed-unigram models of the TARGET (English) vs RAW
+    distribution — the published recipe for picking pretraining data
+    that 'looks like' a target domain without training a classifier.
+    Features hash through the engine-portable md5 bridge (same
+    ``('0x'||substr(md5,1,8))`` ↔ ``F.conv`` pairing as the minhash
+    family) into 256 buckets with Laplace smoothing, so the weights are
+    reproducible anywhere. Everything is keyed aggregates: token→bucket
+    counts (one shuffle), a 256-row log-ratio table broadcast back over
+    candidate tokens, top-20 on bounded per-doc rows. At 100 TB the
+    ratio table stays 256 rows — the corpus never pairs with itself."""
+    docs = t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+                .cast("long")
+                % 256
+            ).alias("b"),
+        )
+    )
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy(F.col("b").alias("tb"))
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    nt = tok.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).cast("double").alias("n_t")
+    )
+    nr = tok.agg(F.count(F.lit(1)).cast("double").alias("n_r"))
+    lr = (
+        raw.join(tgt, F.col("b") == F.col("tb"), "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
+                      / (F.col("n_t") + 256))
+                - F.log((F.col("cr") + 1) / (F.col("n_r") + 256))
+            ).alias("logratio"),
+        )
+    )
+    dw = (
+        tok.filter(F.col("lang") != "en")
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("logratio"), 4).alias("dsir_weight"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return dw.select("doc_id", "n_tokens", "dsir_weight").orderBy(
+        F.col("dsir_weight").desc(), F.col("doc_id")
+    ).limit(20)

@@ -736,3 +736,289 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 second wave (r9 driver queue): the partsupp-dependent TPC-H
+# patterns, emulated through lineitem-derived supply offers so the PLAN
+# SHAPES (correlated min, HAVING-vs-global-scalar, NOT-IN anti join,
+# nested IN + correlated scalar) are exercised against this schema.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             ROUND(MIN(l_extendedprice / l_quantity), 2) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    eligible AS (
+      SELECT o.partkey, o.suppkey, o.unit_cost, s_name
+      FROM offers o
+      JOIN supplier ON s_suppkey = o.suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT p_partkey, p_name, s_name, unit_cost
+    FROM part JOIN eligible e ON p_partkey = e.partkey
+    WHERE p_size BETWEEN 10 AND 20
+      AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eligible e2
+                       WHERE e2.partkey = p_partkey)
+    ORDER BY unit_cost, p_partkey, s_name LIMIT 50
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+    subquery — for each part, the European supplier(s) matching the
+    part's cheapest offer. partsupp is emulated by per-(part, supplier)
+    MIN unit price observed in lineitem (documented proxy; the
+    correlated-min-then-equality-join plan shape is the original's).
+    Decorrelated: the eligible offers aggregate ONCE per part into
+    min_cost, equality-joined back on (partkey, rounded cost) — one
+    keyed shuffle, not a per-part rescan. Deterministic top-50."""
+    offers = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2
+            ).alias("unit_cost")
+        )
+    )
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    eligible = offers.join(sup, F.col("suppkey") == F.col("s_suppkey"))
+    min_cost = eligible.groupBy(F.col("partkey").alias("mc_key")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("partkey") == F.col("mc_key"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(part, F.col("partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "s_name", "unit_cost")
+        .orderBy("unit_cost", "p_partkey", "s_name")
+        .limit(50)
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey AS partkey, ROUND(SUM(l_extendedprice), 2) AS value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT partkey, value
+    FROM pv
+    WHERE value > (SELECT 2.0 * AVG(value) FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part value
+    within one nation's suppliers, kept only where it exceeds a
+    GLOBAL-SCALAR threshold — the HAVING-against-scalar-subquery
+    pattern. The original's SUM×fraction cut is restated as 2× the
+    average part value (TPC-H itself scales the fraction by 1/SF; the
+    avg form keeps selectivity scale-invariant without a knob). The
+    value table aggregates once; the one-row threshold broadcasts back
+    against it (ps_supplycost×availqty proxied by
+    lineitem extendedprice volume). Both engines sum the SAME rounded
+    per-part values into the threshold."""
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        t(spark, sf_dir, "lineitem")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"))
+    )
+    thr = pv.agg((2.0 * F.avg("value")).alias("thr"))
+    return pv.join(F.broadcast(thr), F.col("value") > F.col("thr")).select(
+        "partkey", "value"
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%7%')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers serve each surviving (brand, type, size) bucket, with a
+    NOT-IN blacklist subquery (the 'customer complaints' stand-in:
+    suppliers whose name contains '7'). NOT IN over a non-null key
+    plans as a left ANTI join — never a per-row subquery — and the
+    distinct count shuffles once on the group key."""
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7%")
+    ).select("s_suppkey")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    """
+    WITH sold AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2)
+    SELECT DISTINCT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT suppkey FROM sold
+      WHERE partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%widget%')
+        AND qty > (SELECT 0.3 * SUM(s2.qty) FROM sold s2
+                   WHERE s2.partkey = sold.partkey))
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): NESTED IN subqueries
+    + a correlated scalar — suppliers who moved more than 30% of a
+    widget-part's yearly volume (availqty>half-of-sold emulated as
+    dominant-share-of-sold; the doubly-nested semijoin plan shape is
+    the original's). Decorrelated: per-(part,supplier) sales aggregate,
+    per-part totals joined back on partkey, the widget filter as a
+    semi join, and the supplier IN as a final semi join — every step a
+    keyed shuffle or broadcast, no rescans."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sold = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    widgets = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    totals = sold.groupBy(F.col("partkey").alias("t_key")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        sold.join(widgets, F.col("partkey") == F.col("p_partkey"), "left_semi")
+        .join(totals, F.col("partkey") == F.col("t_key"))
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .select("suppkey")
+    )
+    nat = t(spark, sf_dir, "nation")
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(dominant, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+    )
+
+
+@register(
+    "cube_region_priority_revenue",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(r_name) * 2 + GROUPING(o_orderpriority) AS INT)
+             AS gid,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, o_orderpriority)
+    """,
+)
+def cube_region_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completion of the multi-grain family (order_grouping_sets
+    covers GROUPING SETS, event_rollup_multigrain covers ROLLUP): all
+    four (region × priority) grains in ONE Expand pass, with GROUPING()
+    flags composed into the same gid on both engines (never relying on
+    engine-specific grouping_id bit order) and NULL grain labels
+    COALESCEd so the 'ALL' rows hash identically."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        o.cube("r_name", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("r_name") * 2 + F.grouping("o_orderpriority")
+            ).cast("int").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            "gid",
+            "revenue",
+            "n_orders",
+        )
+    )

@@ -154,3 +154,29 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_q6_predicates_reach_parquet_scan(spark):
+    """q6 is the scan-bound TPC-H query: its entire cost is the parquet
+    read, so ALL three predicates (shipdate range, discount range,
+    quantity bound) must appear as PushedFilters on the scan node and
+    the read schema must carry only the referenced columns — the
+    min/max row-group-pruning contract that does the heavy lifting at
+    100 TB."""
+    from dopams_etl_spark.plans.tpch import q6_forecast_revenue_delta
+
+    df = q6_forecast_revenue_delta(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        block
+        for block in plan.split("\n\n")
+        if "PushedFilters" in block and "lineitem" in block
+    )
+    pushed = scan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to the scan: {pushed}"
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert col not in read_schema, (
+            f"unreferenced column {col} survives pruning: {read_schema}"
+        )

@@ -201,6 +201,12 @@ AUDITED = (
     "cohens_kappa_priority_value",
     "trailing_week_range_frame",
     "asof_nearest_tolerance_join",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_parts_supplier_counts",
+    "q20_dominant_part_suppliers",
+    "cube_region_priority_revenue",
+    "dsir_importance_weights",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
