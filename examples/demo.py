@@ -85,6 +85,16 @@ def main() -> None:
           f"{depth.count()} queue-depth days; "
           f"duration-weighted medians {twm}")
 
+    # 9. Round-8 decision-support + data-selection layer
+    top_wait = qs["q21_suppliers_kept_waiting"](spark, SF_DIR).collect()
+    dsir = qs["dsir_importance_weights"](spark, SF_DIR).collect()
+    trend = qs["mann_kendall_trend"](spark, SF_DIR).collect()[0]
+    print(f"9. TPC-H q21 (EXISTS+NOT-EXISTS decorrelated): "
+          f"{len(top_wait)} suppliers kept orders waiting; "
+          f"DSIR top candidate doc {dsir[0]['doc_id']} "
+          f"(weight {dsir[0]['dsir_weight']}); "
+          f"revenue trend z={trend['z_stat']} over {trend['n_days']} days")
+
     print("\ndemo complete.")
 
 
