@@ -52,8 +52,8 @@ def _where_clause(spark: SparkSession, table: str, plan: QueryPlan) -> str:
         ]
         parts.append("(" + " OR ".join(likes) + ")")
     if plan.year_filter:
-        date_col, year = plan.year_filter
-        parts.append(f"year({date_col}) = {int(year)}")
+        date_col, year, op = plan.year_filter
+        parts.append(f"year({date_col}) {op} {int(year)}")
     return " WHERE " + " AND ".join(parts) if parts else ""
 
 

@@ -49,8 +49,9 @@ class QueryPlan:
     group_column: str | None = None
     # (AGG function, catalog column) for 'average X' / 'total X' asks
     measure: tuple[str, str] | None = None
-    # (date column, year) for 'in 1995'-style asks
-    year_filter: tuple[str, int] | None = None
+    # (date column, year, operator) for 'in 1995' / 'since 2016' asks;
+    # operator is one of =, >=, >, <, <=
+    year_filter: tuple[str, int, str] | None = None
 
 
 def detect_intent(question: str) -> tuple[str, float]:
@@ -171,14 +172,18 @@ def extract_year_filter(
 ) -> tuple[str, int] | None:
     """A 19xx/20xx year WITH a temporal cue ("in 1995", "during 2016",
     "since/before/after/from/until/of <year>", or "<year> orders") + a
-    date/timestamp column on the table → (that column, year). The cue
-    requirement keeps 4-digit identifier lookups ("find order 2016")
-    as plain search terms instead of silently becoming
-    ``year(o_orderdate)=2016``. The first temporal catalog column
-    anchors the filter (the tables here have one canonical event/order
-    date)."""
+    date/timestamp column on the table → (column, year, operator). The
+    cue requirement keeps 4-digit identifier lookups ("find order
+    2016") as plain search terms instead of silently becoming
+    ``year(o_orderdate)=2016``, and COMPARATIVE cues carry their
+    direction — "before 1995" filters ``year(col) < 1995``, never the
+    equality (which would return exactly the rows the user excluded):
+    since/from → >=, after → >, before → <, until/till/through → <=,
+    everything else (in/during/of/"<year> orders") → =. The first
+    temporal catalog column anchors the filter (the tables here have
+    one canonical event/order date)."""
     m = re.search(
-        r"\b(?:in|during|since|before|after|from|until|till|through|for|of"
+        r"\b(in|during|since|before|after|from|until|till|through|for|of"
         r"|year)\s+(19\d{2}|20\d{2})\b"
         r"|\b(19\d{2}|20\d{2})\s+(?:orders?|customers?|events?|sales"
         r"|revenue|data)\b",
@@ -186,10 +191,20 @@ def extract_year_filter(
     )
     if not m:
         return None
-    m = re.search(r"\b(19\d{2}|20\d{2})\b", m.group(0))
+    cue = m.group(1) or ""
+    year = int(m.group(2) or m.group(3))
+    op = {
+        "since": ">=",
+        "from": ">=",
+        "after": ">",
+        "before": "<",
+        "until": "<=",
+        "till": "<=",
+        "through": "<=",
+    }.get(cue, "=")
     for c in spark.catalog.listColumns(table):
         if c.dataType in ("date", "timestamp", "timestamp_ntz"):
-            return c.name, int(m.group(1))
+            return c.name, year, op
     return None
 
 

@@ -78,16 +78,35 @@ def cleanup_bucketed_at_exit(
     atexit.register(_cleanup)
 
 
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except OSError:
+        return False
+    return True
+
+
 def sweep_stale_bucketed_dirs(
     parent: str, keep: str, max_age_seconds: float = 86400.0
 ) -> int:
-    """Remove ``dopams_bucketed_*`` scratch dirs abandoned by crashed
-    prior applications (atexit never ran). Only dirs untouched for
-    ``max_age_seconds`` are swept: a recent one may belong to a LIVE
-    concurrent session whose lazy plans still read it. Returns the
-    number of dirs removed."""
+    """Remove ``dopams_bucketed_*`` scratch dirs abandoned by DEAD prior
+    applications (their atexit never ran). Age alone is NOT proof of
+    abandonment — a long-lived session's lazy plans may still read a
+    day-old dir — so each dir name embeds its owner's pid
+    (``dopams_bucketed_<run>_pid<pid>``) and sweeping requires BOTH the
+    age threshold AND a dead owner (``kill -0`` probe; scratch under
+    /tmp is host-local, so the pid namespace is the right scope).
+    Legacy dirs without a pid suffix fall back to age-only sweeping.
+    Returns the number of dirs removed."""
     import glob
     import os
+    import re
     import shutil
     import time
 
@@ -96,6 +115,9 @@ def sweep_stale_bucketed_dirs(
     for d in glob.glob(os.path.join(parent, "dopams_bucketed_*")):
         if d == keep:
             continue
+        m = re.search(r"_pid(\d+)$", d)
+        if m and _pid_alive(int(m.group(1))):
+            continue  # owner still running — its lazy plans may read it
         try:
             if now - os.path.getmtime(d) > max_age_seconds:
                 shutil.rmtree(d, ignore_errors=True)

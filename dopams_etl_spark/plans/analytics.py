@@ -1134,9 +1134,10 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a session, so same-session reuse cannot race). This application's
     base dir is removed at interpreter exit (atexit — the returned
     DataFrame is lazy, so cleanup must outlive the query), and stale
-    ``dopams_bucketed_*`` dirs abandoned by crashed PRIOR applications
-    are swept when older than a day — recent dirs may belong to a live
-    concurrent session and are left alone."""
+    ``dopams_bucketed_*`` dirs abandoned by DEAD prior applications are
+    swept when older than a day AND their embedded owner pid no longer
+    runs — age alone never kills a live long-running session's
+    scratch."""
     import os
     import re
     import tempfile
@@ -1153,7 +1154,9 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     run = re.sub(r"[^0-9a-zA-Z]", "", spark.sparkContext.applicationId)[-16:]
-    base = os.path.join(tempfile.gettempdir(), f"dopams_bucketed_{run}")
+    base = os.path.join(
+        tempfile.gettempdir(), f"dopams_bucketed_{run}_pid{os.getpid()}"
+    )
     t_o, t_l = f"b_orders_{run}", f"b_lineitem_{run}"
     write_bucketed(orders, t_o, "o_orderkey", 8, f"{base}/{t_o}")
     write_bucketed(li, t_l, "l_orderkey", 8, f"{base}/{t_l}")

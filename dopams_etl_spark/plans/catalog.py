@@ -44,9 +44,10 @@ def register(name: str, oracle: str | None):
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
     # Round-8 budget: 50-slot sample = 1 red-row fix + 3 changed-in-r7
-    # + 10 never-checked second-wave + firs_mv flagship (15 slots), with
-    # the remaining ~35 reserved for round-8 registrations (capped at
-    # that headroom so the registry stays fully driver-checked).
+    # + 10 never-checked second-wave + firs_mv flagship (15 slots)
+    # + 31 round-8 registrations (slots 16–46) + 4 re-confirms
+    # (slots 47–50). Every registered query then holds a driver row:
+    # ZERO backlog into r9.
     # 1) the ONLY red r7 row — HUGEINT fix applied (oracle's
     #    n0 - SUM(...) OVER was HUGEINT → float64 pandas bridge, so the
     #    driver hashed ``3`` vs ``3.0``; now CAST(... AS BIGINT);
@@ -75,11 +76,11 @@ _PRIORITY: tuple[str, ...] = (
     # 4) the flagship gold MV — one fresh showcase row per round (kept
     #    inside the 50-entry sample window on purpose);
     "firs_mv",
-    # 5) round-8 registrations (slots 16–40, inside the sample window;
-    #    capped below the 50-slot headroom): the TPC-H decision-support
-    #    sweep (plans/tpch.py) and the statistical-inference additions
-    #    (plans/stats.py). Each landed tools/check.py green at sf0.001
-    #    AND sf0.01 under the decimal/int-strict checker.
+    # 5) round-8 registrations, first batch (slots 16–40): the TPC-H
+    #    decision-support sweep (plans/tpch.py) and the statistical-
+    #    inference additions (plans/stats.py). Each landed
+    #    tools/check.py green at sf0.001 AND sf0.01 under the
+    #    decimal/int-strict checker.
     "q4_priority_late_exists",
     "q6_forecast_revenue_delta",
     "q7_volume_shipping",
@@ -105,19 +106,20 @@ _PRIORITY: tuple[str, ...] = (
     "cohens_kappa_priority_value",
     "trailing_week_range_frame",
     "asof_nearest_tolerance_join",
-    # 5b) round-8 second wave — registered past the 50-slot line on
-    #     purpose (the r8 sample is committed above); these 6 head the
-    #     r9 queue so the registry stays provably draining (6 « the
-    #     r9 headroom). Each landed tools/check.py green at sf0.001
-    #     AND sf0.01 under the strict checker;
+    # 5b) round-8 registrations, second batch (slots 41–46 — still
+    #     INSIDE the sample window, so the r8 sample checks every r8
+    #     registration and the registry carries zero unchecked
+    #     backlog). Each landed tools/check.py green at sf0.001 AND
+    #     sf0.01 under the strict checker;
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q16_parts_supplier_counts",
     "q20_dominant_part_suppliers",
     "cube_region_priority_revenue",
     "dsir_importance_weights",
-    # 6) green r7 rows, re-confirmed as budget allows — everything
-    #    below holds a green driver row from r7 or earlier;
+    # 6) green r7 rows, re-confirmed as budget allows (the first 4
+    #    fill sample slots 47–50) — everything below holds a green
+    #    driver row from r7 or earlier;
     "lineitem_metrics_unpivot",
     "customer_rfm_segments",
     "revenue_pareto_abc",

@@ -150,7 +150,8 @@ class JsonlSinkDataSource(DataSource):
 
 class JsonlShardWriter(DataSourceWriter):
     """Task-attempt-safe two-phase commit: each attempt writes a
-    uniquely named temp file (``.part-<pid>.<taskAttemptId>.tmp``), and
+    uniquely named temp file (``.part-<pid>.<jobId>.<taskAttemptId>.tmp``
+    — the job id scopes every orphan sweep to THIS job's attempts), and
     only ``commit()`` renames the winning attempts to their final
     ``part-<pid>.jsonl`` names — a retried/speculative attempt of the
     same partition can never tear the published shard. ``overwrite``
@@ -196,7 +197,7 @@ class JsonlShardWriter(DataSourceWriter):
     def _final_name(self, tmp_path: str) -> str:
         import os
 
-        # ".part-00003.<attempt>.tmp" -> "part-00003.jsonl"
+        # ".part-00003.<jobId>.<attempt>.tmp" -> "part-00003.jsonl"
         base = os.path.basename(tmp_path)
         pid = base.split(".")[1]
         return os.path.join(self.path, f"{pid}.jsonl")
@@ -242,6 +243,13 @@ class JsonlShardWriter(DataSourceWriter):
             os.path.join(self.path, f".part-*.{self.job_id}.*.tmp")
         ):
             os.remove(orphan)
+        # ... plus pre-job-id-format leftovers (".part-NNNNN.<attempt>.tmp",
+        # 4 dot-fields vs the current 5): no CURRENT writer produces that
+        # shape, so they can only be dead orphans from before the format
+        # change — without this they would accumulate forever.
+        for orphan in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+            if len(os.path.basename(orphan).split(".")) == 4:
+                os.remove(orphan)
 
     def abort(self, messages) -> None:
         import glob

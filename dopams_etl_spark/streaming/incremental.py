@@ -155,6 +155,40 @@ def stream_upsert_parquet(
     )
 
 
+def _publish_staged(fs, hadoop_path, staging, published) -> bool:
+    """Atomically promote a staged batch directory to its published
+    partition path. Returns True on commit, False when ANOTHER attempt
+    of the same batch already committed (a lost race), raises on a real
+    rename failure.
+
+    Hadoop rename-into-existing-directory semantics matter here: if
+    ``published`` already exists (a same-batch-id attempt won the race
+    between the caller's probe and this rename), rename does NOT fail —
+    it moves the staging dir INSIDE it as ``published/<staging_name>/``
+    and returns true. That is detected by the uuid-unique nested path;
+    exactly the nested duplicate is removed and the batch is reported
+    as a skipped replay, so a lost race can never double-commit."""
+    staging_name = staging.getName()
+    renamed = fs.rename(staging, published)
+    nested = hadoop_path(published, staging_name)
+    if renamed and fs.exists(nested):
+        fs.delete(nested, True)
+        return False
+    if not renamed:
+        # rename failed outright (or the dst existed on a FS that
+        # rejects instead of nesting). Clean the private staging dir,
+        # then re-probe: an existing published dir means the batch IS
+        # committed (replay); anything else is a real failure the
+        # engine must see and retry.
+        fs.delete(staging, True)
+        if fs.exists(published):
+            return False
+        raise IOError(
+            f"append_once_batch: publish rename failed -> {published}"
+        )
+    return True
+
+
 def append_once_batch(batch: DataFrame, batch_id: int, target_path: str) -> bool:
     """Apply one micro-batch as an exactly-once APPEND. Appends are not
     idempotent (unlike the latest-wins merge above), so a batch replayed
@@ -194,19 +228,8 @@ def append_once_batch(batch: DataFrame, batch_id: int, target_path: str) -> bool
         return False
     staging = hadoop_path(target, f"_staging/{batch_id}-{uuid.uuid4().hex}")
     batch.write.mode("overwrite").parquet(str(staging))
-    if not fs.rename(staging, published):
-        # Lost a publish race (another attempt of the SAME batch id
-        # committed between our probe and rename) or the rename failed
-        # outright. Clean our private staging dir, then re-probe: an
-        # existing published dir means the batch IS committed (replay);
-        # anything else is a real failure the engine must see and retry.
-        fs.delete(staging, True)
-        if fs.exists(published):
-            return False
-        raise IOError(
-            f"append_once_batch: publish rename failed for batch {batch_id} "
-            f"-> {published}"
-        )
+    if not _publish_staged(fs, hadoop_path, staging, published):
+        return False
     # Lazy sweep: orphaned staging dirs for THIS batch id only (our own
     # crashed prior attempts — scoping by id never touches a concurrent
     # writer's in-flight staging for other batches).

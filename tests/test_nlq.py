@@ -230,7 +230,7 @@ def test_year_filter_synthesis(spark):
 
     register_views(spark, "/root/testdata/sf0.001")
     p = plan_query(spark, "how many orders in 1995 per priority?")
-    assert p.year_filter == ("o_orderdate", 1995)
+    assert p.year_filter == ("o_orderdate", 1995, "=")
     assert "1995" not in p.search_terms
 
     ans = answer_question(spark, "How many orders in 1995 per priority?")
@@ -254,6 +254,35 @@ def test_bare_year_token_stays_a_search_term(spark):
     assert p.year_filter is None
     assert "2016" in p.search_terms
 
-    # ... while every cue form still synthesizes the filter
-    for q in ("orders during 2016", "orders since 2016", "2016 orders"):
-        assert plan_query(spark, q).year_filter == ("o_orderdate", 2016), q
+    # ... while every cue form still synthesizes the filter, and
+    # COMPARATIVE cues carry their direction instead of collapsing to
+    # the equality (which would return exactly the excluded rows)
+    for q, op in (
+        ("orders during 2016", "="),
+        ("2016 orders", "="),
+        ("orders since 2016", ">="),
+        ("orders after 2016", ">"),
+        ("orders before 2016", "<"),
+        ("orders until 2016", "<="),
+    ):
+        assert plan_query(spark, q).year_filter == ("o_orderdate", 2016, op), q
+
+
+def test_comparative_year_filter_executes(spark):
+    """Inequality semantics end-to-end: the data starts in 1995, so
+    count(before 1996) must equal count(in 1995), and count(since 1996)
+    must equal the total minus it — partitioning the orders exactly."""
+    from dopams_etl_spark.catalog import register_views
+    from dopams_etl_spark.nlq.generator import answer_question
+
+    register_views(spark, "/root/testdata/sf0.001")
+    before = answer_question(spark, "How many orders before 1996?")
+    assert before.ok and "year(o_orderdate) < 1996" in before.sql
+    only_95 = answer_question(spark, "How many orders in 1995?")
+    assert before.result.rows[0][0] == only_95.result.rows[0][0]
+    since = answer_question(spark, "How many orders since 1996?")
+    total = answer_question(spark, "How many orders are there?")
+    assert (
+        since.result.rows[0][0]
+        == total.result.rows[0][0] - only_95.result.rows[0][0]
+    )

@@ -324,3 +324,41 @@ def test_append_once_crash_before_publish_is_retried(spark, tmp_path):
     # Replay of the now-committed id is a directory-existence no-op.
     assert append_once_batch(staged, 1, out) is False
     assert spark.read.parquet(out).count() == 27
+
+
+def test_append_once_lost_race_nests_then_cleans(spark, tmp_path):
+    """Hadoop rename into an EXISTING directory does not fail — it
+    nests the source inside it and returns true. A lost same-batch race
+    (published appears between the caller's probe and its rename) must
+    detect its uuid-named nested duplicate, remove it, and report a
+    skipped replay — never double-commit (the pre-fix code trusted
+    rename's return value and silently nested duplicate rows)."""
+    import os
+
+    from dopams_etl_spark.streaming import append_once_batch
+    from dopams_etl_spark.streaming.incremental import _publish_staged
+
+    out = str(tmp_path / "out")
+    ev = _events_subset(spark, 20).select("event_id", "user_id")
+    assert append_once_batch(ev.limit(12), 5, out) is True
+    n = spark.read.parquet(out).count()
+    assert n == 12
+
+    # The loser of the race: its staging dir is written, then it calls
+    # _publish_staged while batch_id=5 is ALREADY published (exactly
+    # the post-probe state of the losing attempt).
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    target = hadoop_path(out)
+    fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    staging = hadoop_path(target, "_staging/5-cafecafecafe")
+    ev.limit(7).write.parquet(str(staging))
+    published = hadoop_path(target, "batch_id=5")
+
+    assert _publish_staged(fs, hadoop_path, staging, published) is False
+    assert spark.read.parquet(out).count() == n, "race loser double-committed"
+    # no nested directory left inside the published partition
+    pub = tmp_path / "out" / "batch_id=5"
+    assert not [p for p in os.listdir(pub) if os.path.isdir(pub / p)], (
+        "nested staging dir left inside published partition"
+    )
