@@ -45,8 +45,8 @@ def register(name: str, oracle: str | None):
 _PRIORITY: tuple[str, ...] = (
     # Round-8 budget: 50-slot sample = 1 red-row fix + 3 changed-in-r7
     # + 10 never-checked second-wave + firs_mv flagship (15 slots)
-    # + 31 round-8 registrations (slots 16–46) + 4 re-confirms
-    # (slots 47–50). Every registered query then holds a driver row:
+    # + 33 round-8 registrations (slots 16–48) + 2 re-confirms
+    # (slots 49–50). Every registered query then holds a driver row:
     # ZERO backlog into r9.
     # 1) the ONLY red r7 row — HUGEINT fix applied (oracle's
     #    n0 - SUM(...) OVER was HUGEINT → float64 pandas bridge, so the
@@ -117,8 +117,14 @@ _PRIORITY: tuple[str, ...] = (
     "q20_dominant_part_suppliers",
     "cube_region_priority_revenue",
     "dsir_importance_weights",
-    # 6) green r7 rows, re-confirmed as budget allows (the first 4
-    #    fill sample slots 47–50) — everything below holds a green
+    # 5c) round-8 registrations, third batch (slots 47–48 — inside
+    #     the sample window; the registry still carries zero unchecked
+    #     backlog). Both landed tools/check.py green at sf0.001 AND
+    #     sf0.01;
+    "ols_value_trend_by_type",
+    "fk_containment_profile",
+    # 6) green r7 rows, re-confirmed as budget allows (the first 2
+    #    fill sample slots 49–50) — everything below holds a green
     #    driver row from r7 or earlier;
     "lineitem_metrics_unpivot",
     "customer_rfm_segments",

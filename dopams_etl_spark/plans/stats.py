@@ -614,3 +614,141 @@ def asof_nearest_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adiff").alias("abs_seconds"),
         )
     )
+
+
+@register(
+    "ols_value_trend_by_type",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS DOUBLE) AS x,
+             value AS y
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(y, x), 6) AS slope,
+           ROUND(regr_intercept(y, x), 4) AS intercept,
+           ROUND(regr_r2(y, x), 6) AS r2
+    FROM d GROUP BY event_type
+    """,
+)
+def ols_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares — slope/intercept/R² of event
+    value against time for each event type, the classic GROUPED
+    regression aggregate (DuckDB's regr_* family). Spark has no regr_*
+    builtins, so the same closed forms are composed from the moment
+    aggregates it does ship: slope = covar_pop/var_pop,
+    intercept = ȳ − slope·x̄, R² = corr² — ONE hash aggregate per
+    group either way, map-side partials, no window and no second pass.
+    x is epoch-day as double on both engines (integer day arithmetic,
+    never float timestamp math)."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    slope = F.covar_pop("y", "x") / F.var_pop("x")
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        F.round(F.pow(F.corr("y", "x"), 2), 6).alias("r2"),
+    )
+
+
+@register(
+    "fk_containment_profile",
+    """
+    WITH pairs(child_table, child_col, parent_table, parent_col) AS (
+      VALUES ('lineitem', 'l_orderkey', 'orders', 'o_orderkey'),
+             ('lineitem', 'l_partkey', 'part', 'p_partkey'),
+             ('lineitem', 'l_suppkey', 'supplier', 's_suppkey'),
+             ('orders', 'o_custkey', 'customer', 'c_custkey'),
+             ('events', 'user_id', 'customer', 'c_custkey')),
+    stats AS (
+      SELECT 'lineitem' AS ct, 'l_orderkey' AS cc,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_child,
+             CAST(COUNT(DISTINCT CASE WHEN o_orderkey IS NOT NULL
+                                      THEN l_orderkey END) AS BIGINT)
+               AS n_contained
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'lineitem', 'l_partkey',
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN p_partkey IS NOT NULL
+                                      THEN l_partkey END) AS BIGINT)
+      FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      UNION ALL
+      SELECT 'lineitem', 'l_suppkey',
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN s_suppkey IS NOT NULL
+                                      THEN l_suppkey END) AS BIGINT)
+      FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      UNION ALL
+      SELECT 'orders', 'o_custkey',
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN c_custkey IS NOT NULL
+                                      THEN o_custkey END) AS BIGINT)
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT 'events', 'user_id',
+             CAST(COUNT(DISTINCT user_id) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN c_custkey IS NOT NULL
+                                      THEN user_id END) AS BIGINT)
+      FROM events LEFT JOIN customer ON user_id = c_custkey)
+    SELECT p.child_table, p.child_col, p.parent_table, p.parent_col,
+           s.n_child, s.n_contained,
+           ROUND(s.n_contained / CAST(s.n_child AS DOUBLE), 6)
+             AS containment
+    FROM pairs p JOIN stats s
+      ON p.child_table = s.ct AND p.child_col = s.cc
+    """,
+)
+def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key containment profiling — for each declared candidate
+    (child column → parent key) pair, what fraction of distinct child
+    values exists in the parent: the data-profiling primitive behind FK
+    discovery, referential-integrity monitoring, and join-cardinality
+    sanity checks (containment 1.0 = clean FK; the events.user_id →
+    customer pair is the intentional negative control). Each pair is
+    ONE distinct-count over a left join keyed on the candidate column —
+    a keyed shuffle per pair, fan-out bounded by the declared pair
+    list, never a column-pair cross product."""
+    pairs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    outs = []
+    for ct, cc, pt, pc in pairs:
+        child = t(spark, sf_dir, ct).select(cc)
+        parent = t(spark, sf_dir, pt).select(pc)
+        joined = child.join(parent, F.col(cc) == F.col(pc), "left")
+        outs.append(
+            joined.agg(
+                F.countDistinct(cc).alias("n_child"),
+                F.countDistinct(
+                    F.when(F.col(pc).isNotNull(), F.col(cc))
+                ).alias("n_contained"),
+            ).select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_col"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_col"),
+                "n_child",
+                "n_contained",
+                F.round(
+                    F.col("n_contained") / F.col("n_child").cast("double"), 6
+                ).alias("containment"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

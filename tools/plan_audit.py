@@ -207,6 +207,8 @@ AUDITED = (
     "q20_dominant_part_suppliers",
     "cube_region_priority_revenue",
     "dsir_importance_weights",
+    "ols_value_trend_by_type",
+    "fk_containment_profile",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
