@@ -169,7 +169,7 @@ def extract_measure(
 
 def extract_year_filter(
     spark: SparkSession, question: str, table: str
-) -> tuple[str, int] | None:
+) -> tuple[str, int, str] | None:
     """A 19xx/20xx year WITH a temporal cue ("in 1995", "during 2016",
     "since/before/after/from/until/of <year>", or "<year> orders") + a
     date/timestamp column on the table → (column, year, operator). The

@@ -102,7 +102,10 @@ def sweep_stale_bucketed_dirs(
     (``dopams_bucketed_<run>_pid<pid>``) and sweeping requires BOTH the
     age threshold AND a dead owner (``kill -0`` probe; scratch under
     /tmp is host-local, so the pid namespace is the right scope).
-    Legacy dirs without a pid suffix fall back to age-only sweeping.
+    Legacy dirs without a pid suffix fall back to age-only sweeping,
+    and a 7-day hard backstop sweeps regardless of the pid probe — pid
+    reuse can make a recycled pid look alive forever, and no scratch
+    consumer legitimately survives a week.
     Returns the number of dirs removed."""
     import glob
     import os
@@ -115,11 +118,19 @@ def sweep_stale_bucketed_dirs(
     for d in glob.glob(os.path.join(parent, "dopams_bucketed_*")):
         if d == keep:
             continue
+        try:
+            age = now - os.path.getmtime(d)
+        except OSError:
+            continue  # raced with its owner's own cleanup
         m = re.search(r"_pid(\d+)$", d)
-        if m and _pid_alive(int(m.group(1))):
+        if (
+            m
+            and _pid_alive(int(m.group(1)))
+            and age <= 7 * 86400.0  # pid-reuse backstop: a week is dead
+        ):
             continue  # owner still running — its lazy plans may read it
         try:
-            if now - os.path.getmtime(d) > max_age_seconds:
+            if age > max_age_seconds:
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1
         except OSError:

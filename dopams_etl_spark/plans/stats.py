@@ -624,7 +624,8 @@ def asof_nearest_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
                   AS DOUBLE) AS x,
              value AS y
-      FROM events)
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(regr_slope(y, x), 6) AS slope,
@@ -642,8 +643,14 @@ def ols_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = ȳ − slope·x̄, R² = corr² — ONE hash aggregate per
     group either way, map-side partials, no window and no second pass.
     x is epoch-day as double on both engines (integer day arithmetic,
-    never float timestamp math)."""
-    ev = t(spark, sf_dir, "events")
+    never float timestamp math). Both sides drop NULL (x, y) pairs
+    explicitly: DuckDB's regr_* aggregates exclude the whole pair when
+    either side is NULL, while Spark's var_pop(x)/avg(x) would include
+    x from NULL-y rows — the pre-filter makes the closed forms actually
+    equivalent instead of coincidentally so on NULL-free data."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     d = ev.select(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))

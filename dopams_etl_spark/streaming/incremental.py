@@ -172,7 +172,15 @@ def _publish_staged(fs, hadoop_path, staging, published) -> bool:
     renamed = fs.rename(staging, published)
     nested = hadoop_path(published, staging_name)
     if renamed and fs.exists(nested):
-        fs.delete(nested, True)
+        # The delete MUST succeed: a surviving nested dir would be
+        # listed by Spark's recursive leaf-file scan as extra rows of
+        # this partition — the exact double-count this helper prevents.
+        if not fs.delete(nested, True) and fs.exists(nested):
+            raise IOError(
+                f"append_once_batch: lost publish race AND failed to "
+                f"remove nested duplicate {nested} — partition would "
+                f"double-count; manual cleanup required"
+            )
         return False
     if not renamed:
         # rename failed outright (or the dst existed on a FS that
