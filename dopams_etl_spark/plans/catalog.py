@@ -45,9 +45,9 @@ def register(name: str, oracle: str | None):
 _PRIORITY: tuple[str, ...] = (
     # Round-8 budget: 50-slot sample = 1 red-row fix + 3 changed-in-r7
     # + 10 never-checked second-wave + firs_mv flagship (15 slots)
-    # + 33 round-8 registrations (slots 16–48) + 2 re-confirms
-    # (slots 49–50). Every registered query then holds a driver row:
-    # ZERO backlog into r9.
+    # + 35 round-8 registrations (slots 16–50). After it runs, every
+    # registered query except the single queued r9-head
+    # (markov_next_event_accuracy, slot 51) holds a driver row.
     # 1) the ONLY red r7 row — HUGEINT fix applied (oracle's
     #    n0 - SUM(...) OVER was HUGEINT → float64 pandas bridge, so the
     #    driver hashed ``3`` vs ``3.0``; now CAST(... AS BIGINT);
@@ -117,15 +117,19 @@ _PRIORITY: tuple[str, ...] = (
     "q20_dominant_part_suppliers",
     "cube_region_priority_revenue",
     "dsir_importance_weights",
-    # 5c) round-8 registrations, third batch (slots 47–48 — inside
-    #     the sample window; the registry still carries zero unchecked
-    #     backlog). Both landed tools/check.py green at sf0.001 AND
-    #     sf0.01;
+    # 5c) round-8 registrations, third batch (slots 47–50 — inside
+    #     the sample window). All landed tools/check.py green at
+    #     sf0.001 AND sf0.01;
     "ols_value_trend_by_type",
     "fk_containment_profile",
-    # 6) green r7 rows, re-confirmed as budget allows (the first 2
-    #    fill sample slots 49–50) — everything below holds a green
-    #    driver row from r7 or earlier;
+    "user_active_day_streaks",
+    "customer_golden_record",
+    # 5d) r9 queue — ONE query registered past the 50-slot line
+    #     (checked green at both SFs; heads the r9 sample so the
+    #     registry stays provably draining);
+    "markov_next_event_accuracy",
+    # 6) green r7 rows — everything below holds a green driver row
+    #    from r7 or earlier;
     "lineitem_metrics_unpivot",
     "customer_rfm_segments",
     "revenue_pareto_abc",

@@ -759,3 +759,177 @@ def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+@register(
+    "user_active_day_streaks",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    g AS (SELECT user_id, day,
+                 date_diff('day', DATE '1970-01-01', day)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+          FROM ud),
+    streaks AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+                       MIN(day) AS streak_start
+                FROM g GROUP BY user_id, grp)
+    SELECT user_id, MAX(len) AS max_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MIN(streak_start) AS first_active_day
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_active_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    — THE classic SQL islands construction (epoch-day minus
+    row_number is constant within a consecutive run), the engagement
+    metric behind daily-streak features. One distinct-day reduction,
+    one per-user window (each user sorts only its own days), two
+    bounded aggregates; integer day arithmetic throughout."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = ud.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("streak_start").alias("first_active_day"),
+    )
+
+
+@register(
+    "customer_golden_record",
+    """
+    WITH o2 AS (
+      SELECT o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS pri,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               * 100000000 + o_orderkey AS ver
+      FROM orders)
+    SELECT c_custkey, c_name,
+           arg_max(o_orderstatus, ver) AS last_status,
+           arg_max(pri, ver) FILTER (WHERE pri IS NOT NULL)
+             AS last_known_priority,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order_day,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order_day,
+           ROUND(SUM(o_totalprice), 2) AS lifetime_value,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM customer JOIN o2 ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship 'golden record' construction — the MDM primitive
+    the reference's smart-merge family feeds: per entity, each field
+    survives by its OWN rule (most-recent value for status,
+    most-recent NON-NULL for priority — '4-NOT SPECIFIED' is treated
+    as missing, so a customer whose latest order left it unspecified
+    keeps the last real priority, earliest/latest for dates, sum for
+    lifetime value). Field-level arg_max over a single composite
+    version key (epoch-day ⊕ orderkey: unique, monotone, integer) —
+    ONE hash aggregate per entity, never a self-join per field."""
+    o = t(spark, sf_dir, "orders")
+    ver = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    o2 = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias(
+            "pri"
+        ),
+        ver.alias("ver"),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        c.join(o2, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.max_by("o_orderstatus", "ver").alias("last_status"),
+            F.max_by(
+                "pri", F.when(F.col("pri").isNotNull(), F.col("ver"))
+            ).alias("last_known_priority"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_order_day"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order_day"),
+            F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "markov_next_event_accuracy",
+    """
+    WITH seq AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev
+                 FROM events),
+    trans AS (SELECT prev, event_type AS next,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    pred AS (SELECT prev, next AS predicted,
+                    row_number() OVER (PARTITION BY prev
+                                       ORDER BY cnt DESC, next) AS rn
+             FROM trans),
+    p1 AS (SELECT prev, predicted FROM pred WHERE rn = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(SUM(CASE WHEN s.event_type = p1.predicted
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS top1_accuracy
+    FROM seq s JOIN p1 ON s.prev = p1.prev
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 accuracy of the first-order Markov next-event predictor —
+    the evaluation half of event_transition_matrix: predict each
+    transition's next event as the modal successor of its predecessor
+    (ties broken alphabetically, deterministic on both engines) and
+    score against what actually happened. In-sample by design (the
+    resubstitution baseline every sequence model must beat). The
+    |event_types|-row predictor broadcasts back over the transitions;
+    everything else is the same one lag window."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wp = Window.partitionBy("prev").orderBy(
+        F.col("cnt").desc(), F.col("next")
+    )
+    p1 = (
+        trans.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(F.col("prev").alias("p_prev"), F.col("next").alias("predicted"))
+    )
+    joined = seq.join(F.broadcast(p1), F.col("prev") == F.col("p_prev"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == F.col("predicted"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("top1_accuracy"),
+    )

@@ -209,6 +209,9 @@ AUDITED = (
     "dsir_importance_weights",
     "ols_value_trend_by_type",
     "fk_containment_profile",
+    "user_active_day_streaks",
+    "customer_golden_record",
+    "markov_next_event_accuracy",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
