@@ -46,8 +46,8 @@ _PRIORITY: tuple[str, ...] = (
     # Round-8 budget: 50-slot sample = 1 red-row fix + 3 changed-in-r7
     # + 10 never-checked second-wave + firs_mv flagship (15 slots)
     # + 35 round-8 registrations (slots 16–50). After it runs, every
-    # registered query except the single queued r9-head
-    # (markov_next_event_accuracy, slot 51) holds a driver row.
+    # registered query except the 3-entry queued r9 head (slots 51–53)
+    # holds a driver row.
     # 1) the ONLY red r7 row — HUGEINT fix applied (oracle's
     #    n0 - SUM(...) OVER was HUGEINT → float64 pandas bridge, so the
     #    driver hashed ``3`` vs ``3.0``; now CAST(... AS BIGINT);
@@ -124,10 +124,12 @@ _PRIORITY: tuple[str, ...] = (
     "fk_containment_profile",
     "user_active_day_streaks",
     "customer_golden_record",
-    # 5d) r9 queue — ONE query registered past the 50-slot line
-    #     (checked green at both SFs; heads the r9 sample so the
-    #     registry stays provably draining);
+    # 5d) r9 queue — THREE queries registered past the 50-slot line
+    #     (each checked green at both SFs; they head the r9 sample so
+    #     the registry stays provably draining);
     "markov_next_event_accuracy",
+    "running_distinct_parts_per_customer",
+    "allocate_order_totals",
     # 6) green r7 rows — everything below holds a green driver row
     #    from r7 or earlier;
     "lineitem_metrics_unpivot",

@@ -933,3 +933,159 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top1_accuracy"),
     )
+
+
+@register(
+    "running_distinct_parts_per_customer",
+    """
+    WITH li AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, l_partkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    flagged AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY o_custkey, l_partkey
+                    ORDER BY o_orderdate, o_orderkey, l_partkey) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM li),
+    per_order AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CAST(SUM(first_seen) AS BIGINT) AS new_parts
+      FROM flagged GROUP BY 1, 2, 3)
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+           new_parts,
+           CAST(SUM(new_parts) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             AS distinct_parts_to_date
+    FROM per_order
+    """,
+)
+def running_distinct_parts_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — the aggregate SQL
+    forbids in a window frame, rebuilt with the classic first-seen
+    construction: flag each (customer, part)'s chronologically first
+    purchase with row_number, then a plain running SUM of flags equals
+    the cumulative distinct-part count at every order. Two keyed
+    windows (per customer-part, then per customer) — no
+    quadratic re-scan of history per row, which is what the naive
+    'COUNT(DISTINCT) OVER' would need and why engines reject it."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    w_first = Window.partitionBy("o_custkey", "l_partkey").orderBy(
+        "o_orderdate", "o_orderkey", "l_partkey"
+    )
+    flagged = j.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    per_order = flagged.groupBy(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).agg(F.sum("first_seen").alias("new_parts"))
+    w_run = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return per_order.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_day"),
+        "new_parts",
+        F.sum("new_parts").over(w_run).alias("distinct_parts_to_date"),
+    )
+
+
+@register(
+    "allocate_order_totals",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+             l_extendedprice,
+             SUM(l_extendedprice) OVER (PARTITION BY l_orderkey) AS order_ext
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderkey % 97 = 0),
+    shares AS (
+      SELECT l_orderkey, l_linenumber, total_cents,
+             FLOOR(total_cents * l_extendedprice / order_ext) AS floor_cents,
+             total_cents * l_extendedprice / order_ext
+               - FLOOR(total_cents * l_extendedprice / order_ext) AS frac
+      FROM base),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY frac DESC, l_linenumber) AS rnk,
+             total_cents - CAST(SUM(floor_cents) OVER (PARTITION BY l_orderkey)
+                                AS BIGINT) AS shortfall
+      FROM shares)
+    SELECT l_orderkey, CAST(l_linenumber AS INT) AS linenumber,
+           CAST(CAST(floor_cents AS BIGINT)
+                + CASE WHEN rnk <= shortfall THEN 1 ELSE 0 END
+                AS VARCHAR) AS allocated_cents
+    FROM ranked
+    """,
+)
+def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder allocation — split each order's total price
+    across its line items proportionally to extended price so the
+    integer-cent pieces SUM EXACTLY to the total (the invoice/
+    settlement requirement a naive per-row ROUND violates by ±n/2
+    cents): floor every share, then hand the remaining cents to the
+    largest fractional parts with a deterministic line-number
+    tie-break. All windows key on the order — bounded frames at any
+    scale; the 1-in-97 order sample keeps the gate row count honest
+    without changing the plan shape. Cents stringified per the exact-
+    money convention."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    base = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        "l_extendedprice",
+        F.sum("l_extendedprice")
+        .over(Window.partitionBy("l_orderkey"))
+        .alias("order_ext"),
+    )
+    raw = F.col("total_cents") * F.col("l_extendedprice") / F.col("order_ext")
+    shares = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        F.floor(raw).alias("floor_cents"),
+        (raw - F.floor(raw)).alias("frac"),
+    )
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("frac").desc(), F.col("l_linenumber")
+    )
+    w_sum = Window.partitionBy("l_orderkey")
+    ranked = shares.select(
+        "l_orderkey",
+        "l_linenumber",
+        "floor_cents",
+        F.row_number().over(w_rank).alias("rnk"),
+        (
+            F.col("total_cents")
+            - F.sum("floor_cents").over(w_sum).cast("long")
+        ).alias("shortfall"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("linenumber"),
+        (
+            F.col("floor_cents").cast("long")
+            + F.when(F.col("rnk") <= F.col("shortfall"), 1).otherwise(0)
+        )
+        .cast("string")
+        .alias("allocated_cents"),
+    )

@@ -212,6 +212,8 @@ AUDITED = (
     "user_active_day_streaks",
     "customer_golden_record",
     "markov_next_event_accuracy",
+    "running_distinct_parts_per_customer",
+    "allocate_order_totals",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
