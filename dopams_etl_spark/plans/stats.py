@@ -46,7 +46,7 @@ _DAILY_SQL = """
     """
     WITH labeled AS (
       SELECT value AS s, event_type = 'purchase' AS y FROM events
-      WHERE event_type IN ('purchase', 'view')),
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
     ps AS (SELECT s,
                   CAST(COUNT(*) FILTER (WHERE y) AS BIGINT) AS n1_s,
                   CAST(COUNT(*) FILTER (WHERE NOT y) AS BIGINT) AS n2_s
@@ -69,9 +69,14 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     only detects location shift; KS sees any shape difference). Scores
     collapse to per-distinct-value counts first, so the ECDFs are ONE
     ordered window over |distinct values| rows — never a sort of the raw
-    fact — and max() reduces them to a single row."""
+    fact — and max() reduces them to a single row. NULL scores are
+    dropped on BOTH sides before the ECDF windows: a NULL carries no
+    distribution information, and the engines would otherwise place it
+    at opposite ends of the ordering (Spark windows sort NULLS FIRST,
+    DuckDB NULLS LAST), skewing every cumulative fraction after it."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
     )
     ps = (
         ev.select("value", (F.col("event_type") == "purchase").alias("y"))
@@ -647,7 +652,16 @@ def ols_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly: DuckDB's regr_* aggregates exclude the whole pair when
     either side is NULL, while Spark's var_pop(x)/avg(x) would include
     x from NULL-y rows — the pre-filter makes the closed forms actually
-    equivalent instead of coincidentally so on NULL-free data."""
+    equivalent instead of coincidentally so on NULL-free data.
+    Degenerate groups match regr_*'s measured edge cases exactly, and
+    do it WITHOUT evaluating an expression that can blow up: under ANSI
+    mode Spark's ``corr()`` and a bare ``/`` THROW DIVIDE_BY_ZERO on a
+    zero-variance group (constant x, or a single-row group), where
+    DuckDB's regr_* quietly return NULL — so slope uses try_divide and
+    r² is stated in closed form try_divide(covar², var(x)·var(y))
+    (algebraically corr², NULL on either zero variance) with the one
+    regr_r2 special case guarded in front: var(y)=0 with var(x)>0 →
+    1.0 (a constant y is perfectly 'explained')."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
@@ -658,12 +672,20 @@ def ols_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.col("value").alias("y"),
     )
-    slope = F.covar_pop("y", "x") / F.var_pop("x")
+    slope = F.try_divide(F.covar_pop("y", "x"), F.var_pop("x"))
+    r2 = F.when(
+        (F.var_pop("y") == 0) & (F.var_pop("x") > 0), F.lit(1.0)
+    ).otherwise(
+        F.try_divide(
+            F.pow(F.covar_pop("y", "x"), 2),
+            F.var_pop("x") * F.var_pop("y"),
+        )
+    )
     return d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(slope, 6).alias("slope"),
         F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
-        F.round(F.pow(F.corr("y", "x"), 2), 6).alias("r2"),
+        F.round(r2, 6).alias("r2"),
     )
 
 
@@ -816,13 +838,13 @@ def user_active_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o2 AS (
       SELECT o_custkey, o_orderstatus, o_totalprice, o_orderdate,
              NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS pri,
-             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-               * 100000000 + o_orderkey AS ver
+             CAST(o_orderdate AS DATE) AS vday, o_orderkey AS vkey
       FROM orders)
     SELECT c_custkey, c_name,
-           arg_max(o_orderstatus, ver) AS last_status,
-           arg_max(pri, ver) FILTER (WHERE pri IS NOT NULL)
-             AS last_known_priority,
+           first(o_orderstatus ORDER BY vday DESC, vkey DESC)
+             AS last_status,
+           first(pri ORDER BY vday DESC, vkey DESC)
+             FILTER (WHERE pri IS NOT NULL) AS last_known_priority,
            CAST(MIN(o_orderdate) AS DATE) AS first_order_day,
            CAST(MAX(o_orderdate) AS DATE) AS last_order_day,
            ROUND(SUM(o_totalprice), 2) AS lifetime_value,
@@ -838,16 +860,14 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-recent NON-NULL for priority — '4-NOT SPECIFIED' is treated
     as missing, so a customer whose latest order left it unspecified
     keeps the last real priority, earliest/latest for dates, sum for
-    lifetime value). Field-level arg_max over a single composite
-    version key (epoch-day ⊕ orderkey: unique, monotone, integer) —
-    ONE hash aggregate per entity, never a self-join per field."""
+    lifetime value). Field-level arg_max over the composite version
+    TUPLE (order day, orderkey tie-break): Spark max_by over a struct
+    and DuckDB's ordered first() both compare lexicographically, so
+    the key is unique and monotone at ANY scale — unlike the earlier
+    day*1e8+key integer packing, which silently inverted once
+    orderkeys crossed 1e8 (TPC-H reaches that near SF 17). ONE hash
+    aggregate per entity, never a self-join per field."""
     o = t(spark, sf_dir, "orders")
-    ver = (
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
-        .cast("long")
-        * F.lit(100000000)
-        + F.col("o_orderkey")
-    )
     o2 = o.select(
         "o_custkey",
         "o_orderstatus",
@@ -856,7 +876,10 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias(
             "pri"
         ),
-        ver.alias("ver"),
+        F.struct(
+            F.col("o_orderdate").cast("date").alias("vday"),
+            F.col("o_orderkey").alias("vkey"),
+        ).alias("ver"),
     )
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (

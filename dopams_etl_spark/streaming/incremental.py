@@ -197,6 +197,34 @@ def _publish_staged(fs, hadoop_path, staging, published) -> bool:
     return True
 
 
+def _reject_legacy_layout(fs, target, target_path: str) -> None:
+    """Refuse to append partition-dir batches into a target that holds a
+    PRE-partition-layout sink (flat part files, possibly carrying the old
+    ``_batch_id`` COLUMN ledger). Mixing the layouts is doubly unsafe: a
+    replayed old batch id re-applies (the directory probe cannot see
+    column-ledger commits), and ``spark.read.parquet`` fails outright on
+    a directory that mixes flat files with ``batch_id=N/`` partition
+    dirs. One listStatus of direct children — underscore/dot-hidden
+    entries (``_staging``, ``_SUCCESS``, checkpoints) and ``batch_id=``
+    partition dirs are the only legal residents."""
+    if not fs.exists(target):
+        return
+    for st in fs.listStatus(target):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")) or name.startswith("batch_id="):
+            continue
+        raise IOError(
+            f"append_once_batch: target {target_path} holds entry "
+            f"'{name}' that is not a batch_id=<id>/ partition — this "
+            "looks like a sink written by the legacy flat-file/_batch_id-"
+            "column format. Appending would mix layouts (unreadable) and "
+            "break replay detection (duplicate batches). Migrate first: "
+            "rewrite each legacy batch into batch_id=<id>/ partition "
+            "dirs (e.g. read with the _batch_id column and write via "
+            "partitionBy), or point this sink at a fresh target."
+        )
+
+
 def append_once_batch(batch: DataFrame, batch_id: int, target_path: str) -> bool:
     """Apply one micro-batch as an exactly-once APPEND. Appends are not
     idempotent (unlike the latest-wins merge above), so a batch replayed
@@ -231,11 +259,24 @@ def append_once_batch(batch: DataFrame, batch_id: int, target_path: str) -> bool
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     target = hadoop_path(target_path)
     fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    _reject_legacy_layout(fs, target, target_path)
     published = hadoop_path(target, f"batch_id={batch_id}")
     if fs.exists(published):
         return False
     staging = hadoop_path(target, f"_staging/{batch_id}-{uuid.uuid4().hex}")
-    batch.write.mode("overwrite").parquet(str(staging))
+    try:
+        batch.write.mode("overwrite").parquet(str(staging))
+    except Exception:
+        # A concurrent SAME-id winner publishes and then sweeps every
+        # `_staging/<id>-*` dir — including this attempt's, mid-write
+        # (observed as FileNotFoundException on our _temporary dir). If
+        # the batch turns out to be committed, this attempt is a lost
+        # race to report as a skipped replay, not a failure; anything
+        # else is a real write error the engine must see and retry.
+        fs.delete(staging, True)
+        if fs.exists(published):
+            return False
+        raise
     if not _publish_staged(fs, hadoop_path, staging, published):
         return False
     # Lazy sweep: orphaned staging dirs for THIS batch id only (our own

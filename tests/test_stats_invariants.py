@@ -5,9 +5,11 @@ well-formed, catching formula regressions both engines would share)."""
 
 from __future__ import annotations
 
+import duckdb
 import pytest
 
 from dopams_etl_spark.plans import catalog
+from tools.check import compare
 
 SF = "/root/testdata/sf0.001"
 
@@ -15,6 +17,23 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def qs():
     return catalog.queries()
+
+
+def _oracle(name: str) -> str:
+    return catalog.oracle_sql()[name]
+
+
+def _duck(sql: str, views: dict[str, str]):
+    """Run an oracle against Spark-written parquet dirs (only the views
+    the query references, unlike tools.check which binds the full
+    catalog)."""
+    con = duckdb.connect()
+    for name, path in views.items():
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{path}/*.parquet')"
+        )
+    return con.execute(sql).df()
 
 
 def test_ks_stat_is_a_probability_distance(spark, qs):
@@ -109,3 +128,192 @@ def test_dsir_weights_rank_candidates_only(spark, qs):
     assert 0 < len(rows) <= 20
     weights = [r["dsir_weight"] for r in rows]
     assert weights == sorted(weights, reverse=True)
+
+
+# --- r9 ADVICE regressions: engine-parity on degenerate/extreme inputs
+# the real testdata never exercises (each ran red before its fix) -----
+
+
+def test_golden_record_version_key_monotone_past_1e8_orderkeys(
+    spark, qs, tmp_path
+):
+    """ADVICE r8: the old day*1e8+orderkey integer packing stopped being
+    monotone once orderkeys crossed 1e8 (TPC-H reaches that near SF 17)
+    — an early-day order with a huge key outranked a later day's order,
+    and the oracle shared the formula so parity could never catch it.
+    The struct/tuple key must pick the LATER DAY regardless of key
+    magnitude, and Spark must still hash-match the oracle."""
+    from pyspark.sql import functions as F
+
+    orders = spark.createDataFrame(
+        [
+            # day 1 carries the huge orderkey AND the only real priority
+            (1, 200_000_000, "O", 100.0, "1995-01-01", "1-URGENT"),
+            (1, 5, "F", 50.0, "1995-01-02", "4-NOT SPECIFIED"),
+            # second customer: tie-break within one day by orderkey
+            (2, 300_000_000, "P", 10.0, "1996-06-01", "2-HIGH"),
+            (2, 7, "F", 20.0, "1996-06-01", "3-MEDIUM"),
+        ],
+        "o_custkey long, o_orderkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    customer = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "c_custkey long, c_name string"
+    )
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    customer.write.parquet(str(tmp_path / "customer.parquet"))
+
+    got = qs["customer_golden_record"](spark, str(tmp_path))
+    rows = {r["c_custkey"]: r for r in got.collect()}
+    # later DAY wins despite the 2e8 orderkey on the earlier day
+    assert rows[1]["last_status"] == "F"
+    # ...but the priority survives from the last NON-NULL observation
+    assert rows[1]["last_known_priority"] == "1-URGENT"
+    # same-day tie-break: larger orderkey wins
+    assert rows[2]["last_status"] == "P"
+
+    want = _duck(
+        _oracle("customer_golden_record"),
+        {
+            "orders": str(tmp_path / "orders.parquet"),
+            "customer": str(tmp_path / "customer.parquet"),
+        },
+    )
+    verdict = compare("customer_golden_record", got, want)
+    assert verdict.startswith("PASS"), verdict
+
+
+def test_ks_stat_ignores_null_scores(spark, qs, tmp_path):
+    """ADVICE r8: Spark windows sort NULLS FIRST, DuckDB NULLS LAST —
+    a NULL events.value would land at opposite ends of the two ECDFs
+    and skew every cumulative fraction after it. Both sides now drop
+    NULL scores, so a NULL-polluted corpus must (a) hash-match the
+    oracle and (b) produce the same statistic as the NULL-free corpus."""
+    from pyspark.sql import functions as F
+
+    base = [
+        (i, f"2024-01-0{1 + i % 7}", 1 + i, ("purchase", "view")[i % 2],
+         float(i % 13))
+        for i in range(60)
+    ]
+    nulls = [
+        (100 + i, "2024-01-03", 1, ("purchase", "view")[i % 2], None)
+        for i in range(10)
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def write(rows, path):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.write.parquet(str(path))
+
+    write(base, tmp_path / "clean" / "events.parquet")
+    write(base + nulls, tmp_path / "dirty" / "events.parquet")
+
+    got_dirty = qs["ks_test_two_sample"](spark, str(tmp_path / "dirty"))
+    want = _duck(
+        _oracle("ks_test_two_sample"),
+        {"events": str(tmp_path / "dirty" / "events.parquet")},
+    )
+    verdict = compare("ks_test_two_sample", got_dirty, want)
+    assert verdict.startswith("PASS"), verdict
+
+    clean_stat = qs["ks_test_two_sample"](
+        spark, str(tmp_path / "clean")
+    ).collect()[0]["ks_stat"]
+    assert got_dirty.collect()[0]["ks_stat"] == clean_stat
+
+
+def test_ols_degenerate_groups_match_regr_family(spark, qs, tmp_path):
+    """ADVICE r8 + ANSI hardening: a constant-y group must yield
+    r2 = 1.0 (DuckDB regr_r2's measured behavior; Spark's corr() is
+    NULL-or-throws there), and constant-x / single-row groups must
+    yield NULL slope/intercept/r2 WITHOUT the ANSI DIVIDE_BY_ZERO that
+    a bare covar/var quotient (or corr itself) raises on zero-variance
+    groups."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        # constant y over three days -> slope 0, r2 = 1.0
+        [(i, f"2024-03-0{1 + i}", 1, "flat", 5.0) for i in range(3)]
+        # constant x (single day), varying y -> all NULL
+        + [(10 + i, "2024-03-01", 2, "oneday", float(i)) for i in range(4)]
+        # single row -> all NULL
+        + [(20, "2024-03-02", 3, "solo", 7.0)]
+        # a normal group for the non-degenerate closed form
+        + [(30 + i, f"2024-03-{1 + i:02d}", 4, "trend", 2.0 * i + 1.0)
+           for i in range(6)]
+    )
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    got = qs["ols_value_trend_by_type"](spark, str(tmp_path))
+    by_type = {r["event_type"]: r for r in got.collect()}
+    assert by_type["flat"]["r2"] == 1.0 and by_type["flat"]["slope"] == 0.0
+    for g in ("oneday", "solo"):
+        assert by_type[g]["slope"] is None
+        assert by_type[g]["intercept"] is None
+        assert by_type[g]["r2"] is None
+    assert by_type["trend"]["slope"] == 2.0
+    assert by_type["trend"]["r2"] == 1.0
+
+    want = _duck(
+        _oracle("ols_value_trend_by_type"),
+        {"events": str(tmp_path / "events.parquet")},
+    )
+    verdict = compare("ols_value_trend_by_type", got, want)
+    assert verdict.startswith("PASS"), verdict
+
+
+def test_ses_and_ols_long_series_rounding_contract(spark, qs, tmp_path):
+    """VERDICT r8 task 5: the closed-form SES and OLS rewrites hinge on
+    float sums whose associativity differs between engines — prove the
+    round-then-hash contract holds on a day series 10× longer than the
+    testdata's ~2,400 days. Deterministic synthetic series, exact cell
+    reprs compared (the driver hashes raw reprs, so 1e-9-close is NOT
+    enough here)."""
+    from pyspark.sql import functions as F
+
+    n_days = 24_000
+    orders = spark.range(n_days).select(
+        F.date_add(F.lit("1940-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("o_orderdate"),
+        # deterministic, aperiodic-ish, two orders' worth per day
+        (100.0 + (F.col("id") * 37 % 500) / 7.0
+         + (F.col("id") * 13 % 97) / 11.0).alias("o_totalprice"),
+    )
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    events = spark.range(n_days * 2).select(
+        F.col("id").alias("event_id"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("1940-01-01").cast("date"),
+                (F.col("id") % n_days).cast("int"),
+            )
+        ).alias("ts"),
+        (F.col("id") % 50).alias("user_id"),
+        F.when(F.col("id") < n_days, "view").otherwise("purchase")
+        .alias("event_type"),
+        ((F.col("id") * 7 % 1000) / 3.0).alias("value"),
+    )
+    events.write.parquet(str(tmp_path / "events.parquet"))
+
+    for name, views in (
+        ("ses_level_daily", {"orders": str(tmp_path / "orders.parquet")}),
+        ("ols_value_trend_by_type",
+         {"events": str(tmp_path / "events.parquet")}),
+    ):
+        got = qs[name](spark, str(tmp_path))
+        want = _duck(_oracle(name), views)
+        verdict = compare(name, got, want)
+        assert verdict.startswith("PASS"), f"{name}: {verdict}"
+        # hash-parity: exact repr equality cell by cell, like the driver
+        got_pd = got.toPandas()[sorted(want.columns)]
+        want_pd = want[sorted(want.columns)]
+        g = sorted(map(repr, got_pd.itertuples(index=False, name=None)))
+        w = sorted(map(repr, want_pd.itertuples(index=False, name=None)))
+        assert g == w, f"{name} repr divergence: {g[:2]} vs {w[:2]}"

@@ -362,3 +362,79 @@ def test_append_once_lost_race_nests_then_cleans(spark, tmp_path):
     assert not [p for p in os.listdir(pub) if os.path.isdir(pub / p)], (
         "nested staging dir left inside published partition"
     )
+
+
+def test_append_once_rejects_legacy_flat_layout(spark, tmp_path):
+    """ADVICE r8: a sink written by the PRE-partition-dir format (flat
+    part files carrying a _batch_id COLUMN ledger) must be refused, not
+    appended into — mixing layouts makes the directory unreadable and
+    the replay probe blind to column-ledger commits (duplicate
+    batches). The target must be left untouched."""
+    import pytest
+
+    from dopams_etl_spark.streaming import append_once_batch
+
+    out = str(tmp_path / "legacy")
+    ev = _events_subset(spark, 10).select("event_id", "user_id")
+    ev.withColumn("_batch_id", F.lit(0)).write.parquet(out)
+
+    with pytest.raises(IOError, match="legacy"):
+        append_once_batch(ev, 1, out)
+    # untouched: same rows, still readable as the old flat layout
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_append_once_two_concurrent_writers(spark, tmp_path):
+    """VERDICT r8 task 6: two sessions appending DISJOINT batch ids to
+    ONE target concurrently — every batch must land exactly once (no
+    lost, no duplicated), and a deliberate SAME-id contention must
+    commit exactly one copy."""
+    import threading
+
+    from dopams_etl_spark.streaming import append_once_batch
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ev = _events_subset(spark, 40).select("event_id", "user_id")
+    ev.write.parquet(src)
+
+    errors: list[Exception] = []
+
+    def writer(session, ids):
+        try:
+            data = session.read.parquet(src)
+            for b in ids:
+                assert append_once_batch(data.limit(5), b, out) is True
+        except Exception as e:  # surfaced to the main thread below
+            errors.append(e)
+
+    other = spark.newSession()
+    t1 = threading.Thread(target=writer, args=(spark, [0, 2, 4, 6]))
+    t2 = threading.Thread(target=writer, args=(other, [1, 3, 5, 7]))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+
+    sink = spark.read.parquet(out)
+    assert sink.count() == 40
+    ids = sorted(
+        r["batch_id"] for r in sink.select("batch_id").distinct().collect()
+    )
+    assert ids == list(range(8)), f"lost/duplicated batches: {ids}"
+
+    # same-id contention: both writers race batch 99; exactly one wins
+    results: list[bool] = []
+
+    def race(session):
+        try:
+            results.append(
+                append_once_batch(session.read.parquet(src).limit(5), 99, out)
+            )
+        except Exception as e:
+            errors.append(e)
+
+    r1 = threading.Thread(target=race, args=(spark,))
+    r2 = threading.Thread(target=race, args=(other,))
+    r1.start(); r2.start(); r1.join(120); r2.join(120)
+    assert not errors, errors
+    assert sorted(results) in ([False, True], [True]), results
+    assert spark.read.parquet(out).count() == 45
