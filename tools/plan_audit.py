@@ -219,6 +219,54 @@ AUDITED = (
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
+def scan_pushdown_counts(plan: str) -> tuple[int, int]:
+    """(scans with non-empty PushedFilters, scans with non-empty
+    PartitionFilters) from an executed-plan string. A scan line prints
+    each filter list inline and TRUNCATES past
+    spark.sql.maxMetadataStringLength — the closing ``]`` is then lost,
+    so matching ``\[([^\]]*)\]`` silently drops exactly the scans with
+    the MOST pushed filters. Capture to end-of-bracket OR truncation
+    instead: non-empty = the first captured char isn't the closer."""
+    pushed = re.findall(r"PushedFilters: \[([^\]\n]?)", plan)
+    partf = re.findall(r"PartitionFilters: \[([^\]\n]?)", plan)
+    return (
+        sum(1 for p in pushed if p.strip()),
+        sum(1 for p in partf if p.strip()),
+    )
+
+
+def _toplevel_items(filter_list: str) -> int:
+    """Number of predicates in one scan's printed filter list —
+    top-level commas only (GreaterThanOrEqual(a,b) is ONE predicate)."""
+    s = filter_list.strip()
+    if not s:
+        return 0
+    depth, items = 0, 1
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items += 1
+    return items
+
+
+def pushed_predicate_totals(plan: str) -> tuple[int, int]:
+    """(total pushed predicates, total partition-filter predicates)
+    summed across every scan — finer than scan_pushdown_counts: a
+    comparison that stops pushing usually leaves its IsNotNull guard
+    behind, so the SCAN still counts but the predicate TOTAL drops.
+    Truncated lists (no closing bracket before end of line) yield a
+    lower bound, which is the safe direction for a regression floor."""
+    pushed = re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
+    partf = re.findall(r"PartitionFilters: \[([^\]\n]*)", plan)
+    return (
+        sum(_toplevel_items(p) for p in pushed),
+        sum(_toplevel_items(p) for p in partf),
+    )
+
+
 def audit_one(name: str, df) -> dict:
     # Execute THIS DataFrame's own QueryExecution (a write would spawn a
     # separate one) so AQE finalizes the plan and codegen ids appear.
@@ -229,8 +277,7 @@ def audit_one(name: str, df) -> dict:
     plan = plan.split("== Initial Plan ==")[0]
     codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    partf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    n_pushed, n_partf = scan_pushdown_counts(plan)
     return {
         "broadcast_hash": plan.count("BroadcastHashJoin"),
         "sort_merge": plan.count("SortMergeJoin"),
@@ -238,8 +285,8 @@ def audit_one(name: str, df) -> dict:
         "exchanges": plan.count("Exchange"),
         "codegen_stages": codegen,
         "scan_widths": [len([c for c in s.split(",") if c.strip()]) for s in scans],
-        "pushed_filters": sum(1 for p in pushed if p.strip()),
-        "partition_filters": sum(1 for p in partf if p.strip()),
+        "pushed_filters": n_pushed,
+        "partition_filters": n_partf,
     }
 
 
