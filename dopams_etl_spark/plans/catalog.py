@@ -43,26 +43,140 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # Round-8 budget: 50-slot sample = 1 red-row fix + 3 changed-in-r7
-    # + 10 never-checked second-wave + firs_mv flagship (15 slots)
-    # + 35 round-8 registrations (slots 16–50). After it runs, every
-    # registered query except the 3-entry queued r9 head (slots 51–53)
-    # holds a driver row.
-    # 1) the ONLY red r7 row — HUGEINT fix applied (oracle's
-    #    n0 - SUM(...) OVER was HUGEINT → float64 pandas bridge, so the
-    #    driver hashed ``3`` vs ``3.0``; now CAST(... AS BIGINT);
-    #    machine-guarded registry-wide by
-    #    tests/test_oracle_dtypes.py::test_numeric_family_parity);
+    # Round-9 budget: 50-slot sample = 3-query r8 queue + firs_mv
+    # flagship + 3 queries changed by the r9 ADVICE fixes + 6 new r9
+    # registrations + 37 stale-row re-certifications, oldest first
+    # (VERDICT r8 task 3: all 31 queries whose latest driver row dates
+    # from ROUND 2, then the 6 oldest round-3 rows). After this sample
+    # runs, cumulative coverage is 291/291 and no query's latest driver
+    # row is older than round 3.
+    # 1) the documented r8 queue (registered past last round's 50-slot
+    #    line; each locally green at sf0.001 AND sf0.01);
+    "markov_next_event_accuracy",
+    "running_distinct_parts_per_customer",
+    "allocate_order_totals",
+    # 2) the flagship gold MV — one fresh showcase row per round;
+    "firs_mv",
+    # 3) changed in r9 (ADVICE fixes: struct/tuple version key, NULL-
+    #    score KS filter, try_divide OLS closed forms — each re-checked
+    #    green at sf0.001 AND sf0.01 under the strict checker);
+    "customer_golden_record",
+    "ks_test_two_sample",
+    "ols_value_trend_by_type",
+    # 4) new r9 registrations (all inside the sample window — zero
+    #    unchecked backlog this round); each landed tools/check.py
+    #    green at sf0.001 AND sf0.01;
+    "capped_running_balance",
+    "spearman_qty_discount_by_flag",
+    "grouped_median_via_counts",
+    "holt_linear_daily",
+    "phrase_search_docs",
+    "mutual_nn_pairs_embeddings",
+    # 5) re-certification, oldest first: the 31 queries whose latest
+    #    green driver row is from ROUND 2 (none ever regressed;
+    #    tools/check.py re-runs them every local sweep);
+    "order_due_dates",
+    "sections_classify",
+    "domicile_classify",
+    "drug_unit_totals",
+    "deterministic_ids",
+    "clean_coerce",
+    "parse_dates_multi",
+    "regex_extract_codes",
+    "strip_alias_names",
+    "point_lookup_enrich",
+    "extraction_branch_detect",
+    "regional_revenue",
+    "customers_with_orders",
+    "customers_without_orders",
+    "latest_order_per_customer",
+    "best_order_per_customer",
+    "order_priority_stats",
+    "latest_finished_order_date",
+    "order_lineitems_sorted",
+    "order_flags_distinct",
+    "customer_status_map",
+    "orders_union_branches",
+    "customer_order_stats",
+    "top50_orders",
+    "smart_merge_customers",
+    "merge_classify_stats",
+    "fk_validate_lineitems",
+    "quarantine_retry_stats",
+    "replace_children",
+    "insert_if_absent",
+    "nation_soundex_pairs",
+    # 6) re-certification continued: the 6 oldest ROUND-3 rows (slots
+    #    45-50; the remaining r3/r4 rows head the r10 sample);
+    "status_normalize",
+    "accused_status_parse",
+    "json_props_read",
+    "ist_timestamps",
+    "upsert_latest_wins",
+    "watermark_incremental_events",
+    # --- the 50-slot driver sample line ---
+    # 7) remaining round-3/4 rows in age order (r10 re-cert queue head);
+    "hourly_event_stats",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_dups",
+    "simhash_dups",
+    "cosine_topk_embeddings",
+    "lsh_topk_embeddings",
+    "ivf_topk_embeddings",
+    "embedding_near_dup_pairs",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_bpe_token_stats",
+    "doc_winnow_fingerprints",
+    "dedup_clusters",
+    "doc_repetition_stats",
+    "doc_pii_redact",
+    "doc_chunks",
+    "dedup_incremental_batch",
+    "corpus_mixture_sample",
+    "training_shard_pack",
+    "llm_extract_docs",
+    "media_decode_meta",
+    "media_resize",
+    "media_frame_sample",
+    "training_corpus_build",
+    "json_dump_roundtrip",
+    "csv_reference_roundtrip",
+    "nlq_count_orders",
+    "nlq_search_customers",
+    "sink_upsert_roundtrip",
+    "name_repair",
+    "mandal_imputation",
+    "transliterate_names",
+    "file_paths",
+    "domain_cap_docs",
+    "bm25_search_docs",
+    "lm_perplexity_docs",
+    "incremental_pricing_summary",
+    "pack_training_sequences",
+    "streaming_user_sessions",
+    "streaming_view_purchase_join",
+    "streaming_dedup_counts",
+    "scd2_user_event_history",
+    "hard_negative_mining",
+    "frame_dup_videos",
+    "embedding_int8_quantize",
+    "perplexity_tiers",
+    "vocab_coverage",
+    "doc_quality_model_score",
+    "hourly_gapfill_locf",
+    "hourly_gapfill_interpolate",
+    "partitioned_scan_prune",
+    "weekly_cohort_retention",
+    "lineitem_quality_report",
+    # 8) green r5+ rows (kept for deterministic ordering; all hold
+    #    driver rows from rounds 5-8 and local check evidence);
     "kaplan_meier_retention",
-    # 2) changed in r7 after that round's 50-slot budget filled
-    #    (single-scan changelog rewrite; integer-cents exact money sums
-    #    — outputs identical, tools/check.py green at sf0.001+sf0.01);
     "cdc_orders_snapshot",
     "q1_pricing_summary",
     "criminal_profiles_mv",
-    # 3) round-7 second wave — never driver-checked; each landed
-    #    tools/check.py green at sf0.001 AND sf0.01 under the
-    #    decimal-strict checker;
     "queue_depth_daily",
     "seasonal_decompose_daily",
     "multi_touch_attribution_linear",
@@ -73,14 +187,6 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_norm_outliers",
     "minhash_jaccard_estimate_error",
     "stratified_kfold_assign",
-    # 4) the flagship gold MV — one fresh showcase row per round (kept
-    #    inside the 50-entry sample window on purpose);
-    "firs_mv",
-    # 5) round-8 registrations, first batch (slots 16–40): the TPC-H
-    #    decision-support sweep (plans/tpch.py) and the statistical-
-    #    inference additions (plans/stats.py). Each landed
-    #    tools/check.py green at sf0.001 AND sf0.01 under the
-    #    decimal/int-strict checker.
     "q4_priority_late_exists",
     "q6_forecast_revenue_delta",
     "q7_volume_shipping",
@@ -96,7 +202,6 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q21_suppliers_kept_waiting",
     "q22_dormant_customers",
-    "ks_test_two_sample",
     "theil_sen_daily_trend",
     "mann_kendall_trend",
     "ses_level_daily",
@@ -106,32 +211,14 @@ _PRIORITY: tuple[str, ...] = (
     "cohens_kappa_priority_value",
     "trailing_week_range_frame",
     "asof_nearest_tolerance_join",
-    # 5b) round-8 registrations, second batch (slots 41–46 — still
-    #     INSIDE the sample window, so the r8 sample checks every r8
-    #     registration and the registry carries zero unchecked
-    #     backlog). Each landed tools/check.py green at sf0.001 AND
-    #     sf0.01 under the strict checker;
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q16_parts_supplier_counts",
     "q20_dominant_part_suppliers",
     "cube_region_priority_revenue",
     "dsir_importance_weights",
-    # 5c) round-8 registrations, third batch (slots 47–50 — inside
-    #     the sample window). All landed tools/check.py green at
-    #     sf0.001 AND sf0.01;
-    "ols_value_trend_by_type",
     "fk_containment_profile",
     "user_active_day_streaks",
-    "customer_golden_record",
-    # 5d) r9 queue — THREE queries registered past the 50-slot line
-    #     (each checked green at both SFs; they head the r9 sample so
-    #     the registry stays provably draining);
-    "markov_next_event_accuracy",
-    "running_distinct_parts_per_customer",
-    "allocate_order_totals",
-    # 6) green r7 rows — everything below holds a green driver row
-    #    from r7 or earlier;
     "lineitem_metrics_unpivot",
     "customer_rfm_segments",
     "revenue_pareto_abc",
@@ -180,8 +267,6 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_corr_matrix",
     "embedding_dim_stats",
     "vocab_jaccard_sources",
-    # 7) r6-sampled green rows, re-confirmed as budget allows —
-    #    everything below holds a green row from r6 or earlier;
     "bloom_decontaminate_docs",
     "kmeans_fixed_seed_assign",
     "interval_overlap_merge",
@@ -226,24 +311,13 @@ _PRIORITY: tuple[str, ...] = (
     "benford_order_totals",
     "order_cycle_percentiles",
     "binary_file_ingest",
-    # 7) queries whose shared machinery changed in r6 — all hold green
-    #    driver rows and local check evidence; re-sampled as budget
-    #    allows;
-    "dedup_incremental_batch",
     "heavy_hitter_users",
-    "minhash_lsh_pairs",
-    "lsh_topk_embeddings",
     "kmeans_embedding_clusters",
-    # 5) remaining flagships + entity resolution — green r5 rows,
-    #    re-confirmed whenever the budget reaches them;
     "accuseds_mv",
     "advanced_search_firs",
     "advanced_search_accuseds",
     "entity_resolution_blocked",
     "view_click_purchase_funnel",
-    # 4) rotation: previously-green rows re-confirmed as budget allows
-    #    (the driver stops at 50; the tail past that line keeps its green
-    #    rows from earlier rounds plus tools/check.py evidence);
     "streaming_hourly_counts",
     "user_sessions",
     "asof_purchase_last_view",
@@ -263,65 +337,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_corpus_ingest",
     "decontaminate_docs",
     "semantic_dedup_embeddings",
-    "domain_cap_docs",
-    "bm25_search_docs",
-    "lm_perplexity_docs",
-    "incremental_pricing_summary",
-    "pack_training_sequences",
-    "streaming_user_sessions",
-    "streaming_view_purchase_join",
-    "streaming_dedup_counts",
-    "scd2_user_event_history",
-    "hard_negative_mining",
-    "frame_dup_videos",
-    "embedding_int8_quantize",
-    "perplexity_tiers",
-    "vocab_coverage",
-    "doc_quality_model_score",
-    "hourly_gapfill_locf",
-    "hourly_gapfill_interpolate",
-    "partitioned_scan_prune",
-    "weekly_cohort_retention",
-    "lineitem_quality_report",
-    # 4) previously-green core (kept for deterministic ordering)
-    "exact_dedup_docs",
-    "ngram_jaccard_dups",
-    "simhash_dups",
-    "cosine_topk_embeddings",
-    "ivf_topk_embeddings",
-    "embedding_near_dup_pairs",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "doc_bpe_token_stats",
-    "doc_winnow_fingerprints",
-    "dedup_clusters",
-    "doc_repetition_stats",
-    "doc_pii_redact",
-    "doc_chunks",
-    "corpus_mixture_sample",
-    "training_shard_pack",
-    "llm_extract_docs",
-    "media_decode_meta",
-    "media_resize",
-    "media_frame_sample",
-    "training_corpus_build",
-    "json_dump_roundtrip",
-    "csv_reference_roundtrip",
-    "nlq_count_orders",
-    "nlq_search_customers",
-    "sink_upsert_roundtrip",
-    "name_repair",
-    "mandal_imputation",
-    "transliterate_names",
-    "file_paths",
-    "status_normalize",
-    "accused_status_parse",
-    "json_props_read",
-    "ist_timestamps",
-    "upsert_latest_wins",
-    "watermark_incremental_events",
-    "hourly_event_stats",
 )
 
 

@@ -1112,3 +1112,305 @@ def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("allocated_cents"),
     )
+
+
+@register(
+    "capped_running_balance",
+    """
+    WITH RECURSIVE o2 AS (
+      SELECT o_custkey AS custkey,
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+                  ELSE -o_totalprice END AS delta,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE),
+                                         o_orderkey) AS rn
+      FROM orders),
+    r AS (
+      SELECT custkey, rn, GREATEST(0.0, delta) AS bal,
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END AS hits
+      FROM o2 WHERE rn = 1
+      UNION ALL
+      SELECT o2.custkey, o2.rn, GREATEST(0.0, r.bal + o2.delta),
+             r.hits + CASE WHEN r.bal + o2.delta < 0 THEN 1 ELSE 0 END
+      FROM r JOIN o2 ON o2.custkey = r.custkey AND o2.rn = r.rn + 1)
+    SELECT custkey, CAST(MAX(rn) AS BIGINT) AS n_orders,
+           ROUND(arg_max(bal, rn), 2) AS final_balance,
+           CAST(arg_max(hits, rn) AS BIGINT) AS n_floor_hits
+    FROM r GROUP BY custkey
+    """,
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance per customer — open orders ('O')
+    accrue credit, finished/pending ones draw it down, and the balance
+    can never go below zero: balₜ = max(0, balₜ₋₁ + Δₜ). The clamp
+    makes this NON-LINEAR — no window frame or prefix-sum identity
+    exists (unlike a plain running SUM), which is exactly the class of
+    per-key sequential state Spark expresses with ``applyInPandas``
+    (batch twin of ``applyInPandasWithState``). Cost is one keyed
+    shuffle + a linear pass per customer's own history — the same
+    posture as any window, with no cross-key state. The oracle states
+    the identical recursion as a recursive CTE, so the driver proves
+    the sequential fold, clamp tests, and tie-breaks match exactly
+    (additions happen in the same order on both engines → identical
+    doubles). Floor hits count the clamped steps (an order the credit
+    couldn't cover)."""
+    import pandas as pd
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("oday"),
+        "o_orderkey",
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice")
+        ).otherwise(-F.col("o_totalprice")).alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["oday", "o_orderkey"])
+        bal, hits = 0.0, 0
+        for delta in pdf["delta"]:
+            nxt = bal + delta
+            if nxt < 0:
+                hits += 1
+                bal = 0.0
+            else:
+                bal = nxt
+        return pd.DataFrame(
+            {
+                "custkey": [pdf["custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "final_balance": [round(bal, 2)],
+                "n_floor_hits": [hits],
+            }
+        )
+
+    return o.groupBy("custkey").applyInPandas(
+        fold,
+        "custkey long, n_orders long, final_balance double, n_floor_hits long",
+    )
+
+
+@register(
+    "spearman_qty_discount_by_flag",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_quantity AS q, l_discount AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2, 3),
+    qr AS (
+      SELECT flag, q,
+             SUM(nq) OVER (PARTITION BY flag ORDER BY q)
+               - nq + (nq + 1) / 2.0 AS rq
+      FROM (SELECT flag, q, SUM(n) AS nq FROM g GROUP BY 1, 2)),
+    dr AS (
+      SELECT flag, d,
+             SUM(nd) OVER (PARTITION BY flag ORDER BY d)
+               - nd + (nd + 1) / 2.0 AS rd
+      FROM (SELECT flag, d, SUM(n) AS nd FROM g GROUP BY 1, 2)),
+    j AS (SELECT g.flag, g.n, qr.rq, dr.rd
+          FROM g JOIN qr ON g.flag = qr.flag AND g.q = qr.q
+                 JOIN dr ON g.flag = dr.flag AND g.d = dr.d),
+    m AS (SELECT flag, CAST(SUM(n) AS DOUBLE) AS nn,
+                 SUM(n * rq) AS sx, SUM(n * rd) AS sy,
+                 SUM(n * rq * rq) AS sxx, SUM(n * rd * rd) AS syy,
+                 SUM(n * rq * rd) AS sxy
+          FROM j GROUP BY flag)
+    SELECT flag AS l_returnflag, CAST(nn AS BIGINT) AS n,
+           ROUND((nn * sxy - sx * sy)
+                 / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 6)
+             AS spearman
+    FROM m
+    """,
+)
+def spearman_qty_discount_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation (quantity vs discount per return flag)
+    — the tie-aware rank statistic, computed WITHOUT ranking the fact
+    table: both variables are low-cardinality (50 quantities, 11
+    discounts), so the average tied rank of each value falls out of the
+    grouped counts (rows-below + (ties+1)/2), and Pearson over the
+    weighted (value-pair, count) table is Spearman exactly. One hash
+    aggregate over the fact; every window runs on the ≤|flag|·|values|
+    summary — the naive per-row RANK() would instead sort the whole
+    fact into 3 giant flag partitions. Formula stated identically on
+    both engines (sample-vs-population normalizers cancel in the
+    ratio)."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_discount").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def avg_ranks(col: str, out: str) -> DataFrame:
+        per_val = g.groupBy("flag", col).agg(F.sum("n").alias("nv"))
+        w = Window.partitionBy("flag").orderBy(col)
+        return per_val.select(
+            "flag",
+            col,
+            (
+                F.sum("nv").over(w) - F.col("nv")
+                + (F.col("nv") + 1) / 2.0
+            ).alias(out),
+        )
+
+    j = (
+        g.join(avg_ranks("q", "rq"), ["flag", "q"])
+        .join(avg_ranks("d", "rd"), ["flag", "d"])
+    )
+    m = j.groupBy("flag").agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum(F.col("n") * F.col("rq")).alias("sx"),
+        F.sum(F.col("n") * F.col("rd")).alias("sy"),
+        F.sum(F.col("n") * F.col("rq") * F.col("rq")).alias("sxx"),
+        F.sum(F.col("n") * F.col("rd") * F.col("rd")).alias("syy"),
+        F.sum(F.col("n") * F.col("rq") * F.col("rd")).alias("sxy"),
+    )
+    num = F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(num / den, 6).alias("spearman"),
+    )
+
+
+@register(
+    "grouped_median_via_counts",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT flag, v, n,
+             SUM(n) OVER (PARTITION BY flag ORDER BY v) AS cum,
+             CAST(SUM(n) OVER (PARTITION BY flag) AS BIGINT) AS total
+      FROM g),
+    hit AS (
+      SELECT flag, total,
+             MAX(CASE WHEN cum - n < (total + 1) // 2
+                       AND (total + 1) // 2 <= cum THEN v END) AS lo,
+             MAX(CASE WHEN cum - n < (total + 2) // 2
+                       AND (total + 2) // 2 <= cum THEN v END) AS hi
+      FROM c GROUP BY flag, total)
+    SELECT flag AS l_returnflag, total AS n,
+           (lo + hi) / 2.0 AS median_price
+    FROM hit
+    """,
+)
+def grouped_median_via_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped median that scales: Spark's percentile/median
+    aggregate buffers every value per group (measured degrading past
+    ~10⁶ buffered values — the reason theil_sen bounds its pair table),
+    so the k-th-element is instead located on GROUPED VALUE COUNTS: one
+    hash aggregate compresses the fact to distinct (group, value) rows,
+    a cumulative-count window finds the rows straddling positions
+    ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉, and the even-count median is their mean —
+    identical to DuckDB's MEDIAN. State is bounded by DISTINCT values
+    (prices have cent grain), never raw row count, and the window sorts
+    only the per-group distinct-value table. The median is emitted
+    UNROUNDED: lo, hi, and their midpoint are bit-identical doubles on
+    both engines (single add + divide, no order-dependent sum), whereas
+    ROUND(x, 2) at the half-cent boundary the midpoint routinely hits
+    disagrees between engines (DuckDB multiplies-then-rounds:
+    round(52724.2449…, 2) → .25 there, .24 in Spark)."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("flag").orderBy("v")
+    c = g.select(
+        "flag",
+        "v",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(
+            Window.partitionBy("flag").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    lo_pos = F.floor((F.col("total") + 1) / 2)
+    hi_pos = F.floor((F.col("total") + 2) / 2)
+    prev = F.col("cum") - F.col("n")
+    hit = c.groupBy("flag", "total").agg(
+        F.max(
+            F.when((prev < lo_pos) & (lo_pos <= F.col("cum")), F.col("v"))
+        ).alias("lo"),
+        F.max(
+            F.when((prev < hi_pos) & (hi_pos <= F.col("cum")), F.col("v"))
+        ).alias("hi"),
+    )
+    return hit.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("total").cast("long").alias("n"),
+        ((F.col("lo") + F.col("hi")) / 2.0).alias("median_price"),
+    )
+
+
+@register(
+    "holt_linear_daily",
+    f"""
+    WITH RECURSIVE d AS ({_DAILY_SQL}),
+    idx AS (SELECT rev, row_number() OVER (ORDER BY day) AS rn FROM d),
+    h AS (
+      SELECT 1 AS rn, (SELECT rev FROM idx WHERE rn = 1) AS l,
+             (SELECT rev FROM idx WHERE rn = 2)
+               - (SELECT rev FROM idx WHERE rn = 1) AS b
+      UNION ALL
+      SELECT h.rn + 1,
+             0.3 * i.rev + 0.7 * (h.l + h.b),
+             0.1 * ((0.3 * i.rev + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
+      FROM h JOIN idx i ON i.rn = h.rn + 1)
+    SELECT CAST(MAX(rn) AS BIGINT) AS n_days,
+           ROUND(arg_max(l, rn), 2) AS level,
+           ROUND(arg_max(b, rn), 4) AS trend,
+           ROUND(arg_max(l, rn) + 7 * arg_max(b, rn), 2) AS forecast_7d
+    FROM h
+    """,
+)
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing of daily revenue —
+    the trend-aware sibling of ses_level_daily. The COUPLED recursion
+    lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ has no
+    single-weighted-sum unrolling (unlike plain SES), so it runs as a
+    sequential fold over the DAY table — bounded by calendar days at
+    any fact scale, the same boundedness argument as theil_sen — via a
+    singleton-group ``applyInPandas``. The oracle states the identical
+    recursion as a recursive CTE; both engines apply the same float
+    ops in the same order, so the driver compares exact doubles.
+    α=0.3, β=0.1; seed l₁=x₁, b₁=x₂−x₁; forecast_7d = l + 7b."""
+    import pandas as pd
+
+    d = _daily_revenue(spark, sf_dir)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        xs = pdf["rev"].tolist()
+        lvl, tr = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            new_lvl = 0.3 * x + 0.7 * (lvl + tr)
+            tr = 0.1 * (new_lvl - lvl) + 0.9 * tr
+            lvl = new_lvl
+        return pd.DataFrame(
+            {
+                "n_days": [len(xs)],
+                "level": [round(lvl, 2)],
+                "trend": [round(tr, 4)],
+                "forecast_7d": [round(lvl + 7 * tr, 2)],
+            }
+        )
+
+    return (
+        d.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            fold, "n_days long, level double, trend double, forecast_7d double"
+        )
+    )

@@ -3142,3 +3142,94 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dw.select("doc_id", "n_tokens", "dsir_weight").orderBy(
         F.col("dsir_weight").desc(), F.col("doc_id")
     ).limit(20)
+
+
+@register(
+    "phrase_search_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS term
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+                      1, len(string_split(text, ' ')))) AS i) g),
+    w1 AS (SELECT doc_id, pos FROM toks WHERE term = 'table'),
+    w2 AS (SELECT doc_id, pos FROM toks WHERE term = 'scan')
+    SELECT w1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM w1 JOIN w2 ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+    GROUP BY w1.doc_id
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — exact occurrence counts of the phrase
+    'table scan' per document via POSITIONAL postings (term, position),
+    the IR primitive BM25/TF-IDF bag-of-words retrieval can't express
+    (they score terms independently; a phrase needs adjacency). The
+    postings explode is filtered to the two phrase terms BEFORE the
+    self-join, so the join touches only those terms' postings (keyed on
+    doc), never the full index — and chained occurrences ('table scan
+    table scan') count correctly where substring-replace tricks
+    undercount on the shared separator. Scale posture: postings
+    partition by term; a phrase query reads |phrase| posting lists."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    w1 = toks.filter(F.col("term") == "table").select("doc_id", "pos")
+    w2 = toks.filter(F.col("term") == "scan").select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("pos2")
+    )
+    hits = w1.join(
+        w2,
+        (F.col("doc_id") == F.col("doc2"))
+        & (F.col("pos2") == F.col("pos") + 1),
+    )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+@register(
+    "mutual_nn_pairs_embeddings",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT a.vec_id AS p_id, b.vec_id AS c_id,
+                 ROUND(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    top1 AS (SELECT p_id, c_id, cos_sim,
+                    row_number() OVER (PARTITION BY p_id
+                                       ORDER BY cos_sim DESC, c_id ASC) AS rn
+             FROM s)
+    SELECT x.p_id AS a_id, x.c_id AS b_id, x.cos_sim
+    FROM top1 x JOIN top1 y
+      ON x.rn = 1 AND y.rn = 1
+     AND y.p_id = x.c_id AND y.c_id = x.p_id AND x.p_id < x.c_id
+    """,
+)
+def mutual_nn_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match (mutual nearest neighbors): pairs where
+    each vector is the OTHER's cosine top-1 — the high-precision
+    entity-resolution/translation-mining filter (a one-directional
+    top-1 happily links a probe to a hub vector; mutuality kills hub
+    links). Built on the exact brute-force ``cosine_topk`` baseline
+    (size-gated >2M rows like the rest of the exact-cosine family; at
+    scale the same mutual filter composes over lsh/ivf_topk candidate
+    lists instead). The mutual check itself is one self-join of the
+    |N|-row top-1 table on the reversed id pair."""
+    emb = t(spark, sf_dir, "embeddings")
+    top1 = cosine_topk(emb, emb, "vec_id", "vec_id", "embedding", k=1)
+    rev = top1.select(
+        F.col("p_id").alias("r_p"), F.col("c_id").alias("r_c")
+    )
+    return (
+        top1.join(
+            rev,
+            (F.col("r_p") == F.col("c_id")) & (F.col("r_c") == F.col("p_id")),
+        )
+        .filter(F.col("p_id") < F.col("c_id"))
+        .select(
+            F.col("p_id").alias("a_id"),
+            F.col("c_id").alias("b_id"),
+            "cos_sim",
+        )
+    )

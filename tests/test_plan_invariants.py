@@ -38,6 +38,10 @@ BNLJ_ALLOWED = {
     # posture documented in plans/stats.py, not an unbounded NLJ.
     "theil_sen_daily_trend",
     "mann_kendall_trend",
+    # mutual_nn_pairs_embeddings' candidate scorer IS cosine_topk (the
+    # size-gated exact baseline); the reciprocity check itself is an
+    # equi-join on the reversed id pair.
+    "mutual_nn_pairs_embeddings",
 }
 
 

@@ -214,6 +214,12 @@ AUDITED = (
     "markov_next_event_accuracy",
     "running_distinct_parts_per_customer",
     "allocate_order_totals",
+    "capped_running_balance",
+    "spearman_qty_discount_by_flag",
+    "grouped_median_via_counts",
+    "holt_linear_daily",
+    "phrase_search_docs",
+    "mutual_nn_pairs_embeddings",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
