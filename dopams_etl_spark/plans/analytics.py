@@ -3962,3 +3962,131 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "nation_revenue_pct_of_parent",
+    """
+    WITH nrev AS (
+      SELECT r_name AS region_name, n_name AS nation_name,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2),
+    w AS (SELECT *,
+                 CAST(SUM(cents) OVER (PARTITION BY region_name) AS BIGINT)
+                   AS region_cents,
+                 CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+          FROM nrev)
+    SELECT region_name, nation_name,
+           CAST(CAST(cents AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2))::VARCHAR
+             AS nation_rev,
+           ROUND(CAST(cents AS DOUBLE) / region_cents, 6) AS pct_of_region,
+           ROUND(CAST(cents AS DOUBLE) / total_cents, 6) AS pct_of_total
+    FROM w
+    """,
+)
+def nation_revenue_pct_of_parent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Percent-of-parent hierarchical rollup — each nation's revenue as
+    a share of its region and of the whole, the drill-down reporting
+    primitive a plain ROLLUP/CUBE (cube_region_priority_revenue) does
+    not give (it emits parent SUBTOTAL rows; this emits parent-relative
+    RATIOS on the leaf rows). Money summed as exact integer cents
+    (functions/money.py — partitioning-invariant, so the window re-sums
+    over the 25-row nation table are order-independent integers, where
+    a double re-sum could flip the last ulp per engine); ratios leave
+    cents for double division only at the end."""
+    from dopams_etl_spark.functions.money import (
+        cents_to_money_string,
+        money_cents,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    nrev = j.groupBy(
+        F.col("r_name").alias("region_name"),
+        F.col("n_name").alias("nation_name"),
+    ).agg(F.sum(money_cents("o_totalprice")).alias("cents"))
+    wr = Window.partitionBy("region_name")
+    wt = Window.partitionBy()
+    return nrev.select(
+        "region_name",
+        "nation_name",
+        cents_to_money_string("cents").alias("nation_rev"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(wr), 6
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(wt), 6
+        ).alias("pct_of_total"),
+    )
+
+
+@register(
+    "nation_order_day_gaps",
+    """
+    WITH nd AS (
+      SELECT DISTINCT n_name AS nation_name, CAST(o_orderdate AS DATE) AS day
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    g AS (SELECT nation_name,
+                 date_diff('day',
+                           lag(day) OVER (PARTITION BY nation_name
+                                          ORDER BY day),
+                           day) - 1 AS gap
+          FROM nd)
+    SELECT nation_name,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) FILTER (WHERE gap > 0) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days,
+           CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS total_missing_days
+    FROM g WHERE gap IS NOT NULL GROUP BY nation_name
+    """,
+)
+def nation_order_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-gap profiling (the islands construction's inverse): per
+    nation, how continuous is the order-day record — count, size, and
+    total of the holes between consecutive active days. The freshness/
+    completeness monitor a pipeline runs on its own output. One
+    distinct-day reduction (bounded by |nations|·|calendar days| at any
+    fact scale), one per-nation lag window over that bounded table."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nd = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("nation_name").orderBy("day")
+    g = nd.select(
+        "nation_name",
+        (F.datediff(F.col("day"), F.lag("day").over(w)) - 1).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("nation_name").agg(
+        (F.count(F.lit(1)) + 1).alias("n_active_days"),
+        F.count_if(F.col("gap") > 0).alias("n_gaps"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_days"),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast("long").alias(
+            "total_missing_days"
+        ),
+    )

@@ -115,7 +115,14 @@ _PRIORITY: tuple[str, ...] = (
     "upsert_latest_wins",
     "watermark_incremental_events",
     # --- the 50-slot driver sample line ---
-    # 7) remaining round-3/4 rows in age order (r10 re-cert queue head);
+    # 7) r10 queue — FOUR queries registered past the 50-slot line
+    #    (each checked green at sf0.001 AND sf0.01; they head the r10
+    #    sample so the registry stays provably draining);
+    "nation_revenue_pct_of_parent",
+    "nation_order_day_gaps",
+    "mahalanobis_customer_outliers",
+    "revenue_max_drawdown",
+    # 8) remaining round-3/4 rows in age order (r10 re-cert next);
     "hourly_event_stats",
     "exact_dedup_docs",
     "minhash_lsh_pairs",

@@ -1414,3 +1414,132 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             fold, "n_days long, level double, trend double, forecast_7d double"
         )
     )
+
+
+@register(
+    "mahalanobis_customer_outliers",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(COUNT(*) AS DOUBLE) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS y
+      FROM orders GROUP BY 1),
+    m AS (SELECT AVG(x) AS mx, AVG(y) AS my,
+                 var_pop(x) AS vx, var_pop(y) AS vy,
+                 covar_pop(y, x) AS cxy
+          FROM cust),
+    d AS (SELECT custkey, x, y,
+                 ((x - mx) * (x - mx) * vy
+                  - 2 * (x - mx) * (y - my) * cxy
+                  + (y - my) * (y - my) * vx)
+                   / (vx * vy - cxy * cxy) AS d2
+          FROM cust CROSS JOIN m)
+    SELECT custkey, CAST(x AS BIGINT) AS n_orders,
+           ROUND(y, 2) AS total_spend, ROUND(d2, 4) AS mahalanobis_sq
+    FROM d WHERE d2 > 9.21
+    """,
+)
+def mahalanobis_customer_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multivariate outlier detection: customers whose (order count,
+    total spend) pair sits outside the 99% chi-square ellipse
+    (Mahalanobis d² > 9.21, χ²₂ 0.99) — catches the 'few huge orders'
+    and 'many tiny orders' shapes a univariate z-score on either axis
+    misses. The 2×2 covariance inverts in closed form, so the whole
+    thing is ONE customer aggregate + a one-row moment broadcast +
+    per-row arithmetic — no MLlib, no iteration. Spend summed as exact
+    cents before the double moments; the fixed threshold (not a top-k)
+    keeps membership stable against last-ulp moment differences."""
+    o = t(spark, sf_dir, "orders")
+    from dopams_etl_spark.functions.money import money_cents
+
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        (F.sum(money_cents("o_totalprice")).cast("double") / 100.0).alias(
+            "y"
+        ),
+    )
+    m = cust.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("y").alias("vy"),
+        F.covar_pop("y", "x").alias("cxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy")
+    d2 = (
+        dx * dx * F.col("vy") - 2 * dx * dy * F.col("cxy")
+        + dy * dy * F.col("vx")
+    ) / det
+    return (
+        cust.crossJoin(F.broadcast(m))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") > 9.21)
+        .select(
+            "custkey",
+            F.col("x").cast("long").alias("n_orders"),
+            F.round("y", 2).alias("total_spend"),
+            F.round("d2", 4).alias("mahalanobis_sq"),
+        )
+    )
+
+
+@register(
+    "revenue_max_drawdown",
+    f"""
+    WITH d AS ({_DAILY_SQL}),
+    c AS (SELECT day,
+                 SUM(rev) OVER (ORDER BY day) AS cum
+          FROM d),
+    dd AS (SELECT day, cum,
+                  MAX(cum) OVER (ORDER BY day) AS peak,
+                  MAX(cum) OVER (ORDER BY day) - cum AS drawdown
+           FROM c),
+    top AS (SELECT *, row_number() OVER (ORDER BY drawdown DESC, day ASC)
+                        AS rn
+            FROM dd)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+           day AS trough_day,
+           ROUND(peak, 2) AS peak_cum,
+           ROUND(cum, 2) AS trough_cum,
+           ROUND(drawdown, 2) AS max_drawdown
+    FROM top WHERE rn = 1
+    """,
+)
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue — the largest
+    peak-to-trough drop, the risk/health metric that's NOT a plain
+    window aggregate composition in one pass anywhere else: running
+    SUM, running MAX of that sum, their gap, then the argmax row
+    (earliest day on ties). All three windows run over the bounded DAY
+    table (ses/theil_sen's boundedness argument); the cumulative sums
+    add the same rounded day-revenues in the same order on both
+    engines, so the doubles agree bit-for-bit before the final
+    round."""
+    d = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select("day", F.sum("rev").over(w).alias("cum"))
+    dd = c.select(
+        "day",
+        "cum",
+        F.max("cum").over(w).alias("peak"),
+        (F.max("cum").over(w) - F.col("cum")).alias("drawdown"),
+    )
+    top = dd.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("drawdown").desc(), F.col("day").asc())
+        ),
+    ).filter(F.col("rn") == 1)
+    n = d.agg(F.count(F.lit(1)).alias("n_days"))
+    return top.crossJoin(F.broadcast(n)).select(
+        "n_days",
+        F.col("day").alias("trough_day"),
+        F.round("peak", 2).alias("peak_cum"),
+        F.round("cum", 2).alias("trough_cum"),
+        F.round("drawdown", 2).alias("max_drawdown"),
+    )

@@ -220,6 +220,10 @@ AUDITED = (
     "holt_linear_daily",
     "phrase_search_docs",
     "mutual_nn_pairs_embeddings",
+    "nation_revenue_pct_of_parent",
+    "nation_order_day_gaps",
+    "mahalanobis_customer_outliers",
+    "revenue_max_drawdown",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
