@@ -4051,11 +4051,11 @@ def nation_revenue_pct_of_parent(
                            day) - 1 AS gap
           FROM nd)
     SELECT nation_name,
-           CAST(COUNT(*) + 1 AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_active_days,
            CAST(COUNT(*) FILTER (WHERE gap > 0) AS BIGINT) AS n_gaps,
            CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days,
            CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS total_missing_days
-    FROM g WHERE gap IS NOT NULL GROUP BY nation_name
+    FROM g GROUP BY nation_name
     """,
 )
 def nation_order_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4064,7 +4064,10 @@ def nation_order_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     total of the holes between consecutive active days. The freshness/
     completeness monitor a pipeline runs on its own output. One
     distinct-day reduction (bounded by |nations|·|calendar days| at any
-    fact scale), one per-nation lag window over that bounded table."""
+    fact scale), one per-nation lag window over that bounded table.
+    The first active day's NULL gap row is KEPT (aggregates skip it; a
+    filter would silently drop every single-active-day nation — the
+    most degenerate entity a completeness monitor exists to surface)."""
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -4081,9 +4084,9 @@ def nation_order_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = nd.select(
         "nation_name",
         (F.datediff(F.col("day"), F.lag("day").over(w)) - 1).alias("gap"),
-    ).filter(F.col("gap").isNotNull())
+    )
     return g.groupBy("nation_name").agg(
-        (F.count(F.lit(1)) + 1).alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_active_days"),
         F.count_if(F.col("gap") > 0).alias("n_gaps"),
         F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_days"),
         F.coalesce(F.sum("gap"), F.lit(0)).cast("long").alias(

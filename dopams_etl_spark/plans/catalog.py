@@ -48,8 +48,9 @@ _PRIORITY: tuple[str, ...] = (
     # registrations + 37 stale-row re-certifications, oldest first
     # (VERDICT r8 task 3: all 31 queries whose latest driver row dates
     # from ROUND 2, then the 6 oldest round-3 rows). After this sample
-    # runs, cumulative coverage is 291/291 and no query's latest driver
-    # row is older than round 3.
+    # runs, cumulative coverage is 291/295 (the only gap being the
+    # 4-entry documented r10 queue below the 50-slot line) and no
+    # SAMPLED query's latest driver row is older than round 3.
     # 1) the documented r8 queue (registered past last round's 50-slot
     #    line; each locally green at sf0.001 AND sf0.01);
     "markov_next_event_accuracy",

@@ -91,9 +91,12 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n2_s").cast("double").alias("n2"),
     )
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    # try_divide: a side with zero non-NULL scores gives n=0 — under
+    # ANSI a bare / would crash the query where DuckDB quietly yields
+    # the NULL-statistic row.
     e = ps.crossJoin(F.broadcast(tot)).select(
-        (F.sum("n1_s").over(w) / F.col("n1")).alias("f1"),
-        (F.sum("n2_s").over(w) / F.col("n2")).alias("f2"),
+        F.try_divide(F.sum("n1_s").over(w), F.col("n1")).alias("f1"),
+        F.try_divide(F.sum("n2_s").over(w), F.col("n2")).alias("f2"),
         "n1",
         "n2",
     )
@@ -1179,14 +1182,21 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "custkey": [pdf["custkey"].iloc[0]],
                 "n_orders": [len(pdf)],
-                "final_balance": [round(bal, 2)],
+                "bal_raw": [bal],
                 "n_floor_hits": [hits],
             }
         )
 
+    # rounding happens JVM-side (F.round, like every other query) so the
+    # parity surface never sees Python's banker's rounding
     return o.groupBy("custkey").applyInPandas(
         fold,
-        "custkey long, n_orders long, final_balance double, n_floor_hits long",
+        "custkey long, n_orders long, bal_raw double, n_floor_hits long",
+    ).select(
+        "custkey",
+        "n_orders",
+        F.round("bal_raw", 2).alias("final_balance"),
+        "n_floor_hits",
     )
 
 
@@ -1272,10 +1282,13 @@ def spearman_qty_discount_by_flag(
         (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
+    # try_divide: a group with zero rank variance on either variable
+    # (every row one value) has den = 0 — NULL spearman like DuckDB,
+    # not an ANSI DIVIDE_BY_ZERO abort.
     return m.select(
         F.col("flag").alias("l_returnflag"),
         F.col("nn").cast("long").alias("n"),
-        F.round(num / den, 6).alias("spearman"),
+        F.round(F.try_divide(num, den), 6).alias("spearman"),
     )
 
 
@@ -1373,6 +1386,7 @@ def grouped_median_via_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(arg_max(b, rn), 4) AS trend,
            ROUND(arg_max(l, rn) + 7 * arg_max(b, rn), 2) AS forecast_7d
     FROM h
+    HAVING (SELECT COUNT(*) FROM d) > 0
     """,
 )
 def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,25 +1407,34 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day")
         xs = pdf["rev"].tolist()
+        if len(xs) < 2:
+            # the b₁=x₂−x₁ seed needs two days; mirror the oracle's
+            # degenerate row (level = x₁, trend/forecast NULL)
+            return pd.DataFrame(
+                {"n_days": [len(xs)], "l_raw": [xs[0]], "b_raw": [None]}
+            )
         lvl, tr = xs[0], xs[1] - xs[0]
         for x in xs[1:]:
             new_lvl = 0.3 * x + 0.7 * (lvl + tr)
             tr = 0.1 * (new_lvl - lvl) + 0.9 * tr
             lvl = new_lvl
         return pd.DataFrame(
-            {
-                "n_days": [len(xs)],
-                "level": [round(lvl, 2)],
-                "trend": [round(tr, 4)],
-                "forecast_7d": [round(lvl + 7 * tr, 2)],
-            }
+            {"n_days": [len(xs)], "l_raw": [lvl], "b_raw": [tr]}
         )
 
+    # rounding happens JVM-side (F.round, like every other query) so the
+    # parity surface never sees Python's banker's rounding
     return (
         d.withColumn("_g", F.lit(1))
         .groupBy("_g")
-        .applyInPandas(
-            fold, "n_days long, level double, trend double, forecast_7d double"
+        .applyInPandas(fold, "n_days long, l_raw double, b_raw double")
+        .select(
+            "n_days",
+            F.round("l_raw", 2).alias("level"),
+            F.round("b_raw", 4).alias("trend"),
+            F.round(F.col("l_raw") + 7 * F.col("b_raw"), 2).alias(
+                "forecast_7d"
+            ),
         )
     )
 
@@ -1471,10 +1494,14 @@ def mahalanobis_customer_outliers(
     dx = F.col("x") - F.col("mx")
     dy = F.col("y") - F.col("my")
     det = F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy")
-    d2 = (
+    # try_divide: a singular covariance (all customers identical, or
+    # spend exactly collinear with count) has det = 0 — d² NULL and
+    # zero output rows on BOTH engines, not an ANSI abort.
+    d2 = F.try_divide(
         dx * dx * F.col("vy") - 2 * dx * dy * F.col("cxy")
-        + dy * dy * F.col("vx")
-    ) / det
+        + dy * dy * F.col("vx"),
+        det,
+    )
     return (
         cust.crossJoin(F.broadcast(m))
         .withColumn("d2", d2)

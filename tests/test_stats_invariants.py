@@ -317,3 +317,115 @@ def test_ses_and_ols_long_series_rounding_contract(spark, qs, tmp_path):
         g = sorted(map(repr, got_pd.itertuples(index=False, name=None)))
         w = sorted(map(repr, want_pd.itertuples(index=False, name=None)))
         assert g == w, f"{name} repr divergence: {g[:2]} vs {w[:2]}"
+
+
+def test_degenerate_inputs_yield_null_rows_not_ansi_aborts(
+    spark, qs, tmp_path
+):
+    """r9 self-review: under ANSI mode a bare `/` (and even corr())
+    THROWS DIVIDE_BY_ZERO on zero-variance/zero-count groups where
+    DuckDB quietly yields NULL — every statistic must survive the
+    degenerate corpus AND still hash-match its oracle there.
+    Covers: ks_test with one side all-NULL scores (n=0 after the NULL
+    filter), spearman with a zero-rank-variance group, mahalanobis
+    with a singular covariance, holt with a single day."""
+    from pyspark.sql import functions as F
+
+    # events: every purchase has NULL value; views are populated; one
+    # event type whose quantity-analog never varies is irrelevant here
+    ev_rows = [
+        (i, "2024-01-02", 1 + i, "purchase", None) for i in range(5)
+    ] + [(10 + i, "2024-01-03", 1 + i, "view", float(i)) for i in range(5)]
+    ev_schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double"
+    )
+    spark.createDataFrame(ev_rows, ev_schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    # orders: ONE day total (holt single-day seed; mahalanobis gets a
+    # singular covariance via identical customers), uniform everything
+    o_rows = [
+        (c, 100 + c, "O", 500.0, "1997-05-05", "1-URGENT") for c in range(4)
+    ]
+    o_schema = (
+        "o_custkey long, o_orderkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string"
+    )
+    spark.createDataFrame(o_rows, o_schema).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    # lineitem: one flag whose discount never varies -> spearman NULL
+    li_rows = [(i, "A", float(1 + i % 3), 0.05) for i in range(6)]
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_returnflag string, l_quantity double, "
+        "l_discount double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    views = {
+        "events": str(tmp_path / "events.parquet"),
+        "orders": str(tmp_path / "orders.parquet"),
+        "lineitem": str(tmp_path / "lineitem.parquet"),
+    }
+    cases = {
+        "ks_test_two_sample": ["events"],
+        "spearman_qty_discount_by_flag": ["lineitem"],
+        "mahalanobis_customer_outliers": ["orders"],
+        "holt_linear_daily": ["orders"],
+    }
+    for name, tables in cases.items():
+        got = qs[name](spark, str(tmp_path))  # must not raise
+        want = _duck(_oracle(name), {tb: views[tb] for tb in tables})
+        verdict = compare(name, got, want)
+        assert verdict.startswith("PASS"), f"{name}: {verdict}"
+
+    # spot-check the degenerate semantics themselves
+    ks = qs["ks_test_two_sample"](spark, str(tmp_path)).collect()[0]
+    assert ks["n_purchase"] == 0 and ks["ks_stat"] is None
+    sp = qs["spearman_qty_discount_by_flag"](spark, str(tmp_path)).collect()
+    assert sp[0]["spearman"] is None
+    assert qs["mahalanobis_customer_outliers"](
+        spark, str(tmp_path)
+    ).count() == 0
+    h = qs["holt_linear_daily"](spark, str(tmp_path)).collect()[0]
+    assert h["n_days"] == 1 and h["trend"] is None
+
+
+def test_gap_monitor_keeps_single_active_day_nations(spark, qs, tmp_path):
+    """r9 self-review: a nation with exactly ONE active order day is
+    the most degenerate entity a completeness monitor exists to
+    surface — it must appear with n_gaps=0, not be silently dropped by
+    a NULL-gap filter."""
+    from pyspark.sql import functions as F
+
+    orders = spark.createDataFrame(
+        [(1, "1995-01-01"), (2, "1995-01-01"), (2, "1995-01-05")],
+        "o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    customer = spark.createDataFrame(
+        [(1, 10), (2, 20)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(10, "SOLO"), (20, "DUO")], "n_nationkey long, n_name string"
+    )
+    for name, df in (
+        ("orders", orders), ("customer", customer), ("nation", nation)
+    ):
+        df.write.parquet(str(tmp_path / f"{name}.parquet"))
+
+    got = qs["nation_order_day_gaps"](spark, str(tmp_path))
+    rows = {r["nation_name"]: r for r in got.collect()}
+    assert rows["SOLO"]["n_active_days"] == 1
+    assert rows["SOLO"]["n_gaps"] == 0
+    assert rows["SOLO"]["total_missing_days"] == 0
+    assert rows["DUO"]["n_gaps"] == 1 and rows["DUO"]["max_gap_days"] == 3
+    want = _duck(
+        _oracle("nation_order_day_gaps"),
+        {n: str(tmp_path / f"{n}.parquet")
+         for n in ("orders", "customer", "nation")},
+    )
+    verdict = compare("nation_order_day_gaps", got, want)
+    assert verdict.startswith("PASS"), verdict
