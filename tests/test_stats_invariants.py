@@ -376,21 +376,20 @@ def test_degenerate_inputs_yield_null_rows_not_ansi_aborts(
         "mahalanobis_customer_outliers": ["orders"],
         "holt_linear_daily": ["orders"],
     }
+    rows = {}
     for name, tables in cases.items():
         got = qs[name](spark, str(tmp_path))  # must not raise
         want = _duck(_oracle(name), {tb: views[tb] for tb in tables})
         verdict = compare(name, got, want)
         assert verdict.startswith("PASS"), f"{name}: {verdict}"
+        rows[name] = got.collect()
 
     # spot-check the degenerate semantics themselves
-    ks = qs["ks_test_two_sample"](spark, str(tmp_path)).collect()[0]
+    ks = rows["ks_test_two_sample"][0]
     assert ks["n_purchase"] == 0 and ks["ks_stat"] is None
-    sp = qs["spearman_qty_discount_by_flag"](spark, str(tmp_path)).collect()
-    assert sp[0]["spearman"] is None
-    assert qs["mahalanobis_customer_outliers"](
-        spark, str(tmp_path)
-    ).count() == 0
-    h = qs["holt_linear_daily"](spark, str(tmp_path)).collect()[0]
+    assert rows["spearman_qty_discount_by_flag"][0]["spearman"] is None
+    assert rows["mahalanobis_customer_outliers"] == []
+    h = rows["holt_linear_daily"][0]
     assert h["n_days"] == 1 and h["trend"] is None
 
 
