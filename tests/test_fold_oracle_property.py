@@ -1,0 +1,85 @@
+"""Property tests (hypothesis): the sequential-fold operators backed by
+RECURSIVE-CTE oracles (capped_running_balance, holt_linear_daily) must
+hash-match DuckDB on ARBITRARY small order tables — not just the fixed
+testdata. Randomized inputs sweep the conventions the fixed corpora
+can't: single-order customers, all-debit histories pinned to the floor,
+same-day orderkey tie-breaks, single-day and empty series, and float
+accumulation over adversarial cent values."""
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dopams_etl_spark.plans import catalog
+from tools.check import compare
+from tests.test_stats_invariants import _duck, _oracle
+
+# (custkey, day-offset, orderkey, status-idx, price-cents); tight key and
+# day ranges force same-customer and same-day collisions
+order = st.tuples(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=1, max_value=5000),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=1, max_value=100_000),
+)
+
+_SCHEMA = (
+    "o_custkey long, o_orderkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate string, o_orderpriority string"
+)
+
+
+def _write_orders(spark, rows):
+    # day offsets applied via date_add so dates stay well-formed
+    df = spark.createDataFrame(
+        [
+            (ck, okey, "OFP"[s], cents / 100.0, day, "1-URGENT")
+            for ck, day, okey, s, cents in rows
+        ],
+        "o_custkey long, o_orderkey long, o_orderstatus string, "
+        "o_totalprice double, day_off int, o_orderpriority string",
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_add(F.lit("1995-01-01").cast("date"), F.col("day_off")).alias(
+            "o_orderdate"
+        ),
+        "o_orderpriority",
+    )
+    tmp = tempfile.mkdtemp(prefix="fold_prop_")
+    df.write.parquet(f"{tmp}/orders.parquet")
+    return tmp
+
+
+def _roundtrip(spark, name, rows):
+    tmp = _write_orders(spark, rows)
+    try:
+        got = catalog.queries()[name](spark, tmp)
+        want = _duck(_oracle(name), {"orders": f"{tmp}/orders.parquet"})
+        return compare(name, got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(st.lists(order, max_size=14, unique_by=lambda r: r[2]))
+def test_capped_balance_matches_recursive_cte(spark_global, rows):
+    verdict = _roundtrip(spark_global, "capped_running_balance", rows)
+    assert verdict.startswith("PASS"), f"{rows}: {verdict}"
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(st.lists(order, max_size=14, unique_by=lambda r: r[2]))
+def test_holt_matches_recursive_cte(spark_global, rows):
+    verdict = _roundtrip(spark_global, "holt_linear_daily", rows)
+    assert verdict.startswith("PASS"), f"{rows}: {verdict}"
