@@ -48,8 +48,8 @@ _PRIORITY: tuple[str, ...] = (
     # registrations + 37 stale-row re-certifications, oldest first
     # (VERDICT r8 task 3: all 31 queries whose latest driver row dates
     # from ROUND 2, then the 6 oldest round-3 rows). After this sample
-    # runs, cumulative coverage is 291/295 (the only gap being the
-    # 4-entry documented r10 queue below the 50-slot line) and no
+    # runs, cumulative coverage is 291/298 (the only gap being the
+    # 7-entry documented r10 queue below the 50-slot line) and no
     # SAMPLED query's latest driver row is older than round 3.
     # 1) the documented r8 queue (registered past last round's 50-slot
     #    line; each locally green at sf0.001 AND sf0.01);
@@ -116,13 +116,17 @@ _PRIORITY: tuple[str, ...] = (
     "upsert_latest_wins",
     "watermark_incremental_events",
     # --- the 50-slot driver sample line ---
-    # 7) r10 queue — FOUR queries registered past the 50-slot line
-    #    (each checked green at sf0.001 AND sf0.01; they head the r10
-    #    sample so the registry stays provably draining);
+    # 7) r10 queue — SEVEN queries registered past the 50-slot line
+    #    (each checked green at sf0.001 AND sf0.01 — the three
+    #    LLM-pipeline reports also at sf0.1; they head the r10 sample
+    #    so the registry stays provably draining);
     "nation_revenue_pct_of_parent",
     "nation_order_day_gaps",
     "mahalanobis_customer_outliers",
     "revenue_max_drawdown",
+    "dedup_threshold_sweep",
+    "token_fertility_by_lang",
+    "train_test_overlap_report",
     # 8) remaining round-3/4 rows in age order (r10 re-cert next);
     "hourly_event_stats",
     "exact_dedup_docs",

@@ -3233,3 +3233,196 @@ def mutual_nn_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    "WITH " + _NGRAM_PAIR_CTES + r""",
+    thr(t) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)),
+    f AS (SELECT CAST(t AS DOUBLE) AS threshold, id_a, id_b
+          FROM pairs JOIN thr ON jaccard >= t),
+    pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM f GROUP BY threshold),
+    dc AS (SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT)
+                    AS n_affected_docs
+           FROM (SELECT threshold, id_a AS d FROM f
+                 UNION ALL SELECT threshold, id_b FROM f)
+           GROUP BY threshold)
+    SELECT threshold, n_pairs, n_affected_docs
+    FROM pc JOIN dc USING (threshold)
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning curve — near-dup pair counts and affected
+    document counts across Jaccard cutoffs (0.5–0.9), the
+    yield-vs-aggressiveness report a pipeline owner reads BEFORE
+    committing a dedup threshold (too low: real documents merged; too
+    high: near-dups survive into training). The shingle-pair join runs
+    ONCE at the loosest threshold; the sweep is a 5-literal explode
+    over the bounded pair table, so five thresholds cost one dedup
+    pass. Thresholds with zero surviving pairs are absent on both
+    engines (inner semantics)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=50
+    )
+    f = pairs.withColumn(
+        "threshold",
+        F.explode(F.array(*[F.lit(x) for x in (0.5, 0.6, 0.7, 0.8, 0.9)])),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    pc = f.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    dc = (
+        f.select(
+            "threshold",
+            F.explode(F.array("id_a", "id_b")).alias("d"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_affected_docs"))
+    )
+    return pc.join(dc, "threshold")
+
+
+@register(
+    "token_fertility_by_lang",
+    r"""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s+'))
+               AS BIGINT) AS n_bpe,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                  END AS BIGINT) AS n_ws,
+             CAST(len(text) AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6)
+             AS chars_per_token
+    FROM d GROUP BY lang
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report — per language, GPT-2-style
+    pre-tokenizer segments per whitespace word (fertility) and
+    characters per segment: the corpus-budgeting numbers that decide
+    how many TRAINING TOKENS a mixture actually buys per language
+    (high-fertility languages eat budget; the multilingual-sampling
+    literature keys temperature on exactly this). Pure JVM column
+    expressions + one hash aggregate; try_divide guards the all-blank
+    degenerate language (NULL, matching DuckDB's double/0)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        bpe_token_count("text").cast("long").alias("n_bpe"),
+        token_count("text").cast("long").alias("n_ws"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.round(
+            F.try_divide(F.sum("n_bpe").cast("double"), F.sum("n_ws")), 6
+        ).alias("fertility"),
+        F.round(
+            F.try_divide(F.sum("n_chars").cast("double"), F.sum("n_bpe")), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "train_test_overlap_report",
+    r"""
+    WITH u AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS v
+      FROM documents),
+    lab AS (SELECT doc_id, text,
+                   CASE WHEN v < 3435973836 THEN 'train'
+                        WHEN v >= 3865470566 THEN 'test' END AS split
+            FROM u),
+    tk AS (SELECT doc_id, split,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM lab WHERE split IS NOT NULL),
+    s AS (SELECT doc_id, split,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+          FROM tk WHERE trim(array_to_string(toks, ' ')) <> '' OR len(toks) > 0),
+    e AS (SELECT doc_id, split, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
+    tr AS (SELECT DISTINCT shingle FROM e WHERE split = 'train'),
+    te AS (SELECT doc_id, e.shingle, tr.shingle AS hit
+           FROM e LEFT JOIN tr ON e.shingle = tr.shingle
+           WHERE split = 'test'),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+                  CAST(COUNT(hit) AS BIGINT) AS n_hit
+           FROM te GROUP BY doc_id)
+    SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM e
+            WHERE split = 'train') AS n_train_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(COALESCE(SUM(n_sh), 0) AS BIGINT) AS n_test_shingles,
+           ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_sh), 6)
+             AS pct_shingles_contaminated,
+           CAST(COUNT(*) FILTER (WHERE 2 * n_hit >= n_sh) AS BIGINT)
+             AS n_test_docs_contaminated
+    FROM pd
+    """,
+)
+def train_test_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination METRIC (the report beside the
+    decontaminate_docs FILTER): what fraction of the test split's
+    distinct 3-gram shingles already appears anywhere in the train
+    split, and how many test docs are majority-contaminated (≥50% of
+    their shingles seen in train) — the number a benchmark owner quotes
+    when deciding whether an eval is burned. Split assignment is the
+    deterministic md5 32-bit routing shared with train_val_test_split;
+    the probe is one shingle-keyed left join of test postings against
+    the distinct train-shingle set (broadcast-or-shuffle by shingle —
+    never doc×doc), the decontamination posture at any corpus scale."""
+    from dopams_etl_spark.operators.quality import assign_split
+
+    docs = assign_split(t(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.filter(F.col("split").isin("train", "test")).select(
+        "doc_id",
+        "split",
+        F.explode(word_shingles("text", 3)).alias("shingle"),
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle")
+    joined = test_sh.join(
+        train_sh.withColumn("hit", F.lit(1)), "shingle", "left"
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.count("hit").alias("n_hit"),
+    )
+    n_train = sh.filter(F.col("split") == "train").agg(
+        F.countDistinct("doc_id").alias("n_train_docs")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.coalesce(F.sum("n_sh"), F.lit(0)).cast("long").alias(
+            "n_test_shingles"
+        ),
+        F.round(
+            F.try_divide(F.sum("n_hit").cast("double"), F.sum("n_sh")), 6
+        ).alias("pct_shingles_contaminated"),
+        F.count_if(2 * F.col("n_hit") >= F.col("n_sh")).alias(
+            "n_test_docs_contaminated"
+        ),
+    ).crossJoin(F.broadcast(n_train)).select(
+        "n_train_docs",
+        "n_test_docs",
+        "n_test_shingles",
+        "pct_shingles_contaminated",
+        "n_test_docs_contaminated",
+    )

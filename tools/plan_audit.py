@@ -224,6 +224,9 @@ AUDITED = (
     "nation_order_day_gaps",
     "mahalanobis_customer_outliers",
     "revenue_max_drawdown",
+    "dedup_threshold_sweep",
+    "token_fertility_by_lang",
+    "train_test_overlap_report",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
