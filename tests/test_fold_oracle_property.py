@@ -83,3 +83,43 @@ def test_capped_balance_matches_recursive_cte(spark_global, rows):
 def test_holt_matches_recursive_cte(spark_global, rows):
     verdict = _roundtrip(spark_global, "holt_linear_daily", rows)
     assert verdict.startswith("PASS"), f"{rows}: {verdict}"
+
+
+li_row = st.tuples(
+    st.integers(min_value=0, max_value=2),      # flag index
+    st.integers(min_value=-50_000, max_value=50_000),  # price cents
+)
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(st.lists(li_row, min_size=1, max_size=25))
+def test_grouped_median_matches_native_median(spark_global, rows):
+    """grouped_median_via_counts vs DuckDB's NATIVE MEDIAN() — unlike
+    the registered oracle (which states the same counts construction),
+    MEDIAN is a fully independent implementation, so this is the
+    semantic check that the k-th-element-on-counts rewrite IS the
+    median: odd/even group sizes, heavy ties, negative values, and
+    single-row groups, on arbitrary inputs."""
+    spark = spark_global
+    df = spark.createDataFrame(
+        [( "ANR"[f], cents / 100.0) for f, cents in rows],
+        "l_returnflag string, l_extendedprice double",
+    )
+    tmp = tempfile.mkdtemp(prefix="median_prop_")
+    try:
+        df.write.parquet(f"{tmp}/lineitem.parquet")
+        got = catalog.queries()["grouped_median_via_counts"](spark, tmp)
+        want = _duck(
+            """
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   MEDIAN(l_extendedprice) AS median_price
+            FROM lineitem GROUP BY 1
+            """,
+            {"lineitem": f"{tmp}/lineitem.parquet"},
+        )
+        verdict = compare("grouped_median_vs_native", got, want)
+        assert verdict.startswith("PASS"), f"{rows}: {verdict}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -8,8 +8,13 @@ different shuffle-partition settings and require bit-identical rows.
 Representatives cover the risk classes: exact integer-cents sums (q1),
 the wide fused MV with ordered/distinct collects (firs_mv), a
 double-sum + NTILE pipeline (customer_rfm_segments), double-weighted
-window math (time_weighted_avg_value), and corr() machinery
-(lineitem_corr_matrix).
+window math (time_weighted_avg_value), corr() machinery
+(lineitem_corr_matrix), and — round 9 — the applyInPandas sequential
+folds (capped_running_balance: per-key pandas groups must see the SAME
+rows in ANY partitioning; holt_linear_daily: a singleton group built
+from a shuffled day aggregate), the one-row moment broadcast
+(mahalanobis_customer_outliers), and the double-sum drawdown windows
+(revenue_max_drawdown).
 """
 
 from __future__ import annotations
@@ -26,6 +31,10 @@ REPRESENTATIVES = (
     "customer_rfm_segments",
     "time_weighted_avg_value",
     "lineitem_corr_matrix",
+    "capped_running_balance",
+    "holt_linear_daily",
+    "mahalanobis_customer_outliers",
+    "revenue_max_drawdown",
 )
 
 
