@@ -167,9 +167,15 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two oracles cannot drift: tokenize → distinct 3-shingles → inverted index
 # with max_df=50 → pairwise intersection → Jaccard ≥ 0.5.
 _NGRAM_PAIR_CTES = r"""
-    tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+    tk AS (SELECT doc_id, text,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
     s AS (SELECT doc_id,
-                 CASE WHEN len(toks) >= 3
+                 -- blank guard FIRST: splitting '' yields [''], so
+                 -- len(toks) > 0 would emit a '' shingle where Spark's
+                 -- word_shingles returns [] (blank docs never pair)
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      WHEN len(toks) >= 3
                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
@@ -3346,16 +3352,20 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN v < 3435973836 THEN 'train'
                         WHEN v >= 3865470566 THEN 'test' END AS split
             FROM u),
-    tk AS (SELECT doc_id, split,
+    tk AS (SELECT doc_id, split, text,
                   string_split_regex(lower(trim(text)), '\s+') AS toks
            FROM lab WHERE split IS NOT NULL),
     s AS (SELECT doc_id, split,
-                 CASE WHEN len(toks) >= 3
+                 -- blank guard FIRST (splitting '' yields [''] — see
+                 -- _NGRAM_PAIR_CTES): Spark's word_shingles maps blank
+                 -- docs to [], so they must contribute no shingles here
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      WHEN len(toks) >= 3
                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                       WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
                       ELSE [] END AS sh
-          FROM tk WHERE trim(array_to_string(toks, ' ')) <> '' OR len(toks) > 0),
+          FROM tk),
     e AS (SELECT doc_id, split, unnest(sh) AS shingle FROM s WHERE len(sh) > 0),
     tr AS (SELECT DISTINCT shingle FROM e WHERE split = 'train'),
     te AS (SELECT doc_id, e.shingle, tr.shingle AS hit

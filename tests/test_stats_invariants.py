@@ -428,3 +428,40 @@ def test_gap_monitor_keeps_single_active_day_nations(spark, qs, tmp_path):
     )
     verdict = compare("nation_order_day_gaps", got, want)
     assert verdict.startswith("PASS"), verdict
+
+
+def test_blank_docs_contribute_no_shingles(spark, qs, tmp_path):
+    """r9 second-review: DuckDB's string_split_regex('') yields [''],
+    so without a blank-first guard the shared shingle oracle emitted a
+    '' shingle for blank/whitespace-only documents — pairing them with
+    each other at jaccard 1.0 — while Spark's word_shingles maps blanks
+    to [] (no pairs). Both the pair sweep and the contamination report
+    must hash-match the oracle on a corpus WITH blank docs, and blanks
+    must never appear in any pair."""
+    from pyspark.sql import functions as F
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, text, "en", "s0", len(text)),
+            (1, text + " tail", "en", "s0", len(text) + 5),
+            (2, "", "en", "s1", 0),
+            (3, "   ", "en", "s1", 3),
+            (4, "one two", "en", "s1", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    views = {"documents": str(tmp_path / "documents.parquet")}
+
+    for name in ("ngram_jaccard_dups", "dedup_threshold_sweep",
+                 "train_test_overlap_report"):
+        got = qs[name](spark, str(tmp_path))
+        want = _duck(_oracle(name), views)
+        verdict = compare(name, got, want)
+        assert verdict.startswith("PASS"), f"{name}: {verdict}"
+
+    pairs = qs["ngram_jaccard_dups"](spark, str(tmp_path)).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert {2, 3}.isdisjoint(ids), "blank docs paired"
+    assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs}
