@@ -123,3 +123,73 @@ def test_grouped_median_matches_native_median(spark_global, rows):
         assert verdict.startswith("PASS"), f"{rows}: {verdict}"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+sp_row = st.tuples(
+    st.integers(min_value=0, max_value=1),   # flag index
+    st.integers(min_value=1, max_value=6),   # quantity (heavy ties)
+    st.integers(min_value=0, max_value=4),   # discount bucket (heavy ties)
+)
+
+
+def _avg_ranks(vals):
+    """Average tied ranks (1-based), the textbook Spearman convention."""
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        i = j
+    return ranks
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(st.lists(sp_row, min_size=2, max_size=30))
+def test_spearman_rank_compression_is_spearman(spark_global, rows):
+    """The grouped-counts rank compression must equal textbook Spearman
+    (average tied ranks + Pearson) computed row-by-row in plain Python
+    — an implementation the two engines do NOT share, so a formula bug
+    common to the query and its oracle cannot hide here."""
+    import math
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [("AB"[f], float(q), b / 20.0) for f, q, b in rows],
+        "l_returnflag string, l_quantity double, l_discount double",
+    )
+    tmp = tempfile.mkdtemp(prefix="spear_prop_")
+    try:
+        df.write.parquet(f"{tmp}/lineitem.parquet")
+        got = {
+            r["l_returnflag"]: r["spearman"]
+            for r in catalog.queries()["spearman_qty_discount_by_flag"](
+                spark, tmp
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    by_flag: dict = {}
+    for f, q, b in rows:
+        by_flag.setdefault("AB"[f], []).append((float(q), b / 20.0))
+    for flag, pairs in by_flag.items():
+        rq = _avg_ranks([p[0] for p in pairs])
+        rd = _avg_ranks([p[1] for p in pairs])
+        n = len(pairs)
+        mq, md = sum(rq) / n, sum(rd) / n
+        cov = sum((a - mq) * (b - md) for a, b in zip(rq, rd))
+        vq = sum((a - mq) ** 2 for a in rq)
+        vd = sum((b - md) ** 2 for b in rd)
+        want = cov / math.sqrt(vq * vd) if vq > 0 and vd > 0 else None
+        if want is None:
+            assert got[flag] is None, f"{flag}: {got[flag]} vs None"
+        else:
+            assert got[flag] is not None, f"{flag}: None vs {want}"
+            assert abs(got[flag] - want) <= 5e-6, f"{flag}: {got[flag]} vs {want}"
