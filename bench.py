@@ -49,7 +49,12 @@ def main() -> None:
     # executions of firs_mv vary ±30%+ with ambient load on this box
     # (r8's +19.5% "regression" was noise on byte-identical code), and
     # the min of 5 pins the envelope tighter for ~10 extra seconds.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    try:
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    except ValueError as e:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_RUNS must be an integer >= 1: {e}"
+        ) from None
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, SF_DIR)

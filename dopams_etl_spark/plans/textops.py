@@ -2,14 +2,17 @@
 north-star training-data-pipeline surface) with DuckDB oracles where the
 computation is engine-portable.
 
-Operators built on Spark's OWN hash functions (minhash, simhash — murmur3)
-have no DuckDB analog — those entries are registered without an oracle
-(driver records a rows-only check) but their *exact* counterparts (n-gram
-Jaccard, brute-force cosine) are oracle-checked, so the approximate
-operators are validated against the exact ones in tests. The hyperplane-LSH
-operators (lsh_topk, embedding near-dups) ARE fully oracle-checked: their
-planes are seeded-numpy literals DuckDB reproduces bit-for-bit
-(``_lsh_bucket_sql``).
+Every entry here is oracle-checked — including minhash and simhash,
+whose murmur3-based signatures initially had no DuckDB analog: the
+registered entries run md5-derived hash families DuckDB reproduces
+value-for-value (``minhash_lsh_pairs`` uses the ``md5u`` universal-hash
+family, ``simhash_dups`` the md5-nibble bit derivation), so
+``catalog.oracle_sql()`` returns real DuckDB SQL for the full registry;
+murmur3/xxhash64 remain the engine-internal scale paths. The hyperplane-LSH
+operators (lsh_topk, embedding near-dups) use seeded-numpy plane
+literals DuckDB reproduces bit-for-bit (``_lsh_bucket_sql``), and the
+approximate operators are additionally validated against their exact
+counterparts (n-gram Jaccard, brute-force cosine) in tests.
 """
 
 from __future__ import annotations

@@ -169,7 +169,23 @@ def _publish_staged(fs, hadoop_path, staging, published) -> bool:
     exactly the nested duplicate is removed and the batch is reported
     as a skipped replay, so a lost race can never double-commit."""
     staging_name = staging.getName()
-    renamed = fs.rename(staging, published)
+    try:
+        renamed = fs.rename(staging, published)
+    except Exception:
+        # The rename itself can THROW (not return false) when the source
+        # vanished under it: a concurrent same-id winner publishes and
+        # then sweeps every `_staging/<id>-*` dir, and that sweep can
+        # land in the window between this attempt's write completing and
+        # this rename running (the write-phase guard in
+        # ``append_once_batch`` only covers sweeps DURING the write).
+        # Same recovery as a false return: drop any staging remnant,
+        # re-probe the ledger — an existing published dir means the
+        # batch IS committed and this attempt is a skipped replay;
+        # anything else is a real failure the engine must see.
+        fs.delete(staging, True)
+        if fs.exists(published):
+            return False
+        raise
     nested = hadoop_path(published, staging_name)
     if renamed and fs.exists(nested):
         # The delete MUST succeed: a surviving nested dir would be

@@ -9,17 +9,28 @@ query family whose plan carries scan-level pruning; breaking any single
 pushdown (e.g. wrapping a filtered column in a cast) drops the count
 below its floor and fails here.
 
-Counts extracted with ``tools.plan_audit.scan_pushdown_counts`` from
-the executed (AQE-final) plan — the truncation-proof extraction; scan
-metadata truncates at spark.sql.maxMetadataStringLength, which loses
-the closing bracket of exactly the scans with the most filters.
+Counts extracted with ``tools.plan_audit.pushdown_tuple`` — planning
+time only (pushdown is decided at planning, so the un-executed plan
+prints identical scan filter lists), truncation-proof (raises
+maxMetadataStringLength; bracket-depth-aware capture so In(col, [..])
+lists don't end a capture early — ADVICE r9).
+
+VERDICT r9 task 5 widened the lock from 23 hand-picked queries to the
+WHOLE registry: ``tools/gen_pushdown_floors.py`` sweeps every
+registered query and writes ``tests/_pushdown_floors.py`` with the
+current counts as floors (140 queries). The hand-curated table below
+is merged in via elementwise max and kept as documentation of the
+sharpest intentional floors; regenerate + review the diff after any
+deliberate plan change.
 """
 
 from __future__ import annotations
 
 import pytest
 
-from tools.plan_audit import pushed_predicate_totals, scan_pushdown_counts
+from tools.plan_audit import pushdown_tuple
+
+from _pushdown_floors import GENERATED_FLOORS
 
 SF = "/root/testdata/sf0.001"
 
@@ -62,31 +73,30 @@ EXPECTED_MIN = {
 }
 
 
+# elementwise max of the generated registry-wide floors and the
+# hand-curated table — a manual floor may only ever sharpen upward
+FLOORS: dict[str, tuple[int, int, int, int]] = {
+    name: tuple(
+        max(a, b)
+        for a, b in zip(GENERATED_FLOORS.get(name, (0, 0, 0, 0)),
+                        EXPECTED_MIN.get(name, (0, 0, 0, 0)))
+    )
+    for name in set(GENERATED_FLOORS) | set(EXPECTED_MIN)
+}
+
+
 @pytest.fixture(scope="module")
 def audited(spark):
     from dopams_etl_spark.plans import catalog
 
     qs = catalog.queries()
-    # full filter lists in the plan string (see module docstring)
-    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
-    try:
-        out = {}
-        for name in EXPECTED_MIN:
-            df = qs[name](spark, SF)
-            df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            plan = plan.split("== Initial Plan ==")[0]
-            out[name] = scan_pushdown_counts(plan) + pushed_predicate_totals(plan)
-    finally:
-        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
-    return out
+    return {name: pushdown_tuple(qs[name](spark, SF)) for name in FLOORS}
 
 
-@pytest.mark.parametrize("name", sorted(EXPECTED_MIN))
+@pytest.mark.parametrize("name", sorted(FLOORS))
 def test_pushdown_floor(name, audited):
     pushed, partf, npred, npart = audited[name]
-    min_pushed, min_partf, min_npred, min_npart = EXPECTED_MIN[name]
+    min_pushed, min_partf, min_npred, min_npart = FLOORS[name]
     assert pushed >= min_pushed, (
         f"{name}: {pushed} scans carry PushedFilters, floor is "
         f"{min_pushed} — a predicate stopped reaching the parquet scan"

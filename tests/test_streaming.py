@@ -438,3 +438,84 @@ def test_append_once_two_concurrent_writers(spark, tmp_path):
     assert not errors, errors
     assert sorted(results) in ([False, True], [True]), results
     assert spark.read.parquet(out).count() == 45
+
+
+def test_publish_staged_vanished_staging_is_skipped_replay(spark, tmp_path):
+    """VERDICT r9 task 1: the winner's `_staging/<id>-*` sweep can land
+    BETWEEN the loser's write completing and its rename — then
+    ``fs.rename`` sees a nonexistent source and (depending on the FS)
+    THROWS instead of returning false. Either way, with the batch
+    already published the loser must report a skipped replay (False),
+    never surface an exception."""
+    from dopams_etl_spark.streaming import append_once_batch
+    from dopams_etl_spark.streaming.incremental import _publish_staged
+
+    out = str(tmp_path / "out")
+    ev = _events_subset(spark, 20).select("event_id", "user_id")
+    assert append_once_batch(ev.limit(12), 5, out) is True
+
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    target = hadoop_path(out)
+    fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    # the loser's staging dir has ALREADY been swept away by the winner
+    staging = hadoop_path(target, "_staging/5-deaddeaddead")
+    assert not fs.exists(staging)
+    published = hadoop_path(target, "batch_id=5")
+
+    assert _publish_staged(fs, hadoop_path, staging, published) is False
+    assert spark.read.parquet(out).count() == 12
+
+    # ... but a vanished source with NO committed batch is a real
+    # failure the engine must see and retry — never silently swallowed.
+    import pytest
+
+    ghost = hadoop_path(target, "_staging/7-deaddeaddead")
+    missing = hadoop_path(target, "batch_id=7")
+    with pytest.raises(Exception):
+        _publish_staged(fs, hadoop_path, ghost, missing)
+    assert not fs.exists(missing)
+
+
+def test_append_once_same_id_race_stress(spark, tmp_path):
+    """VERDICT r9 task 1 stress: loop the same-id two-writer race many
+    times. Every iteration must commit exactly one copy and surface
+    zero exceptions — the loser always reports a skipped replay, even
+    when the winner's sweep lands in the write-to-rename window."""
+    import threading
+
+    from dopams_etl_spark.streaming import append_once_batch
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ev = _events_subset(spark, 30).select("event_id", "user_id")
+    ev.write.parquet(src)
+    other = spark.newSession()
+
+    rounds = 10
+    for b in range(rounds):
+        errors: list[Exception] = []
+        results: list[bool] = []
+        barrier = threading.Barrier(2)
+
+        def race(session, b=b, errors=errors, results=results,
+                 barrier=barrier):
+            try:
+                data = session.read.parquet(src).limit(5)
+                barrier.wait(30)
+                results.append(append_once_batch(data, b, out))
+            except Exception as e:
+                errors.append(e)
+
+        t1 = threading.Thread(target=race, args=(spark,))
+        t2 = threading.Thread(target=race, args=(other,))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        assert not errors, f"iteration {b}: {errors}"
+        assert sorted(results) in ([False, True], [True]), (b, results)
+
+    sink = spark.read.parquet(out)
+    assert sink.count() == 5 * rounds
+    ids = sorted(
+        r["batch_id"] for r in sink.select("batch_id").distinct().collect()
+    )
+    assert ids == list(range(rounds)), f"lost/duplicated batches: {ids}"

@@ -233,7 +233,7 @@ SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def scan_pushdown_counts(plan: str) -> tuple[int, int]:
-    """(scans with non-empty PushedFilters, scans with non-empty
+    r"""(scans with non-empty PushedFilters, scans with non-empty
     PartitionFilters) from an executed-plan string. A scan line prints
     each filter list inline and TRUNCATES past
     spark.sql.maxMetadataStringLength — the closing ``]`` is then lost,
@@ -256,13 +256,43 @@ def _toplevel_items(filter_list: str) -> int:
         return 0
     depth, items = 0, 1
     for ch in s:
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             items += 1
     return items
+
+
+def _filter_lists(plan: str, label: str) -> list[str]:
+    """Every ``<label>: [...]`` list in the plan, captured with bracket-
+    depth awareness: ``[^\\]]*`` would stop at the FIRST ``]`` on the
+    line, so a pushed In-filter like ``In(l_shipmode, [MAIL,SHIP])``
+    would end the capture mid-filter and silently drop every predicate
+    after it on that scan (ADVICE r9). Walk the line from the opening
+    bracket and close only when the OUTER bracket balances; a line that
+    truncates (metadata limit) before balancing yields the prefix — a
+    lower bound, the safe direction for a regression floor."""
+    lists: list[str] = []
+    for m in re.finditer(re.escape(label) + r": \[", plan):
+        start = m.end()
+        depth = 1
+        for i in range(start, len(plan)):
+            ch = plan[i]
+            if ch == "\n":
+                lists.append(plan[start:i])  # truncated list
+                break
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    lists.append(plan[start:i])
+                    break
+        else:
+            lists.append(plan[start:])
+    return lists
 
 
 def pushed_predicate_totals(plan: str) -> tuple[int, int]:
@@ -272,12 +302,32 @@ def pushed_predicate_totals(plan: str) -> tuple[int, int]:
     behind, so the SCAN still counts but the predicate TOTAL drops.
     Truncated lists (no closing bracket before end of line) yield a
     lower bound, which is the safe direction for a regression floor."""
-    pushed = re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
-    partf = re.findall(r"PartitionFilters: \[([^\]\n]*)", plan)
+    pushed = _filter_lists(plan, "PushedFilters")
+    partf = _filter_lists(plan, "PartitionFilters")
     return (
         sum(_toplevel_items(p) for p in pushed),
         sum(_toplevel_items(p) for p in partf),
     )
+
+
+def pushdown_tuple(df) -> tuple[int, int, int, int]:
+    """(scans w/ PushedFilters, scans w/ PartitionFilters, total pushed
+    predicates, total partition predicates) for a DataFrame — WITHOUT
+    executing it. Pushdown is decided at planning time, so the
+    un-executed physical plan (AQE initial tree) prints the identical
+    FileScan PushedFilters/PartitionFilters lists as the final plan;
+    skipping ``collect()`` makes a whole-registry sweep planning-cost
+    only. Temporarily raises maxMetadataStringLength so long filter
+    lists don't truncate (the r8 counting bug class)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    plan = plan.split("== Initial Plan ==")[0]
+    return scan_pushdown_counts(plan) + pushed_predicate_totals(plan)
 
 
 def audit_one(name: str, df) -> dict:
