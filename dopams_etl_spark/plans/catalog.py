@@ -43,83 +43,18 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # Round-9 budget: 50-slot sample = 3-query r8 queue + firs_mv
-    # flagship + 3 queries changed by the r9 ADVICE fixes + 6 new r9
-    # registrations + 37 stale-row re-certifications, oldest first
-    # (VERDICT r8 task 3: all 31 queries whose latest driver row dates
-    # from ROUND 2, then the 6 oldest round-3 rows). After this sample
-    # runs, cumulative coverage is 291/298 (the only gap being the
-    # 7-entry documented r10 queue below the 50-slot line) and no
-    # SAMPLED query's latest driver row is older than round 3.
-    # 1) the documented r8 queue (registered past last round's 50-slot
-    #    line; each locally green at sf0.001 AND sf0.01);
-    "markov_next_event_accuracy",
-    "running_distinct_parts_per_customer",
-    "allocate_order_totals",
-    # 2) the flagship gold MV — one fresh showcase row per round;
-    "firs_mv",
-    # 3) changed in r9 (ADVICE fixes: struct/tuple version key, NULL-
-    #    score KS filter, try_divide OLS closed forms — each re-checked
-    #    green at sf0.001 AND sf0.01 under the strict checker);
-    "customer_golden_record",
-    "ks_test_two_sample",
-    "ols_value_trend_by_type",
-    # 4) new r9 registrations (all inside the sample window — zero
-    #    unchecked backlog this round); each landed tools/check.py
-    #    green at sf0.001 AND sf0.01;
-    "capped_running_balance",
-    "spearman_qty_discount_by_flag",
-    "grouped_median_via_counts",
-    "holt_linear_daily",
-    "phrase_search_docs",
-    "mutual_nn_pairs_embeddings",
-    # 5) re-certification, oldest first: the 31 queries whose latest
-    #    green driver row is from ROUND 2 (none ever regressed;
-    #    tools/check.py re-runs them every local sweep);
-    "order_due_dates",
-    "sections_classify",
-    "domicile_classify",
-    "drug_unit_totals",
-    "deterministic_ids",
-    "clean_coerce",
-    "parse_dates_multi",
-    "regex_extract_codes",
-    "strip_alias_names",
-    "point_lookup_enrich",
-    "extraction_branch_detect",
-    "regional_revenue",
-    "customers_with_orders",
-    "customers_without_orders",
-    "latest_order_per_customer",
-    "best_order_per_customer",
-    "order_priority_stats",
-    "latest_finished_order_date",
-    "order_lineitems_sorted",
-    "order_flags_distinct",
-    "customer_status_map",
-    "orders_union_branches",
-    "customer_order_stats",
-    "top50_orders",
-    "smart_merge_customers",
-    "merge_classify_stats",
-    "fk_validate_lineitems",
-    "quarantine_retry_stats",
-    "replace_children",
-    "insert_if_absent",
-    "nation_soundex_pairs",
-    # 6) re-certification continued: the 6 oldest ROUND-3 rows (slots
-    #    45-50; the remaining r3/r4 rows head the r10 sample);
-    "status_normalize",
-    "accused_status_parse",
-    "json_props_read",
-    "ist_timestamps",
-    "upsert_latest_wins",
-    "watermark_incremental_events",
-    # --- the 50-slot driver sample line ---
-    # 7) r10 queue — SEVEN queries registered past the 50-slot line
-    #    (each checked green at sf0.001 AND sf0.01 — the three
-    #    LLM-pipeline reports also at sf0.1; they head the r10 sample
-    #    so the registry stays provably draining);
+    # Round-10 budget: 50-slot sample = the 7-query r9 queue + firs_mv
+    # flagship + 5 new r10 registrations + the 35 queries whose latest
+    # driver row dates from ROUND 3 (oldest-first re-certification,
+    # VERDICT r9 task 3; doc_quality_scores doubles as the one query
+    # whose oracle string changed this round — the quality CTE was
+    # factored into _QUALITY_CTES, shared with preference_pair_build)
+    # + the 2 oldest ROUND-4 rows. After this sample runs, cumulative
+    # coverage is 303/303 registered-at-r9 + the 5 new, and no sampled
+    # query's latest driver row is older than round 4.
+    # 1) the documented r10 queue (registered past r9's 50-slot line;
+    #    each locally green at sf0.001 AND sf0.01, the three
+    #    LLM-pipeline reports also at sf0.1);
     "nation_revenue_pct_of_parent",
     "nation_order_day_gaps",
     "mahalanobis_customer_outliers",
@@ -127,7 +62,19 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_threshold_sweep",
     "token_fertility_by_lang",
     "train_test_overlap_report",
-    # 8) remaining round-3/4 rows in age order (r10 re-cert next);
+    # 2) the flagship gold MV — one fresh showcase row per round;
+    "firs_mv",
+    # 3) new r10 registrations (all inside the sample window — zero
+    #    unchecked backlog); each tools/check.py-green at sf0.001 AND
+    #    sf0.01;
+    "kruskal_wallis_value_by_type",
+    "kendall_tau_qty_discount_by_flag",
+    "trimmed_winsorized_mean_by_flag",
+    "levene_brown_forsythe_value",
+    "preference_pair_build",
+    # 4) re-certification, oldest first: the 35 queries whose latest
+    #    green driver row is from ROUND 3 (none ever regressed; the
+    #    full registry re-runs green in every local sweep);
     "hourly_event_stats",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
@@ -163,8 +110,12 @@ _PRIORITY: tuple[str, ...] = (
     "mandal_imputation",
     "transliterate_names",
     "file_paths",
+    # 5) the 2 oldest ROUND-4 rows (slots 49-50);
     "domain_cap_docs",
     "bm25_search_docs",
+    # --- the 50-slot driver sample line ---
+    # 6) r11 queue: the remaining 18 round-4 rows in age order (the
+    #    r11 sample starts here and finishes the re-certification);
     "lm_perplexity_docs",
     "incremental_pricing_summary",
     "pack_training_sequences",
@@ -183,8 +134,57 @@ _PRIORITY: tuple[str, ...] = (
     "partitioned_scan_prune",
     "weekly_cohort_retention",
     "lineitem_quality_report",
-    # 8) green r5+ rows (kept for deterministic ordering; all hold
-    #    driver rows from rounds 5-8 and local check evidence);
+    # 7) green r5+ rows (kept for deterministic ordering; all hold
+    #    driver rows from rounds 5-9 and local check evidence);
+    "markov_next_event_accuracy",
+    "running_distinct_parts_per_customer",
+    "allocate_order_totals",
+    "customer_golden_record",
+    "ks_test_two_sample",
+    "ols_value_trend_by_type",
+    "capped_running_balance",
+    "spearman_qty_discount_by_flag",
+    "grouped_median_via_counts",
+    "holt_linear_daily",
+    "phrase_search_docs",
+    "mutual_nn_pairs_embeddings",
+    "order_due_dates",
+    "sections_classify",
+    "domicile_classify",
+    "drug_unit_totals",
+    "deterministic_ids",
+    "clean_coerce",
+    "parse_dates_multi",
+    "regex_extract_codes",
+    "strip_alias_names",
+    "point_lookup_enrich",
+    "extraction_branch_detect",
+    "regional_revenue",
+    "customers_with_orders",
+    "customers_without_orders",
+    "latest_order_per_customer",
+    "best_order_per_customer",
+    "order_priority_stats",
+    "latest_finished_order_date",
+    "order_lineitems_sorted",
+    "order_flags_distinct",
+    "customer_status_map",
+    "orders_union_branches",
+    "customer_order_stats",
+    "top50_orders",
+    "smart_merge_customers",
+    "merge_classify_stats",
+    "fk_validate_lineitems",
+    "quarantine_retry_stats",
+    "replace_children",
+    "insert_if_absent",
+    "nation_soundex_pairs",
+    "status_normalize",
+    "accused_status_parse",
+    "json_props_read",
+    "ist_timestamps",
+    "upsert_latest_wins",
+    "watermark_incremental_events",
     "kaplan_meier_retention",
     "cdc_orders_snapshot",
     "q1_pricing_summary",

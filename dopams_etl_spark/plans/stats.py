@@ -1570,3 +1570,471 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cum", 2).alias("trough_cum"),
         F.round("drawdown", 2).alias("max_drawdown"),
     )
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    """
+    WITH ev AS (
+      SELECT event_type AS typ, value AS v FROM events
+      WHERE value IS NOT NULL),
+    g AS (SELECT typ, v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1, 2),
+    pv AS (SELECT v, CAST(SUM(n) AS BIGINT) AS nv FROM g GROUP BY v),
+    rv AS (SELECT v, nv,
+                  SUM(nv) OVER (ORDER BY v) - nv + (nv + 1) / 2.0 AS r
+           FROM pv),
+    grp AS (SELECT g.typ, CAST(SUM(g.n) AS BIGINT) AS n_g,
+                   SUM(g.n * rv.r) AS r_g
+            FROM g JOIN rv ON g.v = rv.v GROUP BY g.typ),
+    tot AS (SELECT CAST(SUM(n_g) AS DOUBLE) AS nn,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(r_g * r_g / n_g) AS srr
+            FROM grp),
+    tie AS (SELECT SUM(CAST(nv AS DOUBLE) * nv * nv - nv) AS t3t FROM pv)
+    SELECT CAST(nn AS BIGINT) AS n, k,
+           ROUND(12.0 / (nn * (nn + 1)) * srr - 3.0 * (nn + 1), 6)
+             AS h_stat,
+           ROUND((12.0 / (nn * (nn + 1)) * srr - 3.0 * (nn + 1))
+                 / NULLIF(1.0 - t3t / (nn * nn * nn - nn), 0.0), 6)
+             AS h_adj
+    FROM tot CROSS JOIN tie
+    """,
+)
+def kruskal_wallis_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal–Wallis H — the k-sample generalization of
+    mann_whitney_value_test (are the per-event-type value distributions
+    identically located?), with the standard tie correction
+    H' = H / (1 − Σ(t³−t)/(N³−N)). Same rank-compression posture as
+    spearman: values collapse to per-distinct-value counts first, the
+    single global average-rank window runs over |distinct values| rows
+    (value is cent-grain bounded — the grouped_median argument), and the
+    per-group rank sums are weighted aggregates of that summary, so no
+    per-row RANK() ever sorts the fact. N³ is computed in DOUBLE on
+    both engines (it overflows BIGINT near 2×10⁶ rows). NULL values
+    dropped on both sides (the ks_test NULL-ordering rationale)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy(
+        F.col("event_type").alias("typ"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pv = g.groupBy("v").agg(F.sum("n").alias("nv"))
+    w = Window.orderBy("v")
+    rv = pv.select(
+        "v",
+        (F.sum("nv").over(w) - F.col("nv") + (F.col("nv") + 1) / 2.0)
+        .alias("r"),
+    )
+    grp = (
+        g.join(rv, "v")
+        .groupBy("typ")
+        .agg(
+            F.sum("n").alias("n_g"),
+            F.sum(F.col("n") * F.col("r")).alias("r_g"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("double").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("srr"),
+    )
+    tie = pv.agg(
+        F.sum(
+            F.col("nv").cast("double") * F.col("nv") * F.col("nv")
+            - F.col("nv")
+        ).alias("t3t")
+    )
+    h = 12.0 / (F.col("nn") * (F.col("nn") + 1)) * F.col("srr") - 3.0 * (
+        F.col("nn") + 1
+    )
+    corr = 1.0 - F.col("t3t") / (
+        F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn")
+    )
+    # try_divide: a corpus with ONE distinct value has tie correction
+    # exactly 0 (t³−t consumes all of N³−N) — NULL h_adj like the
+    # oracle's NULLIF, not an ANSI DIVIDE_BY_ZERO abort.
+    return tot.crossJoin(F.broadcast(tie)).select(
+        F.col("nn").cast("long").alias("n"),
+        "k",
+        F.round(h, 6).alias("h_stat"),
+        F.round(F.try_divide(h, corr), 6).alias("h_adj"),
+    )
+
+
+@register(
+    "kendall_tau_qty_discount_by_flag",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_quantity AS q, l_discount AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2, 3),
+    cd AS (
+      SELECT a.flag,
+             CAST(SUM(CASE WHEN a.d < b.d THEN a.n * b.n ELSE 0 END)
+                  AS DOUBLE) AS c,
+             CAST(SUM(CASE WHEN a.d > b.d THEN a.n * b.n ELSE 0 END)
+                  AS DOUBLE) AS dd
+      FROM g a JOIN g b ON a.flag = b.flag AND a.q < b.q
+      GROUP BY a.flag),
+    nt AS (
+      SELECT flag, CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(n) AS DOUBLE) * (SUM(n) - 1) / 2.0 AS n0
+      FROM g GROUP BY flag),
+    t1 AS (
+      SELECT flag, SUM(CAST(nq AS DOUBLE) * (nq - 1) / 2.0) AS n1
+      FROM (SELECT flag, q, SUM(n) AS nq FROM g GROUP BY 1, 2)
+      GROUP BY flag),
+    t2 AS (
+      SELECT flag, SUM(CAST(nd AS DOUBLE) * (nd - 1) / 2.0) AS n2
+      FROM (SELECT flag, d, SUM(n) AS nd FROM g GROUP BY 1, 2)
+      GROUP BY flag)
+    SELECT nt.flag AS l_returnflag, nt.n_rows AS n,
+           ROUND((cd.c - cd.dd)
+                 / sqrt((nt.n0 - t1.n1) * (nt.n0 - t2.n2)), 6) AS tau_b
+    FROM nt JOIN cd ON nt.flag = cd.flag
+            JOIN t1 ON nt.flag = t1.flag
+            JOIN t2 ON nt.flag = t2.flag
+    """,
+)
+def kendall_tau_qty_discount_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's τ-b (quantity vs discount per return flag) — the
+    concordant/discordant-pair companion to spearman, computed WITHOUT
+    enumerating row pairs: both variables live on a tiny value grid
+    (50 quantities × 11 discounts), so the fact compresses to ≤550
+    (q, d, count) cells per flag and concordance is a cell-grid
+    self-join (≤550²/2 cell pairs per flag, BOUNDED at any row count —
+    the pair table never scales with the fact). Tie terms n1/n2 fall
+    out of the marginal counts; everything after the cell counts is
+    DOUBLE (n0·n0 overflows BIGINT past ~2M rows/flag) and τ is a
+    ratio, so summation-order ulps cancel at round-6. try_divide: a
+    flag where either variable is constant has zero pair variance —
+    NULL τ like DuckDB, not an ANSI abort."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_discount").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    cd = (
+        a.join(
+            b,
+            (F.col("a.flag") == F.col("b.flag"))
+            & (F.col("a.q") < F.col("b.q")),
+        )
+        .groupBy(F.col("a.flag").alias("flag"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.d") < F.col("b.d"),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("c"),
+            F.sum(
+                F.when(
+                    F.col("a.d") > F.col("b.d"),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("dd"),
+        )
+    )
+    nt = g.groupBy("flag").agg(
+        F.sum("n").alias("n_rows"),
+        (
+            F.sum("n").cast("double") * (F.sum("n") - 1) / 2.0
+        ).alias("n0"),
+    )
+    t1 = (
+        g.groupBy("flag", "q")
+        .agg(F.sum("n").alias("nq"))
+        .groupBy("flag")
+        .agg(
+            F.sum(
+                F.col("nq").cast("double") * (F.col("nq") - 1) / 2.0
+            ).alias("n1")
+        )
+    )
+    t2 = (
+        g.groupBy("flag", "d")
+        .agg(F.sum("n").alias("nd"))
+        .groupBy("flag")
+        .agg(
+            F.sum(
+                F.col("nd").cast("double") * (F.col("nd") - 1) / 2.0
+            ).alias("n2")
+        )
+    )
+    return (
+        nt.join(cd, "flag")
+        .join(t1, "flag")
+        .join(t2, "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n_rows").alias("n"),
+            F.round(
+                F.try_divide(
+                    F.col("c") - F.col("dd"),
+                    F.sqrt(
+                        (F.col("n0") - F.col("n1"))
+                        * (F.col("n0") - F.col("n2"))
+                    ),
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "trimmed_winsorized_mean_by_flag",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT flag, cents, n,
+             SUM(n) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             CAST(SUM(n) OVER (PARTITION BY flag) AS BIGINT) AS total
+      FROM g),
+    k AS (SELECT *, total // 20 AS kt FROM c),
+    kept AS (
+      SELECT flag, total, kt,
+             GREATEST(0, LEAST(cum, total - kt)
+                         - GREATEST(cum - n, kt)) AS kn,
+             cents,
+             CASE WHEN cum - n <= kt AND kt + 1 <= cum
+                  THEN cents END AS lo_hit,
+             CASE WHEN cum - n < total - kt AND total - kt <= cum
+                  THEN cents END AS hi_hit
+      FROM k),
+    agg AS (
+      SELECT flag, total, kt,
+             CAST(SUM(kn * cents) AS BIGINT) AS kept_cents,
+             CAST(SUM(kn) AS BIGINT) AS kept_n,
+             MAX(lo_hit) AS lo_cents, MAX(hi_hit) AS hi_cents
+      FROM kept GROUP BY flag, total, kt)
+    SELECT flag AS l_returnflag, total AS n,
+           CAST(kt AS BIGINT) AS n_trimmed_each_tail,
+           ROUND(kept_cents / (100.0 * kept_n), 2) AS trimmed_mean,
+           ROUND((kept_cents + kt * lo_cents + kt * hi_cents)
+                 / (100.0 * total), 2) AS winsorized_mean
+    FROM agg
+    """,
+)
+def trimmed_winsorized_mean_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """5%-trimmed and 5%-winsorized mean of l_extendedprice per return
+    flag — the robust-mean pair, computed on GROUPED VALUE COUNTS like
+    grouped_median_via_counts: one hash aggregate compresses the fact
+    to (flag, value, count) cells, a per-flag cumulative window locates
+    each cell's overlap with the kept rank interval [k, total−k]
+    (k = ⌊total/20⌋), and the trimmed mean is the overlap-weighted
+    value sum; winsorizing adds the k clamped copies of the boundary
+    values (the cells covering ranks k+1 and total−k). No per-row rank
+    or sort of the fact — the window runs over distinct values only.
+    Sums run in exact integer CENTS (l_extendedprice is cent-grain), so
+    they are summation-order-independent and both engines divide
+    bit-identical integers — the 2-dp rounding is then safe. At ~10¹¹
+    rows/flag the cent sum approaches BIGINT range: widen to DECIMAL
+    or per-partition partials there (documented, not needed at any
+    tested SF)."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("flag").orderBy("cents")
+    c = g.select(
+        "flag",
+        "cents",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n")
+        .over(
+            Window.partitionBy("flag").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    kt = F.floor(F.col("total") / 20)
+    prev = F.col("cum") - F.col("n")
+    kept = c.select(
+        "flag",
+        "total",
+        kt.alias("kt"),
+        "cents",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("cum"), F.col("total") - kt)
+            - F.greatest(prev, kt),
+        ).alias("kn"),
+        F.when((prev <= kt) & (kt + 1 <= F.col("cum")), F.col("cents"))
+        .alias("lo_hit"),
+        F.when(
+            (prev < F.col("total") - kt)
+            & (F.col("total") - kt <= F.col("cum")),
+            F.col("cents"),
+        ).alias("hi_hit"),
+    )
+    agg = kept.groupBy("flag", "total", "kt").agg(
+        F.sum(F.col("kn") * F.col("cents")).alias("kept_cents"),
+        F.sum("kn").alias("kept_n"),
+        F.max("lo_hit").alias("lo_cents"),
+        F.max("hi_hit").alias("hi_cents"),
+    )
+    return agg.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("total").cast("long").alias("n"),
+        F.col("kt").cast("long").alias("n_trimmed_each_tail"),
+        F.round(
+            F.col("kept_cents") / (100.0 * F.col("kept_n")), 2
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("kept_cents")
+                + F.col("kt") * F.col("lo_cents")
+                + F.col("kt") * F.col("hi_cents")
+            )
+            / (100.0 * F.col("total")),
+            2,
+        ).alias("winsorized_mean"),
+    )
+
+
+@register(
+    "levene_brown_forsythe_value",
+    """
+    WITH ev AS (
+      SELECT event_type AS typ, value AS v FROM events
+      WHERE value IS NOT NULL),
+    g AS (SELECT typ, v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1, 2),
+    c AS (SELECT typ, v, n,
+                 SUM(n) OVER (PARTITION BY typ ORDER BY v) AS cum,
+                 CAST(SUM(n) OVER (PARTITION BY typ) AS BIGINT) AS total
+          FROM g),
+    med AS (
+      SELECT typ,
+             (MAX(CASE WHEN cum - n < (total + 1) // 2
+                        AND (total + 1) // 2 <= cum THEN v END)
+              + MAX(CASE WHEN cum - n < (total + 2) // 2
+                          AND (total + 2) // 2 <= cum THEN v END)) / 2.0
+               AS m
+      FROM c GROUP BY typ, total),
+    z AS (SELECT g.typ, abs(g.v - med.m) AS z, g.n
+          FROM g JOIN med ON g.typ = med.typ),
+    grp AS (SELECT typ, CAST(SUM(n) AS BIGINT) AS n_g,
+                   SUM(n * z) AS sz, SUM(n * z * z) AS szz
+            FROM z GROUP BY typ),
+    tot AS (SELECT CAST(SUM(n_g) AS DOUBLE) AS nn,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(sz) AS gsz,
+                   SUM(sz * sz / n_g) AS sb,
+                   SUM(szz) AS szz
+            FROM grp)
+    SELECT CAST(nn AS BIGINT) AS n, k,
+           ROUND((
+             (sb - gsz * gsz / nn) / NULLIF(CAST(k - 1 AS DOUBLE), 0.0))
+             / NULLIF((szz - sb) / NULLIF(nn - k, 0.0), 0.0), 6)
+             AS f_stat
+    FROM tot
+    """,
+)
+def levene_brown_forsythe_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test — do the
+    per-event-type value distributions share a VARIANCE? (The spread
+    companion to kruskal_wallis's location test.) One-way ANOVA F on
+    the absolute deviations from each group's median: the medians come
+    from the grouped-value-count k-th element (grouped_median pattern,
+    bit-identical midpoints), and because |v − med| is a function of
+    the (type, value) cell, the deviations stay on the compressed cell
+    table — SSB/SSW are weighted sums over cells, never a per-row
+    pass. F = (SSB/(k−1)) / (SSW/(N−k)) with SSB = Σ R_g²/n_g − R²/N
+    and SSW = Σ n·z² − Σ R_g²/n_g; the final ratio cancels
+    summation-order ulps at round-6."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy(
+        F.col("event_type").alias("typ"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("typ").orderBy("v")
+    c = g.select(
+        "typ",
+        "v",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n")
+        .over(
+            Window.partitionBy("typ").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    lo_pos = F.floor((F.col("total") + 1) / 2)
+    hi_pos = F.floor((F.col("total") + 2) / 2)
+    prev = F.col("cum") - F.col("n")
+    med = c.groupBy("typ", "total").agg(
+        (
+            (
+                F.max(
+                    F.when(
+                        (prev < lo_pos) & (lo_pos <= F.col("cum")),
+                        F.col("v"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        (prev < hi_pos) & (hi_pos <= F.col("cum")),
+                        F.col("v"),
+                    )
+                )
+            )
+            / 2.0
+        ).alias("m")
+    )
+    z = g.join(med.select("typ", "m"), "typ").select(
+        "typ", F.abs(F.col("v") - F.col("m")).alias("z"), "n"
+    )
+    grp = z.groupBy("typ").agg(
+        F.sum("n").alias("n_g"),
+        F.sum(F.col("n") * F.col("z")).alias("sz"),
+        F.sum(F.col("n") * F.col("z") * F.col("z")).alias("szz"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("double").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("gsz"),
+        F.sum(F.col("sz") * F.col("sz") / F.col("n_g")).alias("sb"),
+        F.sum("szz").alias("szz"),
+    )
+    # try_divide THROUGHOUT the F assembly: k = 1 (one group — the
+    # between variance is undefined), n_g ≡ 1 (nn = k — no within
+    # variance), and identically-zero within-spread all yield NULL like
+    # the oracle's NULLIF chain, never an ANSI DIVIDE_BY_ZERO abort.
+    ssb = F.try_divide(
+        F.col("sb") - F.col("gsz") * F.col("gsz") / F.col("nn"),
+        (F.col("k") - 1).cast("double"),
+    )
+    ssw = F.try_divide(
+        F.col("szz") - F.col("sb"), F.col("nn") - F.col("k")
+    )
+    return tot.select(
+        F.col("nn").cast("long").alias("n"),
+        "k",
+        F.round(F.try_divide(ssb, ssw), 6).alias("f_stat"),
+    )

@@ -136,10 +136,11 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id("text").alias("pred_lang"))
 
 
-@register(
-    "doc_quality_scores",
-    r"""
-    WITH b AS (
+# Shared by doc_quality_scores and preference_pair_build so the two
+# oracles state ONE quality definition (fixed-order raw IEEE arithmetic,
+# no rounding — bitwise-reproducible across engines; see
+# functions/textfns.py:quality_score).
+_QUALITY_CTES = r"""b AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n,
@@ -154,10 +155,16 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CASE WHEN n >= 20 AND n <= 10000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END AS length_ok,
                  1.0 - least(1.0, pr * 4.0) AS punct_ok,
                  least(1.0, CASE WHEN n > 0 THEN sh / CAST(n AS DOUBLE) ELSE 0.0 END * 5.0) AS stop_ok
-          FROM b)
-    SELECT doc_id, 0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok AS quality
-    FROM s
-    """.replace("{stop}", _STOP_EN),
+          FROM b),
+    q AS (SELECT doc_id, 0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok AS quality
+          FROM s)"""
+
+
+@register(
+    "doc_quality_scores",
+    ("WITH " + _QUALITY_CTES + "\n    SELECT doc_id, quality FROM q").replace(
+        "{stop}", _STOP_EN
+    ),
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style composite quality score (length sweet-spot, punctuation,
@@ -3438,4 +3445,79 @@ def train_test_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test_shingles",
         "pct_shingles_contaminated",
         "n_test_docs_contaminated",
+    )
+
+
+@register(
+    "preference_pair_build",
+    (
+        "WITH " + _QUALITY_CTES + """,
+    scored AS (
+      SELECT d.doc_id, d.source, d.lang, q.quality
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+      WHERE q.quality IS NOT NULL),
+    pairs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             first(doc_id ORDER BY quality DESC, doc_id ASC) AS chosen_id,
+             first(doc_id ORDER BY quality ASC, doc_id ASC) AS rejected_id,
+             MAX(quality) AS cq, MIN(quality) AS rq
+      FROM scored GROUP BY source, lang
+      HAVING COUNT(*) >= 2 AND ROUND(MAX(quality) - MIN(quality), 6) >= 0.05)
+    SELECT source, lang, n_docs, chosen_id, rejected_id,
+           ROUND(cq, 6) AS chosen_quality,
+           ROUND(rq, 6) AS rejected_quality,
+           ROUND(cq - rq, 6) AS margin
+    FROM pairs
+    """
+    ).replace("{stop}", _STOP_EN),
+)
+def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF preference-pair mining: within each (source, lang) stratum,
+    pair the highest-quality document (chosen) against the lowest
+    (rejected), keeping only pairs whose quality margin clears 0.05 —
+    the standard construction for preference-model / DPO training data
+    when explicit human rankings don't exist (quality heuristics stand
+    in as the ranking signal). One hash aggregate per stratum: the
+    arg-max/arg-min land in the same pass as the count via tuple
+    ``max_by``/``min_by`` (tie-break: lower doc_id, stated identically
+    in DuckDB's ordered-``first``), so no window, no self-join, no
+    per-stratum sort — grows with |strata|, not documents. The margin
+    filter compares ROUNDED margins on both sides, so an engine-side
+    sub-ulp quality difference can't flip a pair in or out at the
+    threshold (quality itself is fixed-order IEEE arithmetic — bitwise
+    reproducible — making this belt-and-braces)."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        quality_score("text").alias("quality"),
+    ).filter(F.col("quality").isNotNull())
+    pairs = (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "max_by(doc_id, struct(quality, -doc_id))"
+            ).alias("chosen_id"),
+            F.expr(
+                "min_by(doc_id, struct(quality, doc_id))"
+            ).alias("rejected_id"),
+            F.max("quality").alias("cq"),
+            F.min("quality").alias("rq"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2)
+            & (F.round(F.col("cq") - F.col("rq"), 6) >= 0.05)
+        )
+    )
+    return pairs.select(
+        "source",
+        "lang",
+        "n_docs",
+        "chosen_id",
+        "rejected_id",
+        F.round("cq", 6).alias("chosen_quality"),
+        F.round("rq", 6).alias("rejected_quality"),
+        F.round(F.col("cq") - F.col("rq"), 6).alias("margin"),
     )

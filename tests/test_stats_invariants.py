@@ -465,3 +465,192 @@ def test_blank_docs_contribute_no_shingles(spark, qs, tmp_path):
     ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
     assert {2, 3}.isdisjoint(ids), "blank docs paired"
     assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_kendall_tau_matches_bruteforce_pairs(spark, qs):
+    """r10: the cell-grid τ-b must equal the textbook row-level pair
+    count (numpy broadcast over the raw per-flag rows — the O(n²)
+    construction the cell compression exists to avoid)."""
+    import numpy as np
+    import pandas as pd
+
+    got = {
+        r["l_returnflag"]: r
+        for r in qs["kendall_tau_qty_discount_by_flag"](spark, SF).collect()
+    }
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_discount")
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        q = grp["l_quantity"].to_numpy()
+        d = grp["l_discount"].to_numpy()
+        sq = np.sign(q[:, None] - q[None, :])
+        sd = np.sign(d[:, None] - d[None, :])
+        prod = sq * sd
+        iu = np.triu_indices(len(q), k=1)
+        c = int((prod[iu] > 0).sum())
+        dis = int((prod[iu] < 0).sum())
+        n = len(q)
+        n0 = n * (n - 1) / 2.0
+        n1 = sum(
+            t * (t - 1) / 2.0 for t in pd.Series(q).value_counts()
+        )
+        n2 = sum(
+            t * (t - 1) / 2.0 for t in pd.Series(d).value_counts()
+        )
+        tau = (c - dis) / np.sqrt((n0 - n1) * (n0 - n2))
+        assert got[flag]["n"] == n
+        assert abs(got[flag]["tau_b"] - round(tau, 6)) <= 1e-6, flag
+
+
+def test_kruskal_wallis_matches_rowlevel_reference(spark, qs):
+    """r10: the rank-compressed H must equal the textbook computation
+    on per-row average ranks (pandas rank(method='average'))."""
+    import pandas as pd
+
+    row = qs["kruskal_wallis_value_by_type"](spark, SF).collect()[0]
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+        .dropna(subset=["value"])
+    )
+    ev["r"] = ev["value"].rank(method="average")
+    n = len(ev)
+    srr = sum(
+        g["r"].sum() ** 2 / len(g) for _, g in ev.groupby("event_type")
+    )
+    h = 12.0 / (n * (n + 1)) * srr - 3.0 * (n + 1)
+    t3t = sum(
+        t**3 - t for t in ev["value"].value_counts()
+    )
+    h_adj = h / (1.0 - t3t / (float(n) ** 3 - n))
+    assert row["n"] == n
+    assert row["k"] == ev["event_type"].nunique()
+    assert abs(row["h_stat"] - round(h, 6)) <= 1e-6
+    assert abs(row["h_adj"] - round(h_adj, 6)) <= 1e-6
+
+
+def test_trimmed_winsorized_matches_sorted_reference(spark, qs):
+    """r10: the rank-interval overlap arithmetic must equal the naive
+    sort-trim-clamp construction on raw rows."""
+    import numpy as np
+
+    got = {
+        r["l_returnflag"]: r
+        for r in qs["trimmed_winsorized_mean_by_flag"](spark, SF).collect()
+    }
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        cents = np.sort(np.rint(grp["l_extendedprice"].to_numpy() * 100))
+        n = len(cents)
+        k = n // 20
+        kept = cents[k : n - k]
+        trimmed = kept.sum() / (100.0 * len(kept))
+        clamped = np.clip(cents, cents[k], cents[n - k - 1])
+        winsor = clamped.sum() / (100.0 * n)
+        r = got[flag]
+        assert r["n"] == n and r["n_trimmed_each_tail"] == k
+        assert abs(r["trimmed_mean"] - round(trimmed, 2)) <= 0.01, flag
+        assert abs(r["winsorized_mean"] - round(winsor, 2)) <= 0.01, flag
+
+
+def test_levene_bf_matches_rowlevel_reference(spark, qs):
+    """r10: the cell-table Brown–Forsythe F must equal the textbook
+    row-level ANOVA on |x − group median|."""
+    import numpy as np
+
+    row = qs["levene_brown_forsythe_value"](spark, SF).collect()[0]
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+        .dropna(subset=["value"])
+    )
+    groups = [
+        (np.abs(g["value"] - g["value"].median())).to_numpy()
+        for _, g in ev.groupby("event_type")
+    ]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = sum(g.sum() for g in groups) / n
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["n"] == n and row["k"] == k
+    assert abs(row["f_stat"] - round(f, 6)) <= 1e-5
+
+
+def test_preference_pairs_match_pandas_argminmax(spark, qs):
+    """r10: the tuple max_by/min_by pairing must equal pandas idxmax/
+    idxmin with the documented lower-doc_id tie-break and margin
+    floor, computed from the SAME Spark-side quality scores (quality
+    parity itself is the doc_quality_scores oracle's job)."""
+    got = {
+        (r["source"], r["lang"]): r
+        for r in qs["preference_pair_build"](spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "lang"
+    )
+    q = qs["doc_quality_scores"](spark, SF)
+    pdf = docs.join(q, "doc_id").toPandas()
+    want = {}
+    for (src, lang), grp in pdf.groupby(["source", "lang"]):
+        if len(grp) < 2:
+            continue
+        grp = grp.sort_values(["quality", "doc_id"],
+                              ascending=[False, True])
+        chosen = grp.iloc[0]
+        grp2 = grp.sort_values(["quality", "doc_id"],
+                               ascending=[True, True])
+        rejected = grp2.iloc[0]
+        margin = round(chosen["quality"] - rejected["quality"], 6)
+        if margin >= 0.05:
+            want[(src, lang)] = (
+                int(chosen["doc_id"]), int(rejected["doc_id"]), margin
+            )
+    assert set(got) == set(want)
+    for key, (cid, rid, margin) in want.items():
+        r = got[key]
+        assert (r["chosen_id"], r["rejected_id"]) == (cid, rid), key
+        assert abs(r["margin"] - margin) <= 1e-6
+
+
+def test_r10_degenerate_groups_yield_nulls_not_aborts(spark, qs, tmp_path):
+    """r10 guards: one-distinct-value corpus (Kruskal tie correction
+    exactly 0), one-group corpus (Brown–Forsythe k=1) — NULL
+    statistics matching the oracle, never an ANSI DIVIDE_BY_ZERO."""
+    from pyspark.sql import functions as F
+
+    ev_rows = [
+        (i, "2024-01-02", 1 + i, "purchase", 7.0) for i in range(6)
+    ]
+    spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    views = {"events": str(tmp_path / "events.parquet")}
+
+    for name in (
+        "kruskal_wallis_value_by_type",
+        "levene_brown_forsythe_value",
+    ):
+        got = qs[name](spark, str(tmp_path))  # must not raise
+        want = _duck(_oracle(name), views)
+        verdict = compare(name, got, want)
+        assert verdict.startswith("PASS"), f"{name}: {verdict}"
+
+    kw = qs["kruskal_wallis_value_by_type"](spark, str(tmp_path)).collect()[0]
+    assert kw["h_adj"] is None  # tie correction consumed everything
+    bf = qs["levene_brown_forsythe_value"](spark, str(tmp_path)).collect()[0]
+    assert bf["k"] == 1 and bf["f_stat"] is None

@@ -227,6 +227,11 @@ AUDITED = (
     "dedup_threshold_sweep",
     "token_fertility_by_lang",
     "train_test_overlap_report",
+    "kruskal_wallis_value_by_type",
+    "kendall_tau_qty_discount_by_flag",
+    "trimmed_winsorized_mean_by_flag",
+    "levene_brown_forsythe_value",
+    "preference_pair_build",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
