@@ -596,3 +596,70 @@ def random_projection(
         for p in planes
     ]
     return corpus.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def margin_mined_pairs(
+    x: DataFrame,
+    y: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.0,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """Margin-based bitext/bi-corpus pair mining (Artetxe & Schwenk,
+    "Margin-based Parallel Corpus Mining", ACL 2019 — the CCMatrix /
+    LASER construction): raw cosine ranks hub vectors (points close to
+    EVERYTHING) above true matches, so each candidate pair is re-scored
+    by the RATIO margin
+
+        margin(a, b) = cos(a, b) / ((avgNN_k(a, Y) + avgNN_k(b, X)) / 2)
+
+    — how much closer the pair is than each side's k-NN background —
+    and each left vector keeps its best-margin candidate above
+    ``threshold``. Built from two ``cosine_topk`` passes (each side's
+    k-NN list doubles as its margin denominator), so the exact path
+    inherits the brute-force size gate; at scale the same margin
+    formula re-scores lsh/ivf_topk candidate lists instead — the
+    forward top-k is the candidate set, exactly as the paper mines.
+
+    Determinism: margins are computed from the ROUNDED top-k cosines
+    (cosine_topk's contract) and rounded to 6 before ranking with an
+    id tie-break, so the kept pair never depends on summation-order
+    ulps. Returns (x_id, y_id, cos_sim, margin).
+    """
+    fx = cosine_topk(
+        x, y, id_col, id_col, vec_col, k=k, corpus_rows=corpus_rows
+    )
+    fy = cosine_topk(
+        y, x, id_col, id_col, vec_col, k=k, corpus_rows=corpus_rows
+    )
+    dx = fx.groupBy("p_id").agg(F.avg("cos_sim").alias("dx"))
+    dy = fy.groupBy("p_id").agg(F.avg("cos_sim").alias("dy"))
+    cand = (
+        fx.join(dx, "p_id")
+        .join(dy.withColumnRenamed("p_id", "c_id"), "c_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.try_divide(
+                    F.col("cos_sim"),
+                    (F.col("dx") + F.col("dy")) / 2.0,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("margin").desc(), F.col("c_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= threshold))
+        .select(
+            F.col("p_id").alias("x_id"),
+            F.col("c_id").alias("y_id"),
+            "cos_sim",
+            "margin",
+        )
+    )

@@ -114,8 +114,15 @@ _PRIORITY: tuple[str, ...] = (
     "domain_cap_docs",
     "bm25_search_docs",
     # --- the 50-slot driver sample line ---
-    # 6) r11 queue: the remaining 18 round-4 rows in age order (the
-    #    r11 sample starts here and finishes the re-certification);
+    # 6) r11 queue head: FOUR queries registered past the 50-slot line
+    #    this round (each tools/check.py-green at sf0.001, sf0.01 AND
+    #    sf0.1 — the documented drain plan, r9-queue style);
+    "bitext_margin_pairs",
+    "tukey_hsd_value_by_type",
+    "partial_corr_qty_discount_given_price",
+    "page_hinkley_value_drift",
+    # 7) r11 queue: the remaining 18 round-4 rows in age order (the
+    #    r11 sample continues here and finishes the re-certification);
     "lm_perplexity_docs",
     "incremental_pricing_summary",
     "pack_training_sequences",
@@ -134,7 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "partitioned_scan_prune",
     "weekly_cohort_retention",
     "lineitem_quality_report",
-    # 7) green r5+ rows (kept for deterministic ordering; all hold
+    # 8) green r5+ rows (kept for deterministic ordering; all hold
     #    driver rows from rounds 5-9 and local check evidence);
     "markov_next_event_accuracy",
     "running_distinct_parts_per_customer",

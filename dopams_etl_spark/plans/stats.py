@@ -2038,3 +2038,227 @@ def levene_brown_forsythe_value(
         "k",
         F.round(F.try_divide(ssb, ssw), 6).alias("f_stat"),
     )
+
+
+@register(
+    "tukey_hsd_value_by_type",
+    """
+    WITH ev AS (
+      SELECT event_type AS typ, value AS v FROM events
+      WHERE value IS NOT NULL),
+    g AS (SELECT typ, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 SUM(v) AS sv, SUM(v * v) AS svv
+          FROM ev GROUP BY typ),
+    tot AS (SELECT CAST(SUM(n_g) AS DOUBLE) AS nn,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(svv - sv * sv / n_g) AS ssw
+            FROM g),
+    msw AS (SELECT nn, k, ssw / NULLIF(nn - k, 0.0) AS msw FROM tot)
+    SELECT a.typ AS type_a, b.typ AS type_b,
+           a.n_g AS n_a, b.n_g AS n_b,
+           ROUND(a.sv / a.n_g - b.sv / b.n_g, 6) AS mean_diff,
+           ROUND(abs(a.sv / a.n_g - b.sv / b.n_g)
+                 / NULLIF(sqrt(msw / 2.0
+                               * (1.0 / a.n_g + 1.0 / b.n_g)), 0.0), 6)
+             AS q_stat
+    FROM g a JOIN g b ON a.typ < b.typ
+    CROSS JOIN msw
+    """,
+)
+def tukey_hsd_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD studentized-range pairs — the post-hoc companion to
+    kruskal_wallis/levene: WHICH event-type pairs differ, via
+    q = |m_i − m_j| / sqrt(MSW/2 · (1/n_i + 1/n_j)) with the pooled
+    within-group variance. One map-side-combined aggregate compresses
+    the fact to k group rows (count, Σv, Σv²); the pairwise comparison
+    is a k-row self-join (k = |event types|, a domain constant — the
+    pair table never scales with the fact) with the one-row MSW
+    broadcast on top. NULLIF/try_divide: a single-group corpus or
+    n_g ≡ 1 (MSW undefined) yields NULL q like DuckDB."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy(F.col("event_type").alias("typ")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("value") * F.col("value")).alias("svv"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("double").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("svv") - F.col("sv") * F.col("sv") / F.col("n_g")
+        ).alias("ssw"),
+    )
+    msw = tot.select(
+        F.try_divide(F.col("ssw"), F.col("nn") - F.col("k")).alias("msw")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    mean_diff = F.col("a.sv") / F.col("a.n_g") - F.col("b.sv") / F.col(
+        "b.n_g"
+    )
+    return (
+        a.join(b, F.col("a.typ") < F.col("b.typ"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            F.col("a.typ").alias("type_a"),
+            F.col("b.typ").alias("type_b"),
+            F.col("a.n_g").alias("n_a"),
+            F.col("b.n_g").alias("n_b"),
+            F.round(mean_diff, 6).alias("mean_diff"),
+            F.round(
+                F.try_divide(
+                    F.abs(mean_diff),
+                    F.sqrt(
+                        F.col("msw")
+                        / 2.0
+                        * (1.0 / F.col("a.n_g") + 1.0 / F.col("b.n_g"))
+                    ),
+                ),
+                6,
+            ).alias("q_stat"),
+        )
+    )
+
+
+@register(
+    "partial_corr_qty_discount_given_price",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             covar_pop(l_quantity, l_discount) AS cxy,
+             covar_pop(l_quantity, l_extendedprice) AS cxz,
+             covar_pop(l_discount, l_extendedprice) AS cyz,
+             var_pop(l_quantity) AS vx,
+             var_pop(l_discount) AS vy,
+             var_pop(l_extendedprice) AS vz
+      FROM lineitem),
+    r AS (SELECT n,
+                 cxy / NULLIF(sqrt(vx * vy), 0.0) AS rxy,
+                 cxz / NULLIF(sqrt(vx * vz), 0.0) AS rxz,
+                 cyz / NULLIF(sqrt(vy * vz), 0.0) AS ryz
+          FROM m)
+    SELECT n, ROUND(rxy, 6) AS r_qty_disc,
+           ROUND((rxy - rxz * ryz)
+                 / NULLIF(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
+                          0.0), 6) AS r_qty_disc_given_price
+    FROM r
+    """,
+)
+def partial_corr_qty_discount_given_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order partial correlation — quantity vs discount with
+    extendedprice held constant: r_xy·z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)), the confounder screen
+    `lineitem_corr_matrix` can't answer (price = qty × unit price, so
+    the raw r_qty_disc is partly a price artifact). One map-side
+    combined aggregate (covariance/variance moments), closed-form
+    assembly — nothing but a one-row reduction crosses the wire.
+    try_divide/NULLIF on every root: a zero-variance column or a
+    perfect |r| = 1 confounder yields NULL, never an ANSI abort."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_pop("l_quantity", "l_discount").alias("cxy"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("cxz"),
+        F.covar_pop("l_discount", "l_extendedprice").alias("cyz"),
+        F.var_pop("l_quantity").alias("vx"),
+        F.var_pop("l_discount").alias("vy"),
+        F.var_pop("l_extendedprice").alias("vz"),
+    )
+    rxy = F.try_divide(
+        F.col("cxy"), F.sqrt(F.col("vx") * F.col("vy"))
+    )
+    rxz = F.try_divide(
+        F.col("cxz"), F.sqrt(F.col("vx") * F.col("vz"))
+    )
+    ryz = F.try_divide(
+        F.col("cyz"), F.sqrt(F.col("vy") * F.col("vz"))
+    )
+    return m.select(
+        "n",
+        F.round(rxy, 6).alias("r_qty_disc"),
+        F.round(
+            F.try_divide(
+                rxy - rxz * ryz,
+                F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
+            ),
+            6,
+        ).alias("r_qty_disc_given_price"),
+    )
+
+
+@register(
+    "page_hinkley_value_drift",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ROUND(AVG(value), 6) AS xbar
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1),
+    mu AS (SELECT day, xbar,
+                  AVG(xbar) OVER (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS mu
+           FROM d),
+    m AS (SELECT day,
+                 SUM(xbar - mu - 0.005) OVER (ORDER BY day
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND CURRENT ROW)
+                   AS mt
+          FROM mu),
+    ph AS (SELECT day,
+                  mt - MIN(mt) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS ph
+           FROM m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(ph), 6) AS max_ph,
+           CAST(SUM(CASE WHEN ph > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_days,
+           strftime(MIN(CASE WHEN ph > 5.0 THEN day END), '%Y-%m-%d')
+             AS first_alarm_day
+    FROM ph
+    """,
+)
+def page_hinkley_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley sequential drift detector over the daily mean event
+    value — the streaming-monitoring primitive (has the data feeding a
+    model shifted upward?): mₜ = Σ(x̄ₛ − μₛ − δ) against its running
+    minimum, alarm when the gap clears λ (δ=0.005, λ=5). Every window
+    is a cumulative frame over the bounded DAY table (the
+    revenue_max_drawdown posture), and the daily means are ROUNDED
+    before the cumulative chain, so both engines add identical doubles
+    in identical order — the PH path is bit-reproducible, no
+    summation-order ulps. The same recurrence runs incrementally in
+    streaming (mt/min-mt are one-row state), making this the batch
+    twin of a monitoring job."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("xbar")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    mu = d.select(
+        "day", "xbar", F.avg("xbar").over(wc).alias("mu")
+    )
+    m = mu.select(
+        "day",
+        F.sum(F.col("xbar") - F.col("mu") - 0.005).over(wc).alias("mt"),
+    )
+    ph = m.select(
+        "day", (F.col("mt") - F.min("mt").over(wc)).alias("ph")
+    )
+    return ph.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max("ph"), 6).alias("max_ph"),
+        F.sum(F.when(F.col("ph") > 5.0, 1).otherwise(0)).alias(
+            "n_alarm_days"
+        ),
+        # surfaced as a 'yyyy-MM-dd' STRING: an alarm-free corpus has a
+        # NULL first alarm, and a NULL DATE bridges as pandas NaT on the
+        # DuckDB side vs None on Spark's — the string form is None on both
+        F.date_format(
+            F.min(F.when(F.col("ph") > 5.0, F.col("day"))), "yyyy-MM-dd"
+        ).alias("first_alarm_day"),
+    )

@@ -3521,3 +3521,65 @@ def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rq", 6).alias("rejected_quality"),
         F.round(F.col("cq") - F.col("rq"), 6).alias("margin"),
     )
+
+
+@register(
+    "bitext_margin_pairs",
+    """
+    WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE label < 5),
+    y AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE label >= 5),
+    s AS (SELECT x.vec_id AS xid, y.vec_id AS yid,
+                 ROUND(list_dot_product(x.v, y.v)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+          FROM x JOIN y ON TRUE),
+    fx AS (SELECT xid, yid, cos,
+                  row_number() OVER (PARTITION BY xid
+                                     ORDER BY cos DESC, yid ASC) AS rn
+           FROM s),
+    fy AS (SELECT yid, xid, cos,
+                  row_number() OVER (PARTITION BY yid
+                                     ORDER BY cos DESC, xid ASC) AS rn
+           FROM s),
+    dx AS (SELECT xid, AVG(cos) AS dx FROM fx WHERE rn <= 4 GROUP BY xid),
+    dy AS (SELECT yid, AVG(cos) AS dy FROM fy WHERE rn <= 4 GROUP BY yid),
+    cand AS (
+      SELECT fx.xid, fx.yid, fx.cos,
+             ROUND(fx.cos / NULLIF((dx.dx + dy.dy) / 2.0, 0.0), 6)
+               AS margin
+      FROM fx JOIN dx ON fx.xid = dx.xid
+              JOIN dy ON fx.yid = dy.yid
+      WHERE fx.rn <= 4),
+    best AS (SELECT xid, yid, cos, margin,
+                    row_number() OVER (PARTITION BY xid
+                                       ORDER BY margin DESC, yid ASC) AS rn
+             FROM cand)
+    SELECT xid AS x_id, yid AS y_id, cos AS cos_sim, margin
+    FROM best WHERE rn = 1 AND margin >= 1.0
+    """,
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bi-corpus pair mining (Artetxe & Schwenk ratio
+    margin — the CCMatrix/LASER bitext construction) between the two
+    label halves of the embeddings table: raw cosine ranks hub vectors
+    above true matches, so each left vector's candidates are re-scored
+    by cos/(mean of the two sides' 4-NN backgrounds) and the
+    best-margin candidate ≥ 1.0 is kept. Two ``cosine_topk`` passes
+    (each side's k-NN list doubles as its margin denominator) + one
+    candidate re-rank — inherits the exact-path size gate; at scale the
+    identical margin formula re-scores lsh/ivf candidate lists (the
+    forward top-k IS the candidate set, exactly as the paper mines
+    9 B sentence pairs)."""
+    from dopams_etl_spark.operators.similarity import margin_mined_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return margin_mined_pairs(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        "vec_id",
+        "embedding",
+        k=4,
+        threshold=1.0,
+    )

@@ -42,6 +42,15 @@ BNLJ_ALLOWED = {
     # size-gated exact baseline); the reciprocity check itself is an
     # equi-join on the reversed id pair.
     "mutual_nn_pairs_embeddings",
+    # bitext_margin_pairs' two forward passes ARE cosine_topk (size-gated
+    # exact baseline; at scale the margin formula re-scores lsh/ivf
+    # candidate lists); the margin re-rank joins are equi-joins on ids.
+    "bitext_margin_pairs",
+    # tukey_hsd pairs the k-row GROUP table with itself under typ_a <
+    # typ_b: k = |event types| is a domain constant, so the pair space
+    # is k(k-1)/2 rows at any fact cardinality — pre-aggregate-then-pair
+    # like theil_sen, plus the recognized one-row MSW broadcast.
+    "tukey_hsd_value_by_type",
 }
 
 

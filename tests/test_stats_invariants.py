@@ -654,3 +654,155 @@ def test_r10_degenerate_groups_yield_nulls_not_aborts(spark, qs, tmp_path):
     assert kw["h_adj"] is None  # tie correction consumed everything
     bf = qs["levene_brown_forsythe_value"](spark, str(tmp_path)).collect()[0]
     assert bf["k"] == 1 and bf["f_stat"] is None
+
+
+def test_tukey_hsd_matches_rowlevel_reference(spark, qs):
+    """r10: the k-row pairwise q statistics must equal the textbook
+    row-level construction (group means + pooled MSW)."""
+    import numpy as np
+
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in qs["tukey_hsd_value_by_type"](spark, SF).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+        .dropna(subset=["value"])
+    )
+    groups = {
+        typ: g["value"].to_numpy() for typ, g in ev.groupby("event_type")
+    }
+    n = sum(len(g) for g in groups.values())
+    k = len(groups)
+    msw = sum(((g - g.mean()) ** 2).sum() for g in groups.values()) / (
+        n - k
+    )
+    types = sorted(groups)
+    assert len(got) == k * (k - 1) // 2
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a, b = groups[ta], groups[tb]
+            diff = a.mean() - b.mean()
+            q = abs(diff) / np.sqrt(
+                msw / 2.0 * (1.0 / len(a) + 1.0 / len(b))
+            )
+            r = got[(ta, tb)]
+            assert r["n_a"] == len(a) and r["n_b"] == len(b)
+            assert abs(r["mean_diff"] - round(diff, 6)) <= 1e-5
+            assert abs(r["q_stat"] - round(q, 6)) <= 1e-5
+
+
+def test_partial_corr_matches_numpy_reference(spark, qs):
+    """r10: closed-form r_xy.z must equal numpy's correlation algebra
+    (and fall between -1 and 1)."""
+    import numpy as np
+
+    row = qs["partial_corr_qty_discount_given_price"](
+        spark, SF
+    ).collect()[0]
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    c = np.corrcoef(
+        np.vstack(
+            [li["l_quantity"], li["l_discount"], li["l_extendedprice"]]
+        )
+    )
+    rxy, rxz, ryz = c[0, 1], c[0, 2], c[1, 2]
+    part = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert row["n"] == len(li)
+    assert abs(row["r_qty_disc"] - round(rxy, 6)) <= 1e-5
+    assert abs(row["r_qty_disc_given_price"] - round(part, 6)) <= 1e-5
+    assert -1.0 <= row["r_qty_disc_given_price"] <= 1.0
+
+
+def test_page_hinkley_matches_sequential_fold(spark, qs):
+    """r10: the window chain must equal the literal sequential PH
+    recurrence (running mean, cumulative deviation, running min)."""
+    import pandas as pd
+
+    row = qs["page_hinkley_value_drift"](spark, SF).collect()[0]
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "value")
+        .toPandas()
+        .dropna(subset=["ts", "value"])
+    )
+    daily = (
+        ev.assign(day=pd.to_datetime(ev["ts"]).dt.date)
+        .groupby("day")["value"]
+        .mean()
+        .round(6)
+        .sort_index()
+    )
+    mt, mmin, max_ph, alarms, first = 0.0, 0.0, 0.0, 0, None
+    s, cnt = 0.0, 0
+    for day, xbar in daily.items():
+        s += xbar
+        cnt += 1
+        mt += xbar - s / cnt - 0.005
+        mmin = min(mmin, mt)
+        ph = mt - mmin
+        max_ph = max(max_ph, ph)
+        if ph > 5.0:
+            alarms += 1
+            first = first or str(day)
+    assert row["n_days"] == cnt
+    assert abs(row["max_ph"] - round(max_ph, 6)) <= 1e-6
+    assert row["n_alarm_days"] == alarms
+    assert row["first_alarm_day"] == first
+
+
+def test_bitext_margin_demotes_hubs_and_matches_bruteforce(spark, qs):
+    """r10: every mined pair must be the left vector's best-margin
+    candidate per the brute-force numpy construction, with margins
+    >= 1 and one pair per left id at most."""
+    import numpy as np
+
+    rows = qs["bitext_margin_pairs"](spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    X = emb[emb.label < 5]
+    Y = emb[emb.label >= 5]
+    xv = np.vstack(X["embedding"].to_numpy())
+    yv = np.vstack(Y["embedding"].to_numpy())
+    xn = xv / np.linalg.norm(xv, axis=1, keepdims=True)
+    yn = yv / np.linalg.norm(yv, axis=1, keepdims=True)
+    cos = np.round(xn @ yn.T, 6)
+    xid = X["vec_id"].to_numpy()
+    yid = Y["vec_id"].to_numpy()
+
+    # per-side 4-NN averages (ties broken by ascending candidate id —
+    # replicate by sorting on (-cos, id))
+    def topk_avg(mat, ids, k=4):
+        out = []
+        for r in mat:
+            order = np.lexsort((ids, -r))[:k]
+            out.append(r[order].mean())
+        return np.array(out)
+
+    dx = topk_avg(cos, yid)
+    dy = topk_avg(cos.T, xid)
+    want = {}
+    for i in range(len(xid)):
+        order = np.lexsort((yid, -cos[i]))[:4]
+        margins = np.round(
+            cos[i][order] / ((dx[i] + dy[order]) / 2.0), 6
+        )
+        pick = np.lexsort((yid[order], -margins))[0]
+        if margins[pick] >= 1.0:
+            want[int(xid[i])] = (int(yid[order][pick]),
+                                 float(margins[pick]))
+    got = {r["x_id"]: (r["y_id"], r["margin"]) for r in rows}
+    assert len(rows) == len(got), "duplicate left ids"
+    assert set(got) == set(want)
+    for x, (y, m) in want.items():
+        assert got[x][0] == y, (x, got[x], (y, m))
+        # the 4-value denominator averages differ in the last ulp
+        # between numpy and Spark, which can flip the 6th rounded
+        # digit — allow a few rounding quanta
+        assert abs(got[x][1] - m) <= 5e-6
+        assert got[x][1] >= 1.0

@@ -232,6 +232,10 @@ AUDITED = (
     "trimmed_winsorized_mean_by_flag",
     "levene_brown_forsythe_value",
     "preference_pair_build",
+    "bitext_margin_pairs",
+    "tukey_hsd_value_by_type",
+    "partial_corr_qty_discount_given_price",
+    "page_hinkley_value_drift",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
