@@ -4093,3 +4093,205 @@ def nation_order_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_missing_days"
         ),
     )
+
+
+@register(
+    "logrank_retention_test",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                      AS session_num
+          FROM g),
+    bounds AS (SELECT MAX(ts) AS max_ts FROM events),
+    spans AS (
+      SELECT user_id, session_num,
+             ('0x' || substr(md5('logrank-v1|' || CAST(user_id AS VARCHAR)),
+                             1, 8))::BIGINT % 2 AS grp,
+             CAST(date_diff('second', MIN(ts), MAX(ts)) // 60 AS BIGINT)
+               AS duration,
+             MAX(ts) >= max_ts - INTERVAL 30 MINUTE AS censored
+      FROM s CROSS JOIN bounds
+      GROUP BY user_id, session_num, max_ts),
+    n0 AS (SELECT CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS n0_1,
+                  CAST(COUNT(*) AS BIGINT) AS n0_all
+           FROM spans),
+    ev AS (
+      SELECT duration AS t,
+             CAST(COUNT(*) FILTER (WHERE NOT censored AND grp = 1) AS BIGINT)
+               AS d1,
+             CAST(COUNT(*) FILTER (WHERE NOT censored) AS BIGINT) AS d,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS leaving1,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM spans GROUP BY duration),
+    risk AS (
+      SELECT t, d1, d,
+             n0_1 - COALESCE(SUM(leaving1) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1,
+             n0_all - COALESCE(SUM(leaving) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n
+      FROM ev CROSS JOIN n0),
+    terms AS (
+      SELECT t, d1,
+             d * (n1 / CAST(n AS DOUBLE)) AS e1,
+             d * (n1 / CAST(n AS DOUBLE)) * (1.0 - n1 / CAST(n AS DOUBLE))
+               * ((n - d) / CAST(NULLIF(n - 1, 0) AS DOUBLE)) AS v
+      FROM risk WHERE d >= 1 AND n >= 2),
+    acc AS (
+      SELECT CAST(SUM(d1) OVER wt AS BIGINT) AS o1,
+             SUM(e1) OVER wt AS e1s,
+             SUM(v) OVER wt AS vs,
+             row_number() OVER (ORDER BY t DESC) AS rn
+      FROM terms
+      WINDOW wt AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+    last AS (SELECT o1, e1s, vs FROM acc WHERE rn = 1)
+    SELECT (SELECT CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT)
+            FROM spans) AS n_sessions_b,
+           (SELECT CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT)
+            FROM spans) AS n_sessions_a,
+           o1 AS observed_b,
+           ROUND(e1s, 6) AS expected_b,
+           ROUND(vs, 6) AS variance_b,
+           ROUND((o1 - e1s) * (o1 - e1s) / NULLIF(vs, 0.0), 6) AS chi2
+    FROM last
+    """,
+)
+def logrank_retention_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) test — do two user cohorts' SESSION
+    lifetimes follow the same survival curve? The censoring-correct
+    companion to ``kaplan_meier_retention`` (same 30-min sessionization,
+    same right-censoring of sessions touching the final 30 minutes) and
+    the survival twin of ``ab_test_proportion_z`` (same deterministic
+    md5 cohort split, salt ``logrank-v1``): at each distinct session
+    duration t, cohort B's observed deaths are compared to the
+    hypergeometric expectation d·n₁/n, with variance
+    d·(n₁/n)(1−n₁/n)(n−d)/(n−1); χ² = (O−E)²/V on the sums. Shape: the
+    fact collapses to a ≤|distinct durations| event-time table; at-risk
+    counts are two cumulative windows; O/E/V accumulate through ONE
+    ordered cumulative frame (last row taken), so both engines add the
+    per-term doubles — themselves bit-identical, integer inputs through
+    one shared expression shape — in identical order: no
+    summation-order ulps, the ``page_hinkley_value_drift`` posture.
+    NULLIF guards: a single-session time step (n=1) contributes no
+    variance term, and a zero total variance yields NULL χ², never an
+    ANSI abort."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    run0 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_num", F.sum("new_session").over(run0))
+    bounds = ev.agg(F.max("ts").alias("max_ts"))
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("logrank-v1|"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    spans = (
+        s.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "session_num", "max_ts")
+        .agg(
+            F.floor(
+                (
+                    F.max(F.col("ts").cast("long"))
+                    - F.min(F.col("ts").cast("long"))
+                )
+                / 60
+            ).alias("duration"),
+            (
+                F.max(F.col("ts").cast("long"))
+                >= F.col("max_ts").cast("long") - 1800
+            ).alias("censored"),
+        )
+        .select("duration", "censored", grp.alias("grp"))
+    )
+    n0 = spans.agg(
+        F.count_if(F.col("grp") == 1).alias("n0_1"),
+        F.count(F.lit(1)).alias("n0_all"),
+        F.count_if(F.col("grp") == 0).alias("n0_0"),
+    )
+    evt = spans.groupBy(F.col("duration").alias("t")).agg(
+        F.count_if(~F.col("censored") & (F.col("grp") == 1)).alias("d1"),
+        F.count_if(~F.col("censored")).alias("d"),
+        F.count_if(F.col("grp") == 1).alias("leaving1"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = evt.crossJoin(F.broadcast(n0)).select(
+        "t",
+        "d1",
+        "d",
+        "n0_1",
+        "n0_0",
+        (
+            F.col("n0_1")
+            - F.coalesce(F.sum("leaving1").over(prior), F.lit(0))
+        ).alias("n1"),
+        (
+            F.col("n0_all")
+            - F.coalesce(F.sum("leaving").over(prior), F.lit(0))
+        ).alias("n"),
+    )
+    frac = F.col("n1") / F.col("n").cast("double")
+    terms = risk.filter((F.col("d") >= 1) & (F.col("n") >= 2)).select(
+        "t",
+        "d1",
+        "n0_1",
+        "n0_0",
+        (F.col("d") * frac).alias("e1"),
+        (
+            F.col("d")
+            * frac
+            * (F.lit(1.0) - frac)
+            * (
+                (F.col("n") - F.col("d"))
+                / F.nullif(F.col("n") - 1, F.lit(0)).cast("double")
+            )
+        ).alias("v"),
+    )
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    acc = terms.select(
+        "n0_1",
+        "n0_0",
+        F.sum("d1").over(wt).alias("o1"),
+        F.sum("e1").over(wt).alias("e1s"),
+        F.sum("v").over(wt).alias("vs"),
+        F.row_number().over(Window.orderBy(F.col("t").desc())).alias("rn"),
+    )
+    return acc.filter(F.col("rn") == 1).select(
+        F.col("n0_1").alias("n_sessions_b"),
+        F.col("n0_0").alias("n_sessions_a"),
+        F.col("o1").alias("observed_b"),
+        F.round("e1s", 6).alias("expected_b"),
+        F.round("vs", 6).alias("variance_b"),
+        F.round(
+            (F.col("o1") - F.col("e1s"))
+            * (F.col("o1") - F.col("e1s"))
+            / F.nullif(F.col("vs"), F.lit(0.0)),
+            6,
+        ).alias("chi2"),
+    )

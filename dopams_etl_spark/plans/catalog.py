@@ -121,6 +121,10 @@ _PRIORITY: tuple[str, ...] = (
     "tukey_hsd_value_by_type",
     "partial_corr_qty_discount_given_price",
     "page_hinkley_value_drift",
+    "logrank_retention_test",
+    "shapley_channel_attribution",
+    "cross_doc_substring_runs",
+    "mmr_diversified_search",
     # 7) r11 queue: the remaining 18 round-4 rows in age order (the
     #    r11 sample continues here and finishes the re-certification);
     "lm_perplexity_docs",

@@ -515,3 +515,212 @@ def time_weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.filter(F.col("rn") == 1).select(
         "event_type", F.round("value", 6).alias("weighted_median")
     )
+
+
+@register(
+    "shapley_channel_attribution",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                      AS session_num
+          FROM g),
+    u AS (SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS INT) AS pos
+          FROM (SELECT DISTINCT event_type AS ch FROM events
+                WHERE event_type <> 'purchase')),
+    k_ AS (SELECT CAST(COUNT(*) AS INT) AS k FROM u),
+    sess AS (
+      SELECT s.user_id, s.session_num,
+             MAX(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv,
+             COALESCE(bit_or(CASE WHEN s.event_type <> 'purchase'
+                             THEN (CAST(1 AS BIGINT) << u.pos) END),
+                      0) AS mask
+      FROM s LEFT JOIN u ON s.event_type = u.ch
+      GROUP BY s.user_id, s.session_num),
+    vm AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_m,
+                  CAST(SUM(conv) AS BIGINT) AS c_m
+           FROM sess GROUP BY mask),
+    allm AS (SELECT unnest(range(0, (CAST(1 AS BIGINT) << k))) AS mask
+             FROM k_),
+    v AS (SELECT allm.mask,
+                 COALESCE(c_m / CAST(n_m AS DOUBLE), 0.0) AS v
+          FROM allm LEFT JOIN vm USING (mask)),
+    f(i, fv) AS (SELECT * FROM (VALUES (0, 1), (1, 1), (2, 2), (3, 6),
+                                       (4, 24), (5, 120), (6, 720))
+                              t(i, fv)),
+    terms AS (
+      SELECT u.ch, v0.mask AS s_mask,
+             (fa.fv * fb.fv / CAST(fk.fv AS DOUBLE)) * (v1.v - v0.v)
+               AS term
+      FROM u
+      CROSS JOIN k_
+      JOIN v v0 ON ((v0.mask >> u.pos) & 1) = 0
+      JOIN v v1 ON v1.mask = (v0.mask | (CAST(1 AS BIGINT) << u.pos))
+      JOIN f fa ON fa.i = bit_count(v0.mask)
+      JOIN f fb ON fb.i = k_.k - 1 - bit_count(v0.mask)
+      JOIN f fk ON fk.i = k_.k),
+    acc AS (
+      SELECT ch, SUM(term) OVER (PARTITION BY ch ORDER BY s_mask
+                                 ROWS UNBOUNDED PRECEDING) AS phi,
+             row_number() OVER (PARTITION BY ch ORDER BY s_mask DESC)
+               AS rn
+      FROM terms),
+    touched AS (
+      SELECT u.ch,
+             CAST(COALESCE(SUM(CASE WHEN ((vm.mask >> u.pos) & 1) = 1
+                                    THEN vm.n_m END), 0) AS BIGINT)
+               AS n_sessions
+      FROM u CROSS JOIN vm GROUP BY u.ch)
+    SELECT acc.ch AS channel, touched.n_sessions,
+           ROUND(acc.phi, 6) AS shapley_credit
+    FROM acc JOIN touched ON acc.ch = touched.ch
+    WHERE acc.rn = 1
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953 applied to
+    conversion paths, the game-theoretic model behind Google Ads'
+    data-driven attribution): sessions are coalitions — each session's
+    channel set is a bitmask over the non-purchase event types, the
+    characteristic value v(S) is the observed conversion rate of
+    sessions with EXACTLY channel set S (unobserved coalitions
+    contribute 0), and each channel's credit is the classic weighted
+    sum phi_i = sum_S |S|!(k-1-|S|)!/k! * (v(S u {i}) - v(S)) — the
+    marginal-contribution average first/last/linear models
+    (``attribution_first_vs_last``, ``multi_touch_attribution_linear``)
+    approximate by fiat. Scale shape: the fact collapses through the
+    standard 30-min sessionization to ONE mask-keyed aggregate
+    (<= 2^k rows, k = |channels|, a domain constant); the subset
+    lattice (k * 2^(k-1) triples with precomputed factorial weights) is
+    a driver-built literal like the kmeans centroid table — everything
+    downstream of the session aggregate is constant-size at any fact
+    cardinality. Per-channel sums accumulate through one ordered
+    cumulative frame (last row taken) so both engines add bit-identical
+    term doubles in identical order. Channel bit counts per observed
+    mask are exploded from the mask (JVM ``filter``/``sequence``
+    lambdas), never a non-equi join."""
+    import math
+
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    channels = sorted(
+        r[0]
+        for r in ev.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .collect()
+    )
+    k = len(channels)
+    u = spark.createDataFrame(
+        [(ch, i) for i, ch in enumerate(channels)], "ch string, pos int"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    run0 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_num", F.sum("new_session").over(run0))
+    sess = (
+        s.join(F.broadcast(u), s["event_type"] == u["ch"], "left")
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+            F.coalesce(
+                F.bit_or(
+                    F.when(
+                        F.col("event_type") != "purchase",
+                        F.expr("shiftleft(CAST(1 AS BIGINT), pos)"),
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("mask"),
+        )
+    )
+    vm = sess.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_m"), F.sum("conv").alias("c_m")
+    )
+    allm = spark.createDataFrame(
+        [(m,) for m in range(1 << k)], "mask bigint"
+    )
+    v = allm.join(vm, "mask", "left").select(
+        "mask",
+        F.coalesce(
+            F.col("c_m") / F.col("n_m").cast("double"), F.lit(0.0)
+        ).alias("v"),
+    )
+    fact = math.factorial
+    triples = spark.createDataFrame(
+        [
+            (ch, s_mask, (s_mask | (1 << pos)),
+             fact(bin(s_mask).count("1"))
+             * fact(k - 1 - bin(s_mask).count("1"))
+             / fact(k))
+            for pos, ch in enumerate(channels)
+            for s_mask in range(1 << k)
+            if not (s_mask >> pos) & 1
+        ],
+        "ch string, s_mask bigint, si_mask bigint, w double",
+    )
+    terms = (
+        triples.join(
+            F.broadcast(v.withColumnRenamed("v", "v0")),
+            triples["s_mask"] == v["mask"],
+        )
+        .drop("mask")
+        .join(
+            F.broadcast(
+                v.select(
+                    F.col("mask").alias("mask1"), F.col("v").alias("v1")
+                )
+            ),
+            F.col("si_mask") == F.col("mask1"),
+        )
+        .select(
+            "ch",
+            "s_mask",
+            (F.col("w") * (F.col("v1") - F.col("v0"))).alias("term"),
+        )
+    )
+    wacc = Window.partitionBy("ch").orderBy("s_mask").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    acc = terms.select(
+        "ch",
+        F.sum("term").over(wacc).alias("phi"),
+        F.row_number()
+        .over(Window.partitionBy("ch").orderBy(F.col("s_mask").desc()))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    bits = vm.select(
+        "n_m",
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, {k - 1}),"
+                " p -> ((mask >> p) & 1) = 1)"
+            )
+        ).alias("pos"),
+    )
+    touched = (
+        u.join(bits, "pos", "left")
+        .groupBy("ch")
+        .agg(F.coalesce(F.sum("n_m"), F.lit(0)).cast("bigint").alias(
+            "n_sessions"
+        ))
+    )
+    return acc.join(touched, "ch").select(
+        F.col("ch").alias("channel"),
+        "n_sessions",
+        F.round("phi", 6).alias("shapley_credit"),
+    )

@@ -3583,3 +3583,242 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         threshold=1.0,
     )
+
+
+@register(
+    "cross_doc_substring_runs",
+    r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE trim(text) <> ''),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))
+               AS h
+      FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i)
+      WHERE len(ws) >= 5),
+    keep AS (SELECT h FROM g GROUP BY h
+             HAVING COUNT(*) <= 20 AND COUNT(DISTINCT doc_id) >= 2),
+    g2 AS (SELECT g.* FROM g JOIN keep USING (h)),
+    m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+          FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (SELECT da, db, pb - pa AS diag, pa,
+                   pa - row_number() OVER (PARTITION BY da, db, pb - pa
+                                           ORDER BY pa) AS grp
+            FROM m),
+    runs AS (SELECT da, db, diag, grp,
+                    CAST(COUNT(*) AS BIGINT) AS run_len
+             FROM isl GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(SUM(run_len) AS BIGINT) AS matched_spans,
+             CAST(MAX(run_len) + 4 AS BIGINT) AS longest_run_words
+      FROM runs GROUP BY da, db)
+    SELECT * FROM pairs WHERE longest_run_words >= 8
+    """,
+)
+def cross_doc_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document maximal verbatim runs — the PAIR-LOCALIZED half of
+    exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): where ``repeated_ngram_spans`` scores
+    each document's duplicated-span ratio, this reports WHICH document
+    pairs share verbatim text and HOW LONG the longest shared run is —
+    the suffix-array LCS answer, restated shuffle-friendly. Positional
+    5-word spans (NOT distinct — positions matter) hash-join across
+    documents under the standard max_df skew cap; matching position
+    pairs on the same alignment diagonal (pb − pa) merge into maximal
+    runs by gaps-and-islands (pa − row_number), so N adjacent matched
+    spans collapse to one run of N + 4 words. All integers — no float
+    parity surface. Scale: shuffles key on df-capped span hashes, then
+    on (pair, diagonal); nothing pairwise ever leaves the matched-span
+    set. Pairs reported at longest run >= 8 words."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    ws = tokens("text")
+    g = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 4),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("ws"), i, 5))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("sp"),
+        )
+        .select("doc_id", F.col("sp.pos").alias("pos"), F.col("sp.h").alias("h"))
+    )
+    keep = (
+        g.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter((F.col("occ") <= 20) & (F.col("df") >= 2))
+        .select("h")
+    )
+    g2 = g.join(keep, "h")
+    a = g2.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "h"
+    )
+    b = g2.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "h"
+    )
+    m = a.join(b, "h").filter(F.col("da") < F.col("db")).select(
+        "da", "db", "pa", (F.col("pb") - F.col("pa")).alias("diag")
+    )
+    wisl = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = (
+        m.select(
+            "da",
+            "db",
+            "diag",
+            (F.col("pa") - F.row_number().over(wisl)).alias("grp"),
+        )
+        .groupBy("da", "db", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_len").alias("matched_spans"),
+            (F.max("run_len") + 4).alias("longest_run_words"),
+        )
+        .filter(F.col("longest_run_words") >= 8)
+    )
+
+
+def _mmr_oracle(n_cand: int = 12, n_sel: int = 5, lam: float = 0.7) -> str:
+    """Unrolled-greedy MMR oracle: the sequential argmax has no
+    closed SQL form, but ``n_sel`` is a constant, so each selection
+    step becomes one CTE that re-scores the remaining candidates
+    against the union of prior picks (the ``_bpe_encode_oracle``
+    unrolling pattern). Scores stay RAW doubles — both engines compute
+    0.7*rel - 0.3*maxsim from identically-rounded inputs with the same
+    two multiplies and subtract, so ordering is bit-identical and no
+    rounding is needed before the tie-broken argmax."""
+    head = f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id <> 0),
+    s AS (SELECT c_id, cv,
+                 ROUND(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))), 6) AS rel,
+                 row_number() OVER (
+                   ORDER BY ROUND(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                   c_id ASC) AS rn
+          FROM c CROSS JOIN q),
+    cand AS (SELECT c_id, cv, rel FROM s WHERE rn <= {n_cand}),
+    p0 AS (SELECT a.c_id AS ia, b.c_id AS ib,
+                  ROUND(list_dot_product(a.cv, b.cv)
+                        / (sqrt(list_dot_product(a.cv, a.cv))
+                           * sqrt(list_dot_product(b.cv, b.cv))), 6)
+                    AS sim
+           FROM cand a JOIN cand b ON a.c_id < b.c_id),
+    psym AS (SELECT ia, ib, sim FROM p0
+             UNION ALL SELECT ib, ia, sim FROM p0),
+    sel1 AS (SELECT c_id, rel, {lam} * rel - {1 - lam:.1f} * 0.0 AS score
+             FROM cand ORDER BY {lam} * rel DESC, c_id ASC LIMIT 1)"""
+    steps = []
+    for i in range(2, n_sel + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT c_id FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+    rem{i} AS (
+      SELECT c.c_id, c.rel, MAX(p.sim) AS ms
+      FROM cand c JOIN psym p ON p.ia = c.c_id
+                              AND p.ib IN ({prev})
+      WHERE c.c_id NOT IN ({prev})
+      GROUP BY c.c_id, c.rel),
+    sel{i} AS (SELECT c_id, rel,
+                      {lam} * rel - {1 - lam:.1f} * ms AS score
+               FROM rem{i}
+               ORDER BY {lam} * rel - {1 - lam:.1f} * ms DESC, c_id ASC
+               LIMIT 1)""")
+        # noqa: E501
+    tail = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick, c_id AS vec_id,"
+        f" rel AS relevance, score AS mmr_score FROM sel{i}"
+        for i in range(1, n_sel + 1)
+    )
+    return head + "," + ",".join(steps) + "\n    " + tail
+
+
+@register("mmr_diversified_search", _mmr_oracle())
+def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity-aware retrieval layer RAG pipelines put
+    on top of raw similarity search: from the query vector's cosine
+    top-12 candidate pool, greedily select 5 results maximizing
+    0.7·relevance − 0.3·max-similarity-to-already-selected, so
+    near-duplicate hits (which a plain top-k returns as a block) are
+    demoted in favor of coverage. Architecture: the candidate pool and
+    its pairwise cosines are Spark plans (the same size-gated
+    ``cosine_topk`` machinery as the exact ANN family — at corpus scale
+    the pool comes from lsh/ivf_topk instead, identically); the greedy
+    argmax is inherently sequential over k=12 rows, so it runs
+    driver-side on the collected candidate table — the kmeans-centroid
+    collect pattern, k-bounded at any corpus scale. Scores stay raw
+    doubles (identical IEEE ops on identically-rounded-6 inputs on both
+    engines); ties break on candidate id."""
+    from dopams_etl_spark.operators.similarity import cosine, cosine_topk
+
+    lam, n_cand, n_sel = 0.7, 12, 5
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    cand = cosine_topk(
+        probe, emb, "vec_id", "vec_id", "embedding", k=n_cand
+    ).select("c_id", F.col("cos_sim").alias("rel"))
+    cv = cand.join(
+        emb.select(F.col("vec_id").alias("c_id"), "embedding"), "c_id"
+    ).select("c_id", "rel", "embedding")
+    a = cv.select(
+        F.col("c_id").alias("ia"), F.col("embedding").alias("va")
+    )
+    b = cv.select(
+        F.col("c_id").alias("ib"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        "ia", "ib", F.round(cosine("va", "vb"), 6).alias("sim")
+    )
+    cand_rows = sorted(
+        ((r["c_id"], r["rel"]) for r in cand.collect()), key=lambda x: x[0]
+    )
+    sim = {}
+    for r in pairs.collect():
+        sim[(r["ia"], r["ib"])] = r["sim"]
+        sim[(r["ib"], r["ia"])] = r["sim"]
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    remaining = dict(cand_rows)
+    for step in range(1, n_sel + 1):
+        best = None
+        for cid, rel in remaining.items():
+            ms = max((sim[(cid, s)] for s in chosen), default=0.0)
+            score = lam * rel - (1 - lam) * ms
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel, score)
+        _, cid, rel, score = best
+        selected.append((step, cid, float(rel), float(score)))
+        chosen.append(cid)
+        del remaining[cid]
+    return spark.createDataFrame(
+        selected, "pick bigint, vec_id bigint, relevance double, mmr_score double"
+    )

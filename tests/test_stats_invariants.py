@@ -806,3 +806,238 @@ def test_bitext_margin_demotes_hubs_and_matches_bruteforce(spark, qs):
         # digit — allow a few rounding quanta
         assert abs(got[x][1] - m) <= 5e-6
         assert got[x][1] >= 1.0
+
+
+def test_logrank_matches_rowlevel_reference(spark, qs):
+    """r10: the windowed O/E/V accumulation must equal the textbook
+    per-event-time log-rank computation (manual risk-set walk)."""
+    import hashlib
+
+    import duckdb
+
+    row = qs["logrank_retention_test"](spark, SF).collect()[0]
+    ev = (
+        duckdb.connect()
+        .execute(
+            "SELECT user_id, ts, event_id FROM "
+            f"read_parquet('{SF}/events.parquet') ORDER BY user_id, ts, event_id"
+        )
+        .df()
+    )
+    spans = []
+    max_ts = ev["ts"].max()
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        start = end = None
+        sessions = []
+        for tsv in g["ts"]:
+            if end is None or (tsv - end).total_seconds() > 1800:
+                if end is not None:
+                    sessions.append((start, end))
+                start = tsv
+            end = tsv
+        sessions.append((start, end))
+        grp = (
+            int(
+                hashlib.md5(
+                    f"logrank-v1|{uid}".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % 2
+        )
+        for st, en in sessions:
+            dur = int((en - st).total_seconds() // 60)
+            cens = (max_ts - en).total_seconds() <= 1800
+            spans.append((grp, dur, cens))
+    n1 = sum(1 for g, _, _ in spans if g == 1)
+    n0 = len(spans) - n1
+    assert row["n_sessions_b"] == n1 and row["n_sessions_a"] == n0
+    o1 = e1 = v = 0.0
+    at1, at = n1, len(spans)
+    for dur in sorted({d for _, d, _ in spans}):
+        here = [(g, c) for g, d, c in spans if d == dur]
+        d1 = sum(1 for g, c in here if g == 1 and not c)
+        d = sum(1 for _, c in here if not c)
+        if d >= 1 and at >= 2:
+            o1 += d1
+            e1 += d * at1 / at
+            v += d * (at1 / at) * (1 - at1 / at) * (at - d) / (at - 1)
+        at1 -= sum(1 for g, _ in here if g == 1)
+        at -= len(here)
+    assert row["observed_b"] == o1
+    assert abs(row["expected_b"] - e1) <= 1e-5
+    assert abs(row["variance_b"] - v) <= 1e-5
+    assert abs(row["chi2"] - (o1 - e1) ** 2 / v) <= 1e-4
+
+
+def test_shapley_matches_permutation_reference(spark, qs):
+    """r10: the weighted-subset Shapley must equal the
+    permutation-average definition (all k! orderings), and satisfy
+    the efficiency axiom sum(phi) = v(grand) - v(empty)."""
+    import itertools
+
+    import duckdb
+
+    got = {
+        r["channel"]: r
+        for r in qs["shapley_channel_attribution"](spark, SF).collect()
+    }
+    ev = (
+        duckdb.connect()
+        .execute(
+            "SELECT user_id, ts, event_id, event_type FROM "
+            f"read_parquet('{SF}/events.parquet') ORDER BY user_id, ts, event_id"
+        )
+        .df()
+    )
+    channels = sorted(
+        set(ev["event_type"].unique()) - {"purchase"}
+    )
+    pos = {ch: i for i, ch in enumerate(channels)}
+    k = len(channels)
+    stats: dict[int, list[int]] = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        end, mask, conv = None, 0, 0
+        sessions = []
+        for tsv, et in zip(g["ts"], g["event_type"]):
+            if end is not None and (tsv - end).total_seconds() > 1800:
+                sessions.append((mask, conv))
+                mask, conv = 0, 0
+            end = tsv
+            if et == "purchase":
+                conv = 1
+            else:
+                mask |= 1 << pos[et]
+        sessions.append((mask, conv))
+        for m, c in sessions:
+            n, cc = stats.get(m, (0, 0))
+            stats[m] = (n + 1, cc + c)
+    v = {m: cc / n for m, (n, cc) in stats.items()}
+    val = lambda m: v.get(m, 0.0)  # noqa: E731
+    phi = {ch: 0.0 for ch in channels}
+    perms = list(itertools.permutations(range(k)))
+    for perm in perms:
+        m = 0
+        for p in perm:
+            phi[channels[p]] += val(m | (1 << p)) - val(m)
+            m |= 1 << p
+    for ch in channels:
+        phi[ch] /= len(perms)
+        assert abs(got[ch]["shapley_credit"] - phi[ch]) <= 1e-5
+        touched = sum(
+            n for m, (n, _) in stats.items() if (m >> pos[ch]) & 1
+        )
+        assert got[ch]["n_sessions"] == touched
+    # efficiency axiom
+    assert abs(
+        sum(phi.values()) - (val((1 << k) - 1) - val(0))
+    ) <= 1e-9
+
+
+def test_cross_doc_runs_match_tokenlevel_reference(spark, qs):
+    """r10: the hash-join + gaps-and-islands runs must equal a pure
+    token-tuple reimplementation (no hashing — also proves md5 isn't
+    collapsing distinct spans)."""
+    import duckdb
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in qs["cross_doc_substring_runs"](spark, SF).collect()
+    }
+    docs = (
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{SF}/documents.parquet') WHERE trim(text) <> ''"
+        )
+        .df()
+    )
+    spans: dict[tuple, list[tuple[int, int]]] = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        ws = text.strip().lower().split()
+        for i in range(len(ws) - 4):
+            spans.setdefault(tuple(ws[i : i + 5]), []).append(
+                (int(did), i + 1)
+            )
+    matches: dict[tuple[int, int], set[tuple[int, int]]] = {}
+    for occs in spans.values():
+        if len(occs) > 20 or len({d for d, _ in occs}) < 2:
+            continue
+        for da, pa in occs:
+            for db, pb in occs:
+                if da < db:
+                    matches.setdefault((da, db), set()).add((pa, pb))
+    want = {}
+    for (da, db), pts in matches.items():
+        runs = []
+        by_diag: dict[int, list[int]] = {}
+        for pa, pb in pts:
+            by_diag.setdefault(pb - pa, []).append(pa)
+        for _, pas in by_diag.items():
+            pas.sort()
+            run = 1
+            for prev, cur in zip(pas, pas[1:]):
+                if cur == prev + 1:
+                    run += 1
+                else:
+                    runs.append(run)
+                    run = 1
+            runs.append(run)
+        if max(runs) + 4 >= 8:
+            want[(da, db)] = (
+                len(runs),
+                sum(runs),
+                max(runs) + 4,
+            )
+    assert set(got) == set(want)
+    for key, (n_runs, matched, longest) in want.items():
+        r = got[key]
+        assert r["n_runs"] == n_runs
+        assert r["matched_spans"] == matched
+        assert r["longest_run_words"] == longest
+
+
+def test_mmr_matches_numpy_greedy(spark, qs):
+    """r10: the driver-side greedy must equal an independent numpy
+    reimplementation of Carbonell-Goldstein MMR over the same top-12
+    candidate pool."""
+    import numpy as np
+
+    rows = sorted(
+        qs["mmr_diversified_search"](spark, SF).collect(),
+        key=lambda r: r["pick"],
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(emb["vec_id"], emb["embedding"])
+    }
+    q = vecs[0]
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    rel = {i: cos(q, v) for i, v in vecs.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:12]
+    chosen: list[int] = []
+    for step, row in enumerate(rows, start=1):
+        best = None
+        for c in pool:
+            if c in chosen:
+                continue
+            ms = max((cos(vecs[c], vecs[s]) for s in chosen), default=0.0)
+            score = 0.7 * rel[c] - 0.3 * ms
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        _, cid, score = best
+        assert row["pick"] == step
+        assert row["vec_id"] == cid
+        assert abs(row["relevance"] - rel[cid]) <= 5e-6
+        assert abs(row["mmr_score"] - score) <= 5e-6
+        chosen.append(cid)
+    assert len(set(chosen)) == 5

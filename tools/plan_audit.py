@@ -236,6 +236,10 @@ AUDITED = (
     "tukey_hsd_value_by_type",
     "partial_corr_qty_discount_given_price",
     "page_hinkley_value_drift",
+    "logrank_retention_test",
+    "shapley_channel_attribution",
+    "cross_doc_substring_runs",
+    "mmr_diversified_search",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
