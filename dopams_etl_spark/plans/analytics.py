@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dopams_etl_spark.plans.catalog import register, t
+from dopams_etl_spark.operators.sessionize import with_session_num
+from dopams_etl_spark.plans.catalog import register, session_ctes, t
 
 DEC = "decimal(18,2)"
 
@@ -2251,18 +2252,9 @@ def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_funnel_ordered",
-    """
-    WITH g AS (
-      SELECT user_id, ts, event_type,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                           ROWS UNBOUNDED PRECEDING)
-                      AS session_num
-          FROM g),
+    "WITH "
+    + session_ctes("event_type")
+    + """,
     v AS (SELECT user_id, session_num, MIN(ts) AS t_v
           FROM s WHERE event_type = 'view' GROUP BY 1, 2),
     c AS (SELECT s.user_id, s.session_num, MIN(s.ts) AS t_c
@@ -2298,14 +2290,7 @@ def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     first later click → first later purchase), each one session-keyed —
     the whole funnel shuffles on (user, session) only."""
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    s = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    ).withColumn("session_num", F.sum("new_session").over(run))
+    s = with_session_num(ev)
     keys = ["user_id", "session_num"]
     v = (
         s.filter(F.col("event_type") == "view")
@@ -3546,18 +3531,9 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kaplan_meier_retention",
-    """
-    WITH g AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                           ROWS UNBOUNDED PRECEDING)
-                      AS session_num
-          FROM g),
+    "WITH "
+    + session_ctes()
+    + """,
     bounds AS (SELECT MAX(ts) AS max_ts FROM events),
     spans AS (
       SELECT user_id, session_num,
@@ -3600,14 +3576,7 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions or an exhausted risk set drop out identically on both
     engines."""
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    run0 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    s = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    ).withColumn("session_num", F.sum("new_session").over(run0))
+    s = with_session_num(ev)
     bounds = ev.agg(F.max("ts").alias("max_ts"))
     spans = (
         s.crossJoin(F.broadcast(bounds))
@@ -4097,18 +4066,9 @@ def nation_order_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "logrank_retention_test",
-    """
-    WITH g AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                           ROWS UNBOUNDED PRECEDING)
-                      AS session_num
-          FROM g),
+    "WITH "
+    + session_ctes()
+    + """,
     bounds AS (SELECT MAX(ts) AS max_ts FROM events),
     spans AS (
       SELECT user_id, session_num,
@@ -4184,14 +4144,7 @@ def logrank_retention_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance term, and a zero total variance yields NULL χ², never an
     ANSI abort."""
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    run0 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    s = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    ).withColumn("session_num", F.sum("new_session").over(run0))
+    s = with_session_num(ev)
     bounds = ev.agg(F.max("ts").alias("max_ts"))
     grp = (
         F.conv(

@@ -44,14 +44,12 @@ def register(name: str, oracle: str | None):
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
     # Round-10 budget: 50-slot sample = the 7-query r9 queue + firs_mv
-    # flagship + 5 new r10 registrations + the 35 queries whose latest
-    # driver row dates from ROUND 3 (oldest-first re-certification,
-    # VERDICT r9 task 3; doc_quality_scores doubles as the one query
-    # whose oracle string changed this round — the quality CTE was
-    # factored into _QUALITY_CTES, shared with preference_pair_build)
-    # + the 2 oldest ROUND-4 rows. After this sample runs, cumulative
-    # coverage is 303/303 registered-at-r9 + the 5 new, and no sampled
-    # query's latest driver row is older than round 4.
+    # flagship + 5 new r10 registrations + the 3 sessionization-refactor
+    # changed queries + the 32 oldest ROUND-3 rows (oldest-first
+    # re-certification, VERDICT r9 task 3). After this sample runs,
+    # cumulative coverage is 303/303 registered-at-r9 + the 5 new; the
+    # 3 re-cert rows the changed-query rule displaced (file_paths,
+    # domain_cap_docs, bm25_search_docs) head the r11 queue.
     # 1) the documented r10 queue (registered past r9's 50-slot line;
     #    each locally green at sf0.001 AND sf0.01, the three
     #    LLM-pipeline reports also at sf0.1);
@@ -72,9 +70,19 @@ _PRIORITY: tuple[str, ...] = (
     "trimmed_winsorized_mean_by_flag",
     "levene_brown_forsythe_value",
     "preference_pair_build",
-    # 4) re-certification, oldest first: the 35 queries whose latest
-    #    green driver row is from ROUND 3 (none ever regressed; the
-    #    full registry re-runs green in every local sweep);
+    # 3b) queries whose code AND oracle changed this round — the 30-min
+    #    sessionization was factored into the shared
+    #    operators/sessionize.py + catalog.session_ctes pair (the r9
+    #    _QUALITY_CTES precedent: changed queries re-enter the sample);
+    #    each re-verified STRICT (repr-identical floats) at sf0.001 AND
+    #    sf0.01;
+    "user_sessions",
+    "session_funnel_ordered",
+    "kaplan_meier_retention",
+    # 4) re-certification, oldest first: the 32 oldest of the 35 queries
+    #    whose latest green driver row is from ROUND 3 (none ever
+    #    regressed; the full registry re-runs green in every local
+    #    sweep; the 3 youngest moved past the line to make room for 3b);
     "hourly_event_stats",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
@@ -109,14 +117,15 @@ _PRIORITY: tuple[str, ...] = (
     "name_repair",
     "mandal_imputation",
     "transliterate_names",
+    # --- the 50-slot driver sample line ---
+    # 6) r11 queue head: the 3 re-cert rows the changed-query rule (3b)
+    #    displaced from this round's sample, oldest first, then the
+    #    EIGHT queries registered past the 50-slot line this round
+    #    (each tools/check.py-green at sf0.001, sf0.01 AND sf0.1 —
+    #    the documented drain plan, r9-queue style);
     "file_paths",
-    # 5) the 2 oldest ROUND-4 rows (slots 49-50);
     "domain_cap_docs",
     "bm25_search_docs",
-    # --- the 50-slot driver sample line ---
-    # 6) r11 queue head: FOUR queries registered past the 50-slot line
-    #    this round (each tools/check.py-green at sf0.001, sf0.01 AND
-    #    sf0.1 — the documented drain plan, r9-queue style);
     "bitext_margin_pairs",
     "tukey_hsd_value_by_type",
     "partial_corr_qty_discount_given_price",
@@ -196,7 +205,6 @@ _PRIORITY: tuple[str, ...] = (
     "ist_timestamps",
     "upsert_latest_wins",
     "watermark_incremental_events",
-    "kaplan_meier_retention",
     "cdc_orders_snapshot",
     "q1_pricing_summary",
     "criminal_profiles_mv",
@@ -261,7 +269,6 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_hhi_by_nation",
     "clv_monthly_curve",
     "incremental_join_mv",
-    "session_funnel_ordered",
     "revenue_mix_decomposition",
     "degree_assortativity",
     "python_datasource_scan",
@@ -342,7 +349,6 @@ _PRIORITY: tuple[str, ...] = (
     "entity_resolution_blocked",
     "view_click_purchase_funnel",
     "streaming_hourly_counts",
-    "user_sessions",
     "asof_purchase_last_view",
     "fuzzy_match_event_types",
     "trigram_match_event_types",
@@ -394,3 +400,23 @@ def _ensure_loaded() -> None:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
+
+
+def session_ctes(extra_cols: str = "") -> str:
+    """DuckDB twin of ``operators.sessionize.with_session_num`` — the
+    shared 30-min-gap session CTE pair (``g``, ``s``) every
+    session-scoped oracle opens with. ``extra_cols`` carries the
+    per-query passthrough columns (e.g. ``"value"``, ``"event_type"``).
+    One definition on each engine; the pair can't drift per-query."""
+    cols = f", {extra_cols}" if extra_cols else ""
+    return f"""g AS (
+      SELECT user_id, ts{cols},
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                      AS session_num
+          FROM g)"""

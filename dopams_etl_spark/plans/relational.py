@@ -36,7 +36,8 @@ from dopams_etl_spark.operators.merge import (
 )
 from dopams_etl_spark.operators.quarantine import fk_validate, quarantine_retry
 from dopams_etl_spark.operators.watermark import compute_watermark, incremental_filter
-from dopams_etl_spark.plans.catalog import register, t
+from dopams_etl_spark.operators.sessionize import with_session_num
+from dopams_etl_spark.plans.catalog import register, session_ctes, t
 
 DEC = "decimal(18,2)"
 
@@ -681,17 +682,9 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_sessions",
-    """
-    WITH g AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                           ROWS UNBOUNDED PRECEDING) AS session_num
-          FROM g)
+    "WITH "
+    + session_ctes("value")
+    + """
     SELECT user_id, CAST(session_num AS INT) AS session_num,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec,
@@ -705,14 +698,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, then a hash aggregate; the whole thing shuffles once on
     user_id."""
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sessions = ev.withColumn("new_session", new_session).withColumn(
-        "session_num", F.sum("new_session").over(run).cast("int")
+    sessions = with_session_num(ev).withColumn(
+        "session_num", F.col("session_num").cast("int")
     )
     return sessions.groupBy("user_id", "session_num").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -22,7 +22,8 @@ from dopams_etl_spark.operators.timeseries import (
     throttle_events,
     time_weighted_avg,
 )
-from dopams_etl_spark.plans.catalog import register, t
+from dopams_etl_spark.operators.sessionize import with_session_num
+from dopams_etl_spark.plans.catalog import register, session_ctes, t
 
 # throttle window: a repeat event of the same (user, type) within this
 # many microseconds of its predecessor is dropped
@@ -519,18 +520,9 @@ def time_weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "shapley_channel_attribution",
-    """
-    WITH g AS (
-      SELECT user_id, ts, event_type,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                           ROWS UNBOUNDED PRECEDING)
-                      AS session_num
-          FROM g),
+    "WITH "
+    + session_ctes("event_type")
+    + """,
     u AS (SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS INT) AS pos
           FROM (SELECT DISTINCT event_type AS ch FROM events
                 WHERE event_type <> 'purchase')),
@@ -619,17 +611,18 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     k = len(channels)
+    if k > 6:
+        # the oracle's inline factorial table covers |S|! up to 6!; past
+        # that its fk join silently matches nothing — fail LOUDLY here
+        # instead (exact Shapley past k=6 wants the sampled estimator
+        # anyway: 2^k lattice growth)
+        raise ValueError(
+            f"shapley_channel_attribution supports <= 6 channels, got {k}"
+        )
     u = spark.createDataFrame(
         [(ch, i) for i, ch in enumerate(channels)], "ch string, pos int"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    run0 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    s = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    ).withColumn("session_num", F.sum("new_session").over(run0))
+    s = with_session_num(ev)
     sess = (
         s.join(F.broadcast(u), s["event_type"] == u["ch"], "left")
         .groupBy("user_id", "session_num")

@@ -3699,15 +3699,21 @@ def cross_doc_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_oracle(n_cand: int = 12, n_sel: int = 5, lam: float = 0.7) -> str:
+def _mmr_oracle(
+    n_cand: int = 12, n_sel: int = 5, lam: float = 0.7, mu: float = 0.3
+) -> str:
     """Unrolled-greedy MMR oracle: the sequential argmax has no
     closed SQL form, but ``n_sel`` is a constant, so each selection
     step becomes one CTE that re-scores the remaining candidates
     against the union of prior picks (the ``_bpe_encode_oracle``
     unrolling pattern). Scores stay RAW doubles — both engines compute
-    0.7*rel - 0.3*maxsim from identically-rounded inputs with the same
+    lam*rel - mu*maxsim from identically-rounded inputs with the same
     two multiplies and subtract, so ordering is bit-identical and no
-    rounding is needed before the tie-broken argmax."""
+    rounding is needed before the tie-broken argmax. ``mu`` is an
+    EXPLICIT literal, not ``1 - lam``: ``1 - 0.7`` is the double
+    0.30000000000000004, and embedding that expression on one side but
+    the literal 0.3 on the other shifts raw scores by an ulp — enough
+    to flip the repr-hashing driver gate (and, at a near-tie, a pick)."""
     head = f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                WHERE vec_id = 0),
@@ -3732,7 +3738,7 @@ def _mmr_oracle(n_cand: int = 12, n_sel: int = 5, lam: float = 0.7) -> str:
            FROM cand a JOIN cand b ON a.c_id < b.c_id),
     psym AS (SELECT ia, ib, sim FROM p0
              UNION ALL SELECT ib, ia, sim FROM p0),
-    sel1 AS (SELECT c_id, rel, {lam} * rel - {1 - lam:.1f} * 0.0 AS score
+    sel1 AS (SELECT c_id, rel, {lam} * rel - {mu} * 0.0 AS score
              FROM cand ORDER BY {lam} * rel DESC, c_id ASC LIMIT 1)"""
     steps = []
     for i in range(2, n_sel + 1):
@@ -3747,9 +3753,9 @@ def _mmr_oracle(n_cand: int = 12, n_sel: int = 5, lam: float = 0.7) -> str:
       WHERE c.c_id NOT IN ({prev})
       GROUP BY c.c_id, c.rel),
     sel{i} AS (SELECT c_id, rel,
-                      {lam} * rel - {1 - lam:.1f} * ms AS score
+                      {lam} * rel - {mu} * ms AS score
                FROM rem{i}
-               ORDER BY {lam} * rel - {1 - lam:.1f} * ms DESC, c_id ASC
+               ORDER BY {lam} * rel - {mu} * ms DESC, c_id ASC
                LIMIT 1)""")
         # noqa: E501
     tail = "\n    UNION ALL ".join(
@@ -3779,7 +3785,9 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines); ties break on candidate id."""
     from dopams_etl_spark.operators.similarity import cosine, cosine_topk
 
-    lam, n_cand, n_sel = 0.7, 12, 5
+    # mu is an explicit 0.3 literal, NOT 1 - lam (= 0.30000000000000004):
+    # the oracle embeds the same literal, keeping raw scores bit-identical
+    lam, mu, n_cand, n_sel = 0.7, 0.3, 12, 5
     emb = t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     cand = cosine_topk(
@@ -3808,10 +3816,12 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen: list[int] = []
     remaining = dict(cand_rows)
     for step in range(1, n_sel + 1):
+        if not remaining:  # pool smaller than n_sel: emit fewer picks,
+            break  # exactly like the oracle's empty sel_i CTEs
         best = None
         for cid, rel in remaining.items():
             ms = max((sim[(cid, s)] for s in chosen), default=0.0)
-            score = lam * rel - (1 - lam) * ms
+            score = lam * rel - mu * ms
             key = (-score, cid)
             if best is None or key < best[0]:
                 best = (key, cid, rel, score)

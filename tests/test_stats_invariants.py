@@ -868,7 +868,10 @@ def test_logrank_matches_rowlevel_reference(spark, qs):
     assert row["observed_b"] == o1
     assert abs(row["expected_b"] - e1) <= 1e-5
     assert abs(row["variance_b"] - v) <= 1e-5
-    assert abs(row["chi2"] - (o1 - e1) ** 2 / v) <= 1e-4
+    if v == 0.0:  # degenerate corpus: the query's NULLIF contract
+        assert row["chi2"] is None
+    else:
+        assert abs(row["chi2"] - (o1 - e1) ** 2 / v) <= 1e-4
 
 
 def test_shapley_matches_permutation_reference(spark, qs):

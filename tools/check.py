@@ -13,6 +13,13 @@ Usage:
                                       # priority order (what the round
                                       # driver will actually sample)
     CHECK_SF_DIR=/root/testdata/sf0.01 python tools/check.py
+    CHECK_STRICT=1 python tools/check.py
+                                      # float cells must be repr-IDENTICAL
+                                      # (bitwise), not merely within 1e-9 —
+                                      # the driver hashes raw cell reprs, so
+                                      # a query that needs the tolerance
+                                      # here is a latent driver-gate red
+                                      # (the r10 MMR mu=1-lam ulp bug)
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from dopams_etl_spark.catalog import TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001")
+STRICT = os.environ.get("CHECK_STRICT", "") not in ("", "0")
 
 
 def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
@@ -71,6 +79,8 @@ def cells_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if STRICT:
+            return repr(fa) == repr(fb)
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     if (a is None) != (b is None):
         # pandas NaN-vs-None noise
