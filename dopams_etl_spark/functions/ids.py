@@ -49,3 +49,26 @@ def uuid5_expr(*cols: Column | str, namespace: str = "dopams") -> Column:
         F.concat(variant, F.substring(digest, 18, 3)),
         F.substring(digest, 21, 12),
     )
+
+
+def md5_cohort(salt: str, key: Column | str, mod: int = 2) -> Column:
+    """Deterministic hash-split cohort id: first 8 md5 hex chars of
+    ``salt|key`` as an integer, mod ``mod`` — the assignment used by
+    ``ab_test_proportion_z`` / ``train_val_test_split`` /
+    ``logrank_retention_test`` and friends. SQL twin:
+    ``catalog.md5_cohort_sql``. (r10 note: ``logrank_retention_test``
+    uses this helper; the older inline copies in ab_test /
+    stratified-split queries migrate in r11 when driver-sample room
+    exists — each migration makes that query "changed" and must be
+    re-sampled.)"""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), c.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % mod
+    )

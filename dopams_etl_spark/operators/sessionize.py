@@ -31,7 +31,11 @@ def with_session_num(ev: DataFrame) -> DataFrame:
     ``user_id`` partitioning — one shuffle."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # the running sum MUST use the same (ts, event_id) total order as the
+    # lag window: ordering by ts alone leaves session_num nondeterministic
+    # for same-timestamp events (whether the later event's frame includes
+    # the session-start marker would depend on engine-internal tie order)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return ev.withColumn(

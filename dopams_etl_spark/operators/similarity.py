@@ -624,9 +624,10 @@ def margin_mined_pairs(
     forward top-k is the candidate set, exactly as the paper mines.
 
     Determinism: margins are computed from the ROUNDED top-k cosines
-    (cosine_topk's contract) and rounded to 6 before ranking with an
-    id tie-break, so the kept pair never depends on summation-order
-    ulps. Returns (x_id, y_id, cos_sim, margin).
+    (cosine_topk's contract); the k-NN background averages sum exact
+    integer micro-cosines (order-free), and margins round to 6 before
+    ranking with an id tie-break — the kept pair never depends on
+    summation-order ulps. Returns (x_id, y_id, cos_sim, margin).
     """
     fx = cosine_topk(
         x, y, id_col, id_col, vec_col, k=k, corpus_rows=corpus_rows
@@ -634,20 +635,33 @@ def margin_mined_pairs(
     fy = cosine_topk(
         y, x, id_col, id_col, vec_col, k=k, corpus_rows=corpus_rows
     )
-    dx = fx.groupBy("p_id").agg(F.avg("cos_sim").alias("dx"))
-    dy = fy.groupBy("p_id").agg(F.avg("cos_sim").alias("dy"))
+    # k-NN background averages in INTEGER MICRO-COSINES: the top-k
+    # cosines are rounded to 6, so round(cos * 1e6) is an exact BIGINT
+    # on both engines and the SUM is summation-order-free — a float
+    # AVG's accumulation order is engine-internal and an ulp on a
+    # 5e-7 boundary would flip the rounded margin (the ranking AND the
+    # >= threshold cut)
+    micro = F.round(F.col("cos_sim") * 1000000).cast("long")
+    dx = fx.groupBy("p_id").agg(
+        F.sum(micro).alias("sx"), F.count(F.lit(1)).alias("nx")
+    )
+    dy = fy.groupBy("p_id").agg(
+        F.sum(micro).alias("sy"), F.count(F.lit(1)).alias("ny")
+    )
+    denom = (
+        (
+            F.col("sx") / F.col("nx").cast("double")
+            + F.col("sy") / F.col("ny").cast("double")
+        )
+        / 2.0
+        / 1000000.0
+    )
     cand = (
         fx.join(dx, "p_id")
         .join(dy.withColumnRenamed("p_id", "c_id"), "c_id")
         .withColumn(
             "margin",
-            F.round(
-                F.try_divide(
-                    F.col("cos_sim"),
-                    (F.col("dx") + F.col("dy")) / 2.0,
-                ),
-                6,
-            ),
+            F.round(F.try_divide(F.col("cos_sim"), denom), 6),
         )
     )
     w = Window.partitionBy("p_id").orderBy(

@@ -13,8 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dopams_etl_spark.functions.ids import md5_cohort
 from dopams_etl_spark.operators.sessionize import with_session_num
-from dopams_etl_spark.plans.catalog import register, session_ctes, t
+from dopams_etl_spark.plans.catalog import md5_cohort_sql, register, session_ctes, t
 
 DEC = "decimal(18,2)"
 
@@ -3539,7 +3540,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, session_num,
              CAST(date_diff('second', MIN(ts), MAX(ts)) // 60 AS BIGINT)
                AS duration,
-             MAX(ts) >= max_ts - INTERVAL 30 MINUTE AS censored
+             epoch_us(MAX(ts)) >= epoch_us(max_ts) - 1800000000 AS censored
       FROM s CROSS JOIN bounds
       GROUP BY user_id, session_num, max_ts),
     n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM spans),
@@ -3587,8 +3588,12 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 60
             ).alias("duration"),
             (
-                F.max(F.col("ts").cast("long"))
-                >= F.col("max_ts").cast("long") - 1800
+                # integer MICROSECONDS on both engines: a cast-to-long
+                # (second-truncated) comparison vs the oracle's
+                # interval arithmetic can disagree on a session ending
+                # in the same second as the censoring boundary
+                F.max(F.unix_micros(F.col("ts")))
+                >= F.unix_micros(F.col("max_ts")) - 1_800_000_000
             ).alias("censored"),
         )
     )
@@ -4066,17 +4071,16 @@ def nation_order_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "logrank_retention_test",
-    "WITH "
+    ("WITH "
     + session_ctes()
     + """,
     bounds AS (SELECT MAX(ts) AS max_ts FROM events),
     spans AS (
       SELECT user_id, session_num,
-             ('0x' || substr(md5('logrank-v1|' || CAST(user_id AS VARCHAR)),
-                             1, 8))::BIGINT % 2 AS grp,
+             __MD5_COHORT__ AS grp,
              CAST(date_diff('second', MIN(ts), MAX(ts)) // 60 AS BIGINT)
                AS duration,
-             MAX(ts) >= max_ts - INTERVAL 30 MINUTE AS censored
+             epoch_us(MAX(ts)) >= epoch_us(max_ts) - 1800000000 AS censored
       FROM s CROSS JOIN bounds
       GROUP BY user_id, session_num, max_ts),
     n0 AS (SELECT CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS n0_1,
@@ -4122,7 +4126,7 @@ def nation_order_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(vs, 6) AS variance_b,
            ROUND((o1 - e1s) * (o1 - e1s) / NULLIF(vs, 0.0), 6) AS chi2
     FROM last
-    """,
+    """).replace("__MD5_COHORT__", md5_cohort_sql("logrank-v1", "user_id")),
 )
 def logrank_retention_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank (Mantel–Cox) test — do two user cohorts' SESSION
@@ -4146,22 +4150,7 @@ def logrank_retention_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     s = with_session_num(ev)
     bounds = ev.agg(F.max("ts").alias("max_ts"))
-    grp = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("logrank-v1|"), F.col("user_id").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    grp = md5_cohort("logrank-v1", "user_id")
     spans = (
         s.crossJoin(F.broadcast(bounds))
         .groupBy("user_id", "session_num", "max_ts")
@@ -4174,8 +4163,12 @@ def logrank_retention_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 60
             ).alias("duration"),
             (
-                F.max(F.col("ts").cast("long"))
-                >= F.col("max_ts").cast("long") - 1800
+                # integer MICROSECONDS on both engines: a cast-to-long
+                # (second-truncated) comparison vs the oracle's
+                # interval arithmetic can disagree on a session ending
+                # in the same second as the censoring boundary
+                F.max(F.unix_micros(F.col("ts")))
+                >= F.unix_micros(F.col("max_ts")) - 1_800_000_000
             ).alias("censored"),
         )
         .select("duration", "censored", grp.alias("grp"))

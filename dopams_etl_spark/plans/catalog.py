@@ -45,7 +45,7 @@ def register(name: str, oracle: str | None):
 _PRIORITY: tuple[str, ...] = (
     # Round-10 budget: 50-slot sample = the 7-query r9 queue + firs_mv
     # flagship + 5 new r10 registrations + the 3 sessionization-refactor
-    # changed queries + the 32 oldest ROUND-3 rows (oldest-first
+    # changed queries + the 34 oldest ROUND-3 rows (oldest-first
     # re-certification, VERDICT r9 task 3). After this sample runs,
     # cumulative coverage is 303/303 registered-at-r9 + the 5 new; the
     # 3 re-cert rows the changed-query rule displaced (file_paths,
@@ -79,7 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_sessions",
     "session_funnel_ordered",
     "kaplan_meier_retention",
-    # 4) re-certification, oldest first: the 32 oldest of the 35 queries
+    # 4) re-certification, oldest first: the 34 oldest of the 35 queries
     #    whose latest green driver row is from ROUND 3 (none ever
     #    regressed; the full registry re-runs green in every local
     #    sweep; the 3 youngest moved past the line to make room for 3b);
@@ -410,13 +410,23 @@ def session_ctes(extra_cols: str = "") -> str:
     One definition on each engine; the pair can't drift per-query."""
     cols = f", {extra_cols}" if extra_cols else ""
     return f"""g AS (
-      SELECT user_id, ts{cols},
+      SELECT user_id, ts, event_id{cols},
              CASE WHEN lag(ts) OVER w IS NULL
                        OR date_diff('second', lag(ts) OVER w, ts) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING)
                       AS session_num
           FROM g)"""
+
+
+def md5_cohort_sql(salt: str, key: str, mod: int = 2) -> str:
+    """DuckDB twin of ``functions.ids.md5_cohort`` — the deterministic
+    md5 hash-split expression (same hex-prefix width, same modulus)."""
+    return (
+        f"('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {mod}"
+    )

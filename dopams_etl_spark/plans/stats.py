@@ -1648,12 +1648,15 @@ def kruskal_wallis_value_by_type(
     h = 12.0 / (F.col("nn") * (F.col("nn") + 1)) * F.col("srr") - 3.0 * (
         F.col("nn") + 1
     )
-    corr = 1.0 - F.col("t3t") / (
-        F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn")
+    # try_divide on BOTH divisions: a single-row corpus (nn = 1) zeroes
+    # N³−N itself — bare '/' would ANSI-abort where DuckDB's double
+    # division yields NULL — and a corpus with ONE distinct value has
+    # tie correction exactly 0 (t³−t consumes all of N³−N) — NULL h_adj
+    # like the oracle's NULLIF, never a DIVIDE_BY_ZERO abort.
+    corr = 1.0 - F.try_divide(
+        F.col("t3t"),
+        F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn"),
     )
-    # try_divide: a corpus with ONE distinct value has tie correction
-    # exactly 0 (t³−t consumes all of N³−N) — NULL h_adj like the
-    # oracle's NULLIF, not an ANSI DIVIDE_BY_ZERO abort.
     return tot.crossJoin(F.broadcast(tie)).select(
         F.col("nn").cast("long").alias("n"),
         "k",
@@ -1824,9 +1827,10 @@ def kendall_tau_qty_discount_by_flag(
       FROM kept GROUP BY flag, total, kt)
     SELECT flag AS l_returnflag, total AS n,
            CAST(kt AS BIGINT) AS n_trimmed_each_tail,
-           ROUND(kept_cents / (100.0 * kept_n), 2) AS trimmed_mean,
-           ROUND((kept_cents + kt * lo_cents + kt * hi_cents)
-                 / (100.0 * total), 2) AS winsorized_mean
+           ((2 * kept_cents + kept_n) // (2 * kept_n)) / 100.0
+             AS trimmed_mean,
+           ((2 * (kept_cents + kt * lo_cents + kt * hi_cents) + total)
+            // (2 * total)) / 100.0 AS winsorized_mean
     FROM agg
     """,
 )
@@ -1895,22 +1899,25 @@ def trimmed_winsorized_mean_by_flag(
         F.max("lo_hit").alias("lo_cents"),
         F.max("hi_hit").alias("hi_cents"),
     )
+    # the 2-dp value is computed ENTIRELY in integer space —
+    # round-half-up(p/q) = (2p + q) DIV (2q) — then divided by 100.0:
+    # ROUND(double, 2) on the quotient is the documented engine trap
+    # (DuckDB multiplies-then-rounds, Spark rounds the binary value;
+    # an exact half-cent mean splits them), while an integer DIV and
+    # one division by 100.0 are bit-identical everywhere
+    trimmed_c = F.expr(
+        "(2 * kept_cents + kept_n) DIV (2 * kept_n)"
+    )
+    wins_c = F.expr(
+        "(2 * (kept_cents + kt * lo_cents + kt * hi_cents) + total)"
+        " DIV (2 * total)"
+    )
     return agg.select(
         F.col("flag").alias("l_returnflag"),
         F.col("total").cast("long").alias("n"),
         F.col("kt").cast("long").alias("n_trimmed_each_tail"),
-        F.round(
-            F.col("kept_cents") / (100.0 * F.col("kept_n")), 2
-        ).alias("trimmed_mean"),
-        F.round(
-            (
-                F.col("kept_cents")
-                + F.col("kt") * F.col("lo_cents")
-                + F.col("kt") * F.col("hi_cents")
-            )
-            / (100.0 * F.col("total")),
-            2,
-        ).alias("winsorized_mean"),
+        (trimmed_c / 100.0).alias("trimmed_mean"),
+        (wins_c / 100.0).alias("winsorized_mean"),
     )
 
 
@@ -2135,12 +2142,18 @@ def tukey_hsd_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cxy / NULLIF(sqrt(vx * vy), 0.0) AS rxy,
                  cxz / NULLIF(sqrt(vx * vz), 0.0) AS rxz,
                  cyz / NULLIF(sqrt(vy * vz), 0.0) AS ryz
-          FROM m)
+          FROM m),
+    c2 AS (SELECT n, rxy, rxz, ryz,
+                  CASE WHEN 1.0 - rxz * rxz < 0.0 THEN 0.0
+                       ELSE 1.0 - rxz * rxz END AS oxz,
+                  CASE WHEN 1.0 - ryz * ryz < 0.0 THEN 0.0
+                       ELSE 1.0 - ryz * ryz END AS oyz
+           FROM r)
     SELECT n, ROUND(rxy, 6) AS r_qty_disc,
            ROUND((rxy - rxz * ryz)
-                 / NULLIF(sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
-                          0.0), 6) AS r_qty_disc_given_price
-    FROM r
+                 / NULLIF(sqrt(oxz * oyz), 0.0), 6)
+             AS r_qty_disc_given_price
+    FROM c2
     """,
 )
 def partial_corr_qty_discount_given_price(
@@ -2174,13 +2187,22 @@ def partial_corr_qty_discount_given_price(
     ryz = F.try_divide(
         F.col("cyz"), F.sqrt(F.col("vy") * F.col("vz"))
     )
+    # clamp 1 - r^2 at 0 (CASE on both engines, NULL-safe: a NULL r
+    # falls through to the ELSE branch identically): independent moment
+    # aggregations don't guarantee Cauchy-Schwarz in floating point, and
+    # an exactly-collinear confounder can overshoot to |r| = 1 + 1ulp —
+    # sqrt(negative) hard-errors in DuckDB and NaNs in Spark otherwise
+    def _clamped(r):
+        sq = 1.0 - r * r
+        return F.when(sq < 0.0, F.lit(0.0)).otherwise(sq)
+
     return m.select(
         "n",
         F.round(rxy, 6).alias("r_qty_disc"),
         F.round(
             F.try_divide(
                 rxy - rxz * ryz,
-                F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
+                F.sqrt(_clamped(rxz) * _clamped(ryz)),
             ),
             6,
         ).alias("r_qty_disc_given_price"),

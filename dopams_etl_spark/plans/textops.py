@@ -3543,11 +3543,21 @@ def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                   row_number() OVER (PARTITION BY yid
                                      ORDER BY cos DESC, xid ASC) AS rn
            FROM s),
-    dx AS (SELECT xid, AVG(cos) AS dx FROM fx WHERE rn <= 4 GROUP BY xid),
-    dy AS (SELECT yid, AVG(cos) AS dy FROM fy WHERE rn <= 4 GROUP BY yid),
+    dx AS (SELECT xid,
+                  CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+                    AS sx,
+                  CAST(COUNT(*) AS BIGINT) AS nx
+           FROM fx WHERE rn <= 4 GROUP BY xid),
+    dy AS (SELECT yid,
+                  CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+                    AS sy,
+                  CAST(COUNT(*) AS BIGINT) AS ny
+           FROM fy WHERE rn <= 4 GROUP BY yid),
     cand AS (
       SELECT fx.xid, fx.yid, fx.cos,
-             ROUND(fx.cos / NULLIF((dx.dx + dy.dy) / 2.0, 0.0), 6)
+             ROUND(fx.cos / NULLIF((sx / CAST(nx AS DOUBLE)
+                                    + sy / CAST(ny AS DOUBLE))
+                                   / 2.0 / 1000000.0, 0.0), 6)
                AS margin
       FROM fx JOIN dx ON fx.xid = dx.xid
               JOIN dy ON fx.yid = dy.yid

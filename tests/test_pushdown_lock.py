@@ -18,7 +18,7 @@ lists don't end a capture early — ADVICE r9).
 VERDICT r9 task 5 widened the lock from 23 hand-picked queries to the
 WHOLE registry: ``tools/gen_pushdown_floors.py`` sweeps every
 registered query and writes ``tests/_pushdown_floors.py`` with the
-current counts as floors (140 queries). The hand-curated table below
+current counts as floors (147 queries). The hand-curated table below
 is merged in via elementwise max and kept as documentation of the
 sharpest intentional floors; regenerate + review the diff after any
 deliberate plan change.
