@@ -28,7 +28,11 @@ def with_session_num(ev: DataFrame) -> DataFrame:
     """Add ``new_session`` (1 at each session start) and ``session_num``
     (per-user running session counter, BIGINT) to an events frame with
     ``user_id``, ``ts``, ``event_id`` columns. Two windows on the same
-    ``user_id`` partitioning — one shuffle."""
+    ``user_id`` partitioning — one shuffle. NULL-ts events are dropped
+    up front (mirrored by ``session_ctes``'s WHERE): Spark ASC sorts
+    NULLS FIRST while DuckDB sorts NULLS LAST, so an unfiltered NULL ts
+    would sessionize differently per engine."""
+    ev = ev.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     # the running sum MUST use the same (ts, event_id) total order as the

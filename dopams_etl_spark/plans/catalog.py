@@ -407,14 +407,22 @@ def session_ctes(extra_cols: str = "") -> str:
     shared 30-min-gap session CTE pair (``g``, ``s``) every
     session-scoped oracle opens with. ``extra_cols`` carries the
     per-query passthrough columns (e.g. ``"value"``, ``"event_type"``).
-    One definition on each engine; the pair can't drift per-query."""
+    One definition on each engine; the pair can't drift per-query: the
+    gap threshold interpolates ``sessionize.SESSION_GAP_SECONDS`` (so a
+    threshold change really does land on both engines at once), and the
+    ``ts IS NOT NULL`` guard mirrors the Spark twin's filter — without
+    it the engines' opposite NULL orderings (Spark ASC = NULLS FIRST,
+    DuckDB = NULLS LAST) would sessionize a NULL-ts event differently."""
+    from dopams_etl_spark.operators.sessionize import SESSION_GAP_SECONDS
+
     cols = f", {extra_cols}" if extra_cols else ""
     return f"""g AS (
       SELECT user_id, ts, event_id{cols},
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                       OR date_diff('second', lag(ts) OVER w, ts)
+                          > {SESSION_GAP_SECONDS}
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id

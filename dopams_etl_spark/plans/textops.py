@@ -3709,8 +3709,16 @@ def cross_doc_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE constant set for both the oracle generator and the Spark greedy —
+# the r10 mu bug (1-lam vs literal 0.3) was exactly a two-copies drift
+MMR_LAM, MMR_MU, MMR_N_CAND, MMR_N_SEL = 0.7, 0.3, 12, 5
+
+
 def _mmr_oracle(
-    n_cand: int = 12, n_sel: int = 5, lam: float = 0.7, mu: float = 0.3
+    n_cand: int = MMR_N_CAND,
+    n_sel: int = MMR_N_SEL,
+    lam: float = MMR_LAM,
+    mu: float = MMR_MU,
 ) -> str:
     """Unrolled-greedy MMR oracle: the sequential argmax has no
     closed SQL form, but ``n_sel`` is a constant, so each selection
@@ -3795,9 +3803,10 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines); ties break on candidate id."""
     from dopams_etl_spark.operators.similarity import cosine, cosine_topk
 
-    # mu is an explicit 0.3 literal, NOT 1 - lam (= 0.30000000000000004):
-    # the oracle embeds the same literal, keeping raw scores bit-identical
-    lam, mu, n_cand, n_sel = 0.7, 0.3, 12, 5
+    # mu is an explicit literal, NOT 1 - lam (= 0.30000000000000004):
+    # the oracle embeds the SAME module constants, keeping raw scores
+    # bit-identical
+    lam, mu, n_cand, n_sel = MMR_LAM, MMR_MU, MMR_N_CAND, MMR_N_SEL
     emb = t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     cand = cosine_topk(
