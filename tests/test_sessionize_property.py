@@ -121,3 +121,56 @@ def test_sessionize_spark_duckdb_parity_and_invariants(spark, rows):
         re["session_num"].astype("int64").values
         == got["session_num"].astype("int64").values
     ).all()
+
+
+cohort_case = st.tuples(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz-0123456789",
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.integers(min_value=2, max_value=10),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(cohort_case)
+def test_md5_cohort_spark_duckdb_parity(spark, case):
+    """The md5_cohort / md5_cohort_sql pair must assign identical
+    cohorts for arbitrary salts, keys, and moduli — and be roughly
+    balanced (every cohort id in range)."""
+    from dopams_etl_spark.functions.ids import md5_cohort
+    from dopams_etl_spark.plans.catalog import md5_cohort_sql
+
+    salt, keys, mod = case
+    pdf = pd.DataFrame({"user_id": pd.Series(keys, dtype="int64")})
+    sdf = spark.createDataFrame(pdf, "user_id long")
+    got = (
+        sdf.select("user_id", md5_cohort(salt, "user_id", mod).alias("g"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = (
+        con.execute(
+            f"SELECT user_id, {md5_cohort_sql(salt, 'user_id', mod)} AS g"
+            " FROM t ORDER BY user_id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert (got["g"].astype("int64").values
+            == want["g"].astype("int64").values).all()
+    assert got["g"].between(0, mod - 1).all()
