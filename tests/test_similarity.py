@@ -331,3 +331,56 @@ def test_kmeans_assign_explicit_seeds_lazy_and_consistent(spark):
     # The trained path is unchanged: seeds=None still self-seeds.
     trained = kmeans_assign(df, "vec_id", k=3, iters=1)
     assert trained.count() == 30
+
+
+def test_margin_mining_demotes_hub_vectors(spark):
+    """The semantic reason margin_mined_pairs exists (Artetxe & Schwenk):
+    a HUB vector — closer to every query than their true matches — wins
+    raw cosine top-1 for every x, but the ratio margin (cos over the
+    pair's k-NN backgrounds) demotes it and recovers each x's true
+    match. Constructed geometry: x_i = 1 + 0.35 e_i; true y_i adds an
+    orthogonal noise dim (so cos(x_i, y_i) < cos(x_i, hub)); hub = the
+    all-ones centroid."""
+    import numpy as np
+
+    from dopams_etl_spark.operators.similarity import (
+        cosine_topk,
+        margin_mined_pairs,
+    )
+
+    n, dim = 6, 18
+    c = np.ones(dim)
+    e = np.eye(dim)
+    xs = [c + 0.35 * e[i] for i in range(n)]
+    ys = [c + 0.35 * e[i] + 0.45 * e[n + i] for i in range(n)]
+    hub_id = 100
+    x_df = spark.createDataFrame(
+        [(i, [float(v) for v in x]) for i, x in enumerate(xs)],
+        "vec_id long, embedding array<double>",
+    )
+    y_df = spark.createDataFrame(
+        [(10 + i, [float(v) for v in y]) for i, y in enumerate(ys)]
+        + [(hub_id, [float(v) for v in c])],
+        "vec_id long, embedding array<double>",
+    )
+    # raw cosine top-1: the hub wins EVERY query
+    raw = {
+        r["p_id"]: r["c_id"]
+        for r in cosine_topk(
+            x_df, y_df, "vec_id", "vec_id", "embedding", k=1
+        ).collect()
+    }
+    assert all(raw[i] == hub_id for i in range(n)), raw
+    # margin re-score: every x recovers its true match; the hub is
+    # never kept
+    mined = {
+        r["x_id"]: (r["y_id"], r["margin"])
+        for r in margin_mined_pairs(
+            x_df, y_df, "vec_id", "embedding", k=4, threshold=1.0
+        ).collect()
+    }
+    assert set(mined) == set(range(n))
+    for i in range(n):
+        y_id, margin = mined[i]
+        assert y_id == 10 + i, (i, mined[i])
+        assert margin >= 1.0
