@@ -4241,3 +4241,108 @@ def logrank_retention_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+@register(
+    "nelson_aalen_hazard",
+    ("WITH "
+    + session_ctes()
+    + """,
+    bounds AS (SELECT MAX(ts) AS max_ts FROM events),
+    spans AS (
+      SELECT user_id, session_num,
+             CAST(date_diff('second', MIN(ts), MAX(ts)) // 60 AS BIGINT)
+               AS duration,
+             epoch_us(MAX(ts)) >= epoch_us(max_ts) - 1800000000 AS censored
+      FROM s CROSS JOIN bounds
+      GROUP BY user_id, session_num, max_ts),
+    n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM spans),
+    ev AS (
+      SELECT duration AS t,
+             CAST(COUNT(*) FILTER (WHERE NOT censored) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM spans GROUP BY duration),
+    na AS (
+      SELECT t, d,
+             n0 - COALESCE(SUM(leaving) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM ev CROSS JOIN n_total)
+    SELECT CAST(t AS INT) AS t_minutes, d AS n_ended,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           ROUND(SUM(d / CAST(at_risk AS DOUBLE))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6)
+             AS cum_hazard,
+           ROUND(SUM((d * (at_risk - d))
+                     / (CAST(at_risk AS DOUBLE) * at_risk * at_risk))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6)
+             AS hazard_var
+    FROM na WHERE d > 0 AND at_risk > 0
+    """).replace("__UNUSED__", ""),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of session lifetime — the third
+    leg of the survival family (``kaplan_meier_retention`` estimates
+    S(t) multiplicatively; this estimates H(t) = Σ d/n additively, the
+    better-behaved estimator at small risk sets, with the standard
+    variance Σ d(n−d)/n³). Same shared 30-min sessionization and
+    microsecond-exact right-censoring; the fact collapses to the
+    ≤|distinct durations| event-time table, at-risk counts are one
+    cumulative window, and both H and its variance accumulate through
+    ordered cumulative frames — per-term doubles are bit-identical
+    (integer inputs through one shared expression shape) and both
+    engines add them in t-order: the ``page_hinkley_value_drift``
+    posture, no summation-order ulps."""
+    ev = t(spark, sf_dir, "events")
+    s = with_session_num(ev)
+    bounds = ev.agg(F.max("ts").alias("max_ts"))
+    spans = (
+        s.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "session_num", "max_ts")
+        .agg(
+            F.floor(
+                (
+                    F.max(F.col("ts").cast("long"))
+                    - F.min(F.col("ts").cast("long"))
+                )
+                / 60
+            ).alias("duration"),
+            (
+                F.max(F.unix_micros(F.col("ts")))
+                >= F.unix_micros(F.col("max_ts")) - 1_800_000_000
+            ).alias("censored"),
+        )
+    )
+    n_total = spans.agg(F.count(F.lit(1)).alias("n0"))
+    evt = spans.groupBy(F.col("duration").alias("t")).agg(
+        F.count_if(~F.col("censored")).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    na = evt.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("leaving").over(prior), F.lit(0))
+        ).alias("at_risk"),
+    )
+    run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = F.col("at_risk").cast("double")
+    return na.filter((F.col("d") > 0) & (F.col("at_risk") > 0)).select(
+        F.col("t").cast("int").alias("t_minutes"),
+        F.col("d").alias("n_ended"),
+        F.col("at_risk").alias("n_at_risk"),
+        F.round(
+            F.sum(F.col("d") / ar).over(run), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum(
+                (F.col("d") * (F.col("at_risk") - F.col("d")))
+                / (ar * F.col("at_risk") * F.col("at_risk"))
+            ).over(run),
+            6,
+        ).alias("hazard_var"),
+    )

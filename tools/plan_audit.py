@@ -240,6 +240,7 @@ AUDITED = (
     "shapley_channel_attribution",
     "cross_doc_substring_runs",
     "mmr_diversified_search",
+    "nelson_aalen_hazard",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
