@@ -628,6 +628,16 @@ def margin_mined_pairs(
     integer micro-cosines (order-free), and margins round to 6 before
     ranking with an id tie-break — the kept pair never depends on
     summation-order ulps. Returns (x_id, y_id, cos_sim, margin).
+
+    The ratio margin assumes a non-negative k-NN background (the
+    paper's embeddings satisfy cos >= 0 for near neighbors): a
+    NEGATIVE background average would flip the ratio's sign — an
+    anti-correlated pair dividing two negatives could score a spurious
+    positive margin, and a genuinely best pair over a negative
+    denominator would be dropped with no signal. Non-positive
+    denominators are therefore EXPLICITLY nulled (candidate excluded),
+    not passed through the division — same CASE guard in the
+    ``bitext_margin_pairs`` oracle (ADVICE r10).
     """
     fx = cosine_topk(
         x, y, id_col, id_col, vec_col, k=k, corpus_rows=corpus_rows
@@ -661,7 +671,7 @@ def margin_mined_pairs(
         .join(dy.withColumnRenamed("p_id", "c_id"), "c_id")
         .withColumn(
             "margin",
-            F.round(F.try_divide(F.col("cos_sim"), denom), 6),
+            F.when(denom > 0, F.round(F.try_divide(F.col("cos_sim"), denom), 6)),
         )
     )
     w = Window.partitionBy("p_id").orderBy(

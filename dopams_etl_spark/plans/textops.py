@@ -3555,10 +3555,12 @@ def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM fy WHERE rn <= 4 GROUP BY yid),
     cand AS (
       SELECT fx.xid, fx.yid, fx.cos,
-             ROUND(fx.cos / NULLIF((sx / CAST(nx AS DOUBLE)
-                                    + sy / CAST(ny AS DOUBLE))
-                                   / 2.0 / 1000000.0, 0.0), 6)
-               AS margin
+             CASE WHEN (sx / CAST(nx AS DOUBLE) + sy / CAST(ny AS DOUBLE))
+                       / 2.0 / 1000000.0 > 0
+                  THEN ROUND(fx.cos / ((sx / CAST(nx AS DOUBLE)
+                                        + sy / CAST(ny AS DOUBLE))
+                                       / 2.0 / 1000000.0), 6)
+             END AS margin
       FROM fx JOIN dx ON fx.xid = dx.xid
               JOIN dy ON fx.yid = dy.yid
       WHERE fx.rn <= 4),
@@ -3581,7 +3583,11 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate re-rank — inherits the exact-path size gate; at scale the
     identical margin formula re-scores lsh/ivf candidate lists (the
     forward top-k IS the candidate set, exactly as the paper mines
-    9 B sentence pairs)."""
+    9 B sentence pairs). A non-positive k-NN background average (only
+    possible in anti-correlated corpora — the ratio margin assumes
+    near-neighbor cos >= 0) is explicitly nulled on BOTH engines, never
+    divided through (ADVICE r10: a sign flip would silently invert the
+    >= threshold cut)."""
     from dopams_etl_spark.operators.similarity import margin_mined_pairs
 
     emb = t(spark, sf_dir, "embeddings")

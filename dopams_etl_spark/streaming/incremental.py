@@ -181,8 +181,14 @@ def _publish_staged(fs, hadoop_path, staging, published) -> bool:
         # Same recovery as a false return: drop any staging remnant,
         # re-probe the ledger — an existing published dir means the
         # batch IS committed and this attempt is a skipped replay;
-        # anything else is a real failure the engine must see.
-        fs.delete(staging, True)
+        # anything else is a real failure the engine must see. The
+        # cleanup delete is best-effort: if IT throws too (transient FS
+        # error), the ORIGINAL rename exception must still propagate —
+        # a masked cause would hide the real failure from the engine.
+        try:
+            fs.delete(staging, True)
+        except Exception:
+            pass
         if fs.exists(published):
             return False
         raise

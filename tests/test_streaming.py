@@ -519,3 +519,66 @@ def test_append_once_same_id_race_stress(spark, tmp_path):
         r["batch_id"] for r in sink.select("batch_id").distinct().collect()
     )
     assert ids == list(range(rounds)), f"lost/duplicated batches: {ids}"
+
+
+class _StubPath:
+    def __init__(self, name):
+        self._name = name
+
+    def getName(self):
+        return self._name
+
+
+class _StubFs:
+    """Minimal FileSystem double: rename always THROWS (the vanished-source
+    path Hadoop's RawLocalFileSystem can't be made to take — it returns
+    false instead, so the JVM-backed test above never reaches the except
+    branch). ``delete_raises`` additionally makes the best-effort cleanup
+    delete throw, to prove it can't mask the original rename exception."""
+
+    def __init__(self, published_exists, delete_raises=False):
+        self._published_exists = published_exists
+        self._delete_raises = delete_raises
+        self.deleted = []
+
+    def rename(self, src, dst):
+        raise IOError("rename: source vanished")
+
+    def delete(self, path, recursive):
+        if self._delete_raises:
+            raise IOError("delete: transient FS error")
+        self.deleted.append(path)
+        return True
+
+    def exists(self, path):
+        return self._published_exists
+
+
+def test_publish_staged_rename_throws_stub_fs():
+    """ADVICE r10: RawLocalFileSystem.rename with a missing source returns
+    false rather than throwing, so the JVM test above exercises only the
+    'not renamed' branch. Drive the except branch directly with a stub fs:
+    rename THROWS → (a) published exists ⇒ skipped replay (False), staging
+    remnant swept; (b) published missing ⇒ the ORIGINAL rename exception
+    re-raises; (c) published missing AND the cleanup delete throws too ⇒
+    still the rename exception, never the delete's (no masking)."""
+    import pytest
+
+    from dopams_etl_spark.streaming.incremental import _publish_staged
+
+    staging = _StubPath("5-deaddeaddead")
+    published = _StubPath("batch_id=5")
+    hadoop_path = lambda base, name: _StubPath(name)  # noqa: E731
+
+    fs = _StubFs(published_exists=True)
+    assert _publish_staged(fs, hadoop_path, staging, published) is False
+    assert fs.deleted == [staging]
+
+    fs = _StubFs(published_exists=False)
+    with pytest.raises(IOError, match="source vanished"):
+        _publish_staged(fs, hadoop_path, staging, published)
+    assert fs.deleted == [staging]
+
+    fs = _StubFs(published_exists=False, delete_raises=True)
+    with pytest.raises(IOError, match="source vanished"):
+        _publish_staged(fs, hadoop_path, staging, published)
