@@ -51,24 +51,28 @@ def uuid5_expr(*cols: Column | str, namespace: str = "dopams") -> Column:
     )
 
 
-def md5_cohort(salt: str, key: Column | str, mod: int = 2) -> Column:
-    """Deterministic hash-split cohort id: first 8 md5 hex chars of
-    ``salt|key`` as an integer, mod ``mod`` — the assignment used by
-    ``ab_test_proportion_z`` / ``train_val_test_split`` /
-    ``logrank_retention_test`` and friends. SQL twin:
-    ``catalog.md5_cohort_sql``. (r10 note: ``logrank_retention_test``
-    uses this helper; the older inline copies in ab_test /
-    stratified-split queries migrate in r11 when driver-sample room
-    exists — each migration makes that query "changed" and must be
-    re-sampled.)"""
-    c = F.col(key) if isinstance(key, str) else key
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}|"), c.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % mod
+def md5_bucket32(key: Column) -> Column:
+    """THE deterministic hash primitive every split / cohort / fold /
+    replicate assignment derives from: the first 8 md5 hex chars of
+    ``key`` as a 32-bit-uniform BIGINT in [0, 2³²). A pure function of
+    the key — reproducible across runs, partitionings, and engines
+    (replicable anywhere a standard md5 exists). SQL twin:
+    ``catalog.md5_bucket32_sql``; parity property-tested in
+    ``tests/test_sessionize_property.py``. Derivers: ``md5_cohort``
+    (salted modulus), ``quality.assign_split`` (cumulative-fraction
+    thresholds), ``stratified_kfold_assign`` (label-salted fold),
+    ``bootstrap_mean_ci`` (replicate-salted uniform)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
     )
+
+
+def md5_cohort(salt: str, key: Column | str, mod: int = 2) -> Column:
+    """Deterministic hash-split cohort id: ``md5_bucket32(salt|key)``
+    mod ``mod`` — the assignment used by ``ab_test_proportion_z`` /
+    ``logrank_retention_test`` and friends. SQL twin:
+    ``catalog.md5_cohort_sql``. (r11: the former inline copies in
+    ab_test / stratified-split / bootstrap queries all route through
+    ``md5_bucket32`` now — ONE hash primitive on each engine.)"""
+    c = F.col(key) if isinstance(key, str) else key
+    return md5_bucket32(F.concat(F.lit(f"{salt}|"), c.cast("string"))) % mod

@@ -202,27 +202,38 @@ def assign_split(
     integers (no float division), so a SQL oracle agrees bit-for-bit.
     A narrow map — the split decision rides the scan, no shuffle.
     """
+    from dopams_etl_spark.functions.ids import md5_bucket32
+
+    v = md5_bucket32(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    expr = F.lit(fractions[-1][0])
+    for name, cut in reversed(split_cuts(fractions)):
+        expr = F.when(v < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_cuts(
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> list[tuple[str, int]]:
+    """The exact-integer cumulative thresholds ``assign_split`` carves
+    [0, 2³²) with: ``int(cum_fraction * 2³²)`` per non-final split,
+    TRUNCATED like Python int() (a SQL CAST would round 0.8·2³² UP by
+    one). Exposed so oracle SQL interpolates the SAME literals the
+    Spark side compares against — the constants can't drift per-query."""
     total = sum(f for _, f in fractions)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
-    v = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    expr = F.lit(fractions[-1][0])
     cum = 0.0
     cuts: list[tuple[str, int]] = []
     for name, frac in fractions[:-1]:
         cum += frac
         cuts.append((name, int(cum * (1 << 32))))
-    for name, cut in reversed(cuts):
-        expr = F.when(v < F.lit(cut), F.lit(name)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    return cuts
 
 
 def assign_shards(

@@ -13,9 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dopams_etl_spark.functions.ids import md5_cohort
+from dopams_etl_spark.functions.ids import md5_bucket32, md5_cohort
 from dopams_etl_spark.operators.sessionize import with_session_num
-from dopams_etl_spark.plans.catalog import md5_cohort_sql, register, session_ctes, t
+from dopams_etl_spark.plans.catalog import (
+    md5_bucket32_sql,
+    md5_cohort_sql,
+    register,
+    session_ctes,
+    t,
+)
 
 DEC = "decimal(18,2)"
 
@@ -1551,8 +1557,7 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH assign AS (
       SELECT DISTINCT user_id,
-             ('0x' || substr(md5('ab-v1|' || CAST(user_id AS VARCHAR)), 1, 8))
-               ::BIGINT % 2 AS grp
+             __MD5_COHORT__ AS grp
       FROM events),
     conv AS (
       SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -1577,7 +1582,7 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
                         * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
     FROM wide
-    """,
+    """.replace("__MD5_COHORT__", md5_cohort_sql("ab-v1", "user_id")),
 )
 def ab_test_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout — users deterministically hash-split
@@ -1592,18 +1597,7 @@ def ab_test_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled-variance denominator. Two user-keyed aggregates, one 2-row
     aggregate, one scalar fold."""
     ev = t(spark, sf_dir, "events")
-    grp = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab-v1|"), F.col("user_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    grp = md5_cohort("ab-v1", "user_id")
     assign = ev.select("user_id").distinct().select("user_id", grp.alias("grp"))
     conv = (
         ev.filter(F.col("event_type") == "purchase")
@@ -3440,13 +3434,14 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bootstrap_oracle(reps: int = 50) -> str:
+    bucket = md5_bucket32_sql(
+        "CAST(r AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)"
+    )
     return f"""
     WITH reps AS (SELECT unnest(generate_series(0, {reps - 1})) AS r),
     draws AS (
       SELECT r, value,
-             ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
-                                 || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
-               / 4294967296.0 AS u
+             {bucket} / 4294967296.0 AS u
       FROM events CROSS JOIN reps),
     weighted AS (
       SELECT r, value,
@@ -3481,24 +3476,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (replicate-salted, same inverse-CDF table as repr literals on both
     engines), so the oracle reproduces every replicate exactly."""
     ev = t(spark, sf_dir, "events").select("event_id", "value")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("r").cast("string"),
-                        F.lit("|"),
-                        F.col("event_id").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u = md5_bucket32(
+        F.concat(
+            F.col("r").cast("string"),
+            F.lit("|"),
+            F.col("event_id").cast("string"),
+        )
+    ) / F.lit(4294967296.0)
     # inverse CDF of Poisson(1): P(0)=P(1)=e^-1, P(2)=e^-1/2, ...
     w = (
         F.when(u < 0.3678794411714423, 0)
@@ -3876,9 +3860,7 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (
       SELECT label,
-             ('0x' || substr(md5(COALESCE(CAST(label AS VARCHAR), '') || ':' ||
-                                 COALESCE(CAST(vec_id AS VARCHAR), '')), 1, 8))
-               ::BIGINT % 5 AS fold
+             __MD5_BUCKET__ % 5 AS fold
       FROM embeddings),
     tot AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
             FROM f GROUP BY label)
@@ -3887,7 +3869,13 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(COUNT(*) / CAST(ANY_VALUE(n_label) AS DOUBLE), 6) AS share
     FROM f JOIN tot ON f.label = tot.label
     GROUP BY f.label, fold
-    """,
+    """.replace(
+        "__MD5_BUCKET__",
+        md5_bucket32_sql(
+            "COALESCE(CAST(label AS VARCHAR), '') || ':' ||"
+            " COALESCE(CAST(vec_id AS VARCHAR), '')"
+        ),
+    ),
 )
 def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified k-fold split — every labeled embedding
@@ -3904,21 +3892,13 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-propagates — explicit empty-string defaults make a null label
     # or id hash identically everywhere instead of diverging
     fold = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.coalesce(F.col("label").cast("string"), F.lit("")),
-                        F.lit(":"),
-                        F.coalesce(F.col("vec_id").cast("string"), F.lit("")),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_bucket32(
+            F.concat(
+                F.coalesce(F.col("label").cast("string"), F.lit("")),
+                F.lit(":"),
+                F.coalesce(F.col("vec_id").cast("string"), F.lit("")),
+            )
+        )
         % 5
     )
     f = emb.select("label", fold.alias("fold"))

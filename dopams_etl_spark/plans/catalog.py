@@ -432,10 +432,16 @@ def session_ctes(extra_cols: str = "") -> str:
           FROM g)"""
 
 
+def md5_bucket32_sql(key_sql: str) -> str:
+    """DuckDB twin of ``functions.ids.md5_bucket32`` — the first 8 md5
+    hex chars of ``key_sql`` (already a VARCHAR expression) as a
+    32-bit-uniform BIGINT. Every split / cohort / fold / replicate
+    oracle interpolates THIS, so the hash shape cannot drift per-query."""
+    return f"('0x' || substr(md5({key_sql}), 1, 8))::BIGINT"
+
+
 def md5_cohort_sql(salt: str, key: str, mod: int = 2) -> str:
     """DuckDB twin of ``functions.ids.md5_cohort`` — the deterministic
     md5 hash-split expression (same hex-prefix width, same modulus)."""
-    return (
-        f"('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 8))"
-        f"::BIGINT % {mod}"
-    )
+    key_sql = f"'{salt}|' || CAST({key} AS VARCHAR)"
+    return f"{md5_bucket32_sql(key_sql)} % {mod}"

@@ -49,7 +49,25 @@ from dopams_etl_spark.operators.similarity import (
     embedding_near_dups,
     lsh_topk,
 )
-from dopams_etl_spark.plans.catalog import register, t
+from dopams_etl_spark.plans.catalog import md5_bucket32_sql, register, t
+
+
+def _split_ctes() -> dict[str, str]:
+    """Shared oracle pieces for the deterministic train/val/test split —
+    the 32-bit md5 value (``md5_bucket32_sql``, salt ``split-v1``, same
+    shape as ``operators.quality.assign_split``) and the exact-integer
+    cumulative cuts (``quality.split_cuts`` — int-TRUNCATED like the
+    Spark side, a SQL CAST would round 0.8·2³² up by one). Both split
+    oracles interpolate THIS, so hash/threshold changes land on every
+    engine and every query at once."""
+    from dopams_etl_spark.operators.quality import split_cuts
+
+    cuts = dict(split_cuts())
+    return {
+        "v": md5_bucket32_sql("'split-v1|' || CAST(doc_id AS VARCHAR)"),
+        "train_cut": str(cuts["train"]),
+        "val_cut": str(cuts["val"]),
+    }
 
 _STOP_EN = "'the','and','of','to','a','in','is','it','that','for'"
 _STOP_ES = "'el','la','de','que','y','en','un','una','los','por'"
@@ -1629,20 +1647,20 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tok,
-             ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS v
+             __SPLIT_V__ AS v
       FROM documents),
     a AS (SELECT doc_id, n_tok,
-                 -- literals = python int(frac * 2**32), TRUNCATED like
-                 -- assign_split (DuckDB CAST would round .8*2^32 UP by 1)
-                 CASE WHEN v < 3435973836 THEN 'train'
-                      WHEN v < 3865470566 THEN 'val'
+                 CASE WHEN v < __TRAIN_CUT__ THEN 'train'
+                      WHEN v < __VAL_CUT__ THEN 'val'
                       ELSE 'test' END AS split
           FROM u)
     SELECT split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM a GROUP BY split
-    """,
+    """.replace("__SPLIT_V__", _split_ctes()["v"])
+    .replace("__TRAIN_CUT__", _split_ctes()["train_cut"])
+    .replace("__VAL_CUT__", _split_ctes()["val_cut"]),
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus splitting (train/val/test 80/10/10): md5-keyed
@@ -2314,12 +2332,11 @@ def tfidf_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM wts CROSS JOIN tot),
     s AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
           FROM documents d JOIN r USING (lang)
-          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-                  < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+          WHERE __U32__ < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
           GROUP BY d.lang)
     SELECT r.lang, r.n_docs, r.rate, COALESCE(s.n_sampled, 0) AS n_sampled
     FROM r LEFT JOIN s USING (lang)
-    """,
+    """.replace("__U32__", md5_bucket32_sql("CAST(d.doc_id AS VARCHAR)")),
 )
 def temperature_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled multilingual mixture sampling (τ = 0.5, the
@@ -2350,9 +2367,9 @@ def temperature_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate"),
     )
-    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    from dopams_etl_spark.functions.ids import md5_bucket32
+
+    u32 = md5_bucket32(F.col("doc_id"))
     sampled = (
         docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
         .filter(u32 < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
@@ -2412,8 +2429,7 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_sample_docs",
     """
     WITH k AS (SELECT doc_id, lang,
-                      pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                           + 1.0) / 4294967297.0,
+                      pow((__U32__ + 1.0) / 4294967297.0,
                           1.0 / greatest(n_chars, 1)) AS wkey
                FROM documents),
     r AS (SELECT doc_id, lang, wkey,
@@ -2421,7 +2437,7 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM k)
     SELECT doc_id, lang, ROUND(wkey, 6) AS wkey, CAST(rnk AS INT) AS rnk
     FROM r WHERE rnk <= 20
-    """,
+    """.replace("__U32__", md5_bucket32_sql("CAST(doc_id AS VARCHAR)")),
 )
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis-
@@ -2434,13 +2450,10 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-20; no global sort materializes (Spark plans
     ORDER BY + LIMIT as TakeOrderedAndProject — per-partition top-20,
     driver merge of 20·P rows)."""
+    from dopams_etl_spark.functions.ids import md5_bucket32
+
     docs = t(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        )
-        + F.lit(1.0)
-    ) / F.lit(4294967297.0)
+    u = (md5_bucket32(F.col("doc_id")) + F.lit(1.0)) / F.lit(4294967297.0)
     keyed = docs.select(
         "doc_id",
         "lang",
@@ -3355,12 +3368,11 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH u AS (
       SELECT doc_id, text,
-             ('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)),
-                             1, 8))::BIGINT AS v
+             __SPLIT_V__ AS v
       FROM documents),
     lab AS (SELECT doc_id, text,
-                   CASE WHEN v < 3435973836 THEN 'train'
-                        WHEN v >= 3865470566 THEN 'test' END AS split
+                   CASE WHEN v < __TRAIN_CUT__ THEN 'train'
+                        WHEN v >= __VAL_CUT__ THEN 'test' END AS split
             FROM u),
     tk AS (SELECT doc_id, split, text,
                   string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -3393,7 +3405,9 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE 2 * n_hit >= n_sh) AS BIGINT)
              AS n_test_docs_contaminated
     FROM pd
-    """,
+    """.replace("__SPLIT_V__", _split_ctes()["v"])
+    .replace("__TRAIN_CUT__", _split_ctes()["train_cut"])
+    .replace("__VAL_CUT__", _split_ctes()["val_cut"]),
 )
 def train_test_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→test contamination METRIC (the report beside the

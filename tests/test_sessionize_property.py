@@ -174,3 +174,63 @@ def test_md5_cohort_spark_duckdb_parity(spark, case):
     assert (got["g"].astype("int64").values
             == want["g"].astype("int64").values).all()
     assert got["g"].between(0, mod - 1).all()
+
+bucket_case = st.lists(
+    st.one_of(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz|:-0123456789",
+            min_size=0,
+            max_size=20,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(bucket_case)
+def test_md5_bucket32_spark_duckdb_parity(spark, keys):
+    """The md5_bucket32 / md5_bucket32_sql pair — the primitive every
+    split/cohort/fold/replicate assignment derives from — must yield
+    the identical 32-bit value for arbitrary int AND string keys
+    (including empty strings and ':'/'|' separators), always within
+    [0, 2^32), matching Python's reference md5."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dopams_etl_spark.functions.ids import md5_bucket32
+    from dopams_etl_spark.plans.catalog import md5_bucket32_sql
+
+    svals = [str(k) for k in keys]
+    pdf = pd.DataFrame({"k": pd.Series(svals, dtype="object")})
+    sdf = spark.createDataFrame(pdf, "k string")
+    got = (
+        sdf.select("k", md5_bucket32(F.col("k")).alias("v"))
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = (
+        con.execute(
+            f"SELECT k, {md5_bucket32_sql('k')} AS v FROM t ORDER BY k"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    ref = {
+        s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in svals
+    }
+    assert (got["v"].astype("int64").values
+            == want["v"].astype("int64").values).all()
+    assert got.set_index("k")["v"].astype("int64").to_dict() == ref
+    assert got["v"].between(0, (1 << 32) - 1).all()
