@@ -4326,3 +4326,109 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hazard_var"),
     )
+
+
+@register(
+    "brier_decomposition",
+    """
+    WITH d AS (
+      SELECT (lang = 'en') AS y,
+             percent_rank() OVER (ORDER BY n_chars) AS p_hat
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p_hat * 10) AS INT), 9) AS bin,
+             p_hat, CASE WHEN y THEN 1.0 ELSE 0.0 END AS y
+      FROM d),
+    per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+             AVG(p_hat) AS conf, AVG(y) AS acc
+      FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                   SUM(n_pos) / CAST(SUM(n) AS DOUBLE) AS ybar
+            FROM per_bin)
+    SELECT CAST(total AS BIGINT) AS n,
+           ROUND(ybar, 6) AS base_rate,
+           ROUND(SUM((n / total) * (conf - acc) * (conf - acc)), 6)
+             AS reliability,
+           ROUND(SUM((n / total) * (acc - ybar) * (acc - ybar)), 6)
+             AS resolution,
+           ROUND(ybar * (1 - ybar), 6) AS uncertainty,
+           ROUND(SUM((n / total) * (conf - acc) * (conf - acc))
+                 - SUM((n / total) * (acc - ybar) * (acc - ybar))
+                 + ybar * (1 - ybar), 6) AS brier_binned
+    FROM per_bin CROSS JOIN tot
+    GROUP BY total, ybar
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973) —
+    reliability − resolution + uncertainty, the three numbers that say
+    WHY a probabilistic score is good or bad where
+    expected_calibration_error (same score/label/binning) reports only
+    the calibration gap: reliability (want LOW) penalizes bins whose
+    confidence misses their hit rate, resolution (want HIGH) rewards
+    bins that separate outcomes from the base rate, uncertainty is the
+    irreducible ȳ(1−ȳ) of the label. For bin-constant forecasts the
+    identity Brier = REL − RES + UNC is exact — asserted against a
+    direct quantized-forecast Brier in tests. Scale shape: identical
+    to ECE — one rank window normalizes the score, ten bin rows carry
+    everything; the base rate sums INTEGER positives (order-free),
+    never a float AVG of the label."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    d = docs.select(
+        F.percent_rank().over(Window.orderBy("n_chars")).alias("p_hat"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    binned = d.select(
+        F.least(F.floor(F.col("p_hat") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        "p_hat",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("bigint")).alias("n_pos"),
+        F.avg("p_hat").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("double").alias("total"),
+        (F.sum("n_pos") / F.sum("n").cast("double")).alias("ybar"),
+    )
+    rel_term = (
+        (F.col("n") / F.col("total"))
+        * (F.col("conf") - F.col("acc"))
+        * (F.col("conf") - F.col("acc"))
+    )
+    res_term = (
+        (F.col("n") / F.col("total"))
+        * (F.col("acc") - F.col("ybar"))
+        * (F.col("acc") - F.col("ybar"))
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy("total", "ybar")
+        .agg(
+            F.sum(rel_term).alias("rel"),
+            F.sum(res_term).alias("res"),
+        )
+        .select(
+            F.col("total").cast("long").alias("n"),
+            F.round("ybar", 6).alias("base_rate"),
+            F.round("rel", 6).alias("reliability"),
+            F.round("res", 6).alias("resolution"),
+            F.round(F.col("ybar") * (1 - F.col("ybar")), 6).alias(
+                "uncertainty"
+            ),
+            F.round(
+                F.col("rel")
+                - F.col("res")
+                + F.col("ybar") * (1 - F.col("ybar")),
+                6,
+            ).alias("brier_binned"),
+        )
+    )

@@ -43,46 +43,103 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # Round-10 budget: 50-slot sample = the 7-query r9 queue + firs_mv
-    # flagship + 5 new r10 registrations + the 3 sessionization-refactor
-    # changed queries + the 34 oldest ROUND-3 rows (oldest-first
-    # re-certification, VERDICT r9 task 3). After this sample runs,
-    # cumulative coverage is 303/303 registered-at-r9 + the 5 new; the
-    # 3 re-cert rows the changed-query rule displaced (file_paths,
-    # domain_cap_docs, bm25_search_docs) head the r11 queue.
-    # 1) the documented r10 queue (registered past r9's 50-slot line;
-    #    each locally green at sf0.001 AND sf0.01, the three
-    #    LLM-pipeline reports also at sf0.1);
+    # Round-11 budget: 50-slot sample = the 12-entry documented r11
+    # queue (VERDICT r10 task 1, drained in full) + the firs_mv
+    # flagship + the 18 remaining round-4 re-cert rows (task 2 -- after
+    # this sample no query's latest driver row predates round 5) + the
+    # 7 queries changed by this round's md5_bucket32 single-sourcing
+    # (task 3; changed-query rule -- four more changed queries, bitext/
+    # logrank/shapley/mmr, are already queue slots above) + the round's
+    # new registrations + the oldest round-5 re-certs in the remaining
+    # slots.
+    # 1) the r11 queue, in its documented order:
+    "file_paths",
+    "domain_cap_docs",
+    "bm25_search_docs",
+    "bitext_margin_pairs",
+    "tukey_hsd_value_by_type",
+    "partial_corr_qty_discount_given_price",
+    "page_hinkley_value_drift",
+    "logrank_retention_test",
+    "shapley_channel_attribution",
+    "cross_doc_substring_runs",
+    "mmr_diversified_search",
+    "nelson_aalen_hazard",
+    # 2) the flagship gold MV -- one fresh showcase row per round;
+    "firs_mv",
+    # 3) re-certification: the 18 remaining queries whose latest
+    #    driver row is from ROUND 4 (none ever regressed; the full
+    #    registry re-runs green in every local strict sweep);
+    "lm_perplexity_docs",
+    "incremental_pricing_summary",
+    "pack_training_sequences",
+    "streaming_user_sessions",
+    "streaming_view_purchase_join",
+    "streaming_dedup_counts",
+    "scd2_user_event_history",
+    "hard_negative_mining",
+    "frame_dup_videos",
+    "embedding_int8_quantize",
+    "perplexity_tiers",
+    "vocab_coverage",
+    "doc_quality_model_score",
+    "hourly_gapfill_locf",
+    "hourly_gapfill_interpolate",
+    "partitioned_scan_prune",
+    "weekly_cohort_retention",
+    "lineitem_quality_report",
+    # 4) queries whose code AND/OR oracle changed this round -- the
+    #    md5 32-bit bucket primitive was single-sourced into
+    #    functions/ids.py:md5_bucket32 + catalog.md5_bucket32_sql and
+    #    every split/cohort/fold/replicate assignment now routes
+    #    through the pair; each re-verified STRICT at sf0.001+sf0.01;
+    "ab_test_proportion_z",
+    "stratified_kfold_assign",
+    "bootstrap_mean_ci",
+    "train_val_test_split",
+    "train_test_overlap_report",
+    "temperature_sample_langs",
+    "weighted_sample_docs",
+    # 5) new r11 registrations (ALL inside the sample window -- zero
+    #    unchecked backlog, and for the first time zero never-sampled
+    #    queries); each strict-green at all three SFs;
+    "shapley_channel_attribution_sampled",
+    "mmr_over_lsh",
+    "dunn_posthoc_value_by_type",
+    "friedman_value_by_type_daily",
+    "cusum_value_drift",
+    "brier_decomposition",
+    "heaps_law_fit",
+    "ann_recall_report",
+    # 6) re-certification, oldest first: the 4 oldest round-5 rows
+    #    (registration order within the round) fill the remaining slots;
+    "heavy_hitter_users",
+    "kmeans_embedding_clusters",
+    "accuseds_mv",
+    "advanced_search_firs",
+    # --- the 50-slot driver sample line ---
+    # 7) the remaining round-5+ rows keep their former deterministic
+    #    order (r12 re-certification continues here, oldest first);
+    "advanced_search_accuseds",
+    "entity_resolution_blocked",
+    "view_click_purchase_funnel",
+    "streaming_hourly_counts",
+    "asof_purchase_last_view",
+    "fuzzy_match_event_types",
     "nation_revenue_pct_of_parent",
     "nation_order_day_gaps",
     "mahalanobis_customer_outliers",
     "revenue_max_drawdown",
     "dedup_threshold_sweep",
     "token_fertility_by_lang",
-    "train_test_overlap_report",
-    # 2) the flagship gold MV — one fresh showcase row per round;
-    "firs_mv",
-    # 3) new r10 registrations (all inside the sample window — zero
-    #    unchecked backlog); each tools/check.py-green at sf0.001 AND
-    #    sf0.01;
     "kruskal_wallis_value_by_type",
     "kendall_tau_qty_discount_by_flag",
     "trimmed_winsorized_mean_by_flag",
     "levene_brown_forsythe_value",
     "preference_pair_build",
-    # 3b) queries whose code AND oracle changed this round — the 30-min
-    #    sessionization was factored into the shared
-    #    operators/sessionize.py + catalog.session_ctes pair (the r9
-    #    _QUALITY_CTES precedent: changed queries re-enter the sample);
-    #    each re-verified STRICT (repr-identical floats) at sf0.001 AND
-    #    sf0.01;
     "user_sessions",
     "session_funnel_ordered",
     "kaplan_meier_retention",
-    # 4) re-certification, oldest first: the 34 oldest of the 35 queries
-    #    whose latest green driver row is from ROUND 3 (none ever
-    #    regressed; the full registry re-runs green in every local
-    #    sweep; the 3 youngest moved past the line to make room for 3b);
     "hourly_event_stats",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
@@ -117,46 +174,6 @@ _PRIORITY: tuple[str, ...] = (
     "name_repair",
     "mandal_imputation",
     "transliterate_names",
-    # --- the 50-slot driver sample line ---
-    # 6) r11 queue head: the 3 re-cert rows the changed-query rule (3b)
-    #    displaced from this round's sample, oldest first, then the
-    #    EIGHT queries registered past the 50-slot line this round
-    #    (each tools/check.py-green at sf0.001, sf0.01 AND sf0.1 —
-    #    the documented drain plan, r9-queue style);
-    "file_paths",
-    "domain_cap_docs",
-    "bm25_search_docs",
-    "bitext_margin_pairs",
-    "tukey_hsd_value_by_type",
-    "partial_corr_qty_discount_given_price",
-    "page_hinkley_value_drift",
-    "logrank_retention_test",
-    "shapley_channel_attribution",
-    "cross_doc_substring_runs",
-    "mmr_diversified_search",
-    "nelson_aalen_hazard",
-    # 7) r11 queue: the remaining 18 round-4 rows in age order (the
-    #    r11 sample continues here and finishes the re-certification);
-    "lm_perplexity_docs",
-    "incremental_pricing_summary",
-    "pack_training_sequences",
-    "streaming_user_sessions",
-    "streaming_view_purchase_join",
-    "streaming_dedup_counts",
-    "scd2_user_event_history",
-    "hard_negative_mining",
-    "frame_dup_videos",
-    "embedding_int8_quantize",
-    "perplexity_tiers",
-    "vocab_coverage",
-    "doc_quality_model_score",
-    "hourly_gapfill_locf",
-    "hourly_gapfill_interpolate",
-    "partitioned_scan_prune",
-    "weekly_cohort_retention",
-    "lineitem_quality_report",
-    # 8) green r5+ rows (kept for deterministic ordering; all hold
-    #    driver rows from rounds 5-9 and local check evidence);
     "markov_next_event_accuracy",
     "running_distinct_parts_per_customer",
     "allocate_order_totals",
@@ -218,7 +235,6 @@ _PRIORITY: tuple[str, ...] = (
     "bigram_pmi_topk",
     "embedding_norm_outliers",
     "minhash_jaccard_estimate_error",
-    "stratified_kfold_assign",
     "q4_priority_late_exists",
     "q6_forecast_revenue_delta",
     "q7_volume_shipping",
@@ -259,7 +275,6 @@ _PRIORITY: tuple[str, ...] = (
     "gender_infer",
     "label_propagation_communities",
     "seasonal_naive_backtest",
-    "ab_test_proportion_z",
     "embedding_minmax_scale",
     "rolling_corr_view_purchase",
     "cross_corr_best_lag",
@@ -287,7 +302,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_static_enrich",
     "population_stability_index",
     "expected_calibration_error",
-    "bootstrap_mean_ci",
     "mann_whitney_value_test",
     "chi_square_type_dow",
     "ohlc_hourly_bars",
@@ -307,9 +321,7 @@ _PRIORITY: tuple[str, ...] = (
     "skyline_orders_pareto",
     "supplier_cooccur_triangles",
     "tfidf_keyword_extract",
-    "temperature_sample_langs",
     "quality_score_auc",
-    "weighted_sample_docs",
     "supplier_customer_hits",
     "cms_user_counts",
     "embedding_random_projection",
@@ -342,16 +354,6 @@ _PRIORITY: tuple[str, ...] = (
     "benford_order_totals",
     "order_cycle_percentiles",
     "binary_file_ingest",
-    "heavy_hitter_users",
-    "kmeans_embedding_clusters",
-    "accuseds_mv",
-    "advanced_search_firs",
-    "advanced_search_accuseds",
-    "entity_resolution_blocked",
-    "view_click_purchase_funnel",
-    "streaming_hourly_counts",
-    "asof_purchase_last_view",
-    "fuzzy_match_event_types",
     "trigram_match_event_types",
     "salted_event_totals",
     "range_error_click_pairs",

@@ -2284,3 +2284,321 @@ def page_hinkley_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("ph") > 5.0, F.col("day"))), "yyyy-MM-dd"
         ).alias("first_alarm_day"),
     )
+
+
+@register(
+    "dunn_posthoc_value_by_type",
+    """
+    WITH ev AS (
+      SELECT event_type AS typ, value AS v FROM events
+      WHERE value IS NOT NULL),
+    g AS (SELECT typ, v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1, 2),
+    pv AS (SELECT v, CAST(SUM(n) AS BIGINT) AS nv FROM g GROUP BY v),
+    rv AS (SELECT v, nv,
+                  SUM(nv) OVER (ORDER BY v) - nv + (nv + 1) / 2.0 AS r
+           FROM pv),
+    grp AS (SELECT g.typ, CAST(SUM(g.n) AS BIGINT) AS n_g,
+                   SUM(g.n * rv.r) AS r_g
+            FROM g JOIN rv ON g.v = rv.v GROUP BY g.typ),
+    tot AS (SELECT CAST(SUM(n_g) AS DOUBLE) AS nn FROM grp),
+    tie AS (SELECT SUM(CAST(nv AS DOUBLE) * nv * nv - nv) AS t3t FROM pv),
+    braw AS (SELECT nn * (nn + 1) / 12.0
+                    - t3t / NULLIF(12.0 * (nn - 1), 0.0) AS b, nn
+             FROM tot CROSS JOIN tie),
+    brk AS (SELECT CASE WHEN b < 0 THEN 0.0 ELSE b END AS b, nn FROM braw)
+    SELECT a.typ AS type_a, c.typ AS type_b,
+           a.n_g AS n_a, c.n_g AS n_b,
+           ROUND(a.r_g / a.n_g, 6) AS mean_rank_a,
+           ROUND(c.r_g / c.n_g, 6) AS mean_rank_b,
+           ROUND((a.r_g / a.n_g - c.r_g / c.n_g)
+                 / NULLIF(sqrt(brk.b * (1.0 / a.n_g + 1.0 / c.n_g)), 0.0),
+                 6) AS z_stat
+    FROM grp a JOIN grp c ON a.typ < c.typ
+    CROSS JOIN brk
+    """,
+)
+def dunn_posthoc_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test (Dunn 1964) — WHICH event-type pairs differ
+    once kruskal_wallis_value_by_type rejects: pairwise z-scores of
+    mean-rank differences over the pooled tie-corrected rank variance
+    (N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/nᵢ+1/nⱼ), the rank-based
+    companion to tukey_hsd_value_by_type's parametric pairs. Reuses the
+    EXACT rank-compression machinery of kruskal_wallis (one global
+    average-rank window over DISTINCT cent-grain values, per-group rank
+    sums as weighted aggregates) — the fact is never sorted or
+    self-joined; the pairwise grid is k(k−1)/2 rows of a k-row
+    aggregate with the one-row variance broadcast (the tukey_hsd
+    shape). The variance bracket clamps at 0 via CASE (fp overshoot on
+    an all-ties corpus; sqrt(negative) hard-errors DuckDB) and
+    try_divide/NULLIF yields NULL z on the degenerate N=1 / zero-
+    variance corpora, never an ANSI abort."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy(
+        F.col("event_type").alias("typ"), F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pv = g.groupBy("v").agg(F.sum("n").alias("nv"))
+    w = Window.orderBy("v")
+    rv = pv.select(
+        "v",
+        "nv",
+        (F.sum("nv").over(w) - F.col("nv") + (F.col("nv") + 1) / 2.0)
+        .alias("r"),
+    )
+    grp = (
+        g.join(rv.select("v", "r"), "v")
+        .groupBy("typ")
+        .agg(
+            F.sum("n").alias("n_g"),
+            F.sum(F.col("n") * F.col("r")).alias("r_g"),
+        )
+    )
+    tot = grp.agg(F.sum("n_g").cast("double").alias("nn"))
+    tie = pv.agg(
+        F.sum(
+            F.col("nv").cast("double") * F.col("nv") * F.col("nv")
+            - F.col("nv")
+        ).alias("t3t")
+    )
+    braw = (
+        F.col("nn") * (F.col("nn") + 1) / 12.0
+        - F.try_divide(F.col("t3t"), 12.0 * (F.col("nn") - 1))
+    )
+    brk = (
+        tot.crossJoin(F.broadcast(tie))
+        .select(
+            F.when(braw < 0, F.lit(0.0)).otherwise(braw).alias("b")
+        )
+    )
+    a = grp.select(
+        F.col("typ").alias("type_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("r_g").alias("r_a"),
+    )
+    c = grp.select(
+        F.col("typ").alias("type_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("r_g").alias("r_b"),
+    )
+    mra = F.col("r_a") / F.col("n_a")
+    mrb = F.col("r_b") / F.col("n_b")
+    se = F.sqrt(
+        F.col("b") * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return (
+        a.join(F.broadcast(c), F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(brk))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.round(mra, 6).alias("mean_rank_a"),
+            F.round(mrb, 6).alias("mean_rank_b"),
+            F.round(F.try_divide(mra - mrb, se), 6).alias("z_stat"),
+        )
+    )
+
+
+@register(
+    "friedman_value_by_type_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS typ,
+             ROUND(AVG(value), 6) AS xbar
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    k_ AS (SELECT CAST(COUNT(DISTINCT typ) AS BIGINT) AS k FROM d),
+    full_days AS (
+      SELECT day FROM d CROSS JOIN k_
+      GROUP BY day, k HAVING COUNT(*) = ANY_VALUE(k)),
+    cb AS (SELECT d.* FROM d JOIN full_days USING (day)),
+    r AS (SELECT day, typ,
+                 RANK() OVER (PARTITION BY day ORDER BY xbar)
+                 + (COUNT(*) OVER (PARTITION BY day, xbar) - 1) / 2.0
+                   AS rk
+          FROM cb),
+    rj AS (SELECT typ, SUM(rk) AS r_j FROM r GROUP BY typ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM full_days),
+    ties AS (
+      SELECT COALESCE(SUM(CAST(c AS DOUBLE) * c * c - c), 0.0) AS t3t
+      FROM (SELECT day, xbar, COUNT(*) AS c FROM cb GROUP BY 1, 2)),
+    stat AS (
+      SELECT n, k,
+             12.0 / (n * k * (k + 1)) * SUM(r_j * r_j)
+             - 3.0 * n * (k + 1) AS chi2
+      FROM rj CROSS JOIN nb CROSS JOIN k_
+      GROUP BY n, k)
+    SELECT n AS n_days, k,
+           ROUND(chi2, 6) AS chi2_f,
+           ROUND(chi2 / NULLIF(1.0 - t3t / (CAST(n AS DOUBLE) * k
+                                            * (k * k - 1)), 0.0), 6)
+             AS chi2_f_adj
+    FROM stat CROSS JOIN ties
+    """,
+)
+def friedman_value_by_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (Friedman 1937) — the repeated-measures companion
+    to kruskal_wallis: do the event types' DAILY mean values rank
+    consistently across days (blocks), removing day-level shifts KW
+    would conflate with the treatment effect? Complete blocks only
+    (days observing every type — the standard restriction), average
+    ranks on ties, and the tie-corrected statistic
+    χ²/(1 − Σ(t³−t)/(nk(k²−1))). Scale shape: the fact collapses to the
+    |days|×k daily-mean cell grid FIRST (means rounded to 6 before any
+    ranking, the page_hinkley convention), every window runs over that
+    bounded grid, and the per-type rank sums are exact: average ranks
+    are multiples of 0.5 — binary-exact doubles whose sums are
+    order-free, so no cumulative-frame choreography is needed.
+    try_divide yields NULL on the all-ties degenerate corpus."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_type").alias("typ"),
+    ).agg(F.round(F.avg("value"), 6).alias("xbar"))
+    k_ = d.agg(F.count_distinct("typ").alias("k"))
+    full_days = (
+        d.crossJoin(F.broadcast(k_))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == F.col("k"))
+        .select("day")
+    )
+    cb = d.join(full_days, "day")
+    rk = (
+        F.rank().over(Window.partitionBy("day").orderBy("xbar"))
+        + (
+            F.count(F.lit(1)).over(Window.partitionBy("day", "xbar"))
+            - 1
+        )
+        / 2.0
+    )
+    r = cb.select("day", "typ", rk.alias("rk"))
+    rj = r.groupBy("typ").agg(F.sum("rk").alias("r_j"))
+    nb = full_days.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        cb.groupBy("day", "xbar")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c").cast("double") * F.col("c") * F.col("c")
+                    - F.col("c")
+                ),
+                F.lit(0.0),
+            ).alias("t3t")
+        )
+    )
+    stat = (
+        rj.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(k_))
+        .groupBy("n", "k")
+        .agg(
+            (
+                12.0
+                / (F.col("n") * F.col("k") * (F.col("k") + 1))
+                * F.sum(F.col("r_j") * F.col("r_j"))
+                - 3.0 * F.col("n") * (F.col("k") + 1)
+            ).alias("chi2")
+        )
+    )
+    corr = 1.0 - F.try_divide(
+        F.col("t3t"),
+        F.col("n").cast("double")
+        * F.col("k")
+        * (F.col("k") * F.col("k") - 1),
+    )
+    return stat.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_days"),
+        "k",
+        F.round("chi2", 6).alias("chi2_f"),
+        F.round(F.try_divide(F.col("chi2"), corr), 6).alias("chi2_f_adj"),
+    )
+
+
+@register(
+    "cusum_value_drift",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ROUND(AVG(value), 6) AS xbar
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1),
+    mu AS (SELECT SUM(CAST(round(xbar * 1000000) AS BIGINT))
+                  / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mu0
+           FROM d),
+    m AS (SELECT day,
+                 SUM(xbar - mu0 - 0.005) OVER w AS mp,
+                 SUM(mu0 - xbar - 0.005) OVER w AS mn
+          FROM d CROSS JOIN mu
+          WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+    s AS (SELECT day,
+                 mp - LEAST(0.0, MIN(mp) OVER w) AS sp,
+                 mn - LEAST(0.0, MIN(mn) OVER w) AS sn
+          FROM m
+          WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(sp), 6) AS max_cusum_up,
+           ROUND(MAX(sn), 6) AS max_cusum_down,
+           CAST(SUM(CASE WHEN sp > 5.0 OR sn > 5.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarm_days,
+           strftime(MIN(CASE WHEN sp > 5.0 OR sn > 5.0 THEN day END),
+                    '%Y-%m-%d') AS first_alarm_day
+    FROM s
+    """,
+)
+def cusum_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector (Page 1954) over daily mean event
+    values — the classic mean-shift monitor beside page_hinkley_value_
+    drift (PH tracks deviation from the RUNNING mean; CUSUM accumulates
+    excursions from a fixed target μ₀ with slack k=0.005, alarm at
+    h=5): S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − μ₀ − k) and the mirrored S⁻. The
+    max(0,·) recurrence has no direct cumulative-frame form, but by
+    reflection Sᵢ = Mᵢ − min(0, min_{j≤i} Mⱼ) with M the plain
+    cumulative sum — two ordered frames over the bounded DAY table,
+    the drawdown trick run upside-down. Determinism: daily means round
+    to 6 first; μ₀ sums exact integer micro-units (order-free — a
+    float AVG's accumulation order would shift every Sᵢ); the
+    cumulative chains then add identical doubles in identical order on
+    both engines. First alarm surfaced as a 'yyyy-MM-dd' string (NULL
+    bridges as None on both engines)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("xbar")
+    )
+    mu = d.agg(
+        (
+            F.sum(F.round(F.col("xbar") * 1000000).cast("bigint"))
+            / F.count(F.lit(1)).cast("double")
+            / 1000000.0
+        ).alias("mu0")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = d.crossJoin(F.broadcast(mu)).select(
+        "day",
+        F.sum(F.col("xbar") - F.col("mu0") - 0.005).over(wc).alias("mp"),
+        F.sum(F.col("mu0") - F.col("xbar") - 0.005).over(wc).alias("mn"),
+    )
+    s = m.select(
+        "day",
+        (F.col("mp") - F.least(F.lit(0.0), F.min("mp").over(wc))).alias(
+            "sp"
+        ),
+        (F.col("mn") - F.least(F.lit(0.0), F.min("mn").over(wc))).alias(
+            "sn"
+        ),
+    )
+    alarm = (F.col("sp") > 5.0) | (F.col("sn") > 5.0)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max("sp"), 6).alias("max_cusum_up"),
+        F.round(F.max("sn"), 6).alias("max_cusum_down"),
+        F.sum(F.when(alarm, 1).otherwise(0)).alias("n_alarm_days"),
+        F.date_format(
+            F.min(F.when(alarm, F.col("day"))), "yyyy-MM-dd"
+        ).alias("first_alarm_day"),
+    )

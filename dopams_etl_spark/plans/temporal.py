@@ -518,15 +518,22 @@ def time_weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "shapley_channel_attribution",
-    "WITH "
-    + session_ctes("event_type")
-    + """,
+def _coalition_ctes() -> str:
+    """The shared session-coalition oracle head both Shapley variants
+    (exact lattice and permutation-sampled) open with: the standard
+    30-min sessionization (``session_ctes``), the channel→bit-position
+    table ``u``, the per-session conversion/channel-bitmask aggregate
+    ``sess``, and the observed-coalition value table
+    ``vm(mask, n_m, c_m)`` — the ONE aggregate that collapses the fact.
+    One definition per engine; the coalition model cannot drift between
+    the two estimators (Spark twin: ``_session_coalitions``)."""
+    return (
+        "WITH "
+        + session_ctes("event_type")
+        + """,
     u AS (SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS INT) AS pos
           FROM (SELECT DISTINCT event_type AS ch FROM events
                 WHERE event_type <> 'purchase')),
-    k_ AS (SELECT CAST(COUNT(*) AS INT) AS k FROM u),
     sess AS (
       SELECT s.user_id, s.session_num,
              MAX(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -538,7 +545,48 @@ def time_weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY s.user_id, s.session_num),
     vm AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_m,
                   CAST(SUM(conv) AS BIGINT) AS c_m
-           FROM sess GROUP BY mask),
+           FROM sess GROUP BY mask)"""
+    )
+
+
+def _session_coalitions(spark: SparkSession, ev: DataFrame, channels: list[str]) -> DataFrame:
+    """Spark twin of ``_coalition_ctes``: sessionize, bitmask each
+    session's channel set over the sorted channel list, and aggregate
+    to the observed-coalition table ``vm(mask, n_m, c_m)`` — shared by
+    the exact and sampled Shapley queries so the coalition model is
+    defined once per engine."""
+    u = spark.createDataFrame(
+        [(ch, i) for i, ch in enumerate(channels)], "ch string, pos int"
+    )
+    s = with_session_num(ev)
+    sess = (
+        s.join(F.broadcast(u), s["event_type"] == u["ch"], "left")
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+            F.coalesce(
+                F.bit_or(
+                    F.when(
+                        F.col("event_type") != "purchase",
+                        F.expr("shiftleft(CAST(1 AS BIGINT), pos)"),
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("mask"),
+        )
+    )
+    return sess.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_m"), F.sum("conv").alias("c_m")
+    )
+
+
+@register(
+    "shapley_channel_attribution",
+    _coalition_ctes()
+    + """,
+    k_ AS (SELECT CAST(COUNT(*) AS INT) AS k FROM u),
     allm AS (SELECT unnest(range(0, (CAST(1 AS BIGINT) << k))) AS mask
              FROM k_),
     v AS (SELECT allm.mask,
@@ -622,28 +670,7 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = spark.createDataFrame(
         [(ch, i) for i, ch in enumerate(channels)], "ch string, pos int"
     )
-    s = with_session_num(ev)
-    sess = (
-        s.join(F.broadcast(u), s["event_type"] == u["ch"], "left")
-        .groupBy("user_id", "session_num")
-        .agg(
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("conv"),
-            F.coalesce(
-                F.bit_or(
-                    F.when(
-                        F.col("event_type") != "purchase",
-                        F.expr("shiftleft(CAST(1 AS BIGINT), pos)"),
-                    )
-                ),
-                F.lit(0).cast("bigint"),
-            ).alias("mask"),
-        )
-    )
-    vm = sess.groupBy("mask").agg(
-        F.count(F.lit(1)).alias("n_m"), F.sum("conv").alias("c_m")
-    )
+    vm = _session_coalitions(spark, ev, channels)
     allm = spark.createDataFrame(
         [(m,) for m in range(1 << k)], "mask bigint"
     )
@@ -696,6 +723,19 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("ch").orderBy(F.col("s_mask").desc()))
         .alias("rn"),
     ).filter(F.col("rn") == 1)
+    touched = _channels_touched(u, vm, k)
+    return acc.join(touched, "ch").select(
+        F.col("ch").alias("channel"),
+        "n_sessions",
+        F.round("phi", 6).alias("shapley_credit"),
+    )
+
+
+def _channels_touched(u: DataFrame, vm: DataFrame, k: int) -> DataFrame:
+    """Per-channel touched-session counts from the coalition table:
+    each observed mask's bit positions explode JVM-side (filter/sequence
+    lambdas — never a non-equi join) and weight by the mask's session
+    count. Shared by both Shapley variants."""
     bits = vm.select(
         "n_m",
         F.explode(
@@ -705,15 +745,177 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos"),
     )
-    touched = (
+    return (
         u.join(bits, "pos", "left")
         .groupBy("ch")
         .agg(F.coalesce(F.sum("n_m"), F.lit(0)).cast("bigint").alias(
             "n_sessions"
         ))
     )
+
+
+SHAPLEY_SAMPLE_SALT = "shap-v1"
+SHAPLEY_SAMPLE_PERMS = 24
+
+
+@register(
+    "shapley_channel_attribution_sampled",
+    _coalition_ctes()
+    + f""",
+    reps AS (SELECT unnest(range(0, {SHAPLEY_SAMPLE_PERMS})) AS r),
+    perm AS (
+      SELECT r, ch, pos,
+             row_number() OVER (
+               PARTITION BY r
+               ORDER BY md5('{SHAPLEY_SAMPLE_SALT}|' || CAST(r AS VARCHAR)
+                            || '|' || ch), ch) AS rnk
+      FROM u CROSS JOIN reps),
+    pre AS (
+      SELECT r, ch, pos,
+             COALESCE(SUM(CAST(1 AS BIGINT) << pos) OVER (
+                 PARTITION BY r ORDER BY rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS m0
+      FROM perm),
+    tv AS (
+      SELECT pre.ch, pre.r,
+             COALESCE(v1.c_m / CAST(v1.n_m AS DOUBLE), 0.0)
+             - COALESCE(v0.c_m / CAST(v0.n_m AS DOUBLE), 0.0) AS term
+      FROM pre
+      LEFT JOIN vm v0 ON v0.mask = pre.m0
+      LEFT JOIN vm v1
+             ON v1.mask = pre.m0 + (CAST(1 AS BIGINT) << pre.pos)),
+    acc AS (
+      SELECT ch, SUM(term) OVER (PARTITION BY ch ORDER BY r
+                                 ROWS UNBOUNDED PRECEDING) AS s,
+             row_number() OVER (PARTITION BY ch ORDER BY r DESC) AS rn
+      FROM tv),
+    touched AS (
+      SELECT u.ch,
+             CAST(COALESCE(SUM(CASE WHEN ((vm.mask >> u.pos) & 1) = 1
+                                    THEN vm.n_m END), 0) AS BIGINT)
+               AS n_sessions
+      FROM u CROSS JOIN vm GROUP BY u.ch)
+    SELECT acc.ch AS channel, touched.n_sessions,
+           CAST({SHAPLEY_SAMPLE_PERMS} AS BIGINT) AS n_permutations,
+           ROUND(acc.s / {SHAPLEY_SAMPLE_PERMS}.0, 6)
+             AS shapley_credit_sampled
+    FROM acc JOIN touched ON acc.ch = touched.ch
+    WHERE acc.rn = 1
+    """,
+)
+def shapley_channel_attribution_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation-sampling Shapley estimator (Castro, Gómez & Tejada
+    2009) — the scale path past the exact operator's k<=6 cap: each of
+    R=24 fixed permutations walks the channels in md5-derived order
+    (salt 'shap-v1', replicate-salted — both engines sort the same
+    lowercase-hex digests, so the permutation SET is a deterministic
+    literal-free cross-engine contract, the bootstrap_mean_ci trick
+    applied to orderings) and credits each channel its marginal
+    v(pre + channel) − v(pre); phi is the per-channel mean. Cost is R·k lookups into the SAME observed-
+    coalition table ``vm`` the exact operator aggregates (shared
+    ``_coalition_ctes`` / ``_session_coalitions`` — the fact collapses
+    ONCE, everything downstream is R·k rows at any corpus scale and
+    ANY k: no 2^k lattice ever materializes, which is the whole point).
+    Per-channel terms accumulate through ONE ordered cumulative frame
+    over replicate order (last row taken) so both engines add
+    bit-identical doubles in identical order; with the permutation set
+    exhaustive the estimator IS exact Shapley (telescoping), asserted
+    row-level in tests/test_stats_invariants.py."""
+    ev = t(spark, sf_dir, "events")
+    channels = sorted(
+        r[0]
+        for r in ev.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .collect()
+    )
+    k = len(channels)
+    R = SHAPLEY_SAMPLE_PERMS
+    from pyspark.sql import Window
+
+    u = spark.createDataFrame(
+        [(ch, i) for i, ch in enumerate(channels)], "ch string, pos int"
+    )
+    vm = _session_coalitions(spark, ev, channels)
+    # the R×k replicate grid is a driver literal (k and R are domain
+    # constants — the exact operator's lattice pattern); a crossJoin of
+    # two local relations would plan as a CartesianProduct node
+    grid = spark.createDataFrame(
+        [(r, ch, i) for r in range(R) for i, ch in enumerate(channels)],
+        "r int, ch string, pos int",
+    )
+    key = F.md5(
+        F.concat(
+            F.lit(f"{SHAPLEY_SAMPLE_SALT}|"),
+            F.col("r").cast("string"),
+            F.lit("|"),
+            F.col("ch"),
+        )
+    )
+    perm = grid.select(
+        "r",
+        "ch",
+        "pos",
+        F.row_number()
+        .over(Window.partitionBy("r").orderBy(key, F.col("ch")))
+        .alias("rnk"),
+    )
+    w_pre = (
+        Window.partitionBy("r")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = perm.select(
+        "r",
+        "ch",
+        "pos",
+        F.coalesce(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).over(w_pre),
+            F.lit(0).cast("bigint"),
+        ).alias("m0"),
+    )
+    v0 = vm.select(
+        F.col("mask").alias("mask0"),
+        (F.col("c_m") / F.col("n_m").cast("double")).alias("v0"),
+    )
+    v1 = vm.select(
+        F.col("mask").alias("mask1"),
+        (F.col("c_m") / F.col("n_m").cast("double")).alias("v1"),
+    )
+    tv = (
+        pre.join(F.broadcast(v0), pre["m0"] == v0["mask0"], "left")
+        .join(
+            F.broadcast(v1),
+            (pre["m0"] + F.expr("shiftleft(CAST(1 AS BIGINT), pos)"))
+            == v1["mask1"],
+            "left",
+        )
+        .select(
+            "ch",
+            "r",
+            (
+                F.coalesce(F.col("v1"), F.lit(0.0))
+                - F.coalesce(F.col("v0"), F.lit(0.0))
+            ).alias("term"),
+        )
+    )
+    w_acc = Window.partitionBy("ch").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    acc = tv.select(
+        "ch",
+        F.sum("term").over(w_acc).alias("s"),
+        F.row_number()
+        .over(Window.partitionBy("ch").orderBy(F.col("r").desc()))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    touched = _channels_touched(u, vm, k)
     return acc.join(touched, "ch").select(
         F.col("ch").alias("channel"),
         "n_sessions",
-        F.round("phi", 6).alias("shapley_credit"),
+        F.lit(R).cast("bigint").alias("n_permutations"),
+        F.round(F.col("s") / F.lit(float(R)), 6).alias(
+            "shapley_credit_sampled"
+        ),
     )

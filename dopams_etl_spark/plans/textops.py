@@ -17,7 +17,7 @@ counterparts (n-gram Jaccard, brute-force cosine) in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dopams_etl_spark.functions.textfns import (
@@ -3734,25 +3734,11 @@ def cross_doc_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MMR_LAM, MMR_MU, MMR_N_CAND, MMR_N_SEL = 0.7, 0.3, 12, 5
 
 
-def _mmr_oracle(
-    n_cand: int = MMR_N_CAND,
-    n_sel: int = MMR_N_SEL,
-    lam: float = MMR_LAM,
-    mu: float = MMR_MU,
-) -> str:
-    """Unrolled-greedy MMR oracle: the sequential argmax has no
-    closed SQL form, but ``n_sel`` is a constant, so each selection
-    step becomes one CTE that re-scores the remaining candidates
-    against the union of prior picks (the ``_bpe_encode_oracle``
-    unrolling pattern). Scores stay RAW doubles — both engines compute
-    lam*rel - mu*maxsim from identically-rounded inputs with the same
-    two multiplies and subtract, so ordering is bit-identical and no
-    rounding is needed before the tie-broken argmax. ``mu`` is an
-    EXPLICIT literal, not ``1 - lam``: ``1 - 0.7`` is the double
-    0.30000000000000004, and embedding that expression on one side but
-    the literal 0.3 on the other shifts raw scores by an ulp — enough
-    to flip the repr-hashing driver gate (and, at a near-tie, a pick)."""
-    head = f"""
+def _mmr_pool_exact_sql(n_cand: int = MMR_N_CAND) -> str:
+    """The brute-force candidate-pool CTEs for the MMR oracle: exact
+    cosine top-``n_cand`` of probe vec_id=0 (the ``cosine_topk``
+    twin). Produces ``cand(c_id, cv, rel)``."""
+    return f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                WHERE vec_id = 0),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
@@ -3767,7 +3753,61 @@ def _mmr_oracle(
                           * sqrt(list_dot_product(cv, cv))), 6) DESC,
                    c_id ASC) AS rn
           FROM c CROSS JOIN q),
-    cand AS (SELECT c_id, cv, rel FROM s WHERE rn <= {n_cand}),
+    cand AS (SELECT c_id, cv, rel FROM s WHERE rn <= {n_cand})"""
+
+
+def _mmr_pool_lsh_sql(n_cand: int = MMR_N_CAND, planes: int = 4) -> str:
+    """The LSH-bucketed candidate-pool CTEs for the MMR oracle — the
+    documented 100 TB pool path, oracle-replicated: the probe joins the
+    corpus only within its random-hyperplane bucket (the
+    ``lsh_topk_embeddings`` plane literals via ``_lsh_bucket_sql``),
+    then exact cosine ranks the in-bucket candidates. Produces the
+    same ``cand(c_id, cv, rel)`` contract as the exact pool."""
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv,
+                      {_lsh_bucket_sql("embedding::DOUBLE[]", 64, planes)}
+                        AS bucket
+               FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv,
+                 {_lsh_bucket_sql("embedding::DOUBLE[]", 64, planes)}
+                   AS bucket
+          FROM embeddings WHERE vec_id <> 0),
+    s AS (SELECT c_id, cv,
+                 ROUND(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))), 6) AS rel,
+                 row_number() OVER (
+                   ORDER BY ROUND(list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                   c_id ASC) AS rn
+          FROM c JOIN q USING (bucket)),
+    cand AS (SELECT c_id, cv, rel FROM s WHERE rn <= {n_cand})"""
+
+
+def _mmr_oracle(
+    pool_sql: str | None = None,
+    n_sel: int = MMR_N_SEL,
+    lam: float = MMR_LAM,
+    mu: float = MMR_MU,
+) -> str:
+    """Unrolled-greedy MMR oracle: the sequential argmax has no
+    closed SQL form, but ``n_sel`` is a constant, so each selection
+    step becomes one CTE that re-scores the remaining candidates
+    against the union of prior picks (the ``_bpe_encode_oracle``
+    unrolling pattern). The candidate pool is PLUGGABLE — any CTE
+    chain producing ``cand(c_id, cv, rel)`` (exact brute-force or the
+    LSH-bucketed scale path) feeds the SAME greedy tail, so the two
+    registered MMR variants cannot drift in their selection logic.
+    Scores stay RAW doubles — both engines compute
+    lam*rel - mu*maxsim from identically-rounded inputs with the same
+    two multiplies and subtract, so ordering is bit-identical and no
+    rounding is needed before the tie-broken argmax. ``mu`` is an
+    EXPLICIT literal, not ``1 - lam``: ``1 - 0.7`` is the double
+    0.30000000000000004, and embedding that expression on one side but
+    the literal 0.3 on the other shifts raw scores by an ulp — enough
+    to flip the repr-hashing driver gate (and, at a near-tie, a pick)."""
+    head = (pool_sql if pool_sql is not None else _mmr_pool_exact_sql()) + f""",
     p0 AS (SELECT a.c_id AS ia, b.c_id AS ib,
                   ROUND(list_dot_product(a.cv, b.cv)
                         / (sqrt(list_dot_product(a.cv, a.cv))
@@ -3821,17 +3861,32 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect pattern, k-bounded at any corpus scale. Scores stay raw
     doubles (identical IEEE ops on identically-rounded-6 inputs on both
     engines); ties break on candidate id."""
-    from dopams_etl_spark.operators.similarity import cosine, cosine_topk
+    from dopams_etl_spark.operators.similarity import cosine_topk
 
-    # mu is an explicit literal, NOT 1 - lam (= 0.30000000000000004):
-    # the oracle embeds the SAME module constants, keeping raw scores
-    # bit-identical
-    lam, mu, n_cand, n_sel = MMR_LAM, MMR_MU, MMR_N_CAND, MMR_N_SEL
     emb = t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     cand = cosine_topk(
-        probe, emb, "vec_id", "vec_id", "embedding", k=n_cand
+        probe, emb, "vec_id", "vec_id", "embedding", k=MMR_N_CAND
     ).select("c_id", F.col("cos_sim").alias("rel"))
+    return _mmr_greedy_from_pool(spark, emb, cand)
+
+
+def _mmr_greedy_from_pool(spark: SparkSession, emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """The shared MMR machinery downstream of the candidate pool: the
+    pool's pairwise cosines are a Spark plan (pool² is ≤ n_cand² = 144
+    rows — bounded at any corpus scale), the inherently-sequential
+    greedy argmax runs driver-side on the collected k-bounded tables
+    (the kmeans-centroid collect pattern). ONE implementation feeds
+    both registered MMR variants (exact pool and LSH-bucketed pool) —
+    the selection logic cannot drift between them, mirroring the
+    pluggable-``cand`` design of ``_mmr_oracle``.
+
+    mu is an explicit module literal, NOT 1 - lam
+    (= 0.30000000000000004): the oracle embeds the SAME constants,
+    keeping raw scores bit-identical."""
+    from dopams_etl_spark.operators.similarity import cosine
+
+    lam, mu, n_sel = MMR_LAM, MMR_MU, MMR_N_SEL
     cv = cand.join(
         emb.select(F.col("vec_id").alias("c_id"), "embedding"), "c_id"
     ).select("c_id", "rel", "embedding")
@@ -3870,4 +3925,301 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         del remaining[cid]
     return spark.createDataFrame(
         selected, "pick bigint, vec_id bigint, relevance double, mmr_score double"
+    )
+
+
+@register("mmr_over_lsh", _mmr_oracle(_mmr_pool_lsh_sql()))
+def mmr_over_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking composed over the BUCKETED ANN path
+    end-to-end — the 100 TB composition ``mmr_diversified_search``'s
+    docstring promises, proven as a driver-checkable query: the
+    candidate pool is ``lsh_topk`` output (probe joins the corpus only
+    within its random-hyperplane bucket — shuffle on bucket id, never
+    the cross product, no size gate needed), and the identical greedy
+    (shared ``_mmr_greedy_from_pool``) selects 5-of-top-12 maximizing
+    0.7·relevance − 0.3·max-sim-to-selected. planes=4 (16 buckets)
+    keeps the probe's bucket big enough to fill the 12-candidate pool
+    at every tested SF; the oracle replicates the plane literals via
+    ``_lsh_bucket_sql`` so BOTH the bucketing and the selection are
+    value-checked."""
+    from dopams_etl_spark.operators.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    cand = lsh_topk(
+        probe,
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=MMR_N_CAND,
+        dim=64,
+        planes=4,
+    ).select("c_id", F.col("cos_sim").alias("rel"))
+    return _mmr_greedy_from_pool(spark, emb, cand)
+
+
+@register(
+    "heaps_law_fit",
+    r"""
+    WITH dd AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\s+') END
+               AS toks
+      FROM documents),
+    bounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM dd),
+    db AS (SELECT doc_id, toks,
+                  CAST(((doc_id - mn) * 32) // (mx - mn + 1) AS BIGINT)
+                    AS b
+           FROM dd CROSS JOIN bounds),
+    tok_b AS (SELECT b, CAST(SUM(len(toks)) AS BIGINT) AS n_tok
+              FROM db GROUP BY b),
+    fo AS (SELECT tok, MIN(b) AS fb
+           FROM (SELECT b, unnest(list_distinct(toks)) AS tok FROM db)
+           GROUP BY tok),
+    new_b AS (SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM fo GROUP BY fb),
+    cum AS (
+      SELECT tok_b.b,
+             SUM(tok_b.n_tok) OVER w AS cum_tok,
+             SUM(COALESCE(new_b.n_new, 0)) OVER w AS cum_voc
+      FROM tok_b LEFT JOIN new_b ON tok_b.b = new_b.b
+      WINDOW w AS (ORDER BY tok_b.b ROWS UNBOUNDED PRECEDING)),
+    pts AS (SELECT b, ROUND(ln(CAST(cum_tok AS DOUBLE)), 6) AS x,
+                   ROUND(ln(CAST(cum_voc AS DOUBLE)), 6) AS y,
+                   cum_tok, cum_voc
+            FROM cum WHERE cum_tok > 0 AND cum_voc > 0),
+    acc AS (
+      SELECT b, cum_tok, cum_voc,
+             COUNT(*) OVER w AS np,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+             row_number() OVER (ORDER BY b DESC) AS rn
+      FROM pts
+      WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING))
+    SELECT CAST(np AS BIGINT) AS n_points,
+           CAST(cum_tok AS BIGINT) AS n_tokens,
+           CAST(cum_voc AS BIGINT) AS n_types,
+           -- + 0.0 canonicalizes IEEE negative zero: a flat curve can
+           -- round to -0.0 on one engine and 0.0 on the other, and the
+           -- strict gate hashes raw reprs
+           ROUND((np * sxy - sx * sy)
+                 / NULLIF(np * sxx - sx * sx, 0.0), 6) + 0.0 AS beta,
+           ROUND(exp((sy - (np * sxy - sx * sy)
+                           / NULLIF(np * sxx - sx * sx, 0.0) * sx) / np),
+                 6) AS k_coef
+    FROM acc WHERE rn = 1
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β — how fast the corpus vocabulary
+    grows with tokens read, the curve that sizes a tokenizer's
+    open-vocabulary exposure and flags synthetic/templated corpora
+    (natural text: β ≈ 0.4–0.6; a flat β says near-duplicate boilerplate,
+    a β near 1 says noise). Scale shape: the growth curve samples at 32
+    doc-id-range buckets, NOT per doc — token first occurrences are one
+    shingle-style postings aggregate (token → min bucket, bounded by
+    |vocab|), per-bucket totals are exact BIGINTs, and every window
+    (cumulative counts, the OLS moment sums, the last-row pick) runs
+    over ≤ 32 rows. The log-log OLS is assembled from ordered-frame
+    sums at the last row (bit-identical adds; ln values rounded to 6
+    first) — no float aggregate whose summation order the engine picks.
+    try_divide/NULLIF yields NULL β on a degenerate single-point
+    curve."""
+    from dopams_etl_spark.functions.textfns import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    dd = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.array().cast("array<string>"))
+        .otherwise(tokens("text"))
+        .alias("toks"),
+    )
+    bounds = dd.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    db = dd.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "toks",
+        F.expr("CAST(((doc_id - mn) * 32) div (mx - mn + 1) AS BIGINT)").alias(
+            "b"
+        ),
+    )
+    tok_b = db.groupBy("b").agg(
+        F.sum(F.size("toks")).cast("long").alias("n_tok")
+    )
+    fo = (
+        db.select("b", F.explode(F.array_distinct("toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("b").alias("fb"))
+    )
+    new_b = fo.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        tok_b.join(new_b, "b", "left")
+        .select(
+            "b",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_voc"),
+        )
+    )
+    pts = cum.filter((F.col("cum_tok") > 0) & (F.col("cum_voc") > 0)).select(
+        "b",
+        "cum_tok",
+        "cum_voc",
+        F.round(F.log(F.col("cum_tok").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("cum_voc").cast("double")), 6).alias("y"),
+    )
+    acc = pts.select(
+        "b",
+        "cum_tok",
+        "cum_voc",
+        F.count(F.lit(1)).over(w).alias("np"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.row_number().over(Window.orderBy(F.col("b").desc())).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    slope = F.try_divide(
+        F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    return acc.select(
+        F.col("np").cast("long").alias("n_points"),
+        F.col("cum_tok").cast("long").alias("n_tokens"),
+        F.col("cum_voc").cast("long").alias("n_types"),
+        (F.round(slope, 6) + 0.0).alias("beta"),
+        F.round(
+            F.exp((F.col("sy") - slope * F.col("sx")) / F.col("np")), 6
+        ).alias("k_coef"),
+    )
+
+
+ANN_RECALL_PLANES, ANN_RECALL_TABLES = 3, 16
+
+
+def _lsh_tables_sql(vec_expr: str, planes: int, tables: int) -> str:
+    """Per-table LSH bucket CASE over a table index column ``tbl`` —
+    the OR-amplification twin of ``lsh_topk(tables>1)``: table t uses
+    the seed-(42+1000t) hyperplane set, exactly ``operators/similarity``'s
+    convention, each replicated via ``_lsh_bucket_sql``."""
+    whens = "".join(
+        f" WHEN {t} THEN ({_lsh_bucket_sql(vec_expr, 64, planes, 42 + 1000 * t)})"
+        for t in range(tables)
+    )
+    return f"CASE tbl{whens} END"
+
+
+@register(
+    "ann_recall_report",
+    f"""
+    WITH p AS (SELECT vec_id AS p_id, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    ex AS (SELECT p_id, c_id,
+                  row_number() OVER (PARTITION BY p_id ORDER BY
+                    ROUND(list_dot_product(pv, cv)
+                          / (sqrt(list_dot_product(pv, pv))
+                             * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    c_id ASC) AS rn
+           FROM p JOIN c ON p_id <> c_id),
+    exact3 AS (SELECT p_id, c_id FROM ex WHERE rn <= 3),
+    tbls AS (SELECT unnest(range(0, {ANN_RECALL_TABLES})) AS tbl),
+    pb AS (SELECT p_id, pv, tbl,
+                  {_lsh_tables_sql("pv", ANN_RECALL_PLANES, ANN_RECALL_TABLES)}
+                    AS bucket
+           FROM p CROSS JOIN tbls),
+    cb AS (SELECT c_id, cv, tbl,
+                  {_lsh_tables_sql("cv", ANN_RECALL_PLANES, ANN_RECALL_TABLES)}
+                    AS bucket
+           FROM c CROSS JOIN tbls),
+    cand AS (SELECT DISTINCT p_id, c_id
+             FROM pb JOIN cb USING (tbl, bucket) WHERE p_id <> c_id),
+    ls AS (SELECT cand.p_id, cand.c_id,
+                  row_number() OVER (PARTITION BY cand.p_id ORDER BY
+                    ROUND(list_dot_product(pv, cv)
+                          / (sqrt(list_dot_product(pv, pv))
+                             * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cand.c_id ASC) AS rn
+           FROM cand JOIN p ON cand.p_id = p.p_id
+                     JOIN c ON cand.c_id = c.c_id),
+    lsh3 AS (SELECT p_id, c_id FROM ls WHERE rn <= 3),
+    per_probe AS (
+      SELECT e.p_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(COUNT(l.c_id) AS BIGINT) AS n_hit
+      FROM exact3 e LEFT JOIN lsh3 l
+        ON e.p_id = l.p_id AND e.c_id = l.c_id
+      GROUP BY e.p_id)
+    SELECT p_id, n_exact, n_hit,
+           ROUND(n_hit / CAST(n_exact AS DOUBLE), 6) AS recall,
+           ROUND(SUM(n_hit) OVER () / CAST(SUM(n_exact) OVER () AS DOUBLE),
+                 6) AS mean_recall
+    FROM per_probe
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality readout, driver-checkable: recall@3 of the
+    OR-AMPLIFIED LSH index (planes=3, tables=16 — the configuration
+    the 100 TB path would deploy, pytest-measured at ~0.98 recall where
+    the single-table planes=6 registered query measures ~0.08 on these
+    random-vector embeddings, ANN's worst case) against the exact
+    ``cosine_topk`` ground truth, per probe and micro-averaged — the
+    number that decides whether the bucketed index is GOOD ENOUGH
+    before swapping it in for the size-gated exact scan. Previously
+    this lived only as a pytest recall floor
+    (``test_lsh_topk_amplified_recall_sf001``); as a registered query
+    the measurement itself is oracle-verified: the oracle replicates
+    all 16 per-table hyperplane sets (seed 42+1000t, the
+    ``lsh_topk(tables>1)`` convention) and the cross-table candidate
+    dedup. The probe set is 20 rows, so the report is a 20-row left
+    join of two top-3 tables — bounded at any corpus scale."""
+    from dopams_etl_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 20)
+    exact3 = cosine_topk(
+        probe, emb, "vec_id", "vec_id", "embedding", k=3
+    ).select("p_id", "c_id")
+    lsh3 = lsh_topk(
+        probe,
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=3,
+        dim=64,
+        planes=ANN_RECALL_PLANES,
+        tables=ANN_RECALL_TABLES,
+    ).select(F.col("p_id").alias("lp"), F.col("c_id").alias("lc"))
+    per_probe = (
+        exact3.join(
+            lsh3,
+            (F.col("p_id") == F.col("lp")) & (F.col("c_id") == F.col("lc")),
+            "left",
+        )
+        .groupBy("p_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("lc").alias("n_hit"),
+        )
+    )
+    wall = Window.partitionBy()
+    return per_probe.select(
+        "p_id",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.sum("n_hit").over(wall)
+            / F.sum("n_exact").over(wall).cast("double"),
+            6,
+        ).alias("mean_recall"),
     )

@@ -51,6 +51,14 @@ BNLJ_ALLOWED = {
     # is k(k-1)/2 rows at any fact cardinality — pre-aggregate-then-pair
     # like theil_sen, plus the recognized one-row MSW broadcast.
     "tukey_hsd_value_by_type",
+    # dunn_posthoc pairs the SAME k-row rank-sum table with itself under
+    # type_a < type_b (the rank-based twin of tukey_hsd's grid), plus
+    # the recognized one-row pooled-variance broadcast.
+    "dunn_posthoc_value_by_type",
+    # ann_recall_report's ground-truth arm IS cosine_topk (the size-gated
+    # exact baseline being measured); the lsh arm and the recall join
+    # are equi-joins on bucket / (p_id, c_id).
+    "ann_recall_report",
 }
 
 

@@ -874,18 +874,14 @@ def test_logrank_matches_rowlevel_reference(spark, qs):
         assert abs(row["chi2"] - (o1 - e1) ** 2 / v) <= 1e-4
 
 
-def test_shapley_matches_permutation_reference(spark, qs):
-    """r10: the weighted-subset Shapley must equal the
-    permutation-average definition (all k! orderings), and satisfy
-    the efficiency axiom sum(phi) = v(grand) - v(empty)."""
-    import itertools
-
+def _py_session_coalitions():
+    """Independent Python walk of the session-coalition model (30-min
+    gap sessionization, per-session channel bitmask + converted flag) —
+    the shared reference both Shapley tests check their engine results
+    against. Returns (channels, pos, stats) with
+    stats[mask] = (n_sessions, n_converted)."""
     import duckdb
 
-    got = {
-        r["channel"]: r
-        for r in qs["shapley_channel_attribution"](spark, SF).collect()
-    }
     ev = (
         duckdb.connect()
         .execute(
@@ -898,8 +894,7 @@ def test_shapley_matches_permutation_reference(spark, qs):
         set(ev["event_type"].unique()) - {"purchase"}
     )
     pos = {ch: i for i, ch in enumerate(channels)}
-    k = len(channels)
-    stats: dict[int, list[int]] = {}
+    stats: dict[int, tuple[int, int]] = {}
     for uid, g in ev.groupby("user_id"):
         g = g.sort_values(["ts", "event_id"])
         end, mask, conv = None, 0, 0
@@ -917,6 +912,21 @@ def test_shapley_matches_permutation_reference(spark, qs):
         for m, c in sessions:
             n, cc = stats.get(m, (0, 0))
             stats[m] = (n + 1, cc + c)
+    return channels, pos, stats
+
+
+def test_shapley_matches_permutation_reference(spark, qs):
+    """r10: the weighted-subset Shapley must equal the
+    permutation-average definition (all k! orderings), and satisfy
+    the efficiency axiom sum(phi) = v(grand) - v(empty)."""
+    import itertools
+
+    got = {
+        r["channel"]: r
+        for r in qs["shapley_channel_attribution"](spark, SF).collect()
+    }
+    channels, pos, stats = _py_session_coalitions()
+    k = len(channels)
     v = {m: cc / n for m, (n, cc) in stats.items()}
     val = lambda m: v.get(m, 0.0)  # noqa: E731
     phi = {ch: 0.0 for ch in channels}
@@ -937,6 +947,83 @@ def test_shapley_matches_permutation_reference(spark, qs):
     assert abs(
         sum(phi.values()) - (val((1 << k) - 1) - val(0))
     ) <= 1e-9
+
+
+def test_shapley_sampled_matches_md5_reference(spark, qs):
+    """r11: the permutation-sampling estimator must equal an
+    independent Python walk of the SAME md5-derived permutation set
+    (salt, replicate count, hex ordering, tie-break) — term-for-term
+    in replicate order, so the comparison is at float tolerance of the
+    query's 6-dp rounding only. Efficiency holds exactly for the
+    sampled estimator too (every permutation telescopes to
+    v(grand) − v(empty)). With the permutation set exhaustive instead
+    of sampled, the same walk must reproduce the EXACT operator —
+    proving the estimator's math, not just its determinism."""
+    import hashlib
+    import itertools
+
+    from dopams_etl_spark.plans.temporal import (
+        SHAPLEY_SAMPLE_PERMS,
+        SHAPLEY_SAMPLE_SALT,
+    )
+
+    got = {
+        r["channel"]: r
+        for r in qs["shapley_channel_attribution_sampled"](
+            spark, SF
+        ).collect()
+    }
+    channels, pos, stats = _py_session_coalitions()
+    k = len(channels)
+    v = {m: cc / n for m, (n, cc) in stats.items()}
+    val = lambda m: v.get(m, 0.0)  # noqa: E731
+
+    def walk(orderings):
+        phi = {ch: 0.0 for ch in channels}
+        for order in orderings:
+            m = 0
+            for ch in order:
+                phi[ch] += val(m | (1 << pos[ch])) - val(m)
+                m |= 1 << pos[ch]
+        return {ch: s / len(orderings) for ch, s in phi.items()}
+
+    md5_perms = [
+        sorted(
+            channels,
+            key=lambda ch: (
+                hashlib.md5(
+                    f"{SHAPLEY_SAMPLE_SALT}|{r}|{ch}".encode()
+                ).hexdigest(),
+                ch,
+            ),
+        )
+        for r in range(SHAPLEY_SAMPLE_PERMS)
+    ]
+    phi = walk(md5_perms)
+    for ch in channels:
+        assert got[ch]["n_permutations"] == SHAPLEY_SAMPLE_PERMS
+        assert abs(got[ch]["shapley_credit_sampled"] - phi[ch]) <= 1e-6
+        touched = sum(
+            n for m, (n, _) in stats.items() if (m >> pos[ch]) & 1
+        )
+        assert got[ch]["n_sessions"] == touched
+    # the sampled permutation set is genuinely varied, not degenerate
+    assert len({tuple(p) for p in md5_perms}) > 1
+    # efficiency axiom holds for ANY permutation set (telescoping)
+    assert abs(
+        sum(phi.values()) - (val((1 << k) - 1) - val(0))
+    ) <= 1e-9
+    # exhaustive permutation set == the exact operator, row for row
+    exact = {
+        r["channel"]: r["shapley_credit"]
+        for r in qs["shapley_channel_attribution"](spark, SF).collect()
+    }
+    full = walk(
+        [[channels[p] for p in perm]
+         for perm in itertools.permutations(range(k))]
+    )
+    for ch in channels:
+        assert abs(full[ch] - exact[ch]) <= 1e-5
 
 
 def test_cross_doc_runs_match_tokenlevel_reference(spark, qs):
@@ -1101,3 +1188,268 @@ def test_nelson_aalen_matches_rowlevel_reference(spark, qs):
             seen += 1
         at -= len(here)
     assert seen == len(rows)
+
+
+def _rank_stats_reference():
+    """Shared Python reference for the global-rank family (KW + Dunn):
+    per-type value lists, pooled average ranks, per-type rank sums, and
+    the tie term — an independent walk, no windows."""
+    ev = (
+        duckdb.connect()
+        .execute(
+            "SELECT event_type AS typ, value AS v FROM "
+            f"read_parquet('{SF}/events.parquet') WHERE value IS NOT NULL"
+        )
+        .df()
+    )
+    vals = sorted(ev["v"].tolist())
+    # average rank per distinct value
+    ranks: dict[float, float] = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        ranks[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    groups: dict[str, list[float]] = {}
+    for typ, v in zip(ev["typ"], ev["v"]):
+        groups.setdefault(typ, []).append(v)
+    t3t = 0.0
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        c = j - i
+        t3t += float(c) ** 3 - c
+        i = j
+    return ranks, groups, len(vals), t3t
+
+
+def test_dunn_posthoc_matches_rank_reference(spark, qs):
+    """r11: Dunn z-scores must equal an independent Python rank walk
+    (pooled average ranks, tie-corrected pooled variance), be
+    antisymmetric by construction, and agree with the kruskal_wallis
+    machinery on group sizes."""
+    rows = qs["dunn_posthoc_value_by_type"](spark, SF).collect()
+    ranks, groups, nn, t3t = _rank_stats_reference()
+    b = nn * (nn + 1) / 12.0 - t3t / (12.0 * (nn - 1))
+    seen = set()
+    for r in rows:
+        a, c = r["type_a"], r["type_b"]
+        assert a < c
+        assert (a, c) not in seen
+        seen.add((a, c))
+        mra = sum(ranks[v] for v in groups[a]) / len(groups[a])
+        mrc = sum(ranks[v] for v in groups[c]) / len(groups[c])
+        assert r["n_a"] == len(groups[a])
+        assert r["n_b"] == len(groups[c])
+        assert abs(r["mean_rank_a"] - mra) <= 1e-4
+        assert abs(r["mean_rank_b"] - mrc) <= 1e-4
+        se = (b * (1.0 / len(groups[a]) + 1.0 / len(groups[c]))) ** 0.5
+        assert abs(r["z_stat"] - (mra - mrc) / se) <= 1e-4
+    k = len(groups)
+    assert len(rows) == k * (k - 1) // 2
+
+
+def test_friedman_matches_block_rank_reference(spark, qs):
+    """r11: the Friedman statistic must equal an independent Python
+    walk over the complete day-blocks (daily means rounded to 6 like
+    the query, average ranks on ties, tie-corrected denominator)."""
+    row = qs["friedman_value_by_type_daily"](spark, SF).collect()[0]
+    ev = (
+        duckdb.connect()
+        .execute(
+            "SELECT CAST(ts AS DATE) AS day, event_type AS typ,"
+            " ROUND(AVG(value), 6) AS xbar FROM "
+            f"read_parquet('{SF}/events.parquet')"
+            " WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2"
+        )
+        .df()
+    )
+    k = ev["typ"].nunique()
+    blocks = {
+        day: dict(zip(g["typ"], g["xbar"]))
+        for day, g in ev.groupby("day")
+        if len(g) == k
+    }
+    n = len(blocks)
+    assert row["n_days"] == n and row["k"] == k
+    rj: dict[str, float] = {}
+    t3t = 0.0
+    for day, cells in blocks.items():
+        svals = sorted(cells.values())
+        for typ, x in cells.items():
+            lo = sum(1 for v in svals if v < x)
+            ties = sum(1 for v in svals if v == x)
+            rj[typ] = rj.get(typ, 0.0) + lo + (ties + 1) / 2.0
+        seen = set()
+        for x in svals:
+            if x in seen:
+                continue
+            seen.add(x)
+            c = sum(1 for v in svals if v == x)
+            t3t += float(c) ** 3 - c
+    chi2 = 12.0 / (n * k * (k + 1)) * sum(
+        v * v for v in rj.values()
+    ) - 3.0 * n * (k + 1)
+    assert abs(row["chi2_f"] - chi2) <= 1e-4
+    corr = 1.0 - t3t / (float(n) * k * (k * k - 1))
+    if corr != 0:
+        assert abs(row["chi2_f_adj"] - chi2 / corr) <= 1e-4
+
+
+def test_cusum_matches_naive_recurrence(spark, qs):
+    """r11: the reflection-form CUSUM (M − min(0, running-min M)) must
+    equal the naive S = max(0, S + y) recurrence walked day by day —
+    both sides, plus the alarm census."""
+    row = qs["cusum_value_drift"](spark, SF).collect()[0]
+    d = (
+        duckdb.connect()
+        .execute(
+            "SELECT CAST(ts AS DATE) AS day, ROUND(AVG(value), 6) AS xbar"
+            f" FROM read_parquet('{SF}/events.parquet')"
+            " WHERE value IS NOT NULL AND ts IS NOT NULL"
+            " GROUP BY 1 ORDER BY day"
+        )
+        .df()
+    )
+    micro = sum(round(x * 1000000) for x in d["xbar"])
+    mu0 = micro / len(d) / 1000000.0
+    sp = sn = 0.0
+    max_up = max_dn = 0.0
+    alarms = []
+    for day, x in zip(d["day"], d["xbar"]):
+        sp = max(0.0, sp + (x - mu0 - 0.005))
+        sn = max(0.0, sn + (mu0 - x - 0.005))
+        max_up = max(max_up, sp)
+        max_dn = max(max_dn, sn)
+        if sp > 5.0 or sn > 5.0:
+            alarms.append(day)
+    assert row["n_days"] == len(d)
+    assert abs(row["max_cusum_up"] - max_up) <= 1e-5
+    assert abs(row["max_cusum_down"] - max_dn) <= 1e-5
+    assert row["n_alarm_days"] == len(alarms)
+    want_first = str(alarms[0].date()) if alarms else None
+    assert row["first_alarm_day"] == want_first
+
+
+def test_brier_decomposition_identity(spark, qs):
+    """r11: Murphy's identity — for bin-constant forecasts the Brier
+    score equals reliability − resolution + uncertainty EXACTLY; check
+    the query's components against a direct quantized-forecast Brier
+    computed independently, and the basic ranges."""
+    row = qs["brier_decomposition"](spark, SF).collect()[0]
+    d = (
+        duckdb.connect()
+        .execute(
+            "SELECT n_chars, (lang = 'en') AS y FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+            " WHERE n_chars IS NOT NULL AND lang IS NOT NULL"
+            " ORDER BY n_chars"
+        )
+        .df()
+    )
+    n = len(d)
+    # percent_rank then 10 bins, exactly like the query
+    import pandas as pd
+
+    pr = d["n_chars"].rank(method="min").sub(1).div(n - 1)
+    bins = pr.mul(10).astype(int).clip(upper=9)
+    df = pd.DataFrame({"bin": bins, "p": pr, "y": d["y"].astype(float)})
+    per = df.groupby("bin").agg(n=("y", "size"), conf=("p", "mean"),
+                                acc=("y", "mean"))
+    ybar = df["y"].sum() / n
+    rel = (per["n"] / n * (per["conf"] - per["acc"]) ** 2).sum()
+    res = (per["n"] / n * (per["acc"] - ybar) ** 2).sum()
+    unc = ybar * (1 - ybar)
+    # direct Brier of the bin-quantized forecast
+    conf_of = per["conf"].to_dict()
+    brier_q = sum(
+        (conf_of[b] - y) ** 2 for b, y in zip(df["bin"], df["y"])
+    ) / n
+    assert abs(row["base_rate"] - ybar) <= 1e-6
+    assert abs(row["reliability"] - rel) <= 1e-6
+    assert abs(row["resolution"] - res) <= 1e-6
+    assert abs(row["uncertainty"] - unc) <= 1e-6
+    assert abs(row["brier_binned"] - (rel - res + unc)) <= 1e-6
+    assert abs(brier_q - (rel - res + unc)) <= 1e-9  # Murphy identity
+    assert 0.0 <= row["brier_binned"] <= 1.0
+
+
+def test_heaps_law_fit_recovers_growing_vocab(spark):
+    """r11: on a corpus whose vocabulary genuinely grows (the testdata's
+    31-word vocabulary saturates instantly — beta = 0 there, the
+    templated-corpus signal), the bucketed log-log OLS must recover a
+    positive sublinear beta matching an independent numpy fit of the
+    same 32 curve points."""
+    import math
+
+    import numpy as np
+
+    from dopams_etl_spark.plans.textops import heaps_law_fit
+
+    import tempfile
+
+    rng = [f"w{i}" for i in range(5000)]
+    docs = []
+    # doc i introduces ~sqrt growth: tokens drawn from the first
+    # (50 + 8*i) vocabulary words, 40 tokens each, deterministic walk
+    for i in range(400):
+        lim = min(len(rng), 50 + 8 * i)
+        toks = [rng[(7 * j + 13 * i) % lim] for j in range(40)]
+        docs.append((i, " ".join(toks)))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            f"{tmp}/documents.parquet"
+        )
+        row = heaps_law_fit(spark, tmp).collect()[0]
+    # independent reference over the same bucketing
+    B = 32
+    mn, mx = 0, 399
+    seen: set[str] = set()
+    tok_b = [0] * B
+    new_b = [0] * B
+    for i, text in docs:
+        b = ((i - mn) * B) // (mx - mn + 1)
+        ws = text.split()
+        tok_b[b] += len(ws)
+        for w in dict.fromkeys(ws):
+            if w not in seen:
+                seen.add(w)
+                new_b[b] += 1
+    xs, ys = [], []
+    ct = cv = 0
+    for b in range(B):
+        ct += tok_b[b]
+        cv += new_b[b]
+        if ct > 0 and cv > 0:
+            xs.append(round(math.log(ct), 6))
+            ys.append(round(math.log(cv), 6))
+    beta, logk = np.polyfit(xs, ys, 1)
+    assert row["n_tokens"] == sum(tok_b)
+    assert row["n_types"] == len(seen)
+    assert abs(row["beta"] - beta) <= 1e-4
+    assert abs(row["k_coef"] - math.exp(logk)) <= max(
+        1e-3, 1e-3 * math.exp(logk)
+    )
+    assert 0.1 < row["beta"] < 1.0  # genuinely sublinear growth
+
+
+def test_ann_recall_report_consistency(spark, qs):
+    """r11: the recall report must be internally consistent (hits <=
+    exact, recall = hits/exact, the micro-average matches the row
+    sums) and meet the same recall floor test_similarity pins for the
+    identical lsh parameters."""
+    rows = qs["ann_recall_report"](spark, SF).collect()
+    assert len(rows) == 20
+    tot_hit = sum(r["n_hit"] for r in rows)
+    tot_exact = sum(r["n_exact"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_exact"] == 3
+        assert abs(r["recall"] - r["n_hit"] / r["n_exact"]) <= 5e-7
+        assert abs(r["mean_recall"] - tot_hit / tot_exact) <= 1e-6
+    # the amplified config (planes=3, tables=16) pins >= 0.9 in
+    # test_lsh_topk_amplified_recall_sf001; allow a margin here
+    assert rows[0]["mean_recall"] >= 0.85

@@ -241,6 +241,14 @@ AUDITED = (
     "cross_doc_substring_runs",
     "mmr_diversified_search",
     "nelson_aalen_hazard",
+    "shapley_channel_attribution_sampled",
+    "mmr_over_lsh",
+    "dunn_posthoc_value_by_type",
+    "friedman_value_by_type_daily",
+    "cusum_value_drift",
+    "brier_decomposition",
+    "heaps_law_fit",
+    "ann_recall_report",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
