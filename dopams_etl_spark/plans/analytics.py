@@ -4354,9 +4354,11 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM((n / total) * (acc - ybar) * (acc - ybar)), 6)
              AS resolution,
            ROUND(ybar * (1 - ybar), 6) AS uncertainty,
+           -- + 0.0 canonicalizes IEEE -0.0: REL-RES+UNC is >= 0
+           -- analytically but fp cancellation can land in (-5e-7, 0)
            ROUND(SUM((n / total) * (conf - acc) * (conf - acc))
                  - SUM((n / total) * (acc - ybar) * (acc - ybar))
-                 + ybar * (1 - ybar), 6) AS brier_binned
+                 + ybar * (1 - ybar), 6) + 0.0 AS brier_binned
     FROM per_bin CROSS JOIN tot
     GROUP BY total, ybar
     """,
@@ -4424,11 +4426,14 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ybar") * (1 - F.col("ybar")), 6).alias(
                 "uncertainty"
             ),
-            F.round(
-                F.col("rel")
-                - F.col("res")
-                + F.col("ybar") * (1 - F.col("ybar")),
-                6,
+            (
+                F.round(
+                    F.col("rel")
+                    - F.col("res")
+                    + F.col("ybar") * (1 - F.col("ybar")),
+                    6,
+                )
+                + 0.0
             ).alias("brier_binned"),
         )
     )

@@ -10,7 +10,12 @@ Conventions for hash-stable parity:
 - nested arrays/structs serialized with ``to_json`` on both sides
   (maps/lists have no canonical order for value-hashing otherwise);
 - timestamps surfaced as DATE or 'yyyy-MM-dd' strings;
-- every top-k / latest-per-key has a deterministic tie-break.
+- every top-k / latest-per-key has a deterministic tie-break;
+- every SIGN-INDEFINITE rounded double adds ``+ 0.0`` on both sides:
+  the engines disagree on the sign of ``round(-1e-9, 6)`` (DuckDB
+  keeps IEEE -0.0, Spark normalizes to 0.0) and the driver hashes raw
+  cell reprs, so an un-canonicalized near-zero statistic is a latent
+  red (caught live by heaps_law_fit's beta at sf0.001, r11).
 
 SURVEY.md §2 tags appear in each query's docstring so the judge can map
 coverage line-by-line.

@@ -2311,9 +2311,11 @@ def page_hinkley_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.n_g AS n_a, c.n_g AS n_b,
            ROUND(a.r_g / a.n_g, 6) AS mean_rank_a,
            ROUND(c.r_g / c.n_g, 6) AS mean_rank_b,
+           -- + 0.0 canonicalizes IEEE -0.0: engines disagree on the
+           -- sign of round(-1e-9, 6) and the gate hashes raw reprs
            ROUND((a.r_g / a.n_g - c.r_g / c.n_g)
                  / NULLIF(sqrt(brk.b * (1.0 / a.n_g + 1.0 / c.n_g)), 0.0),
-                 6) AS z_stat
+                 6) + 0.0 AS z_stat
     FROM grp a JOIN grp c ON a.typ < c.typ
     CROSS JOIN brk
     """,
@@ -2395,7 +2397,7 @@ def dunn_posthoc_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.round(mra, 6).alias("mean_rank_a"),
             F.round(mrb, 6).alias("mean_rank_b"),
-            F.round(F.try_divide(mra - mrb, se), 6).alias("z_stat"),
+            (F.round(F.try_divide(mra - mrb, se), 6) + 0.0).alias("z_stat"),
         )
     )
 
@@ -2430,9 +2432,11 @@ def dunn_posthoc_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rj CROSS JOIN nb CROSS JOIN k_
       GROUP BY n, k)
     SELECT n AS n_days, k,
-           ROUND(chi2, 6) AS chi2_f,
+           -- + 0.0 canonicalizes IEEE -0.0 (chi2 is >= 0 analytically
+           -- but fp cancellation can land in (-5e-7, 0))
+           ROUND(chi2, 6) + 0.0 AS chi2_f,
            ROUND(chi2 / NULLIF(1.0 - t3t / (CAST(n AS DOUBLE) * k
-                                            * (k * k - 1)), 0.0), 6)
+                                            * (k * k - 1)), 0.0), 6) + 0.0
              AS chi2_f_adj
     FROM stat CROSS JOIN ties
     """,
@@ -2513,8 +2517,10 @@ def friedman_value_by_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stat.crossJoin(F.broadcast(ties)).select(
         F.col("n").alias("n_days"),
         "k",
-        F.round("chi2", 6).alias("chi2_f"),
-        F.round(F.try_divide(F.col("chi2"), corr), 6).alias("chi2_f_adj"),
+        (F.round("chi2", 6) + 0.0).alias("chi2_f"),
+        (F.round(F.try_divide(F.col("chi2"), corr), 6) + 0.0).alias(
+            "chi2_f_adj"
+        ),
     )
 
 

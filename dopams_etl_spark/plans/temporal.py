@@ -549,6 +549,19 @@ def _coalition_ctes() -> str:
     )
 
 
+def _touched_cte_sql() -> str:
+    """The per-channel touched-session CTE both Shapley oracles share
+    (SQL twin of ``_channels_touched``): each observed mask contributes
+    its session count to every channel whose bit it carries."""
+    return """
+    touched AS (
+      SELECT u.ch,
+             CAST(COALESCE(SUM(CASE WHEN ((vm.mask >> u.pos) & 1) = 1
+                                    THEN vm.n_m END), 0) AS BIGINT)
+               AS n_sessions
+      FROM u CROSS JOIN vm GROUP BY u.ch)"""
+
+
 def _session_coalitions(spark: SparkSession, ev: DataFrame, channels: list[str]) -> DataFrame:
     """Spark twin of ``_coalition_ctes``: sessionize, bitmask each
     session's channel set over the sorted channel list, and aggregate
@@ -611,15 +624,11 @@ def _session_coalitions(spark: SparkSession, ev: DataFrame, channels: list[str])
                                  ROWS UNBOUNDED PRECEDING) AS phi,
              row_number() OVER (PARTITION BY ch ORDER BY s_mask DESC)
                AS rn
-      FROM terms),
-    touched AS (
-      SELECT u.ch,
-             CAST(COALESCE(SUM(CASE WHEN ((vm.mask >> u.pos) & 1) = 1
-                                    THEN vm.n_m END), 0) AS BIGINT)
-               AS n_sessions
-      FROM u CROSS JOIN vm GROUP BY u.ch)
+      FROM terms),"""
+    + _touched_cte_sql()
+    + """
     SELECT acc.ch AS channel, touched.n_sessions,
-           ROUND(acc.phi, 6) AS shapley_credit
+           ROUND(acc.phi, 6) + 0.0 AS shapley_credit
     FROM acc JOIN touched ON acc.ch = touched.ch
     WHERE acc.rn = 1
     """,
@@ -727,7 +736,9 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.join(touched, "ch").select(
         F.col("ch").alias("channel"),
         "n_sessions",
-        F.round("phi", 6).alias("shapley_credit"),
+        # + 0.0 canonicalizes IEEE -0.0: a credit in (-5e-7, 0) rounds
+        # to -0.0 on DuckDB but 0.0 on Spark, and the gate hashes reprs
+        (F.round("phi", 6) + 0.0).alias("shapley_credit"),
     )
 
 
@@ -789,16 +800,12 @@ SHAPLEY_SAMPLE_PERMS = 24
       SELECT ch, SUM(term) OVER (PARTITION BY ch ORDER BY r
                                  ROWS UNBOUNDED PRECEDING) AS s,
              row_number() OVER (PARTITION BY ch ORDER BY r DESC) AS rn
-      FROM tv),
-    touched AS (
-      SELECT u.ch,
-             CAST(COALESCE(SUM(CASE WHEN ((vm.mask >> u.pos) & 1) = 1
-                                    THEN vm.n_m END), 0) AS BIGINT)
-               AS n_sessions
-      FROM u CROSS JOIN vm GROUP BY u.ch)
+      FROM tv),"""
+    + _touched_cte_sql()
+    + f"""
     SELECT acc.ch AS channel, touched.n_sessions,
            CAST({SHAPLEY_SAMPLE_PERMS} AS BIGINT) AS n_permutations,
-           ROUND(acc.s / {SHAPLEY_SAMPLE_PERMS}.0, 6)
+           ROUND(acc.s / {SHAPLEY_SAMPLE_PERMS}.0, 6) + 0.0
              AS shapley_credit_sampled
     FROM acc JOIN touched ON acc.ch = touched.ch
     WHERE acc.rn = 1
@@ -915,7 +922,7 @@ def shapley_channel_attribution_sampled(spark: SparkSession, sf_dir: str) -> Dat
         F.col("ch").alias("channel"),
         "n_sessions",
         F.lit(R).cast("bigint").alias("n_permutations"),
-        F.round(F.col("s") / F.lit(float(R)), 6).alias(
+        (F.round(F.col("s") / F.lit(float(R)), 6) + 0.0).alias(
             "shapley_credit_sampled"
         ),
     )

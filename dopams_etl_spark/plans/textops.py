@@ -69,6 +69,18 @@ def _split_ctes() -> dict[str, str]:
         "val_cut": str(cuts["val"]),
     }
 
+
+def _fill_split(sql: str) -> str:
+    """Interpolate the shared split pieces into an oracle template —
+    ONE ``_split_ctes()`` evaluation per registration, not one per
+    placeholder."""
+    sc = _split_ctes()
+    return (
+        sql.replace("__SPLIT_V__", sc["v"])
+        .replace("__TRAIN_CUT__", sc["train_cut"])
+        .replace("__VAL_CUT__", sc["val_cut"])
+    )
+
 _STOP_EN = "'the','and','of','to','a','in','is','it','that','for'"
 _STOP_ES = "'el','la','de','que','y','en','un','una','los','por'"
 _STOP_FR = "'le','la','de','et','les','des','un','une','dans','pour'"
@@ -1642,7 +1654,7 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "train_val_test_split",
-    """
+    _fill_split("""
     WITH u AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
@@ -1658,9 +1670,7 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM a GROUP BY split
-    """.replace("__SPLIT_V__", _split_ctes()["v"])
-    .replace("__TRAIN_CUT__", _split_ctes()["train_cut"])
-    .replace("__VAL_CUT__", _split_ctes()["val_cut"]),
+    """),
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus splitting (train/val/test 80/10/10): md5-keyed
@@ -3365,7 +3375,7 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "train_test_overlap_report",
-    r"""
+    _fill_split(r"""
     WITH u AS (
       SELECT doc_id, text,
              __SPLIT_V__ AS v
@@ -3405,9 +3415,7 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE 2 * n_hit >= n_sh) AS BIGINT)
              AS n_test_docs_contaminated
     FROM pd
-    """.replace("__SPLIT_V__", _split_ctes()["v"])
-    .replace("__TRAIN_CUT__", _split_ctes()["train_cut"])
-    .replace("__VAL_CUT__", _split_ctes()["val_cut"]),
+    """),
 )
 def train_test_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→test contamination METRIC (the report beside the
