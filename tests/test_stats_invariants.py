@@ -1453,3 +1453,34 @@ def test_ann_recall_report_consistency(spark, qs):
     # the amplified config (planes=3, tables=16) pins >= 0.9 in
     # test_lsh_topk_amplified_recall_sf001; allow a margin here
     assert rows[0]["mean_recall"] >= 0.85
+
+
+def test_negzero_round_engine_split_and_canonicalization(spark):
+    """r11 review: pin the MECHANISM behind the '+ 0.0' convention —
+    DuckDB's round(-1e-9, 6) keeps IEEE -0.0 (repr '-0.0') while
+    Spark's F.round normalizes to 0.0, so a sign-indefinite statistic
+    rounding to zero reprs differently per engine (a raw-repr driver
+    red). '+ 0.0' canonicalizes both to '0.0'. If either engine ever
+    changes this behavior, this test flags the convention for
+    re-audit."""
+    from pyspark.sql import functions as F
+
+    duck_raw = duckdb.connect().execute(
+        # CAST matters: an un-cast literal is DECIMAL, whose round has
+        # no -0.0 — the query columns are all DOUBLE
+        "SELECT ROUND(CAST(-0.000000001 AS DOUBLE), 6) AS r,"
+        " ROUND(CAST(-0.000000001 AS DOUBLE), 6) + 0.0 AS c"
+    ).fetchone()
+    assert repr(float(duck_raw[0])) == "-0.0"
+    assert repr(float(duck_raw[1])) == "0.0"
+    srow = (
+        spark.range(1)
+        .select(
+            F.round(F.lit(-0.000000001), 6).alias("r"),
+            (F.round(F.lit(-0.000000001), 6) + 0.0).alias("c"),
+        )
+        .collect()[0]
+    )
+    # Spark normalizes already — the engines DISAGREE on the raw round
+    assert repr(srow["r"]) == "0.0"
+    assert repr(srow["c"]) == "0.0"
