@@ -1484,3 +1484,41 @@ def test_negzero_round_engine_split_and_canonicalization(spark):
     # Spark normalizes already — the engines DISAGREE on the raw round
     assert repr(srow["r"]) == "0.0"
     assert repr(srow["c"]) == "0.0"
+
+
+def test_cusum_reflection_identity_property():
+    """r11: the reflection form Sᵢ = Mᵢ − min(0, min_{j≤i} Mⱼ) used by
+    cusum_value_drift must equal the textbook recurrence
+    Sᵢ = max(0, Sᵢ₋₁ + yᵢ) for ANY real sequence — hypothesis-checked
+    in pure Python (the engines only evaluate the closed form; this
+    proves the algebra it rests on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(ys):
+        s = 0.0
+        m = 0.0
+        run_min = float("inf")
+        for y in ys:
+            s = max(0.0, s + y)
+            m += y
+            run_min = min(run_min, m)
+            refl = m - min(0.0, run_min)
+            # identical sequence of adds on both forms would be exact;
+            # the two forms differ in op ORDER, so allow fp slack
+            assert abs(refl - s) <= 1e-6 * max(1.0, abs(s))
+
+    check()
