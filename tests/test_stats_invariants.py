@@ -1522,3 +1522,69 @@ def test_cusum_reflection_identity_property():
             assert abs(refl - s) <= 1e-6 * max(1.0, abs(s))
 
     check()
+
+
+def test_dunn_squared_equals_kruskal_h_for_two_groups(spark, qs, tmp_path):
+    """r11 cross-operator invariant: with exactly TWO groups the
+    Kruskal–Wallis tie-corrected H must equal the square of the single
+    Dunn pair's z (both reduce to the same two-sample rank statistic) —
+    a formula bug in either operator breaks the identity. Checked on a
+    synthetic two-type events corpus through the REGISTERED queries."""
+    rows = [
+        (i, "2024-01-01", i + 1, ("view", "purchase")[i % 2],
+         float((i * 7) % 23) / 2.0)
+        for i in range(80)
+    ]
+    # a few deliberate cross-group ties so the tie corrections engage
+    rows += [
+        (100 + i, "2024-01-02", 1, ("view", "purchase")[i % 2], 5.5)
+        for i in range(6)
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows, "event_id long, d string, user_id long, event_type string,"
+        " value double"
+    ).select(
+        "event_id",
+        F.col("d").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    h = qs["kruskal_wallis_value_by_type"](spark, str(tmp_path)).collect()[0]
+    dz = qs["dunn_posthoc_value_by_type"](spark, str(tmp_path)).collect()
+    assert len(dz) == 1  # two groups -> one pair
+    z = dz[0]["z_stat"]
+    assert abs(z * z - h["h_adj"]) <= 1e-3, (z * z, h["h_adj"])
+
+
+def test_assign_split_matches_duckdb_twin(spark):
+    """r11: the assign_split threshold routing must reproduce in DuckDB
+    from md5_bucket32_sql + split_cuts — the same two-engine contract
+    the registered split oracles interpolate, checked against the REAL
+    documents ids at sf0.001."""
+    import duckdb as _dd
+
+    from dopams_etl_spark.catalog import load_table
+    from dopams_etl_spark.operators.quality import assign_split, split_cuts
+    from dopams_etl_spark.plans.catalog import md5_bucket32_sql
+
+    docs = load_table(spark, "documents", SF).select("doc_id")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs, "doc_id").collect()
+    }
+    cuts = dict(split_cuts())
+    v = md5_bucket32_sql("'split-v1|' || CAST(doc_id AS VARCHAR)")
+    want = {
+        r[0]: r[1]
+        for r in _dd.connect().execute(
+            f"SELECT doc_id, CASE WHEN {v} < {cuts['train']} THEN 'train'"
+            f" WHEN {v} < {cuts['val']} THEN 'val' ELSE 'test' END"
+            f" FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    }
+    assert got == want
+    assert set(got.values()) == {"train", "val", "test"}
