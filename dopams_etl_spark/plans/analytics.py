@@ -1750,9 +1750,11 @@ def rolling_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _xcorr_oracle(max_lag: int = 6) -> str:
+    # + 0.0 canonicalizes IEEE -0.0 (xcorr is sign-indefinite; a
+    # near-zero correlation rounding from below would split the engines)
     branches = "\n      UNION ALL\n".join(
         f"""      SELECT {k} AS lag, CAST(COUNT(lv) AS BIGINT) AS n_days,
-             ROUND(corr(purchases, lv), 6) AS xcorr
+             ROUND(corr(purchases, lv), 6) + 0.0 AS xcorr
       FROM (SELECT purchases, lag(views, {k}) OVER (ORDER BY d) AS lv
             FROM daily) WHERE lv IS NOT NULL"""
         for k in range(max_lag + 1)
@@ -1800,7 +1802,7 @@ def cross_corr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             lagged.agg(
                 F.lit(k).alias("lag"),
                 F.count("lv").alias("n_days"),
-                F.round(F.corr("purchases", "lv"), 6).alias("xcorr"),
+                (F.round(F.corr("purchases", "lv"), 6) + 0.0).alias("xcorr"),
             )
         )
     lags = parts[0]
@@ -4332,34 +4334,57 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brier_decomposition",
     """
     WITH d AS (
-      SELECT (lang = 'en') AS y,
+      SELECT CAST(lang = 'en' AS BIGINT) AS y,
+             RANK() OVER (ORDER BY n_chars) - 1 AS rk,
              percent_rank() OVER (ORDER BY n_chars) AS p_hat
       FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
     binned AS (
-      SELECT LEAST(CAST(FLOOR(p_hat * 10) AS INT), 9) AS bin,
-             p_hat, CASE WHEN y THEN 1.0 ELSE 0.0 END AS y
+      SELECT LEAST(CAST(FLOOR(p_hat * 10) AS INT), 9) AS bin, rk, y
       FROM d),
+    -- conf is derived from the EXACT integer rank sum (p_hat = rk/(N-1),
+    -- so AVG(p_hat) = SUM(rk)/(n*(N-1)) with one closed-form division),
+    -- never a float AVG whose summation order each engine picks; HUGEINT
+    -- (Spark: DECIMAL(38,0)) keeps the rank sum exact at any corpus size
     per_bin AS (
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
-             AVG(p_hat) AS conf, AVG(y) AS acc
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(CAST(rk AS HUGEINT)) AS sum_rk
       FROM binned GROUP BY bin),
     tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
                    SUM(n_pos) / CAST(SUM(n) AS DOUBLE) AS ybar
-            FROM per_bin)
+            FROM per_bin),
+    terms AS (
+      SELECT bin, total, ybar,
+             (n / total) * (CAST(sum_rk AS DOUBLE)
+                            / NULLIF(CAST(n AS DOUBLE) * (total - 1), 0.0)
+                            - CAST(n_pos AS DOUBLE) / n)
+                         * (CAST(sum_rk AS DOUBLE)
+                            / NULLIF(CAST(n AS DOUBLE) * (total - 1), 0.0)
+                            - CAST(n_pos AS DOUBLE) / n) AS rel_term,
+             (n / total) * (CAST(n_pos AS DOUBLE) / n - ybar)
+                         * (CAST(n_pos AS DOUBLE) / n - ybar) AS res_term
+      FROM per_bin CROSS JOIN tot),
+    -- rel/res accumulate through ONE ordered cumulative frame over the
+    -- <=10 bin rows (per-term doubles are bit-identical, both engines
+    -- add them in bin order), then the last row is taken: the logrank
+    -- posture, no summation-order ulps
+    cum AS (
+      SELECT bin, total, ybar,
+             SUM(rel_term) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS cum_rel,
+             SUM(res_term) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS cum_res
+      FROM terms)
     SELECT CAST(total AS BIGINT) AS n,
            ROUND(ybar, 6) AS base_rate,
-           ROUND(SUM((n / total) * (conf - acc) * (conf - acc)), 6)
-             AS reliability,
-           ROUND(SUM((n / total) * (acc - ybar) * (acc - ybar)), 6)
-             AS resolution,
+           ROUND(MAX_BY(cum_rel, bin), 6) AS reliability,
+           ROUND(MAX_BY(cum_res, bin), 6) AS resolution,
            ROUND(ybar * (1 - ybar), 6) AS uncertainty,
            -- + 0.0 canonicalizes IEEE -0.0: REL-RES+UNC is >= 0
            -- analytically but fp cancellation can land in (-5e-7, 0)
-           ROUND(SUM((n / total) * (conf - acc) * (conf - acc))
-                 - SUM((n / total) * (acc - ybar) * (acc - ybar))
+           ROUND(MAX_BY(cum_rel, bin) - MAX_BY(cum_res, bin)
                  + ybar * (1 - ybar), 6) + 0.0 AS brier_binned
-    FROM per_bin CROSS JOIN tot
+    FROM cum
     GROUP BY total, ybar
     """,
 )
@@ -4375,48 +4400,72 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity Brier = REL − RES + UNC is exact — asserted against a
     direct quantized-forecast Brier in tests. Scale shape: identical
     to ECE — one rank window normalizes the score, ten bin rows carry
-    everything; the base rate sums INTEGER positives (order-free),
-    never a float AVG of the label."""
+    everything. Every driver-hashed float is summation-order-safe: the
+    base rate and per-bin accuracy sum INTEGER positives, per-bin
+    confidence is the EXACT integer rank sum (p_hat = rk/(N−1) makes
+    AVG(p_hat) a closed-form division of exact integers — never a
+    float AVG whose partial-sum order each engine picks), and the
+    rel/res totals accumulate through one ordered cumulative frame
+    over the bin rows (the logrank posture)."""
     docs = t(spark, sf_dir, "documents").filter(
         F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
     )
+    wr = Window.orderBy("n_chars")
     d = docs.select(
-        F.percent_rank().over(Window.orderBy("n_chars")).alias("p_hat"),
-        (F.col("lang") == "en").cast("double").alias("y"),
+        F.percent_rank().over(wr).alias("p_hat"),
+        (F.rank().over(wr) - 1).alias("rk"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
     )
     binned = d.select(
         F.least(F.floor(F.col("p_hat") * 10).cast("int"), F.lit(9)).alias(
             "bin"
         ),
-        "p_hat",
+        "rk",
         "y",
     )
+    # conf from the EXACT integer rank sum (p_hat = rk/(N-1), so
+    # AVG(p_hat) = SUM(rk)/(n*(N-1))) -- never a float AVG whose
+    # summation order each engine picks; DECIMAL(38,0) (DuckDB: HUGEINT)
+    # keeps the rank sum exact at any corpus size
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("y").cast("bigint")).alias("n_pos"),
-        F.avg("p_hat").alias("conf"),
-        F.avg("y").alias("acc"),
+        F.sum("y").alias("n_pos"),
+        F.sum(F.col("rk").cast("decimal(38,0)")).alias("sum_rk"),
     )
     tot = per_bin.agg(
         F.sum("n").cast("double").alias("total"),
         (F.sum("n_pos") / F.sum("n").cast("double")).alias("ybar"),
     )
-    rel_term = (
-        (F.col("n") / F.col("total"))
-        * (F.col("conf") - F.col("acc"))
-        * (F.col("conf") - F.col("acc"))
+    conf = F.try_divide(
+        F.col("sum_rk").cast("double"),
+        F.col("n").cast("double") * (F.col("total") - 1),
     )
+    acc = F.col("n_pos").cast("double") / F.col("n")
+    rel_term = (F.col("n") / F.col("total")) * (conf - acc) * (conf - acc)
     res_term = (
         (F.col("n") / F.col("total"))
-        * (F.col("acc") - F.col("ybar"))
-        * (F.col("acc") - F.col("ybar"))
+        * (acc - F.col("ybar"))
+        * (acc - F.col("ybar"))
+    )
+    # rel/res accumulate through ONE ordered cumulative frame over the
+    # <=10 bin rows, last row taken via max_by: the logrank posture --
+    # per-term doubles are bit-identical and both engines add them in
+    # bin order, so no summation-order ulps reach the rounded output
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "total",
+        "ybar",
+        F.sum(rel_term).over(wb).alias("cum_rel"),
+        F.sum(res_term).over(wb).alias("cum_res"),
     )
     return (
-        per_bin.crossJoin(F.broadcast(tot))
-        .groupBy("total", "ybar")
+        cum.groupBy("total", "ybar")
         .agg(
-            F.sum(rel_term).alias("rel"),
-            F.sum(res_term).alias("res"),
+            F.max_by("cum_rel", "bin").alias("rel"),
+            F.max_by("cum_res", "bin").alias("res"),
         )
         .select(
             F.col("total").cast("long").alias("n"),

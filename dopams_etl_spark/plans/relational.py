@@ -1669,8 +1669,11 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            ROUND(stddev_samp(value), 6) AS sd,
            ROUND(var_samp(value), 6) AS variance,
-           ROUND(corr(value, CAST(floor(epoch(ts)) AS BIGINT)), 6) AS corr_time,
-           ROUND(covar_samp(value, user_id), 6) AS covar_user
+           -- + 0.0 canonicalizes IEEE -0.0 on the sign-indefinite pair
+           -- (corr/covar can be negative; sd/variance cannot)
+           ROUND(corr(value, CAST(floor(epoch(ts)) AS BIGINT)), 6) + 0.0
+             AS corr_time,
+           ROUND(covar_samp(value, user_id), 6) + 0.0 AS covar_user
     FROM events
     GROUP BY event_type
     """,
@@ -1686,8 +1689,13 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 6).alias("sd"),
         F.round(F.var_samp("value"), 6).alias("variance"),
-        F.round(F.corr("value", F.col("ts").cast("long")), 6).alias("corr_time"),
-        F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias("covar_user"),
+        (F.round(F.corr("value", F.col("ts").cast("long")), 6) + 0.0).alias(
+            "corr_time"
+        ),
+        (
+            F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6)
+            + 0.0
+        ).alias("covar_user"),
     )
 
 
@@ -1861,7 +1869,10 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events GROUP BY event_type)
     SELECT e.event_id,
            e.event_type,
-           ROUND(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd END, 6) AS z
+           -- + 0.0 canonicalizes IEEE -0.0 (z is sign-indefinite; a value
+           -- a hair under its group mean rounds to -0.0 in DuckDB only)
+           ROUND(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd END, 6) + 0.0
+             AS z
     FROM events e JOIN s USING (event_type)
     """,
 )
@@ -1884,8 +1895,15 @@ def event_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round(
-                F.when(F.col("sd") > 0, (F.col("value") - F.col("mu")) / F.col("sd")), 6
+            (
+                F.round(
+                    F.when(
+                        F.col("sd") > 0,
+                        (F.col("value") - F.col("mu")) / F.col("sd"),
+                    ),
+                    6,
+                )
+                + 0.0
             ).alias("z"),
         )
     )

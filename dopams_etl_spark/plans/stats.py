@@ -473,11 +473,13 @@ def js_divergence_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM r)
     SELECT CAST(n AS BIGINT) AS n_orders,
            ROUND((n11 + n00) / n, 6) AS observed_agreement,
+           -- + 0.0 canonicalizes IEEE -0.0 (kappa is sign-indefinite:
+           -- agreement below chance is negative)
            ROUND(((n11 + n00) / n
                   - ((n11 + n10) * (n11 + n01)
                      + (n00 + n01) * (n00 + n10)) / (n * n))
                  / (1 - ((n11 + n10) * (n11 + n01)
-                         + (n00 + n01) * (n00 + n10)) / (n * n)), 6)
+                         + (n00 + n01) * (n00 + n10)) / (n * n)), 6) + 0.0
              AS kappa
     FROM c
     """,
@@ -518,7 +520,7 @@ def cohens_kappa_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         n.cast("long").alias("n_orders"),
         F.round(po, 6).alias("observed_agreement"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        (F.round((po - pe) / (1 - pe), 6) + 0.0).alias("kappa"),
     )
 
 
@@ -1693,8 +1695,11 @@ def kruskal_wallis_value_by_type(
       FROM (SELECT flag, d, SUM(n) AS nd FROM g GROUP BY 1, 2)
       GROUP BY flag)
     SELECT nt.flag AS l_returnflag, nt.n_rows AS n,
+           -- + 0.0 canonicalizes IEEE -0.0 (tau is sign-indefinite; a
+           -- near-zero tau rounding from below would split the engines)
            ROUND((cd.c - cd.dd)
-                 / sqrt((nt.n0 - t1.n1) * (nt.n0 - t2.n2)), 6) AS tau_b
+                 / sqrt((nt.n0 - t1.n1) * (nt.n0 - t2.n2)), 6) + 0.0
+             AS tau_b
     FROM nt JOIN cd ON nt.flag = cd.flag
             JOIN t1 ON nt.flag = t1.flag
             JOIN t2 ON nt.flag = t2.flag
@@ -1781,15 +1786,18 @@ def kendall_tau_qty_discount_by_flag(
         .select(
             F.col("flag").alias("l_returnflag"),
             F.col("n_rows").alias("n"),
-            F.round(
-                F.try_divide(
-                    F.col("c") - F.col("dd"),
-                    F.sqrt(
-                        (F.col("n0") - F.col("n1"))
-                        * (F.col("n0") - F.col("n2"))
+            (
+                F.round(
+                    F.try_divide(
+                        F.col("c") - F.col("dd"),
+                        F.sqrt(
+                            (F.col("n0") - F.col("n1"))
+                            * (F.col("n0") - F.col("n2"))
+                        ),
                     ),
-                ),
-                6,
+                    6,
+                )
+                + 0.0
             ).alias("tau_b"),
         )
     )
@@ -2063,7 +2071,9 @@ def levene_brown_forsythe_value(
     msw AS (SELECT nn, k, ssw / NULLIF(nn - k, 0.0) AS msw FROM tot)
     SELECT a.typ AS type_a, b.typ AS type_b,
            a.n_g AS n_a, b.n_g AS n_b,
-           ROUND(a.sv / a.n_g - b.sv / b.n_g, 6) AS mean_diff,
+           -- + 0.0 canonicalizes IEEE -0.0 (mean_diff is sign-indefinite
+           -- and two near-equal group means can round to -0.0)
+           ROUND(a.sv / a.n_g - b.sv / b.n_g, 6) + 0.0 AS mean_diff,
            ROUND(abs(a.sv / a.n_g - b.sv / b.n_g)
                  / NULLIF(sqrt(msw / 2.0
                                * (1.0 / a.n_g + 1.0 / b.n_g)), 0.0), 6)
@@ -2110,7 +2120,7 @@ def tukey_hsd_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.typ").alias("type_b"),
             F.col("a.n_g").alias("n_a"),
             F.col("b.n_g").alias("n_b"),
-            F.round(mean_diff, 6).alias("mean_diff"),
+            (F.round(mean_diff, 6) + 0.0).alias("mean_diff"),
             F.round(
                 F.try_divide(
                     F.abs(mean_diff),
@@ -2149,9 +2159,12 @@ def tukey_hsd_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CASE WHEN 1.0 - ryz * ryz < 0.0 THEN 0.0
                        ELSE 1.0 - ryz * ryz END AS oyz
            FROM r)
-    SELECT n, ROUND(rxy, 6) AS r_qty_disc,
+    -- + 0.0 canonicalizes IEEE -0.0 (both correlations are
+    -- sign-indefinite; a near-zero r rounding from below would split
+    -- the engines)
+    SELECT n, ROUND(rxy, 6) + 0.0 AS r_qty_disc,
            ROUND((rxy - rxz * ryz)
-                 / NULLIF(sqrt(oxz * oyz), 0.0), 6)
+                 / NULLIF(sqrt(oxz * oyz), 0.0), 6) + 0.0
              AS r_qty_disc_given_price
     FROM c2
     """,
@@ -2198,13 +2211,16 @@ def partial_corr_qty_discount_given_price(
 
     return m.select(
         "n",
-        F.round(rxy, 6).alias("r_qty_disc"),
-        F.round(
-            F.try_divide(
-                rxy - rxz * ryz,
-                F.sqrt(_clamped(rxz) * _clamped(ryz)),
-            ),
-            6,
+        (F.round(rxy, 6) + 0.0).alias("r_qty_disc"),
+        (
+            F.round(
+                F.try_divide(
+                    rxy - rxz * ryz,
+                    F.sqrt(_clamped(rxz) * _clamped(ryz)),
+                ),
+                6,
+            )
+            + 0.0
         ).alias("r_qty_disc_given_price"),
     )
 
@@ -2435,8 +2451,13 @@ def dunn_posthoc_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- + 0.0 canonicalizes IEEE -0.0 (chi2 is >= 0 analytically
            -- but fp cancellation can land in (-5e-7, 0))
            ROUND(chi2, 6) + 0.0 AS chi2_f,
-           ROUND(chi2 / NULLIF(1.0 - t3t / (CAST(n AS DOUBLE) * k
-                                            * (k * k - 1)), 0.0), 6) + 0.0
+           -- inner NULLIF mirrors the Spark twin's try_divide on the SAME
+           -- division (k = 1 zeroes nk(k^2-1) itself): without it the
+           -- guard would depend on DuckDB's float-division-by-zero
+           -- setting (NULL on this build, NaN with IEEE ops enabled)
+           ROUND(chi2 / NULLIF(1.0 - t3t / NULLIF(CAST(n AS DOUBLE) * k
+                                                  * (k * k - 1), 0.0),
+                               0.0), 6) + 0.0
              AS chi2_f_adj
     FROM stat CROSS JOIN ties
     """,

@@ -1245,14 +1245,18 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
            FROM embeddings WHERE vec_id IN (1, 2, 3)),
     cvt AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+    -- + 0.0 canonicalizes IEEE -0.0 (cosine is sign-indefinite on these
+    -- vectors, and a negative cos_sim can pull the blend below zero)
     sc AS (SELECT c.query_id, c.doc_id, c.score,
                   ROUND(list_dot_product(qvec, cvec)
                         / (sqrt(list_dot_product(qvec, qvec))
-                           * sqrt(list_dot_product(cvec, cvec))), 6) AS cos_sim,
+                           * sqrt(list_dot_product(cvec, cvec))), 6) + 0.0
+                    AS cos_sim,
                   MAX(c.score) OVER (PARTITION BY c.query_id) AS smax
            FROM cand c JOIN cvt USING (doc_id) JOIN qv USING (query_id)),
     h AS (SELECT query_id, doc_id, score AS bm25_score, cos_sim,
-                 ROUND(0.5 * score / smax + 0.5 * cos_sim, 6) AS hybrid_score
+                 ROUND(0.5 * score / smax + 0.5 * cos_sim, 6) + 0.0
+                   AS hybrid_score
           FROM sc),
     rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY hybrid_score DESC, doc_id ASC) AS rank
@@ -1292,13 +1296,17 @@ def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(cv, "doc_id")
         .join(F.broadcast(qv), "query_id")
-        .withColumn("cos_sim", F.round(cosine("qvec", "cvec"), 6))
+        .withColumn("cos_sim", F.round(cosine("qvec", "cvec"), 6) + 0.0)
         .withColumn(
             "smax", F.max("score").over(Window.partitionBy("query_id"))
         )
         .withColumn(
             "hybrid_score",
-            F.round(0.5 * F.col("score") / F.col("smax") + 0.5 * F.col("cos_sim"), 6),
+            F.round(
+                0.5 * F.col("score") / F.col("smax") + 0.5 * F.col("cos_sim"),
+                6,
+            )
+            + 0.0,
         )
     )
     w = Window.partitionBy("query_id").orderBy(
