@@ -331,6 +331,55 @@ def lsh_topk(
     )
 
 
+def lsh_candidates(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    tables: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """The candidate-GENERATION stage of ``lsh_topk``, exposed on its own:
+    distinct (p_id, c_id, p_vec, c_vec) pairs surfaced by the (table,
+    bucket) equi-join, BEFORE any ranking. What ``lsh_topk`` ranks, this
+    counts — the candidate-set size is the per-probe COST of an LSH
+    operating point (every candidate is one exact cosine at re-rank
+    time), the axis a recall number alone hides. Same bucketing
+    convention as ``lsh_topk``: table t hashes with the seed-(seed+1000t)
+    hyperplane set and duplicate pairs across tables dedup once.
+
+    Scale shape is the ``lsh_topk`` one: the only shuffles are the
+    (tbl, bucket) equi-join and the pair dedup — no cross product."""
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    def bucketed(df: DataFrame, id_col: str, id_out: str, vec_out: str) -> DataFrame:
+        return ensure_parallelism(df).select(
+            F.col(id_col).alias(id_out),
+            F.col(vec_col).alias(vec_out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(vec_col, dim, planes, seed + 1000 * t).alias("bucket"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_out, vec_out, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    p = bucketed(probe, probe_id, "p_id", "p_vec")
+    c = bucketed(corpus, corpus_id, "c_id", "c_vec")
+    pairs = p.join(c, ["tbl", "bucket"]).filter(F.col("p_id") != F.col("c_id"))
+    if tables > 1:
+        pairs = pairs.dropDuplicates(["p_id", "c_id"])
+    return pairs.select("p_id", "c_id", "p_vec", "c_vec")
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,

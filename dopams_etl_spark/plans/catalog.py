@@ -48,33 +48,91 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # Round-11 budget: 50-slot sample = the 12-entry documented r11
-    # queue (VERDICT r10 task 1, drained in full) + the firs_mv
-    # flagship + the 18 remaining round-4 re-cert rows (task 2 -- after
-    # this sample no query's latest driver row predates round 5) + the
-    # 7 queries changed by this round's md5_bucket32 single-sourcing
-    # (task 3; changed-query rule -- four more changed queries, bitext/
-    # logrank/shapley/mmr, are already queue slots above) + the round's
-    # new registrations + the oldest round-5 re-certs in the remaining
-    # slots.
-    # 1) the r11 queue, in its documented order:
+    # Round-12 budget (the VERDICT r11 consolidation plan): 50-slot
+    # sample = the 42 remaining round-5 re-certification rows (after
+    # this sample no query's latest driver row predates round 6) + the
+    # 8 free slots spent on this round's changed/new queries:
+    #   - 5 highest-risk signed-zero (+ 0.0) migrations (kendall,
+    #     partial_corr, tukey, kappa, cross_corr — changed-query rule);
+    #     three more latent-class queries (hybrid_search_docs,
+    #     event_value_moments, event_value_zscore) were migrated at zero
+    #     slot cost because they already sit in the r5 re-cert block;
+    #   - the 2 ADVICE-hardened queries (friedman inner NULLIF,
+    #     brier integer-rank-sum conf + ordered-frame accumulation);
+    #   - the new ann_cost_recall_tradeoff registration.
+    # firs_mv skips ONE round (r11-green, slot 51 — first re-cert of
+    # r13) because the VERDICT allocated all 8 free slots explicitly.
+    # 1) the 42 round-5 rows, oldest-first in registry order:
+    "advanced_search_accuseds",
+    "entity_resolution_blocked",
+    "view_click_purchase_funnel",
+    "streaming_hourly_counts",
+    "asof_purchase_last_view",
+    "fuzzy_match_event_types",
+    "trigram_match_event_types",
+    "salted_event_totals",
+    "range_error_click_pairs",
+    "event_rollup_multigrain",
+    "user_rolling_event_value",
+    "salted_join_user_enrich",
+    "sliding_event_stats",
+    "event_value_percentiles",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "snapshot_diff_orders",
+    "orc_sink_roundtrip",
+    "text_corpus_ingest",
+    "decontaminate_docs",
+    "semantic_dedup_embeddings",
+    "hybrid_search_docs",
+    "bpe_merge_pair_counts",
+    "bpe_learned_merges",
+    "shingle_containment_pairs",
+    "repeated_ngram_spans",
+    "bpe_encode_docs",
+    "label_embedding_centroids",
+    "stratified_sample_docs",
+    "approx_distinct_users",
+    "order_status_pivot",
+    "event_value_rank_stats",
+    "order_grouping_sets",
+    "variant_props_stats",
+    "event_value_moments",
+    "supplier_customer_pagerank",
+    "approx_percentile_rank_contract",
+    "zorder_layout_events",
+    "event_value_zscore",
+    "csv_badrecord_quarantine",
+    "schema_evolution_roundtrip",
+    "udtf_doc_chunks",
+    # 2) the 5 highest-risk signed-zero migrations + the 2
+    #    ADVICE-hardened queries (every one re-verified STRICT at
+    #    sf0.001+sf0.01):
+    "kendall_tau_qty_discount_by_flag",
+    "partial_corr_qty_discount_given_price",
+    "tukey_hsd_value_by_type",
+    "cohens_kappa_priority_value",
+    "cross_corr_best_lag",
+    "friedman_value_by_type_daily",
+    "brier_decomposition",
+    # 3) the round's new registration (strict-green at sf0.001+sf0.01):
+    "ann_cost_recall_tradeoff",
+    # --- the 50-slot driver sample line ---
+    # 4) every remaining row in its former deterministic order (r13
+    #    re-certification continues here: firs_mv + the r6 rows first);
+    #    the tuple now lists the WHOLE registry so sampling order no
+    #    longer depends on module-import registration order.
     "file_paths",
     "domain_cap_docs",
     "bm25_search_docs",
     "bitext_margin_pairs",
-    "tukey_hsd_value_by_type",
-    "partial_corr_qty_discount_given_price",
     "page_hinkley_value_drift",
     "logrank_retention_test",
     "shapley_channel_attribution",
     "cross_doc_substring_runs",
     "mmr_diversified_search",
     "nelson_aalen_hazard",
-    # 2) the flagship gold MV -- one fresh showcase row per round;
     "firs_mv",
-    # 3) re-certification: the 18 remaining queries whose latest
-    #    driver row is from ROUND 4 (none ever regressed; the full
-    #    registry re-runs green in every local strict sweep);
     "lm_perplexity_docs",
     "incremental_pricing_summary",
     "pack_training_sequences",
@@ -93,11 +151,6 @@ _PRIORITY: tuple[str, ...] = (
     "partitioned_scan_prune",
     "weekly_cohort_retention",
     "lineitem_quality_report",
-    # 4) queries whose code AND/OR oracle changed this round -- the
-    #    md5 32-bit bucket primitive was single-sourced into
-    #    functions/ids.py:md5_bucket32 + catalog.md5_bucket32_sql and
-    #    every split/cohort/fold/replicate assignment now routes
-    #    through the pair; each re-verified STRICT at sf0.001+sf0.01;
     "ab_test_proportion_z",
     "stratified_kfold_assign",
     "bootstrap_mean_ci",
@@ -105,32 +158,16 @@ _PRIORITY: tuple[str, ...] = (
     "train_test_overlap_report",
     "temperature_sample_langs",
     "weighted_sample_docs",
-    # 5) new r11 registrations (ALL inside the sample window -- zero
-    #    unchecked backlog, and for the first time zero never-sampled
-    #    queries); each strict-green at all three SFs;
     "shapley_channel_attribution_sampled",
     "mmr_over_lsh",
     "dunn_posthoc_value_by_type",
-    "friedman_value_by_type_daily",
     "cusum_value_drift",
-    "brier_decomposition",
     "heaps_law_fit",
     "ann_recall_report",
-    # 6) re-certification, oldest first: the 4 oldest round-5 rows
-    #    (registration order within the round) fill the remaining slots;
     "heavy_hitter_users",
     "kmeans_embedding_clusters",
     "accuseds_mv",
     "advanced_search_firs",
-    # --- the 50-slot driver sample line ---
-    # 7) the remaining round-5+ rows keep their former deterministic
-    #    order (r12 re-certification continues here, oldest first);
-    "advanced_search_accuseds",
-    "entity_resolution_blocked",
-    "view_click_purchase_funnel",
-    "streaming_hourly_counts",
-    "asof_purchase_last_view",
-    "fuzzy_match_event_types",
     "nation_revenue_pct_of_parent",
     "nation_order_day_gaps",
     "mahalanobis_customer_outliers",
@@ -138,7 +175,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_threshold_sweep",
     "token_fertility_by_lang",
     "kruskal_wallis_value_by_type",
-    "kendall_tau_qty_discount_by_flag",
     "trimmed_winsorized_mean_by_flag",
     "levene_brown_forsythe_value",
     "preference_pair_build",
@@ -261,7 +297,6 @@ _PRIORITY: tuple[str, ...] = (
     "attribution_time_decay",
     "precision_recall_deciles",
     "js_divergence_daily_drift",
-    "cohens_kappa_priority_value",
     "trailing_week_range_frame",
     "asof_nearest_tolerance_join",
     "q2_min_cost_supplier",
@@ -282,7 +317,6 @@ _PRIORITY: tuple[str, ...] = (
     "seasonal_naive_backtest",
     "embedding_minmax_scale",
     "rolling_corr_view_purchase",
-    "cross_corr_best_lag",
     "anomaly_days_mad",
     "event_sequence_trigrams",
     "mutual_information_type_dow",
@@ -359,21 +393,6 @@ _PRIORITY: tuple[str, ...] = (
     "benford_order_totals",
     "order_cycle_percentiles",
     "binary_file_ingest",
-    "trigram_match_event_types",
-    "salted_event_totals",
-    "range_error_click_pairs",
-    "event_rollup_multigrain",
-    "user_rolling_event_value",
-    "salted_join_user_enrich",
-    "sliding_event_stats",
-    "event_value_percentiles",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "snapshot_diff_orders",
-    "orc_sink_roundtrip",
-    "text_corpus_ingest",
-    "decontaminate_docs",
-    "semantic_dedup_embeddings",
 )
 
 

@@ -4239,3 +4239,154 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_recall"),
     )
+
+
+# The three LSH operating points the trade-off table measures: the
+# registered single-table default (planes=6 — tiny candidate sets, low
+# recall on random vectors), a mid amplification, and the deployed
+# planes=3/tables=16 config ann_recall_report certifies at recall ~0.98.
+ANN_COST_CONFIGS: tuple[tuple[int, int], ...] = ((6, 1), (4, 8), (3, 16))
+
+
+def _ann_cost_oracle(configs: tuple[tuple[int, int], ...]) -> str:
+    """One UNION ALL branch per (planes, tables) operating point, each
+    replicating that config's per-table hyperplane sets via
+    ``_lsh_tables_sql`` exactly as ``ann_recall_report`` does; the exact
+    ground-truth top-3 and the probe count are shared CTEs."""
+    branch_ctes = []
+    branch_selects = []
+    for planes, tables in configs:
+        s = f"{planes}_{tables}"
+        branch_ctes.append(
+            f""",
+    tbls_{s} AS (SELECT unnest(range(0, {tables})) AS tbl),
+    pb_{s} AS (SELECT p_id, pv, tbl,
+                  {_lsh_tables_sql("pv", planes, tables)} AS bucket
+           FROM p CROSS JOIN tbls_{s}),
+    cb_{s} AS (SELECT c_id, cv, tbl,
+                  {_lsh_tables_sql("cv", planes, tables)} AS bucket
+           FROM c CROSS JOIN tbls_{s}),
+    cand_{s} AS (SELECT DISTINCT p_id, c_id
+             FROM pb_{s} JOIN cb_{s} USING (tbl, bucket)
+             WHERE p_id <> c_id),
+    nc_{s} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+               FROM cand_{s}),
+    ls_{s} AS (SELECT cand_{s}.p_id, cand_{s}.c_id,
+                  row_number() OVER (PARTITION BY cand_{s}.p_id ORDER BY
+                    ROUND(list_dot_product(pv, cv)
+                          / (sqrt(list_dot_product(pv, pv))
+                             * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cand_{s}.c_id ASC) AS rn
+           FROM cand_{s} JOIN p ON cand_{s}.p_id = p.p_id
+                     JOIN c ON cand_{s}.c_id = c.c_id),
+    hit_{s} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+             FROM exact3 e
+             JOIN (SELECT p_id, c_id FROM ls_{s} WHERE rn <= 3) l
+               ON e.p_id = l.p_id AND e.c_id = l.c_id)"""
+        )
+        branch_selects.append(
+            f"""    SELECT {planes} AS planes, {tables} AS tables,
+           np.n_probes, nc_{s}.n_candidates,
+           ROUND(nc_{s}.n_candidates / CAST(np.n_probes AS DOUBLE), 6)
+             AS mean_candidates,
+           ROUND(hit_{s}.n_hit / CAST(ex_tot.n_exact AS DOUBLE), 6)
+             AS recall3
+    FROM nc_{s} CROSS JOIN hit_{s} CROSS JOIN np CROSS JOIN ex_tot"""
+        )
+    union = "\n    UNION ALL\n".join(branch_selects)
+    return f"""
+    WITH p AS (SELECT vec_id AS p_id, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM p),
+    ex AS (SELECT p_id, c_id,
+                  row_number() OVER (PARTITION BY p_id ORDER BY
+                    ROUND(list_dot_product(pv, cv)
+                          / (sqrt(list_dot_product(pv, pv))
+                             * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    c_id ASC) AS rn
+           FROM p JOIN c ON p_id <> c_id),
+    exact3 AS (SELECT p_id, c_id FROM ex WHERE rn <= 3),
+    ex_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact3)
+    {"".join(branch_ctes)}
+{union}
+    """
+
+
+@register("ann_cost_recall_tradeoff", _ann_cost_oracle(ANN_COST_CONFIGS))
+def ann_cost_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN deployment decision as a driver-checked TABLE:
+    ``ann_recall_report`` certifies the blessed planes=3/tables=16 point
+    at recall ~0.98, but a recall number alone hides what it costs — every
+    surfaced candidate is one exact cosine at re-rank time, so the mean
+    candidate-set size per probe IS the per-probe compute bill of an
+    operating point. One row per (planes, tables) config — the registered
+    single-table default (6, 1), a mid amplification (4, 8), and the
+    deployed (3, 16) — each measuring candidate cost
+    (``lsh_candidates``, the candidate-generation stage of ``lsh_topk``
+    exposed pre-ranking) and recall@3 against the shared exact
+    ``cosine_topk`` ground truth. The oracle replicates every config's
+    per-table hyperplane sets (seed 42+1000t, the ``lsh_topk``
+    convention) and re-ranks inside each candidate set. The probe set is
+    20 rows and each branch reduces to one-row aggregates, so the report
+    stays 3 rows at any corpus scale; the ground-truth arm is the
+    size-gated exact baseline, exactly as in ``ann_recall_report``."""
+    from dopams_etl_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        lsh_candidates,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 20)
+    n_probes = probe.agg(F.count(F.lit(1)).alias("n_probes"))
+    exact3 = cosine_topk(
+        probe, emb, "vec_id", "vec_id", "embedding", k=3
+    ).select("p_id", "c_id")
+    ex_tot = exact3.agg(F.count(F.lit(1)).alias("n_exact"))
+    rows = None
+    for planes, tables in ANN_COST_CONFIGS:
+        cand = lsh_candidates(
+            probe,
+            emb,
+            "vec_id",
+            "vec_id",
+            "embedding",
+            dim=64,
+            planes=planes,
+            tables=tables,
+        )
+        nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        w = Window.partitionBy("p_id").orderBy(
+            F.col("cos_sim").desc(), F.col("c_id").asc()
+        )
+        lsh3 = (
+            cand.withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("p_id", "c_id")
+        )
+        hit = exact3.join(lsh3, ["p_id", "c_id"]).agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        row = (
+            nc.crossJoin(F.broadcast(hit))
+            .crossJoin(F.broadcast(n_probes))
+            .crossJoin(F.broadcast(ex_tot))
+            .select(
+                F.lit(planes).alias("planes"),
+                F.lit(tables).alias("tables"),
+                "n_probes",
+                "n_candidates",
+                F.round(
+                    F.col("n_candidates") / F.col("n_probes").cast("double"),
+                    6,
+                ).alias("mean_candidates"),
+                F.round(
+                    F.col("n_hit") / F.col("n_exact").cast("double"), 6
+                ).alias("recall3"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -59,6 +59,12 @@ BNLJ_ALLOWED = {
     # exact baseline being measured); the lsh arm and the recall join
     # are equi-joins on bucket / (p_id, c_id).
     "ann_recall_report",
+    # ann_cost_recall_tradeoff shares that ground-truth arm (one
+    # cosine_topk against the 20-row probe set); every lsh_candidates
+    # branch and the hit joins are equi-joins on (tbl, bucket) /
+    # (p_id, c_id), and the per-branch assembly crossJoins are one-row
+    # aggregates.
+    "ann_cost_recall_tradeoff",
 }
 
 

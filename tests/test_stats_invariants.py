@@ -1026,6 +1026,38 @@ def test_shapley_sampled_matches_md5_reference(spark, qs):
         assert abs(full[ch] - exact[ch]) <= 1e-5
 
 
+def test_shapley_sampled_estimator_error_bound(spark, qs):
+    """r12 (VERDICT r11 task 3): pin the Castro estimator's SAMPLING
+    ERROR, not just its telescoping identity — the two REGISTERED
+    operators compared channel-by-channel on the fixture at the
+    production R=24 over the fixture's k=4 channels. The estimator is
+    DETERMINISTIC (md5 salt + replicate grid fixes the permutation
+    set), so the deviation from the exact operator is a frozen quality
+    number: measured max |phi_sampled − phi_exact| = 0.1214 at
+    sf0.001 (marginals live in [−1, 1] — differences of conversion
+    rates — so a 24-permutation mean this close is healthy). The
+    bounds below trip if a change to the sampling scheme (salt,
+    ordering, grid) degrades estimator quality, the failure mode the
+    exactness identity cannot see."""
+    exact = {
+        r["channel"]: r["shapley_credit"]
+        for r in qs["shapley_channel_attribution"](spark, SF).collect()
+    }
+    sampled = {
+        r["channel"]: r["shapley_credit_sampled"]
+        for r in qs["shapley_channel_attribution_sampled"](
+            spark, SF
+        ).collect()
+    }
+    assert set(sampled) == set(exact)
+    devs = {ch: abs(sampled[ch] - exact[ch]) for ch in exact}
+    # per-channel: measured max 0.1214, frozen with ~50% headroom
+    assert max(devs.values()) <= 0.18, devs
+    # in aggregate the estimator must do better than its worst channel:
+    # measured mean |dev| ~0.069, frozen with headroom
+    assert sum(devs.values()) / len(devs) <= 0.11, devs
+
+
 def test_cross_doc_runs_match_tokenlevel_reference(spark, qs):
     """r10: the hash-join + gaps-and-islands runs must equal a pure
     token-tuple reimplementation (no hashing — also proves md5 isn't

@@ -249,6 +249,7 @@ AUDITED = (
     "brier_decomposition",
     "heaps_law_fit",
     "ann_recall_report",
+    "ann_cost_recall_tradeoff",
 )
 
 SF = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
