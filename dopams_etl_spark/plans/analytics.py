@@ -1794,15 +1794,24 @@ def cross_corr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("d")
     parts = []
+    # corr assembled from the throw-free population moments: under ANSI
+    # Spark's builtin corr ABORTS on a zero-variance series (a flat
+    # purchase count across days) where DuckDB yields NULL (r12 review);
+    # try_divide supplies the NULL. No nulls survive the lv filter, so
+    # the moments are pairwise-complete by construction.
     for k in range(7):
         lagged = daily.select(
             "purchases", F.lag("views", k).over(w).alias("lv")
         ).filter(F.col("lv").isNotNull())
+        xcorr = F.try_divide(
+            F.covar_pop("purchases", "lv"),
+            F.stddev_pop("purchases") * F.stddev_pop("lv"),
+        )
         parts.append(
             lagged.agg(
                 F.lit(k).alias("lag"),
                 F.count("lv").alias("n_days"),
-                (F.round(F.corr("purchases", "lv"), 6) + 0.0).alias("xcorr"),
+                (F.round(xcorr, 6) + 0.0).alias("xcorr"),
             )
         )
     lags = parts[0]

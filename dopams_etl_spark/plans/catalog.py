@@ -60,8 +60,9 @@ _PRIORITY: tuple[str, ...] = (
     #   - the 2 ADVICE-hardened queries (friedman inner NULLIF,
     #     brier integer-rank-sum conf + ordered-frame accumulation);
     #   - the new ann_cost_recall_tradeoff registration.
-    # firs_mv skips ONE round (r11-green, slot 51 — first re-cert of
-    # r13) because the VERDICT allocated all 8 free slots explicitly.
+    # firs_mv skips ONE round (r11-green, slot 61 — behind the ten
+    # r11-queue rows in the below-line block) because the VERDICT
+    # allocated all 8 free slots explicitly.
     # 1) the 42 round-5 rows, oldest-first in registry order:
     "advanced_search_accuseds",
     "entity_resolution_blocked",

@@ -1684,18 +1684,36 @@ def event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass mergeable moment sketches in Spark's hash aggregate
     (sum, sum-of-squares, cross-sums per partial), so they scale exactly
     like SUM. Both engines use numerically-stable single-pass updates;
-    agreement at 6 decimals is part of what the oracle checks."""
+    agreement at 6 decimals is part of what the oracle checks.
+
+    Degenerate-group guard (r12 review): under ANSI, Spark's builtin
+    corr/covar_samp/stddev_samp ABORT on a zero-variance or single-row
+    group (the final n−1 / √variance division throws DIVIDE_BY_ZERO)
+    where DuckDB yields NULL — so each statistic is assembled from the
+    throw-free population moments (var_pop/covar_pop divide by n ≥ 1)
+    with try_divide supplying the NULL. The corr moments are computed
+    PAIRWISE-COMPLETE (x conditioned on y's non-nullness and vice
+    versa), matching SQL corr's null semantics exactly."""
     ev = t(spark, sf_dir, "events")
+    x, yn, un = F.col("value"), F.col("ts"), F.col("user_id")
+    y = yn.cast("long")
+    u = un.cast("double")
+    n_x = F.count("value")
+    n_xu = F.count(
+        F.when(x.isNotNull() & un.isNotNull(), F.lit(1))
+    )
+    var_samp = F.try_divide(F.var_pop("value") * n_x, n_x - 1)
+    corr_time = F.try_divide(
+        F.covar_pop(x, y),
+        F.stddev_pop(F.when(yn.isNotNull(), x))
+        * F.stddev_pop(F.when(x.isNotNull(), y)),
+    )
+    covar_samp = F.try_divide(F.covar_pop(x, u) * n_xu, n_xu - 1)
     return ev.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 6).alias("sd"),
-        F.round(F.var_samp("value"), 6).alias("variance"),
-        (F.round(F.corr("value", F.col("ts").cast("long")), 6) + 0.0).alias(
-            "corr_time"
-        ),
-        (
-            F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6)
-            + 0.0
-        ).alias("covar_user"),
+        F.round(F.sqrt(var_samp), 6).alias("sd"),
+        F.round(var_samp, 6).alias("variance"),
+        (F.round(corr_time, 6) + 0.0).alias("corr_time"),
+        (F.round(covar_samp, 6) + 0.0).alias("covar_user"),
     )
 
 

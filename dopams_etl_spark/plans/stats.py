@@ -475,11 +475,16 @@ def js_divergence_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((n11 + n00) / n, 6) AS observed_agreement,
            -- + 0.0 canonicalizes IEEE -0.0 (kappa is sign-indefinite:
            -- agreement below chance is negative)
+           -- NULLIF mirrors the Spark twin's try_divide: pe = 1 (every
+           -- order in one agreement cell) makes kappa 0/0, which must be
+           -- NULL on both engines regardless of DuckDB's
+           -- float-division-by-zero setting
            ROUND(((n11 + n00) / n
                   - ((n11 + n10) * (n11 + n01)
                      + (n00 + n01) * (n00 + n10)) / (n * n))
-                 / (1 - ((n11 + n10) * (n11 + n01)
-                         + (n00 + n01) * (n00 + n10)) / (n * n)), 6) + 0.0
+                 / NULLIF(1 - ((n11 + n10) * (n11 + n01)
+                               + (n00 + n01) * (n00 + n10)) / (n * n),
+                          0.0), 6) + 0.0
              AS kappa
     FROM c
     """,
@@ -520,7 +525,9 @@ def cohens_kappa_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         n.cast("long").alias("n_orders"),
         F.round(po, 6).alias("observed_agreement"),
-        (F.round((po - pe) / (1 - pe), 6) + 0.0).alias("kappa"),
+        # try_divide: pe = 1 would make the bare '/' ANSI-abort where
+        # DuckDB's NULLIF yields NULL
+        (F.round(F.try_divide(po - pe, 1 - pe), 6) + 0.0).alias("kappa"),
     )
 
 
@@ -1696,9 +1703,14 @@ def kruskal_wallis_value_by_type(
       GROUP BY flag)
     SELECT nt.flag AS l_returnflag, nt.n_rows AS n,
            -- + 0.0 canonicalizes IEEE -0.0 (tau is sign-indefinite; a
-           -- near-zero tau rounding from below would split the engines)
+           -- near-zero tau rounding from below would split the engines);
+           -- NULLIF mirrors the Spark twin's try_divide (a flag where
+           -- either variable is constant zeroes the pair variance) so
+           -- the guard does not depend on DuckDB's division-by-zero
+           -- setting
            ROUND((cd.c - cd.dd)
-                 / sqrt((nt.n0 - t1.n1) * (nt.n0 - t2.n2)), 6) + 0.0
+                 / NULLIF(sqrt((nt.n0 - t1.n1) * (nt.n0 - t2.n2)), 0.0),
+                 6) + 0.0
              AS tau_b
     FROM nt JOIN cd ON nt.flag = cd.flag
             JOIN t1 ON nt.flag = t1.flag

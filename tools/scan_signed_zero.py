@@ -48,7 +48,11 @@ def column_canonicalized(sql: str, col: str) -> bool:
     column you believe is safe means: read the SQL."""
     for m in re.finditer(rf"\bAS\s+{re.escape(col)}\b", sql, re.IGNORECASE):
         window = sql[max(0, m.start() - 300) : m.start()]
-        if re.search(r"\+\s*0\.0\s*$", window.rstrip()) or "+ 0.0" in window[-60:]:
+        # full-token match: '+ 0.0' must not be the prefix of another
+        # literal ('+ 0.005' is a constant, not a canonicalization)
+        if re.search(r"\+\s*0\.0(?![0-9])\s*$", window.rstrip()) or re.search(
+            r"\+\s*0\.0(?![0-9])", window[-60:]
+        ):
             return True
     return False
 
