@@ -53,6 +53,71 @@ def test_lsh_topk_recall_on_near_dup(spark):
     assert got and got[0]["c_id"] == 1
 
 
+def test_lsh_candidates_is_what_lsh_topk_ranks(spark):
+    """r12: lsh_candidates' docstring claim — 'what lsh_topk ranks, this
+    counts' — pinned until the r13 refactor single-sources the stage:
+    at the SAME (dim, planes, tables, seed), lsh_topk's ranked output
+    pairs must be EXACTLY the candidate pairs when k >= |corpus| (same
+    bucket join, same self-filter, same cross-table dedup), and always
+    a subset for small k. Trips if either copy's bucketing convention
+    drifts."""
+    rows = _vecs(40, dim=8)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probe = df.filter(F.col("vec_id") < 5)
+    from dopams_etl_spark.operators.similarity import lsh_candidates
+
+    for planes, tables in ((4, 1), (3, 4)):
+        cand = {
+            (r["p_id"], r["c_id"])
+            for r in lsh_candidates(
+                probe, df, "vec_id", "vec_id", dim=8,
+                planes=planes, tables=tables,
+            ).collect()
+        }
+        ranked_all = {
+            (r["p_id"], r["c_id"])
+            for r in lsh_topk(
+                probe, df, "vec_id", "vec_id", k=len(rows), dim=8,
+                planes=planes, tables=tables,
+            ).collect()
+        }
+        assert ranked_all == cand, (planes, tables)
+        ranked_k2 = {
+            (r["p_id"], r["c_id"])
+            for r in lsh_topk(
+                probe, df, "vec_id", "vec_id", k=2, dim=8,
+                planes=planes, tables=tables,
+            ).collect()
+        }
+        assert ranked_k2 <= cand
+
+
+def test_lsh_candidates_table_amplification_is_monotone(spark):
+    """Adding tables can only ADD candidates: table 0 hashes with seed
+    42 in both configs, so the tables=4 union is a superset of the
+    tables=1 set at the same planes — the monotonicity that makes the
+    ann_cost_recall_tradeoff's cost axis meaningful."""
+    rows = _vecs(40, dim=8)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probe = df.filter(F.col("vec_id") < 5)
+    from dopams_etl_spark.operators.similarity import lsh_candidates
+
+    one = {
+        (r["p_id"], r["c_id"])
+        for r in lsh_candidates(
+            probe, df, "vec_id", "vec_id", dim=8, planes=3, tables=1
+        ).collect()
+    }
+    four = {
+        (r["p_id"], r["c_id"])
+        for r in lsh_candidates(
+            probe, df, "vec_id", "vec_id", dim=8, planes=3, tables=4
+        ).collect()
+    }
+    assert one <= four
+    assert len(four) > len(one)  # amplification genuinely adds pairs
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     from dopams_etl_spark.operators.similarity import ivf_topk
 
