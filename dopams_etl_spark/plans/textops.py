@@ -4287,9 +4287,11 @@ def _ann_cost_oracle(configs: tuple[tuple[int, int], ...]) -> str:
         branch_selects.append(
             f"""    SELECT {planes} AS planes, {tables} AS tables,
            np.n_probes, nc_{s}.n_candidates,
-           ROUND(nc_{s}.n_candidates / CAST(np.n_probes AS DOUBLE), 6)
+           ROUND(nc_{s}.n_candidates
+                 / NULLIF(CAST(np.n_probes AS DOUBLE), 0.0), 6)
              AS mean_candidates,
-           ROUND(hit_{s}.n_hit / CAST(ex_tot.n_exact AS DOUBLE), 6)
+           ROUND(hit_{s}.n_hit
+                 / NULLIF(CAST(ex_tot.n_exact AS DOUBLE), 0.0), 6)
              AS recall3
     FROM nc_{s} CROSS JOIN hit_{s} CROSS JOIN np CROSS JOIN ex_tot"""
         )
@@ -4379,12 +4381,22 @@ def ann_cost_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(tables).alias("tables"),
                 "n_probes",
                 "n_candidates",
+                # try_divide / NULLIF (r12 fuzz census): a degenerate
+                # fixture with <=1 embedding has zero probes / an empty
+                # exact top-3, and under ANSI the bare '/' ABORTS on the
+                # zero denominator where DuckDB's NULLIF yields NULL
                 F.round(
-                    F.col("n_candidates") / F.col("n_probes").cast("double"),
+                    F.try_divide(
+                        F.col("n_candidates"),
+                        F.col("n_probes").cast("double"),
+                    ),
                     6,
                 ).alias("mean_candidates"),
                 F.round(
-                    F.col("n_hit") / F.col("n_exact").cast("double"), 6
+                    F.try_divide(
+                        F.col("n_hit"), F.col("n_exact").cast("double")
+                    ),
+                    6,
                 ).alias("recall3"),
             )
         )
