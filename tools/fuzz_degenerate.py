@@ -146,6 +146,14 @@ def main() -> int:
                     try:
                         want = check.duck_run(oracles[name], sf_dir)
                     except Exception as e:
+                        # The Spark plan is lazy — without this count()
+                        # an oracle abort would short-circuit before the
+                        # engine ever executed, and a query that ALSO
+                        # aborts Spark-side (rank-1 signal) would be
+                        # tallied only as ORACLE_ERR (rank 2). Execute
+                        # the engine side anyway; a Spark throw here
+                        # propagates to the outer except as SPARK_ERR.
+                        sdf.count()
                         kind, verdict = "ORACLE_ERR", f"ORACLE_ERR {type(e).__name__}: {e}"
                     else:
                         verdict = check.compare(name, sdf, want)

@@ -48,11 +48,14 @@ def column_canonicalized(sql: str, col: str) -> bool:
     column you believe is safe means: read the SQL."""
     for m in re.finditer(rf"\bAS\s+{re.escape(col)}\b", sql, re.IGNORECASE):
         window = sql[max(0, m.start() - 300) : m.start()]
-        # full-token match: '+ 0.0' must not be the prefix of another
-        # literal ('+ 0.005' is a constant, not a canonicalization)
-        if re.search(r"\+\s*0\.0(?![0-9])\s*$", window.rstrip()) or re.search(
-            r"\+\s*0\.0(?![0-9])", window[-60:]
-        ):
+        # The convention always reads `... + 0.0 AS col` (possibly
+        # across a line break), so the token must be the LAST thing
+        # before the alias — a trailing-anchored match. A windowed
+        # "appears nearby" check would also accept the NEIGHBORING
+        # select item's `+ 0.0` and silently drop a genuinely
+        # un-migrated column from the worklist (r12 review). Full-token:
+        # '+ 0.0' must not be the prefix of another literal ('+ 0.005').
+        if re.search(r"\+\s*0\.0(?![0-9])\s*$", window.rstrip()):
             return True
     return False
 
