@@ -1761,12 +1761,16 @@ def _xcorr_oracle(max_lag: int = 6) -> str:
     )
     return f"""
     WITH daily AS (
+      -- ts IS NOT NULL (r12 nullhalf census): a null-timestamp event
+      -- would create a NULL day whose position under ORDER BY d the
+      -- engines DISAGREE on (Spark windows sort NULLS FIRST on ASC,
+      -- DuckDB NULLS LAST), silently shifting every lagged pair
       SELECT CAST(ts AS DATE) AS d,
              CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
                AS views,
              CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
                AS purchases
-      FROM events GROUP BY 1),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
     lags AS (
 {branches}),
     best AS (SELECT lag AS best_lag FROM lags
@@ -1786,11 +1790,20 @@ def cross_corr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses), argmax as a one-row broadcast with a deterministic
     (corr DESC, lag ASC) tie-break."""
     ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count_if(F.col("event_type") == "view").cast("double").alias("views"),
-        F.count_if(F.col("event_type") == "purchase")
-        .cast("double")
-        .alias("purchases"),
+    # ts non-null (r12 nullhalf census): a NULL day would sit at a
+    # DIFFERENT end of the lag window's ORDER BY in each engine (Spark
+    # NULLS FIRST on ASC, DuckDB NULLS LAST), shifting every lagged pair
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count_if(F.col("event_type") == "view")
+            .cast("double")
+            .alias("views"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("double")
+            .alias("purchases"),
+        )
     )
     w = Window.orderBy("d")
     parts = []

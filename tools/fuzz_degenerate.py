@@ -25,6 +25,12 @@ on each variant, comparing with the check.py harness:
   `1 − l_discount = 0` denominators.
 - ``empty``  — 0 rows, schema intact: empty aggregates, driver-side
   pools collected from nothing, `first()`/`head()` returning None.
+- ``nullhalf`` — full sf0.001 row counts, every NON-KEY column (keys =
+  ``*_id`` / ``*key`` / ``l_linenumber``) nulled on every 2nd row: the
+  NULL-semantics parity axis — pairwise-complete moments, COUNT(col)
+  vs COUNT(*), GROUP BY NULL keys, null-safe joins, watermarks over
+  null event times. The other variants never inject nulls, so this is
+  the only probe of the null-handling class.
 
 Signal ranking (this is a CENSUS, not a gate — the registry is only
 required to be green on driver data):
@@ -69,7 +75,27 @@ from dopams_etl_spark.catalog import TABLES  # noqa: E402
 BASE = os.environ.get("FUZZ_BASE_SF_DIR", "/root/testdata/sf0.001")
 ROOT = os.path.join(os.path.dirname(__file__), "..", ".fuzz")
 
-VARIANTS = ("tiny1", "const", "empty")
+VARIANTS = ("tiny1", "const", "empty", "nullhalf")
+
+
+def _is_key(name: str) -> bool:
+    """Join/identity columns stay intact in ``nullhalf`` so the census
+    measures null-VALUE semantics, not just rows vanishing from every
+    equi-join at once."""
+    return name.endswith(("_id", "key")) or name == "l_linenumber"
+
+
+def _nullify_half(table: pa.Table) -> pa.Table:
+    for i, field in enumerate(table.schema):
+        if _is_key(field.name):
+            continue
+        vals = table.column(i).to_pylist()
+        new = pa.array(
+            [None if j % 2 == 1 else v for j, v in enumerate(vals)],
+            type=field.type,
+        )
+        table = table.set_column(i, field, new)
+    return table
 
 
 def _constify(table: pa.Table) -> pa.Table:
@@ -109,6 +135,8 @@ def build_variant(variant: str) -> str:
             dst = src.slice(0, 0)
         elif variant == "const":
             dst = _constify(src)
+        elif variant == "nullhalf":
+            dst = _nullify_half(src)
         else:
             raise ValueError(variant)
         pq.write_table(dst, os.path.join(out, f"{t}.parquet"))
