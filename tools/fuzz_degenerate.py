@@ -49,7 +49,7 @@ structural divergence; the repr-identity (−0.0) class is
 scan_signed_zero.py's job.
 
 Usage:
-    python tools/fuzz_degenerate.py                  # all 3 variants
+    python tools/fuzz_degenerate.py                  # all 4 variants
     python tools/fuzz_degenerate.py tiny1 empty      # subset of variants
     FUZZ_QUERIES="q1 firs_mv" python tools/fuzz_degenerate.py
 Variants are (re)built under .fuzz/ (gitignored) from
@@ -174,14 +174,18 @@ def main() -> int:
                     try:
                         want = check.duck_run(oracles[name], sf_dir)
                     except Exception as e:
-                        # The Spark plan is lazy — without this count()
+                        # The Spark plan is lazy — without forcing it here
                         # an oracle abort would short-circuit before the
                         # engine ever executed, and a query that ALSO
                         # aborts Spark-side (rank-1 signal) would be
-                        # tallied only as ORACLE_ERR (rank 2). Execute
-                        # the engine side anyway; a Spark throw here
-                        # propagates to the outer except as SPARK_ERR.
-                        sdf.count()
+                        # tallied only as ORACLE_ERR (rank 2). count()
+                        # is NOT enough: column pruning strips ANSI-
+                        # throwing select items under count() (verified:
+                        # count() returns where collect() throws
+                        # DIVIDE_BY_ZERO), so materialize every projected
+                        # column; a Spark throw here propagates to the
+                        # outer except as SPARK_ERR.
+                        sdf.toPandas()
                         kind, verdict = "ORACLE_ERR", f"ORACLE_ERR {type(e).__name__}: {e}"
                     else:
                         verdict = check.compare(name, sdf, want)
@@ -189,7 +193,10 @@ def main() -> int:
                         if kind.startswith("FAIL"):
                             kind = "FAIL"
                 else:
-                    verdict = f"ROWS-ONLY ({sdf.count()} rows)"
+                    # Full materialization for the same reason as above:
+                    # count() would let pruning skip throwing columns and
+                    # report robust a query the driver would abort on.
+                    verdict = f"ROWS-ONLY ({len(sdf.toPandas())} rows)"
             except Exception as e:
                 kind = "SPARK_ERR"
                 verdict = "SPARK_ERR " + traceback.format_exc(limit=6).splitlines()[-1]
