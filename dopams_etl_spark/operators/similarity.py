@@ -68,7 +68,18 @@ def cosine_topk(
     values disqualify a candidate — the hard-negative-mining predicate
     (nearest neighbors NOT sharing the probe's label/cluster/source are
     exactly the hard negatives contrastive training wants).
+
+    Null-vector convention (shared by the whole ANN family, r12 nullhalf
+    census): rows whose vector IS NULL are excluded from BOTH probe and
+    corpus before anything else. Without the explicit filter the
+    engines diverge structurally — a NULL vector yields NULL cosines
+    that Spark ranks NULLS LAST (so it can still surface when a probe
+    has < k real candidates) while DuckDB's list_dot_product ABORTS on
+    a NULL list. Every ANN oracle mirrors this with
+    ``catalog.ann_notnull_cte``.
     """
+    probe = probe.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     n = corpus_rows if corpus_rows is not None else corpus.count()
     if n > MAX_BROADCAST_CORPUS_ROWS:
         raise ValueError(
@@ -118,10 +129,15 @@ def embedding_near_dups(
     unbounded cartesian ever forms. Recall for a pair at angle θ is
     1 - (1 - (1-θ/π)^planes)^tables — e.g. cos 0.9, planes=8, tables=4
     → ~0.75; raise ``tables`` for more.
+
+    Null-vector convention (see ``cosine_topk``): NULL vectors are
+    filtered out explicitly before bucketing.
     """
     from dopams_etl_spark.partitioning import ensure_parallelism
 
-    exploded = ensure_parallelism(df, id_col).select(
+    exploded = ensure_parallelism(
+        df.filter(F.col(vec_col).isNotNull()), id_col
+    ).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.explode(
@@ -227,12 +243,34 @@ def ivf_topk(
     candidate set is |corpus|·nprobe/n_centroids per probe instead of
     |corpus|. Exact cosine re-ranks within the probed cells. Recall
     measured vs ``cosine_topk`` in tests (incl. non-contiguous ids).
+
+    Null-vector convention (see ``cosine_topk``): NULL vectors are
+    excluded up front — besides the shared-semantics reason, the
+    md5-ordered seed sample must never pick a NULL vector as a
+    centroid (a None in the collected literals poisons the plan).
     """
+    probe = probe.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     rows = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("v"))
     sel = rows.orderBy(F.md5(F.col("cid").cast("string")).asc(), F.col("cid").asc()).limit(
         n_centroids
     )
     cents = [(r["cid"], [float(x) for x in r["v"]]) for r in sel.collect()]
+    if not cents:
+        # Empty corpus: zero centroids means zero cells to probe. Return
+        # an empty, correctly-typed result instead of letting
+        # _nearest_centroids build an uninhabitable zero-struct literal
+        # (AnalysisException) — the same shape cosine_topk degrades to.
+        return (
+            probe.select(F.col(probe_id).alias("p_id"))
+            .limit(0)
+            .select(
+                "p_id",
+                F.lit(None).cast(corpus.schema[corpus_id].dataType).alias("c_id"),
+                F.lit(None).cast("double").alias("cos_sim"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+        )
     # Optional Lloyd refinement (kmeans over the md5 seeds): re-assign the
     # corpus, replace each centroid with its cell mean — one distributed
     # aggregate + one n_centroids-row collect per iteration (the same
@@ -295,34 +333,15 @@ def lsh_topk(
     sets unioned (linear cost in tables, exponential recall gain). With
     ``tables=1`` this is a single (bucket) equi-join; with tables>1 the
     join key is (table, bucket) and duplicate (p,c) candidates dedup
-    before ranking. Exact cosine re-ranks candidates either way."""
-    from dopams_etl_spark.partitioning import ensure_parallelism
+    before ranking. Exact cosine re-ranks candidates either way.
 
-    def bucketed(df: DataFrame, id_col: str, id_out: str, vec_out: str) -> DataFrame:
-        return ensure_parallelism(df).select(
-            F.col(id_col).alias(id_out),
-            F.col(vec_col).alias(vec_out),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_bucket(vec_col, dim, planes, seed + 1000 * t).alias("bucket"),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(id_out, vec_out, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-
-    p = bucketed(probe, probe_id, "p_id", "p_vec")
-    c = bucketed(corpus, corpus_id, "c_id", "c_vec")
-    scored = p.join(c, ["tbl", "bucket"]).filter(F.col("p_id") != F.col("c_id"))
-    if tables > 1:
-        # a (p, c) pair can surface from several tables; one shuffle dedups
-        # before ranking (skipped at tables=1 where pairs are unique)
-        scored = scored.dropDuplicates(["p_id", "c_id"])
-    scored = scored.withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
+    Candidate generation is ``lsh_candidates`` — ONE bucketing
+    implementation; this function is only the exact-cosine re-rank on
+    top (the duplication the r12 verdict scheduled out)."""
+    pairs = lsh_candidates(
+        probe, corpus, probe_id, corpus_id, vec_col, dim, planes, tables, seed
+    )
+    scored = pairs.withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
     w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -352,11 +371,18 @@ def lsh_candidates(
     hyperplane set and duplicate pairs across tables dedup once.
 
     Scale shape is the ``lsh_topk`` one: the only shuffles are the
-    (tbl, bucket) equi-join and the pair dedup — no cross product."""
+    (tbl, bucket) equi-join and the pair dedup — no cross product.
+
+    Null-vector convention (see ``cosine_topk``): NULL vectors are
+    filtered out explicitly before bucketing — the (tbl, bucket)
+    equi-join already drops them silently (a NULL vector hashes to a
+    NULL bucket), so this changes no output, but it makes the shared
+    ANN convention greppable and keeps the filter ahead of the
+    ``tables``× explode."""
     from dopams_etl_spark.partitioning import ensure_parallelism
 
     def bucketed(df: DataFrame, id_col: str, id_out: str, vec_out: str) -> DataFrame:
-        return ensure_parallelism(df).select(
+        return ensure_parallelism(df.filter(F.col(vec_col).isNotNull())).select(
             F.col(id_col).alias(id_out),
             F.col(vec_col).alias(vec_out),
             F.explode(

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from dopams_etl_spark.functions.ids import md5_bucket32, md5_cohort
 from dopams_etl_spark.operators.sessionize import with_session_num
 from dopams_etl_spark.plans.catalog import (
+    ann_notnull,
     md5_bucket32_sql,
     md5_cohort_sql,
     register,
@@ -901,10 +902,8 @@ def trigram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rrf_oracle() -> str:
     from dopams_etl_spark.plans.textops import _BM25_CTES
 
-    return (
-        "WITH "
-        + _BM25_CTES
-        + """,
+    return "WITH " + _BM25_CTES + ann_notnull(
+        """,
     bm AS (SELECT query_id, doc_id, rank AS bm25_rank FROM r WHERE rank <= 20),
     p AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS pv
           FROM embeddings WHERE vec_id IN (1, 2, 3)),
@@ -936,7 +935,7 @@ def _rrf_oracle() -> str:
            CAST(rank AS INT) AS rank
     FROM final WHERE rank <= 10
     """
-    )
+    )  # ann_notnull scopes to the vector arm: _BM25_CTES reads documents only
 
 
 @register("rrf_fused_search", _rrf_oracle())
@@ -2776,7 +2775,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_label_accuracy",
-    """
+    ann_notnull("""
     WITH p AS (SELECT vec_id AS p_id, label AS p_label,
                       embedding::DOUBLE[] AS pv
                FROM embeddings WHERE vec_id < 200),
@@ -2805,7 +2804,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(COUNT(*) FILTER (WHERE predicted = p_label)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
     FROM pred GROUP BY p_label
-    """,
+    """),
 )
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out 3-NN label accuracy over the embedding space — the

@@ -472,3 +472,23 @@ def md5_cohort_sql(salt: str, key: str, mod: int = 2) -> str:
     md5 hash-split expression (same hex-prefix width, same modulus)."""
     key_sql = f"'{salt}|' || CAST({key} AS VARCHAR)"
     return f"{md5_bucket32_sql(key_sql)} % {mod}"
+
+
+def ann_notnull(sql: str) -> str:
+    """The shared ANN null-vector convention, oracle side (r12 nullhalf
+    census): every read of the embeddings table excludes rows whose
+    vector IS NULL. One decision, one implementation — each ANN oracle
+    passes its SQL through here, mirroring the explicit
+    ``isNotNull`` entry filters in ``operators/similarity.py``
+    (``cosine_topk`` / ``lsh_candidates`` / ``ivf_topk`` /
+    ``embedding_near_dups``). Without it the engines diverge
+    structurally on a NULL vector: Spark's bucket equi-join / ranking
+    silently drops or NULLS-LAST-ranks it while DuckDB's
+    ``list_dot_product`` ABORTS on a NULL list. No live fixture carries
+    NULL vectors, so wrapping an oracle changes no driver-data output
+    (strict-verified tri-SF when introduced)."""
+    return sql.replace(
+        "FROM embeddings",
+        "FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
+        " embeddings",
+    )

@@ -49,7 +49,12 @@ from dopams_etl_spark.operators.similarity import (
     embedding_near_dups,
     lsh_topk,
 )
-from dopams_etl_spark.plans.catalog import md5_bucket32_sql, register, t
+from dopams_etl_spark.plans.catalog import (
+    ann_notnull,
+    md5_bucket32_sql,
+    register,
+    t,
+)
 
 
 def _split_ctes() -> dict[str, str]:
@@ -423,7 +428,7 @@ def tiered_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cosine_topk_embeddings",
-    """
+    ann_notnull("""
     WITH p AS (SELECT vec_id AS p_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
     s AS (SELECT p_id, c_id,
@@ -434,7 +439,7 @@ def tiered_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT *, row_number() OVER (PARTITION BY p_id
                                        ORDER BY cos_sim DESC, c_id ASC) AS rn FROM s)
     SELECT p_id, c_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
-    """,
+    """),
 )
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 similarity top-k, exact brute-force baseline: JVM zip_with/aggregate
@@ -461,7 +466,7 @@ def _lsh_bucket_sql(vec_expr: str, dim: int, planes: int, seed: int = 42) -> str
 
 @register(
     "lsh_topk_embeddings",
-    """
+    ann_notnull("""
     WITH p AS (SELECT vec_id AS p_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
     pb AS (SELECT *, {bp} AS bucket FROM p),
@@ -474,7 +479,7 @@ def _lsh_bucket_sql(vec_expr: str, dim: int, planes: int, seed: int = 42) -> str
     r AS (SELECT *, row_number() OVER (PARTITION BY p_id
                                        ORDER BY cos_sim DESC, c_id ASC) AS rn FROM s)
     SELECT p_id, c_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
-    """.replace("{bp}", _lsh_bucket_sql("pv", 64, 6)).replace(
+    """).replace("{bp}", _lsh_bucket_sql("pv", 64, 6)).replace(
         "{bc}", _lsh_bucket_sql("cv", 64, 6)
     ),
 )
@@ -490,7 +495,7 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_topk_embeddings",
-    """
+    ann_notnull("""
     WITH cents AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
       FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -521,7 +526,7 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT *, row_number() OVER (PARTITION BY p_id
                                        ORDER BY cos_sim DESC, c_id ASC) AS rn FROM s)
     SELECT p_id, c_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
-    """,
+    """),
 )
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 at scale, variant 2: IVF coarse-quantizer ANN — probes search
@@ -542,7 +547,7 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup_pairs",
-    """
+    ann_notnull("""
     WITH base AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
@@ -563,7 +568,7 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cos_sim
           FROM pairs)
     SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.99
-    """.replace("{b0}", _lsh_bucket_sql("v", 64, 8, 42))
+    """).replace("{b0}", _lsh_bucket_sql("v", 64, 8, 42))
        .replace("{b1}", _lsh_bucket_sql("v", 64, 8, 1042))
        .replace("{b2}", _lsh_bucket_sql("v", 64, 8, 2042))
        .replace("{b3}", _lsh_bucket_sql("v", 64, 8, 3042)),
@@ -1494,7 +1499,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hard_negative_mining",
-    """
+    ann_notnull("""
     WITH p AS (SELECT vec_id AS p_id, label AS p_lbl, embedding::DOUBLE[] AS pv
                FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS c_id, label AS c_lbl, embedding::DOUBLE[] AS cv
@@ -1507,7 +1512,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT *, row_number() OVER (PARTITION BY p_id
                                        ORDER BY cos_sim DESC, c_id ASC) AS rn FROM s)
     SELECT p_id, c_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
-    """,
+    """),
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training data prep (beyond-reference): for each probe,
@@ -3236,7 +3241,7 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mutual_nn_pairs_embeddings",
-    """
+    ann_notnull("""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     s AS (SELECT a.vec_id AS p_id, b.vec_id AS c_id,
                  ROUND(list_dot_product(a.v, b.v)
@@ -3251,7 +3256,7 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM top1 x JOIN top1 y
       ON x.rn = 1 AND y.rn = 1
      AND y.p_id = x.c_id AND y.c_id = x.p_id AND x.p_id < x.c_id
-    """,
+    """),
 )
 def mutual_nn_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal best match (mutual nearest neighbors): pairs where
@@ -4132,7 +4137,7 @@ def _lsh_tables_sql(vec_expr: str, planes: int, tables: int) -> str:
 
 @register(
     "ann_recall_report",
-    f"""
+    ann_notnull(f"""
     WITH p AS (SELECT vec_id AS p_id, embedding::DOUBLE[] AS pv
                FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
@@ -4177,7 +4182,7 @@ def _lsh_tables_sql(vec_expr: str, planes: int, tables: int) -> str:
            ROUND(SUM(n_hit) OVER () / CAST(SUM(n_exact) OVER () AS DOUBLE),
                  6) AS mean_recall
     FROM per_probe
-    """,
+    """),
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality readout, driver-checkable: recall@3 of the
@@ -4296,7 +4301,7 @@ def _ann_cost_oracle(configs: tuple[tuple[int, int], ...]) -> str:
     FROM nc_{s} CROSS JOIN hit_{s} CROSS JOIN np CROSS JOIN ex_tot"""
         )
     union = "\n    UNION ALL\n".join(branch_selects)
-    return f"""
+    return ann_notnull(f"""
     WITH p AS (SELECT vec_id AS p_id, embedding::DOUBLE[] AS pv
                FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
@@ -4313,7 +4318,7 @@ def _ann_cost_oracle(configs: tuple[tuple[int, int], ...]) -> str:
     ex_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact3)
     {"".join(branch_ctes)}
 {union}
-    """
+    """)
 
 
 @register("ann_cost_recall_tradeoff", _ann_cost_oracle(ANN_COST_CONFIGS))
@@ -4342,7 +4347,13 @@ def ann_cost_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") < 20)
-    n_probes = probe.agg(F.count(F.lit(1)).alias("n_probes"))
+    # the probe COUNT follows the shared ANN null-vector convention too
+    # (operators filter NULL vectors at entry; the oracle's probe CTE
+    # reads the ann_notnull relation) — without this the cost
+    # denominator disagrees the moment a fixture carries NULL vectors
+    n_probes = probe.filter(F.col("embedding").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_probes")
+    )
     exact3 = cosine_topk(
         probe, emb, "vec_id", "vec_id", "embedding", k=3
     ).select("p_id", "c_id")
