@@ -46,7 +46,13 @@ def _violation_expr(rule: Rule) -> Column:
         bad = c.isNull() | ~c.rlike(f"^(?:{pat})$")
     else:
         raise ValueError(f"unknown rule kind {kind!r}")
-    return F.sum(F.when(bad, 1).otherwise(0)).cast("long")
+    # COALESCE(…, 0): on an EMPTY table SUM is NULL, which used to
+    # int(None)-crash the report (r13 fuzz census) — an empty table has
+    # zero violations and every rule vacuously passes, the same
+    # convention the SQL oracle states with COALESCE.
+    return F.coalesce(
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long"), F.lit(0).cast("long")
+    )
 
 
 def expect(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:

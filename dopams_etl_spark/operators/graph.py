@@ -114,6 +114,11 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # bounded scalar fetch: one long
+    if n_nodes == 0:
+        # Empty graph (r13 fuzz census): no nodes to rank — return the
+        # empty typed result instead of a driver-side ZeroDivisionError
+        # on the teleport term.
+        return nodes.select("node", F.lit(None).cast("double").alias("rank"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
 

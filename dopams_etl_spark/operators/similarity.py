@@ -337,11 +337,15 @@ def lsh_topk(
 
     Candidate generation is ``lsh_candidates`` — ONE bucketing
     implementation; this function is only the exact-cosine re-rank on
-    top (the duplication the r12 verdict scheduled out)."""
+    top (the duplication the r12 verdict scheduled out). + 0.0
+    canonicalizes IEEE -0.0 on the rounded sign-indefinite cosine
+    (bucket-mates can be anti-correlated, unlike an exact top-k)."""
     pairs = lsh_candidates(
         probe, corpus, probe_id, corpus_id, vec_col, dim, planes, tables, seed
     )
-    scored = pairs.withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
+    scored = pairs.withColumn(
+        "cos_sim", F.round(cosine("p_vec", "c_vec"), 6) + 0.0
+    )
     w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -10,7 +10,7 @@ via ``decimal(18,2)``, ratios rounded to 6, deterministic tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dopams_etl_spark.functions.ids import md5_bucket32, md5_cohort
@@ -347,12 +347,14 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
     SELECT event_type, lag, n_days, autocorr FROM (
       SELECT event_type, 1 AS lag, CAST(COUNT(l1) AS BIGINT) AS n_days,
-             ROUND(corr(n, l1), 6) AS autocorr FROM lagged GROUP BY 1
+             ROUND(corr(n, l1), 6) + 0.0 AS autocorr FROM lagged GROUP BY 1
       UNION ALL
-      SELECT event_type, 2, CAST(COUNT(l2) AS BIGINT), ROUND(corr(n, l2), 6)
+      SELECT event_type, 2, CAST(COUNT(l2) AS BIGINT),
+             ROUND(corr(n, l2), 6) + 0.0
       FROM lagged GROUP BY 1
       UNION ALL
-      SELECT event_type, 3, CAST(COUNT(l3) AS BIGINT), ROUND(corr(n, l3), 6)
+      SELECT event_type, 3, CAST(COUNT(l3) AS BIGINT),
+             ROUND(corr(n, l3), 6) + 0.0
       FROM lagged GROUP BY 1)
     """,
 )
@@ -381,7 +383,8 @@ def daily_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         lagged.groupBy("event_type").agg(
             F.lit(k).alias("lag"),
             F.count(f"l{k}").alias("n_days"),
-            F.round(F.corr("n", f"l{k}"), 6).alias("autocorr"),
+            # + 0.0 canonicalizes IEEE -0.0 (autocorr is sign-indefinite)
+            (F.round(F.corr("n", f"l{k}"), 6) + 0.0).alias("autocorr"),
         )
         for k in (1, 2, 3)
     ]
@@ -401,8 +404,8 @@ def daily_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DOUBLE) AS n
       FROM events GROUP BY 1, 2)
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
-           ROUND(regr_slope(n, x), 6) AS slope,
-           ROUND(regr_intercept(n, x), 4) AS intercept,
+           ROUND(regr_slope(n, x), 6) + 0.0 AS slope,
+           ROUND(regr_intercept(n, x), 4) + 0.0 AS intercept,
            ROUND(regr_r2(n, x), 6) AS r2
     FROM daily GROUP BY event_type
     """,
@@ -425,8 +428,9 @@ def event_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("double").alias("n"))
     return daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.expr("regr_slope(n, x)"), 6).alias("slope"),
-        F.round(F.expr("regr_intercept(n, x)"), 4).alias("intercept"),
+        # + 0.0 canonicalizes IEEE -0.0 (slope/intercept sign-indefinite)
+        (F.round(F.expr("regr_slope(n, x)"), 6) + 0.0).alias("slope"),
+        (F.round(F.expr("regr_intercept(n, x)"), 4) + 0.0).alias("intercept"),
         F.round(F.expr("regr_r2(n, x)"), 6).alias("r2"),
     )
 
@@ -452,7 +456,7 @@ def event_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY abs(cusum) DESC, d) AS rn
       FROM cus)
     SELECT event_type, CAST(d AS VARCHAR) AS changepoint_date,
-           ROUND(cusum, 6) AS peak_cusum
+           ROUND(cusum, 6) + 0.0 AS peak_cusum
     FROM ranked WHERE rn = 1
     """,
 )
@@ -495,7 +499,8 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("d").cast("string").alias("changepoint_date"),
-            F.round("cusum", 6).alias("peak_cusum"),
+            # + 0.0 canonicalizes IEEE -0.0 (CUSUM is sign-indefinite)
+            (F.round("cusum", 6) + 0.0).alias("peak_cusum"),
         )
     )
 
@@ -505,8 +510,13 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
     bucketed AS (
-      SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS INT),
-                   19) AS bucket,
+      -- hi = lo (constant or single-row value column) makes the bin
+      -- width 0: everything lands in bucket 0 instead of dividing by
+      -- zero (ANSI abort Spark-side, NaN->INT cast error DuckDB-side)
+      SELECT CASE WHEN hi > lo
+                  THEN LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0))
+                                  AS INT), 19)
+                  ELSE 0 END AS bucket,
              lo, hi
       FROM events CROSS JOIN b)
     SELECT bucket,
@@ -529,11 +539,18 @@ def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    # zero-width guard (r13, fuzz census tiny1/const): hi = lo would
+    # divide by zero under ANSI — everything belongs in bucket 0 then
     bucketed = ev.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-            F.lit(19),
-        ).alias("bucket"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(19),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bucket"),
         "lo",
         "hi",
     )
@@ -661,7 +678,8 @@ def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r
       FROM w)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
-           ROUND(regr_slope(ln(c), ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_slope(ln(c), ln(CAST(r AS DOUBLE))), 6) + 0.0
+             AS zipf_slope,
            ROUND(regr_r2(ln(c), ln(CAST(r AS DOUBLE))), 6) AS fit_r2,
            ANY_VALUE(CASE WHEN r = 1 THEN word END) AS top_word
     FROM ranked WHERE r <= 100
@@ -691,9 +709,12 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = F.log(F.col("r").cast("double"))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.round(F.expr("regr_slope(ln(c), ln(CAST(r AS DOUBLE)))"), 6).alias(
-            "zipf_slope"
-        ),
+        # + 0.0 canonicalizes IEEE -0.0 (the slope is ~-1, but a flat
+        # ranked tail can put the rounded value on a signed-zero boundary)
+        (
+            F.round(F.expr("regr_slope(ln(c), ln(CAST(r AS DOUBLE)))"), 6)
+            + 0.0
+        ).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(c), ln(CAST(r AS DOUBLE)))"), 6).alias(
             "fit_r2"
         ),
@@ -1276,7 +1297,8 @@ def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(gap), 4) AS mean_gap_s,
            ROUND(stddev_samp(gap), 4) AS sd_gap_s,
            ROUND((stddev_samp(gap) - AVG(gap))
-                 / (stddev_samp(gap) + AVG(gap)), 6) AS burstiness
+                 / NULLIF(stddev_samp(gap) + AVG(gap), 0.0), 6) + 0.0
+             AS burstiness
     FROM g WHERE gap IS NOT NULL
     GROUP BY user_id HAVING COUNT(gap) >= 2
     """,
@@ -1304,7 +1326,11 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("gap").alias("n_gaps"),
             F.round(mu, 4).alias("mean_gap_s"),
             F.round(sd, 4).alias("sd_gap_s"),
-            F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+            # + 0.0 canonicalizes IEEE -0.0 (B < 0 for regular traffic);
+            # try_divide/NULLIF: all-zero gaps make sd + mu = 0 (0/0)
+            (F.round(F.try_divide(sd - mu, sd + mu), 6) + 0.0).alias(
+                "burstiness"
+            ),
         )
         .filter(F.col("n_gaps") >= 2)
     )
@@ -1705,12 +1731,16 @@ def embedding_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_corr_view_purchase",
     """
     WITH daily AS (
+      -- ts IS NOT NULL (r12 nullhalf census): a null-timestamp event
+      -- would create a NULL day whose position under ORDER BY d the
+      -- engines DISAGREE on (Spark windows sort NULLS FIRST on ASC,
+      -- DuckDB NULLS LAST), shifting every 14-day frame
       SELECT CAST(ts AS DATE) AS d,
              CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
                AS views,
              CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
                AS purchases
-      FROM events GROUP BY 1),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
     r AS (
       SELECT CAST(d AS VARCHAR) AS day,
              ROW_NUMBER() OVER (ORDER BY d) AS rn,
@@ -1718,7 +1748,7 @@ def embedding_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
                AS c
       FROM daily)
-    SELECT day, ROUND(c, 6) AS rolling_corr_14d
+    SELECT day, ROUND(c, 6) + 0.0 AS rolling_corr_14d
     FROM r WHERE rn >= 14
     """,
 )
@@ -1729,22 +1759,44 @@ def rolling_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix shift). The fact collapses to one row per day first; corr runs
     as a frame-bounded window aggregate over that tiny series. Partial
     leading frames are dropped (rn >= 14) so every emitted value
-    covers a full window on both engines."""
+    covers a full window on both engines.
+
+    The correlation is assembled from the throw-free POPULATION window
+    moments (covar_pop / stddev_pop divide by n >= 1): under ANSI
+    Spark's builtin corr ABORTS on a zero-variance frame (14 flat days
+    of either series) where DuckDB's corr yields NULL — the same
+    exposure the r12 review fixed in event_value_moments, here in its
+    window form. try_divide supplies the NULL; the closed form matches
+    the builtin within ~1e-14 relative, far below the 6-dp grain.
+    ts IS NOT NULL on both engines (nullhalf census): a NULL day sits
+    at a different end of ORDER BY d in each engine. + 0.0
+    canonicalizes IEEE -0.0 (near-zero correlations round from below).
+    """
     ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count_if(F.col("event_type") == "view").cast("double").alias("views"),
-        F.count_if(F.col("event_type") == "purchase")
-        .cast("double")
-        .alias("purchases"),
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count_if(F.col("event_type") == "view")
+            .cast("double")
+            .alias("views"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("double")
+            .alias("purchases"),
+        )
     )
     w = Window.orderBy("d").rowsBetween(-13, Window.currentRow)
+    c = F.try_divide(
+        F.covar_pop("views", "purchases").over(w),
+        F.stddev_pop("views").over(w) * F.stddev_pop("purchases").over(w),
+    )
     r = daily.select(
         F.col("d").cast("string").alias("day"),
         F.row_number().over(Window.orderBy("d")).alias("rn"),
-        F.corr("views", "purchases").over(w).alias("c"),
+        c.alias("c"),
     )
     return r.filter(F.col("rn") >= 14).select(
-        "day", F.round("c", 6).alias("rolling_corr_14d")
+        "day", (F.round("c", 6) + 0.0).alias("rolling_corr_14d")
     )
 
 
@@ -3851,9 +3903,9 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_corr_matrix",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS r_qty_price,
-           ROUND(corr(l_quantity, l_discount), 6) AS r_qty_disc,
-           ROUND(corr(l_extendedprice, l_discount), 6) AS r_price_disc
+           ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS r_qty_price,
+           ROUND(corr(l_quantity, l_discount), 6) + 0.0 AS r_qty_disc,
+           ROUND(corr(l_extendedprice, l_discount), 6) + 0.0 AS r_price_disc
     FROM lineitem
     """,
 )
@@ -3864,17 +3916,32 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate pass (each corr is a handful of running sums), so the
     fact table is scanned once and nothing but a single one-row
     reduction crosses the wire — the cheapest possible shape at any
-    scale."""
+    scale.
+
+    Each coefficient is assembled from the throw-free POPULATION
+    moments, pairwise-complete (the r12 ``event_value_moments``
+    pattern): under ANSI, Spark's builtin corr ABORTS on a
+    zero-variance column (a constant measure — the fuzz census's
+    ``const`` shape) where DuckDB yields NULL; try_divide supplies the
+    NULL. + 0.0 canonicalizes IEEE -0.0 on the sign-indefinite rounded
+    coefficients (both engines)."""
     li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    d = F.col("l_discount").cast("double")
+
+    def pcorr(x: Column, y: Column) -> Column:
+        return F.try_divide(
+            F.covar_pop(x, y),
+            F.stddev_pop(F.when(y.isNotNull(), x))
+            * F.stddev_pop(F.when(x.isNotNull(), y)),
+        )
+
     return li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "r_qty_price"
-        ),
-        F.round(F.corr("l_quantity", "l_discount"), 6).alias("r_qty_disc"),
-        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
-            "r_price_disc"
-        ),
+        (F.round(pcorr(q, p), 6) + 0.0).alias("r_qty_price"),
+        (F.round(pcorr(q, d), 6) + 0.0).alias("r_qty_disc"),
+        (F.round(pcorr(p, d), 6) + 0.0).alias("r_price_disc"),
     )
 
 

@@ -48,22 +48,100 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # Round-12 budget (the VERDICT r11 consolidation plan): 50-slot
-    # sample = the 42 remaining round-5 re-certification rows (after
-    # this sample no query's latest driver row predates round 6) + the
-    # 8 free slots spent on this round's changed/new queries:
-    #   - 5 highest-risk signed-zero (+ 0.0) migrations (kendall,
-    #     partial_corr, tukey, kappa, cross_corr — changed-query rule);
-    #     three more latent-class queries (hybrid_search_docs,
-    #     event_value_moments, event_value_zscore) were migrated at zero
-    #     slot cost because they already sit in the r5 re-cert block;
-    #   - the 2 ADVICE-hardened queries (friedman inner NULLIF,
-    #     brier integer-rank-sum conf + ordered-frame accumulation);
-    #   - the new ann_cost_recall_tradeoff registration.
-    # firs_mv skips ONE round (r11-green, slot 61 — behind the ten
-    # r11-queue rows in the below-line block) because the VERDICT
-    # allocated all 8 free slots explicitly.
-    # 1) the 42 round-5 rows, oldest-first in registry order:
+    # Round-13 budget (the VERDICT r12 consolidation plan, verified
+    # against the merged CORRECTNESS_r01-r12 staleness histogram:
+    # r6x42 is the oldest tail): 50-slot sample = the 42 remaining
+    # round-6 re-certification rows (after this sample no query's
+    # latest driver row predates round 7) + 8 free slots.
+    # Ten of the 42 double as zero-cost changed-query slots (changed +
+    # sampled same round): signed-zero migrations for
+    # event_value_robust_zscore, doc_readability_flesch,
+    # daily_autocorr_lags, event_type_trend, cusum_changepoint,
+    # corpus_zipf_slope, user_burstiness; robustness fixes for
+    # value_histogram_equiwidth (zero-width bins), xml_source_roundtrip
+    # + corpus_profile (empty-input); rrf_fused_search also rides its
+    # ANN null-vector oracle migration here for free.
+    # 1) the 42 round-6 rows, oldest-first in registry order:
+    "bloom_decontaminate_docs",
+    "kmeans_fixed_seed_assign",
+    "interval_overlap_merge",
+    "event_transition_matrix",
+    "event_value_robust_zscore",
+    "rolling_median_event_value",
+    "skyline_orders_pareto",
+    "supplier_cooccur_triangles",
+    "tfidf_keyword_extract",
+    "quality_score_auc",
+    "supplier_customer_hits",
+    "cms_user_counts",
+    "embedding_random_projection",
+    "xml_source_roundtrip",
+    "streaming_session_window_counts",
+    "supplier_customer_bfs",
+    "user_event_entropy",
+    "user_value_ewma",
+    "doc_readability_flesch",
+    "cluster_representatives",
+    "corpus_profile",
+    "dow_seasonality_index",
+    "brand_basket_lift",
+    "daily_autocorr_lags",
+    "event_type_trend",
+    "cusum_changepoint",
+    "value_histogram_equiwidth",
+    "rolling_weekly_active_users",
+    "doc_lexical_diversity",
+    "corpus_zipf_slope",
+    "heaps_vocab_growth",
+    "lang_char_divergence",
+    "trigram_novelty_rate",
+    "rrf_fused_search",
+    "sorted_neighborhood_pairs",
+    "graph_degree_histogram",
+    "bucketed_order_revenue",
+    "part_affinity_topk",
+    "user_burstiness",
+    "benford_order_totals",
+    "order_cycle_percentiles",
+    "binary_file_ingest",
+    # 2) the 8 free slots: 3 re-certs for the lsh_topk-on-lsh_candidates
+    #    single-sourcing refactor + the shared ANN null-vector convention
+    #    (lsh_topk_embeddings also gets its cos_sim signed-zero
+    #    migration); rolling_corr_view_purchase (signed-zero + window
+    #    ANSI-corr + null-day filter in one slot); the 4 dual-exposure
+    #    fixes (lineitem_corr_matrix / embedding_norm_outliers:
+    #    signed-zero + ANSI-throw; q8/q14: share-of-zero-total guards):
+    "lsh_topk_embeddings",
+    "ann_recall_report",
+    "mmr_over_lsh",
+    "rolling_corr_view_purchase",
+    "lineitem_corr_matrix",
+    "embedding_norm_outliers",
+    "q8_market_share",
+    "q14_promo_revenue_share",
+    # --- the 50-slot driver sample line ---
+    # 3) changed this round but NOT in the 50-slot sample (first in
+    #    line if the driver ever oversamples; each verified strict
+    #    repr-identical at sf0.001 + sf0.01 + sf0.1 and 4-variant
+    #    fuzz-robust in-round, and each change is live-no-op by
+    #    construction - null-vector convention / degenerate-only
+    #    guards / empty-input convention):
+    "ann_cost_recall_tradeoff",
+    "cosine_topk_embeddings",
+    "ivf_topk_embeddings",
+    "embedding_near_dup_pairs",
+    "mutual_nn_pairs_embeddings",
+    "knn_label_accuracy",
+    "hard_negative_mining",
+    "mmr_diversified_search",
+    "bitext_margin_pairs",
+    "supplier_customer_pagerank",
+    "lineitem_quality_report",
+    "order_grouping_sets",
+    "event_rollup_multigrain",
+    "cube_region_priority_revenue",
+    # 4) every remaining row in its former deterministic order (r14
+    #    re-certification continues here: the r7 tail first).
     "advanced_search_accuseds",
     "entity_resolution_blocked",
     "view_click_purchase_funnel",
@@ -73,7 +151,6 @@ _PRIORITY: tuple[str, ...] = (
     "trigram_match_event_types",
     "salted_event_totals",
     "range_error_click_pairs",
-    "event_rollup_multigrain",
     "user_rolling_event_value",
     "salted_join_user_enrich",
     "sliding_event_stats",
@@ -96,19 +173,14 @@ _PRIORITY: tuple[str, ...] = (
     "approx_distinct_users",
     "order_status_pivot",
     "event_value_rank_stats",
-    "order_grouping_sets",
     "variant_props_stats",
     "event_value_moments",
-    "supplier_customer_pagerank",
     "approx_percentile_rank_contract",
     "zorder_layout_events",
     "event_value_zscore",
     "csv_badrecord_quarantine",
     "schema_evolution_roundtrip",
     "udtf_doc_chunks",
-    # 2) the 5 highest-risk signed-zero migrations + the 2
-    #    ADVICE-hardened queries (every one re-verified STRICT at
-    #    sf0.001+sf0.01):
     "kendall_tau_qty_discount_by_flag",
     "partial_corr_qty_discount_given_price",
     "tukey_hsd_value_by_type",
@@ -116,22 +188,13 @@ _PRIORITY: tuple[str, ...] = (
     "cross_corr_best_lag",
     "friedman_value_by_type_daily",
     "brier_decomposition",
-    # 3) the round's new registration (strict-green at sf0.001+sf0.01):
-    "ann_cost_recall_tradeoff",
-    # --- the 50-slot driver sample line ---
-    # 4) every remaining row in its former deterministic order (r13
-    #    re-certification continues here: firs_mv + the r6 rows first);
-    #    the tuple now lists the WHOLE registry so sampling order no
-    #    longer depends on module-import registration order.
     "file_paths",
     "domain_cap_docs",
     "bm25_search_docs",
-    "bitext_margin_pairs",
     "page_hinkley_value_drift",
     "logrank_retention_test",
     "shapley_channel_attribution",
     "cross_doc_substring_runs",
-    "mmr_diversified_search",
     "nelson_aalen_hazard",
     "firs_mv",
     "lm_perplexity_docs",
@@ -141,7 +204,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_view_purchase_join",
     "streaming_dedup_counts",
     "scd2_user_event_history",
-    "hard_negative_mining",
     "frame_dup_videos",
     "embedding_int8_quantize",
     "perplexity_tiers",
@@ -151,7 +213,6 @@ _PRIORITY: tuple[str, ...] = (
     "hourly_gapfill_interpolate",
     "partitioned_scan_prune",
     "weekly_cohort_retention",
-    "lineitem_quality_report",
     "ab_test_proportion_z",
     "stratified_kfold_assign",
     "bootstrap_mean_ci",
@@ -160,11 +221,9 @@ _PRIORITY: tuple[str, ...] = (
     "temperature_sample_langs",
     "weighted_sample_docs",
     "shapley_channel_attribution_sampled",
-    "mmr_over_lsh",
     "dunn_posthoc_value_by_type",
     "cusum_value_drift",
     "heaps_law_fit",
-    "ann_recall_report",
     "heavy_hitter_users",
     "kmeans_embedding_clusters",
     "accuseds_mv",
@@ -187,10 +246,6 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "ngram_jaccard_dups",
     "simhash_dups",
-    "cosine_topk_embeddings",
-    "lsh_topk_embeddings",
-    "ivf_topk_embeddings",
-    "embedding_near_dup_pairs",
     "doc_token_stats",
     "doc_lang_id",
     "doc_quality_scores",
@@ -227,7 +282,6 @@ _PRIORITY: tuple[str, ...] = (
     "grouped_median_via_counts",
     "holt_linear_daily",
     "phrase_search_docs",
-    "mutual_nn_pairs_embeddings",
     "order_due_dates",
     "sections_classify",
     "domicile_classify",
@@ -275,17 +329,14 @@ _PRIORITY: tuple[str, ...] = (
     "time_weighted_median_value",
     "lang_id_confusion_matrix",
     "bigram_pmi_topk",
-    "embedding_norm_outliers",
     "minhash_jaccard_estimate_error",
     "q4_priority_late_exists",
     "q6_forecast_revenue_delta",
     "q7_volume_shipping",
-    "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
     "q12_late_shipment_priority",
     "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
@@ -304,7 +355,6 @@ _PRIORITY: tuple[str, ...] = (
     "q11_important_parts",
     "q16_parts_supplier_counts",
     "q20_dominant_part_suppliers",
-    "cube_region_priority_revenue",
     "dsir_importance_weights",
     "fk_containment_profile",
     "user_active_day_streaks",
@@ -317,7 +367,6 @@ _PRIORITY: tuple[str, ...] = (
     "label_propagation_communities",
     "seasonal_naive_backtest",
     "embedding_minmax_scale",
-    "rolling_corr_view_purchase",
     "anomaly_days_mad",
     "event_sequence_trigrams",
     "mutual_information_type_dow",
@@ -332,7 +381,6 @@ _PRIORITY: tuple[str, ...] = (
     "user_lifecycle_states",
     "brand_triple_itemsets",
     "dedup_rate_by_source",
-    "knn_label_accuracy",
     "cluster_cohesion_separation",
     "dow_hour_heatmap",
     "order_value_iqr_outliers",
@@ -349,51 +397,8 @@ _PRIORITY: tuple[str, ...] = (
     "throttle_dedup_events",
     "daily_new_vs_returning",
     "woe_information_value",
-    "lineitem_corr_matrix",
     "embedding_dim_stats",
     "vocab_jaccard_sources",
-    "bloom_decontaminate_docs",
-    "kmeans_fixed_seed_assign",
-    "interval_overlap_merge",
-    "event_transition_matrix",
-    "event_value_robust_zscore",
-    "rolling_median_event_value",
-    "skyline_orders_pareto",
-    "supplier_cooccur_triangles",
-    "tfidf_keyword_extract",
-    "quality_score_auc",
-    "supplier_customer_hits",
-    "cms_user_counts",
-    "embedding_random_projection",
-    "xml_source_roundtrip",
-    "streaming_session_window_counts",
-    "supplier_customer_bfs",
-    "user_event_entropy",
-    "user_value_ewma",
-    "doc_readability_flesch",
-    "cluster_representatives",
-    "corpus_profile",
-    "dow_seasonality_index",
-    "brand_basket_lift",
-    "daily_autocorr_lags",
-    "event_type_trend",
-    "cusum_changepoint",
-    "value_histogram_equiwidth",
-    "rolling_weekly_active_users",
-    "doc_lexical_diversity",
-    "corpus_zipf_slope",
-    "heaps_vocab_growth",
-    "lang_char_divergence",
-    "trigram_novelty_rate",
-    "rrf_fused_search",
-    "sorted_neighborhood_pairs",
-    "graph_degree_histogram",
-    "bucketed_order_revenue",
-    "part_affinity_topk",
-    "user_burstiness",
-    "benford_order_totals",
-    "order_cycle_percentiles",
-    "binary_file_ingest",
 )
 
 

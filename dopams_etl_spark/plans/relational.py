@@ -908,8 +908,14 @@ def range_error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE), event_type) AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    -- Empty-input grouping-set convention (r13): no rows in, no rows
+    -- out. Over ZERO input rows the SQL standard (and DuckDB) still
+    -- emits the grand-total () row while Spark emits none; HAVING
+    -- COUNT(*) > 0 states Spark's shape in SQL - it drops ONLY that
+    -- zero-input row (every real group aggregates >= 1 row).
     FROM events
     GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE), event_type)
+    HAVING COUNT(*) > 0
     """,
 )
 def event_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,8 +1338,14 @@ def event_value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS priority,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(o_totalprice), 2) AS total_price
+    -- Empty-input grouping-set convention (r13): no rows in, no rows
+    -- out. Over ZERO input rows the SQL standard (and DuckDB) still
+    -- emits the grand-total () row while Spark emits none; HAVING
+    -- COUNT(*) > 0 states Spark's shape in SQL - it drops ONLY that
+    -- zero-input row (every real group aggregates >= 1 row).
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2030,8 +2042,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY e.event_type),
     s AS (SELECT med.event_type, med.med, mad.mad FROM med JOIN mad USING (event_type))
     SELECT e.event_id, e.event_type,
+           -- + 0.0 canonicalizes IEEE -0.0 (rz is sign-indefinite)
            ROUND(CASE WHEN s.mad > 0
-                      THEN 0.6745 * (e.value - s.med) / s.mad END, 6) AS rz
+                      THEN 0.6745 * (e.value - s.med) / s.mad END, 6) + 0.0
+             AS rz
     FROM events e JOIN s USING (event_type)
     """,
 )
@@ -2063,12 +2077,18 @@ def event_value_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round(
-                F.when(
-                    F.col("mad") > 0,
-                    F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"),
-                ),
-                6,
+            # + 0.0 canonicalizes IEEE -0.0 (rz is sign-indefinite)
+            (
+                F.round(
+                    F.when(
+                        F.col("mad") > 0,
+                        F.lit(0.6745)
+                        * (F.col("value") - F.col("med"))
+                        / F.col("mad"),
+                    ),
+                    6,
+                )
+                + 0.0
             ).alias("rz"),
         )
     )

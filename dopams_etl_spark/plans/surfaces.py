@@ -572,16 +572,22 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lineitem_quality_report",
     """
+    -- COALESCE(..., 0): an empty table has ZERO violations (rules
+    -- vacuously pass) instead of NULL sums - same convention engine-side
     WITH t AS (SELECT COUNT(*) AS total,
-                      SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
-                      SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
-                                 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_rng,
-                      SUM(CASE WHEN l_returnflag IS NULL
-                                 OR l_returnflag NOT IN ('A','N','R')
-                               THEN 1 ELSE 0 END) AS v_set,
-                      SUM(CASE WHEN l_linestatus IS NULL
-                                 OR NOT regexp_full_match(l_linestatus, '[OF]')
-                               THEN 1 ELSE 0 END) AS v_re,
+                      COALESCE(SUM(CASE WHEN l_orderkey IS NULL
+                                        THEN 1 ELSE 0 END), 0) AS v_nn,
+                      COALESCE(SUM(CASE WHEN l_quantity IS NULL
+                                          OR l_quantity < 1
+                                          OR l_quantity > 50
+                                        THEN 1 ELSE 0 END), 0) AS v_rng,
+                      COALESCE(SUM(CASE WHEN l_returnflag IS NULL
+                                          OR l_returnflag NOT IN ('A','N','R')
+                                        THEN 1 ELSE 0 END), 0) AS v_set,
+                      COALESCE(SUM(CASE WHEN l_linestatus IS NULL
+                                          OR NOT regexp_full_match(l_linestatus,
+                                                                   '[OF]')
+                                        THEN 1 ELSE 0 END), 0) AS v_re,
                       COUNT(DISTINCT l_orderkey) AS d_ok
                FROM lineitem)
     SELECT * FROM (
@@ -754,6 +760,17 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's JSON/CSV loaders don't cover)."""
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region")
+    if nat.isEmpty():
+        # Empty source (fuzz census r13): the XML reader has no rows to
+        # infer a schema from and aborts with UNABLE_TO_INFER_SCHEMA —
+        # degrade to the typed empty result the join would produce.
+        return (
+            nat.select(
+                F.col("n_nationkey").cast("int"),
+                F.col("n_name").cast("string"),
+                F.lit(None).cast("string").alias("region_name"),
+            ).limit(0)
+        )
     path = tempfile.mkdtemp(prefix="dopams_xml_") + "/nation"
     nat.write.format("xml").option("rootTag", "nations").option("rowTag", "row").mode(
         "overwrite"

@@ -472,9 +472,11 @@ def _lsh_bucket_sql(vec_expr: str, dim: int, planes: int, seed: int = 42) -> str
     pb AS (SELECT *, {bp} AS bucket FROM p),
     cb AS (SELECT *, {bc} AS bucket FROM c),
     s AS (SELECT p_id, c_id,
+                 -- + 0.0 canonicalizes IEEE -0.0 (bucket-mates can be
+                 -- anti-correlated, so the rounded cosine is sign-indefinite)
                  ROUND(list_dot_product(pv, cv)
                        / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6)
-                   AS cos_sim
+                   + 0.0 AS cos_sim
           FROM pb JOIN cb USING (bucket) WHERE p_id <> c_id),
     r AS (SELECT *, row_number() OVER (PARTITION BY p_id
                                        ORDER BY cos_sim DESC, c_id ASC) AS rn FROM s)
@@ -2558,8 +2560,11 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT doc_id, CAST(words AS INT) AS words, CAST(sentences AS INT) AS sentences,
            CAST(syllables AS INT) AS syllables,
+           -- + 0.0 canonicalizes IEEE -0.0 (flesch goes negative on
+           -- dense text and the rounded value can sit on the boundary)
            ROUND(206.835 - 1.015 * words / sentences
-                         - 84.6 * syllables / greatest(words, 1), 6) AS flesch
+                         - 84.6 * syllables / greatest(words, 1), 6) + 0.0
+             AS flesch
     FROM b
     """,
 )
@@ -2579,11 +2584,15 @@ def doc_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.cast("int").alias("words"),
         sentences.cast("int").alias("sentences"),
         syllables.cast("int").alias("syllables"),
-        F.round(
-            F.lit(206.835)
-            - F.lit(1.015) * words / sentences
-            - F.lit(84.6) * syllables / F.greatest(words, F.lit(1)),
-            6,
+        # + 0.0 canonicalizes IEEE -0.0 (flesch is sign-indefinite)
+        (
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * words / sentences
+                - F.lit(84.6) * syllables / F.greatest(words, F.lit(1)),
+                6,
+            )
+            + 0.0
         ).alias("flesch"),
     )
 
@@ -2661,8 +2670,11 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROUND(AVG(n_tokens), 6) AS mean_tokens,
                  ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en
           FROM b)
+    -- NULLIF: an empty corpus has n_docs = 0 (0/0 -> ANSI abort
+    -- Spark-side, NaN DuckDB-side) - the rate is NULL on both engines
     SELECT n_docs, n_langs, n_unique_texts, total_tokens, mean_tokens, pct_en,
-           ROUND(1.0 - n_unique_texts / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate
+           ROUND(1.0 - n_unique_texts / NULLIF(CAST(n_docs AS DOUBLE), 0.0), 6)
+             AS exact_dup_rate
     FROM s
     """,
 )
@@ -2697,8 +2709,14 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "mean_tokens",
         "pct_en",
+        # try_divide: an empty corpus has n_docs = 0 and the bare '/'
+        # ANSI-aborts where the oracle's NULLIF yields NULL
         F.round(
-            F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs").cast("double"), 6
+            F.lit(1.0)
+            - F.try_divide(
+                F.col("n_unique_texts"), F.col("n_docs").cast("double")
+            ),
+            6,
         ).alias("exact_dup_rate"),
     )
 
@@ -2967,10 +2985,16 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings),
     stats AS (SELECT AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sd FROM n)
+    -- NULLIF: a zero-spread corpus (all-equal norms) makes sd = 0 and
+    -- the bare division NaN-casts here / ANSI-aborts Spark-side;
+    -- + 0.0 canonicalizes IEEE -0.0 (z is sign-indefinite); explicit
+    -- NULLS LAST pins the all-NULL-z sort the same way Spark's
+    -- desc_nulls_last does
     SELECT vec_id, ROUND(nrm, 6) AS norm,
-           ROUND((nrm - mu) / sd, 4) AS z
+           ROUND((nrm - mu) / NULLIF(sd, 0.0), 4) + 0.0 AS z
     FROM n CROSS JOIN stats
-    ORDER BY ABS((nrm - mu) / sd) DESC, vec_id LIMIT 10
+    ORDER BY ABS((nrm - mu) / NULLIF(sd, 0.0)) DESC NULLS LAST, vec_id
+    LIMIT 10
     """,
 )
 def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2991,19 +3015,24 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nrm"),
     )
-    stats = n.agg(
-        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sd")
-    )
-    z = (F.col("nrm") - F.col("mu")) / F.col("sd")
+    # sample sd assembled from the throw-free population moments (the
+    # r12 event_value_moments pattern): builtin stddev_samp ANSI-aborts
+    # on a single-row corpus where DuckDB yields NULL
+    n_cnt = F.count("nrm")
+    sd_samp = F.sqrt(F.try_divide(F.var_pop("nrm") * n_cnt, n_cnt - 1))
+    stats = n.agg(F.avg("nrm").alias("mu"), sd_samp.alias("sd"))
+    # try_divide: a zero-spread corpus makes sd = 0 and the bare '/'
+    # ANSI-aborts; + 0.0 canonicalizes IEEE -0.0 (z is sign-indefinite)
+    z = F.try_divide(F.col("nrm") - F.col("mu"), F.col("sd"))
     return (
         n.crossJoin(F.broadcast(stats))
         .select(
             "vec_id",
             F.round("nrm", 6).alias("norm"),
-            F.round(z, 4).alias("z"),
+            (F.round(z, 4) + 0.0).alias("z"),
             F.abs(z).alias("_az"),
         )
-        .orderBy(F.col("_az").desc(), "vec_id")
+        .orderBy(F.col("_az").desc_nulls_last(), "vec_id")
         .limit(10)
         .drop("_az")
     )

@@ -180,9 +180,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q8_market_share",
     """
+    -- NULLIF: a degenerate market (every volume 0, e.g. l_discount = 1
+    -- on all rows) makes the denominator 0 - NULL share on both engines
     SELECT o_year,
            ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+                 / NULLIF(SUM(volume), 0.0), 6) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -242,10 +244,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     vol = _rev()
+    # try_divide: a degenerate market (every volume 0) would ANSI-abort
+    # the bare '/' where the oracle's NULLIF yields NULL
     return df.groupBy(F.year("o_orderdate").alias("o_year")).agg(
         F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
-            / F.sum(vol),
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_5", vol
+                    ).otherwise(0.0)
+                ),
+                F.sum(vol),
+            ),
             6,
         ).alias("mkt_share")
     )
@@ -418,10 +428,12 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "q14_promo_revenue_share",
     """
+    -- NULLIF: a month whose revenue is all zero (l_discount = 1 on
+    -- every row) makes the denominator 0 - NULL share on both engines
     SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
                                   ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 6)
+                 / NULLIF(SUM(l_extendedprice * (1 - l_discount)), 0.0), 6)
              AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -443,10 +455,16 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
+            # try_divide: an all-zero-revenue month would ANSI-abort the
+            # bare '/' where the oracle's NULLIF yields NULL
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.try_divide(
+                    100.0
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                    ),
+                    F.sum(rev),
+                ),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -978,7 +996,13 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
+    -- Empty-input grouping-set convention (r13): no rows in, no rows
+    -- out. Over ZERO joined rows the SQL standard (and DuckDB) still
+    -- emits the grand-total () row while Spark emits none; HAVING
+    -- COUNT(*) > 0 states Spark's shape in SQL - it drops ONLY that
+    -- zero-input row (every real group aggregates >= 1 row).
     GROUP BY CUBE (r_name, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def cube_region_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -159,3 +159,206 @@ def test_cross_corr_null_day_window_parity(spark, qs, tmp_path_factory):
             assert want["xcorr"].isna()[i]
         else:
             assert repr(float(sx)) == repr(float(ox)), (i, sx, ox)
+
+
+# --------------------------------------------------------------------------
+# r13 robustness-worklist pins (fuzz census classes 1-4, VERDICT r12)
+
+_SF001 = "/root/testdata/sf0.001"
+
+
+def _empty_tables(path, names) -> None:
+    """0-row copies of the driver tables, schema intact (the census's
+    ``empty`` variant, scoped to just the tables a query loads)."""
+    for t in names:
+        src = pq.read_table(f"{_SF001}/{t}.parquet")
+        pq.write_table(src.slice(0, 0), str(path / f"{t}.parquet"))
+
+
+def _write_embeddings_nullable(path, n_rows: int, null_every: int) -> None:
+    """embeddings.parquet with every ``null_every``-th VECTOR nulled —
+    the nullhalf census shape for the ANN family."""
+    vecs = [
+        None if i % null_every == 1 else [float(i + j) for j in range(64)]
+        for i in range(n_rows)
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n_rows), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(n_rows)], type=pa.int32()),
+        }
+    )
+    pq.write_table(table, str(path / "embeddings.parquet"))
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """r13 census class 2: pagerank on an empty edge list used to
+    ZeroDivisionError on the driver-side teleport term (1/n_nodes).
+    Pinned: the empty graph returns the empty typed result."""
+    from dopams_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_quality_report_empty_table_vacuously_passes(spark, qs, tmp_path_factory):
+    """r13 census class 2: expect() on an EMPTY table used to int(None)-
+    crash on the NULL violation sums. Pinned convention (both engines):
+    an empty table has zero violations and every rule vacuously passes."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp("deg_quality_empty")
+    _empty_tables(sf_dir, ["lineitem"])
+
+    got = queries["lineitem_quality_report"](spark, str(sf_dir)).collect()
+    assert len(got) == 5
+    assert all(r["violations"] == 0 and r["pass"] for r in got)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    want = con.execute(oracles["lineitem_quality_report"]).df()
+    assert len(want) == 5
+    assert (want["violations"] == 0).all() and want["pass"].all()
+
+
+@pytest.mark.parametrize(
+    "name,tables",
+    [
+        ("order_grouping_sets", ["orders"]),
+        ("event_rollup_multigrain", ["events"]),
+        (
+            "cube_region_priority_revenue",
+            ["orders", "customer", "nation", "region"],
+        ),
+    ],
+)
+def test_grouping_sets_empty_input_convention(
+    spark, qs, tmp_path_factory, name, tables
+):
+    """r13 census class 4, decided convention: NO ROWS IN, NO ROWS OUT.
+    Over zero input rows the SQL standard (and DuckDB) still emits the
+    grand-total () grouping-set row while Spark emits none; the oracle
+    states Spark's shape with HAVING COUNT(*) > 0, which drops ONLY the
+    zero-input grand-total row. Pinned: both engines return 0 rows on
+    empty input (and the live non-empty outputs are unchanged, which the
+    strict tri-SF sweep asserts)."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp(f"deg_gs_{name}")
+    _empty_tables(sf_dir, tables)
+
+    assert queries[name](spark, str(sf_dir)).count() == 0
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    assert len(con.execute(oracles[name]).df()) == 0
+
+
+def test_value_histogram_zero_width_bins(spark, qs, tmp_path_factory):
+    """r13 census class 1: a constant value column makes the equi-width
+    bin width (max-min)/20 zero — the bare division ANSI-aborted
+    Spark-side and NaN->INT-cast-errored DuckDB-side. Pinned convention:
+    everything lands in bucket 0 on both engines."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp("deg_hist_const")
+    _write_events(sf_dir, [(i, i % 5, i % 3, "view", 7.5) for i in range(40)])
+
+    got = queries["value_histogram_equiwidth"](spark, str(sf_dir)).collect()
+    assert len(got) == 1
+    assert got[0]["bucket"] == 0 and got[0]["n"] == 40
+    assert got[0]["share"] == 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(oracles["value_histogram_equiwidth"]).df()
+    assert len(want) == 1 and want["bucket"][0] == 0 and want["n"][0] == 40
+
+
+def test_ann_null_vector_convention(spark, qs, tmp_path_factory):
+    """r13 nullhalf census class: a NULL embedding vector used to split
+    the engines structurally (Spark NULLS-LAST-ranked or silently
+    dropped it; DuckDB's list_dot_product ABORTS on a NULL list). Pinned
+    convention: NULL vectors are excluded from probe AND corpus on both
+    engines — operators filter at entry, oracles read the shared
+    ann_notnull relation — so outputs agree cell-for-cell and no
+    null-vector id ever surfaces."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp("deg_ann_null")
+    _write_embeddings_nullable(sf_dir, 40, null_every=2)
+    null_ids = {i for i in range(40) if i % 2 == 1}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    for name in ("cosine_topk_embeddings", "lsh_topk_embeddings"):
+        got = queries[name](spark, str(sf_dir)).collect()
+        assert got, name  # non-null vectors still rank
+        ids = {r["p_id"] for r in got} | {r["c_id"] for r in got}
+        assert not (ids & null_ids), name
+        want = con.execute(oracles[name]).df()
+        assert len(want) == len(got), name
+        got_k = sorted((r["p_id"], r["c_id"], repr(float(r["cos_sim"]))) for r in got)
+        want_k = sorted(
+            zip(
+                want["p_id"],
+                want["c_id"],
+                (repr(float(v)) for v in want["cos_sim"]),
+            )
+        )
+        assert got_k == want_k, name
+
+
+def test_xml_roundtrip_empty_source(spark, qs, tmp_path_factory):
+    """r13 census class 3: the XML reader cannot infer a schema from a
+    0-row dump (UNABLE_TO_INFER_SCHEMA). Pinned: an empty nation dim
+    degrades to the typed empty result on both engines."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp("deg_xml_empty")
+    _empty_tables(sf_dir, ["nation", "region"])
+
+    out = queries["xml_source_roundtrip"](spark, str(sf_dir))
+    assert out.columns == ["n_nationkey", "n_name", "region_name"]
+    assert out.count() == 0
+
+    con = duckdb.connect()
+    for t in ("nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    assert len(con.execute(oracles["xml_source_roundtrip"]).df()) == 0
+
+
+def test_corpus_profile_empty_corpus(spark, qs, tmp_path_factory):
+    """r13 census class 3: the exact-dup rate divided 0/0 on an empty
+    corpus (ANSI abort Spark-side, NaN DuckDB-side). Pinned: one profile
+    row with n_docs = 0 and a NULL rate on both engines."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp("deg_profile_empty")
+    _empty_tables(sf_dir, ["documents"])
+
+    got = queries["corpus_profile"](spark, str(sf_dir)).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 0 and got[0]["exact_dup_rate"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(oracles["corpus_profile"]).df()
+    assert len(want) == 1
+    assert want["n_docs"][0] == 0 and want["exact_dup_rate"].isna()[0]
