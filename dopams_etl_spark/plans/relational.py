@@ -1942,10 +1942,14 @@ def event_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "interval_overlap_merge",
     """
+    -- ts IS NOT NULL (r13 nullhalf census): a null-time event opens no
+    -- interval; without the filter the engines island it at OPPOSITE
+    -- ends of the s-ordering (Spark NULLS FIRST, DuckDB NULLS LAST) and
+    -- the null island's NULL bounds float64-bridge the whole column
     WITH iv AS (SELECT user_id,
                        CAST(floor(epoch(ts)) AS BIGINT) AS s,
                        CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
-                FROM events),
+                FROM events WHERE ts IS NOT NULL),
     f AS (SELECT user_id, s, e,
                  CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
@@ -1976,7 +1980,9 @@ def interval_overlap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dopams_etl_spark.operators.intervals import merge_intervals
 
     ev = t(spark, sf_dir, "events")
-    iv = ev.select(
+    # ts non-null (r13 nullhalf census): a null-time event opens no
+    # interval — see the oracle note
+    iv = ev.filter(F.col("ts").isNotNull()).select(
         "user_id",
         F.col("ts").cast("long").alias("s"),
         (F.col("ts").cast("long") + F.lit(1800)).alias("e"),
@@ -1992,10 +1998,13 @@ def interval_overlap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_transition_matrix",
     """
+    -- ts IS NOT NULL (r13 nullhalf census): an event with no time has
+    -- no position in the per-user sequence; the engines' opposite NULL
+    -- orderings would otherwise shift every lag pair
     WITH seq AS (SELECT user_id, event_type,
                         lag(event_type) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) AS prev_type
-                 FROM events),
+                 FROM events WHERE ts IS NOT NULL),
     c AS (SELECT prev_type, event_type AS next_type,
                  CAST(COUNT(*) AS BIGINT) AS cnt
           FROM seq WHERE prev_type IS NOT NULL
@@ -2014,7 +2023,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own events), one (prev, next) count aggregate, and the
     normalizing row-sum window over the |event_types|² transition grid —
     a bounded frame no matter the event volume."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
@@ -2097,11 +2106,14 @@ def event_value_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rolling_median_event_value",
     """
+    -- ts IS NOT NULL (r13 nullhalf census): a null-time event has no
+    -- position in the 5-row frame (Spark sorts it NULLS FIRST, DuckDB
+    -- NULLS LAST, silently shifting every frame)
     SELECT event_id, user_id,
            ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
              AS med5
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def rolling_median_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2112,7 +2124,7 @@ def rolling_median_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-sorts only the frame, and the shuffle is keyed on user_id. Both
     engines interpolate even-length frames identically
     (quantile_cont semantics)."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return ev.select(
         "event_id",
         "user_id",
@@ -2493,10 +2505,14 @@ def _ewma_oracle() -> str:
         f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL THEN {_EWMA_DECAY**k!r} ELSE 0.0 END"
         for k in range(_EWMA_LAGS)
     )
+    # ts IS NOT NULL + NULLIF (r13 nullhalf census): a null-time event
+    # has no position in the lag window (opposite NULL orderings), and a
+    # row whose 8-lag window holds no non-null value has weight 0 - the
+    # bare division ANSI-aborts Spark-side where NULLIF yields NULL
     return f"""
     SELECT event_id, user_id,
-           ROUND(({num}) / ({den}), 6) AS ewma
-    FROM events
+           ROUND(({num}) / NULLIF(({den}), 0.0), 6) AS ewma
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
 
@@ -2512,7 +2528,8 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass, renormalized away) restates it as ONE user-keyed window with
     8 lag expressions — all JVM, one shuffle, and bit-portable because
     the decay powers enter both engines as identical repr literals."""
-    ev = t(spark, sf_dir, "events")
+    # ts non-null + try_divide (r13 nullhalf census) - see the oracle note
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     num = None
     den = None
@@ -2524,5 +2541,5 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = nk if num is None else num + nk
         den = dk if den is None else den + dk
     return ev.select(
-        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+        "event_id", "user_id", F.round(F.try_divide(num, den), 6).alias("ewma")
     )

@@ -790,13 +790,17 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_session_window_counts",
     """
+    -- ts IS NOT NULL (r13 nullhalf census): Spark's event-time
+    -- session_window DROPS rows with a NULL event time; without the
+    -- mirror filter DuckDB's lag-over-NULLS-LAST glues them onto the
+    -- last session and inflates its count
     WITH s AS (SELECT user_id, ts,
                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) IS NULL
                              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id)) >= 600
                            THEN 1 ELSE 0 END AS ni
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     g AS (SELECT user_id, ts,
                  SUM(ni) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -828,7 +832,9 @@ def streaming_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
     boundary caveat as streaming_hourly_counts.)"""
     from dopams_etl_spark.streaming import read_stream_parquet
 
-    ev = t(spark, sf_dir, "events")
+    # ts non-null made explicit (r13 nullhalf census): event-time
+    # session windows drop null-ts rows anyway - see the oracle note
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     src = tempfile.mkdtemp(prefix="dopams_sessw_") + "/events"
     ev.write.parquet(src)
     stream = read_stream_parquet(spark, src, ev.schema)

@@ -1063,8 +1063,11 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tk AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, trim(text) AS tt,
                        string_split_regex(lower(trim(text)), '\s+') AS toks
                 FROM documents),
+    -- tt IS NULL handled like blank (r13 nullhalf census): NULL text
+    -- produces NO shingles; the engine's concat_ws-over-NULL otherwise
+    -- manufactures a '' shingle the oracle never sees
     s AS (SELECT doc_id, h,
-                 CASE WHEN tt = '' THEN CAST([] AS VARCHAR[])
+                 CASE WHEN tt IS NULL OR tt = '' THEN CAST([] AS VARCHAR[])
                       WHEN len(toks) >= 3
                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
@@ -2219,8 +2222,11 @@ def _bloom_oracle(m_bits: int, k: int) -> str:
     WITH tk AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, trim(text) AS tt,
                        string_split_regex(lower(trim(text)), '\s+') AS toks
                 FROM documents),
+    -- tt IS NULL handled like blank (r13 nullhalf census): NULL text
+    -- produces NO shingles; the engine's concat_ws-over-NULL otherwise
+    -- manufactures a '' shingle the oracle never sees
     s AS (SELECT doc_id, h,
-                 CASE WHEN tt = '' THEN CAST([] AS VARCHAR[])
+                 CASE WHEN tt IS NULL OR tt = '' THEN CAST([] AS VARCHAR[])
                       WHEN len(toks) >= 3
                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
@@ -2276,12 +2282,17 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.col("doc_id").cast("string"))
     bench = docs.filter(h.startswith("0"))
     corpus = docs.filter(~h.startswith("0"))
-    bench_sh = bench.select(
-        F.explode(word_shingles("text", 3)).alias("shingle")
-    ).distinct()
+    # NULL text -> no shingles on BOTH sides (r13 nullhalf census):
+    # word_shingles' concat_ws path turns a NULL text into a [''] shingle
+    # that md5-hashes and can bloom-hit; scoped here (the shared
+    # word_shingles change is the scheduled r14 dedup-family wave)
+    no_null = F.when(
+        F.col("text").isNotNull(), word_shingles("text", 3)
+    ).otherwise(F.array().cast("array<string>"))
+    bench_sh = bench.select(F.explode(no_null).alias("shingle")).distinct()
     words = bloom_words(bench_sh, "shingle", m_bits, k)
 
-    corp = corpus.select("doc_id", word_shingles("text", 3).alias("sh"))
+    corp = corpus.select("doc_id", no_null.alias("sh"))
     ex = corp.select("doc_id", F.explode("sh").alias("shingle"))
     passed = bloom_probe(ex, "shingle", words, m_bits, k).filter("might_contain")
     hits = (

@@ -362,3 +362,106 @@ def test_corpus_profile_empty_corpus(spark, qs, tmp_path_factory):
     want = con.execute(oracles["corpus_profile"]).df()
     assert len(want) == 1
     assert want["n_docs"][0] == 0 and want["exact_dup_rate"].isna()[0]
+
+
+def _duck(sf_dir, tables, sql):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _cells(df_rows, cols):
+    def canon(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "<null>"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    return sorted(tuple(canon(r[c]) for c in cols) for r in df_rows)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rolling_median_event_value",
+        "event_transition_matrix",
+        "interval_overlap_merge",
+        "user_value_ewma",
+        "streaming_session_window_counts",
+    ],
+)
+def test_null_ts_event_series_parity(spark, qs, tmp_path_factory, name):
+    """r13 nullhalf census, window NULL-ordering class: a null-timestamp
+    event used to sit at OPPOSITE ends of every per-user ORDER BY ts
+    (Spark NULLS FIRST on ASC, DuckDB NULLS LAST), silently shifting
+    frames, lags, islands, and sessions — and user_value_ewma's all-null
+    8-lag window additionally ANSI-aborted on its zero weight sum.
+    Pinned convention (both engines): an event with no time has no
+    position in a per-user time series — ts IS NOT NULL filters mirror
+    on both sides, so outputs agree cell-for-cell with nulls present."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp(f"deg_nullts_{name}")
+    rows, eid = [], 0
+    for day in range(8):
+        for u in range(3):
+            for j in range(2 + (day + u) % 3):
+                # sub-day spacing so sessions/frames are non-trivial
+                val = None if eid % 2 == 1 else float(10 + (eid * 7) % 90)
+                rows.append((eid, day + j * 0.01 + u * 0.2, u, "view", val))
+                eid += 1
+        rows.append((eid, None, eid % 3, "view", 5.0)); eid += 1
+        rows.append((eid, None, eid % 3, None, None)); eid += 1
+    _write_events(sf_dir, rows)
+
+    got = queries[name](spark, str(sf_dir))
+    cols = got.columns
+    got_rows = got.collect()
+    want = _duck(sf_dir, ["events"], oracles[name])
+    assert len(want) == len(got_rows), name
+    want_rows = [
+        {c: (None if want[c].isna()[i] else want[c][i]) for c in cols}
+        for i in range(len(want))
+    ]
+    assert _cells(got_rows, cols) == _cells(want_rows, cols), name
+
+
+def test_bloom_decontaminate_null_text(spark, qs, tmp_path_factory):
+    """r13 nullhalf census, null-text class: a NULL document text used to
+    manufacture a '' shingle engine-side (concat_ws over a NULL token
+    array) that could bloom-hit while the oracle saw no shingle at all.
+    Pinned convention (both engines): NULL text produces NO shingles,
+    exactly like blank text."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp("deg_bloom_null")
+    texts = [
+        None if i % 3 == 1 else f"alpha beta gamma delta token{i} epsilon zeta"
+        for i in range(30)
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * 30, type=pa.string()),
+            "source": pa.array(["s0"] * 30, type=pa.string()),
+            "n_chars": pa.array(
+                [0 if t is None else len(t) for t in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, str(sf_dir / "documents.parquet"))
+
+    got = queries["bloom_decontaminate_docs"](spark, str(sf_dir))
+    cols = got.columns
+    got_rows = got.collect()
+    want = _duck(sf_dir, ["documents"], oracles["bloom_decontaminate_docs"])
+    assert len(want) == len(got_rows)
+    want_rows = [
+        {c: (None if want[c].isna()[i] else want[c][i]) for c in cols}
+        for i in range(len(want))
+    ]
+    assert _cells(got_rows, cols) == _cells(want_rows, cols)
