@@ -31,6 +31,15 @@ on each variant, comparing with the check.py harness:
   vs COUNT(*), GROUP BY NULL keys, null-safe joins, watermarks over
   null event times. The other variants never inject nulls, so this is
   the only probe of the null-handling class.
+- ``f32``    — full row counts, every float64 column physically
+  rewritten as float32 (values round-tripped through float32, schema
+  narrowed): the TYPE-DRIFT parity axis. A query that does arithmetic
+  in the file's float lane diverges from the double-math oracle the
+  moment a fixture regen narrows a measure column — the embedding
+  column (already float32 in the real fixtures) taught exactly this
+  lesson, which is why ``similarity._dot`` casts per-element BEFORE
+  multiplying. This variant measures which scalar-measure queries
+  still skip the widening.
 
 Signal ranking (this is a CENSUS, not a gate — the registry is only
 required to be green on driver data):
@@ -49,7 +58,7 @@ structural divergence; the repr-identity (−0.0) class is
 scan_signed_zero.py's job.
 
 Usage:
-    python tools/fuzz_degenerate.py                  # all 4 variants
+    python tools/fuzz_degenerate.py                  # all 5 variants
     python tools/fuzz_degenerate.py tiny1 empty      # subset of variants
     FUZZ_QUERIES="q1 firs_mv" python tools/fuzz_degenerate.py
 Variants are (re)built under .fuzz/ (gitignored) from
@@ -75,7 +84,7 @@ from dopams_etl_spark.catalog import TABLES  # noqa: E402
 BASE = os.environ.get("FUZZ_BASE_SF_DIR", "/root/testdata/sf0.001")
 ROOT = os.path.join(os.path.dirname(__file__), "..", ".fuzz")
 
-VARIANTS = ("tiny1", "const", "empty", "nullhalf")
+VARIANTS = ("tiny1", "const", "empty", "nullhalf", "f32")
 
 
 def _is_key(name: str) -> bool:
@@ -124,6 +133,18 @@ def _constify(table: pa.Table) -> pa.Table:
     return table
 
 
+def _f32_narrow(table: pa.Table) -> pa.Table:
+    """Physically narrow every float64 column to float32 (the embedding
+    list column is float32 already in the real fixtures)."""
+    for i, field in enumerate(table.schema):
+        if pa.types.is_float64(field.type):
+            new_field = pa.field(field.name, pa.float32(), field.nullable)
+            table = table.set_column(
+                i, new_field, table.column(i).cast(pa.float32())
+            )
+    return table
+
+
 def build_variant(variant: str) -> str:
     out = os.path.join(ROOT, variant)
     os.makedirs(out, exist_ok=True)
@@ -137,6 +158,8 @@ def build_variant(variant: str) -> str:
             dst = _constify(src)
         elif variant == "nullhalf":
             dst = _nullify_half(src)
+        elif variant == "f32":
+            dst = _f32_narrow(src)
         else:
             raise ValueError(variant)
         pq.write_table(dst, os.path.join(out, f"{t}.parquet"))
