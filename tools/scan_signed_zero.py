@@ -19,8 +19,16 @@ latent list so each round's migration wave works from data, not memory:
 - also flags any column emitting −0.0 TODAY (live driver risk: must be
   fixed immediately, not queued).
 
+The latent list is SF-DEPENDENT (measured r13: sf0.01 adds spearman
+and theil_sen, sf0.1 adds mann_kendall — a statistic can be
+all-positive at one scale and signed at another), so pass several
+fixture dirs and the tool reports the per-SF lists AND their union;
+migration waves should work from the union.
+
 Usage:
-    python tools/scan_signed_zero.py            # sf0.001
+    python tools/scan_signed_zero.py            # sf0.001 only
+    python tools/scan_signed_zero.py /root/testdata/sf0.001 \
+        /root/testdata/sf0.01 /root/testdata/sf0.1   # tri-SF union
     CHECK_SF_DIR=/root/testdata/sf0.01 python tools/scan_signed_zero.py
 """
 
@@ -38,7 +46,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from dopams_etl_spark.catalog import TABLES  # noqa: E402
 from dopams_etl_spark.plans import catalog  # noqa: E402
 
-SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001")
+SF_DIRS = sys.argv[1:] or [
+    os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.001")
+]
 
 
 def column_canonicalized(sql: str, col: str) -> bool:
@@ -60,12 +70,12 @@ def column_canonicalized(sql: str, col: str) -> bool:
     return False
 
 
-def main() -> None:
+def scan_one(sf_dir: str) -> tuple[dict, dict, list]:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * "
-            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     latent: dict[str, list[str]] = {}
     live: dict[str, list[str]] = {}
@@ -92,17 +102,43 @@ def main() -> None:
             latent[name] = pending
         if neg_zero_cols:
             live[name] = neg_zero_cols
-    print(f"# signed-zero scan at {SF_DIR}")
-    print(f"# oracles run: {len(catalog.oracle_sql())}, failures: {len(failures)}")
-    for f in failures:
-        print(f"#   ORACLE FAILED — {f}")
-    print(f"\nLIVE -0.0 emitters (fix NOW): {len(live)}")
-    for name, cols in sorted(live.items()):
-        print(f"  {name}: {cols}")
-    print(f"\nLatent signed-float class (un-canonicalized negative float "
-          f"columns): {len(latent)}")
-    for name, cols in sorted(latent.items()):
-        print(f"  {name}: {cols}")
+    return latent, live, failures
+
+
+def main() -> None:
+    union_latent: dict[str, set[str]] = {}
+    union_live: dict[str, set[str]] = {}
+    for sf_dir in SF_DIRS:
+        latent, live, failures = scan_one(sf_dir)
+        print(f"# signed-zero scan at {sf_dir}")
+        print(
+            f"# oracles run: {len(catalog.oracle_sql())}, "
+            f"failures: {len(failures)}"
+        )
+        for f in failures:
+            print(f"#   ORACLE FAILED — {f}")
+        print(f"\nLIVE -0.0 emitters (fix NOW): {len(live)}")
+        for name, cols in sorted(live.items()):
+            print(f"  {name}: {cols}")
+        print(
+            f"\nLatent signed-float class (un-canonicalized negative "
+            f"float columns): {len(latent)}"
+        )
+        for name, cols in sorted(latent.items()):
+            print(f"  {name}: {cols}")
+        print()
+        for name, cols in latent.items():
+            union_latent.setdefault(name, set()).update(cols)
+        for name, cols in live.items():
+            union_live.setdefault(name, set()).update(cols)
+    if len(SF_DIRS) > 1:
+        print(f"== UNION across {len(SF_DIRS)} SFs ==")
+        print(f"LIVE -0.0 emitters: {len(union_live)}")
+        for name, cols in sorted(union_live.items()):
+            print(f"  {name}: {sorted(cols)}")
+        print(f"Latent signed-float class: {len(union_latent)}")
+        for name, cols in sorted(union_latent.items()):
+            print(f"  {name}: {sorted(cols)}")
 
 
 if __name__ == "__main__":
