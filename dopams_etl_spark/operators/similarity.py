@@ -76,7 +76,7 @@ def cosine_topk(
     that Spark ranks NULLS LAST (so it can still surface when a probe
     has < k real candidates) while DuckDB's list_dot_product ABORTS on
     a NULL list. Every ANN oracle mirrors this with
-    ``catalog.ann_notnull_cte``.
+    ``catalog.ann_notnull``.
     """
     probe = probe.filter(F.col(vec_col).isNotNull())
     corpus = corpus.filter(F.col(vec_col).isNotNull())

@@ -366,7 +366,14 @@ def daily_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag window and the three corr() aggregates run over that tiny
     per-type series, so the only fact-sized operation is one hash
     aggregate. corr's null-pair skipping makes the first k days drop out
-    of lag k on both engines identically."""
+    of lag k on both engines identically.
+
+    Each coefficient is assembled from the throw-free POPULATION
+    moments, pairwise-complete (the event_value_moments pattern):
+    under ANSI, Spark's builtin corr ABORTS on a zero-variance series
+    (an event type logging the identical daily count) where DuckDB
+    yields NULL; try_divide supplies the NULL (r13 review — the same
+    diff had already migrated this query's siblings)."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
@@ -379,12 +386,21 @@ def daily_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("n", 2).over(w).alias("l2"),
         F.lag("n", 3).over(w).alias("l3"),
     )
+    def pcorr(x: Column, y: Column) -> Column:
+        return F.try_divide(
+            F.covar_pop(x, y),
+            F.stddev_pop(F.when(y.isNotNull(), x))
+            * F.stddev_pop(F.when(x.isNotNull(), y)),
+        )
+
     parts = [
         lagged.groupBy("event_type").agg(
             F.lit(k).alias("lag"),
             F.count(f"l{k}").alias("n_days"),
             # + 0.0 canonicalizes IEEE -0.0 (autocorr is sign-indefinite)
-            (F.round(F.corr("n", f"l{k}"), 6) + 0.0).alias("autocorr"),
+            (F.round(pcorr(F.col("n"), F.col(f"l{k}")), 6) + 0.0).alias(
+                "autocorr"
+            ),
         )
         for k in (1, 2, 3)
     ]

@@ -3600,7 +3600,7 @@ def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bitext_margin_pairs",
-    """
+    ann_notnull("""
     WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE label < 5),
     y AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -3645,7 +3645,7 @@ def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM cand)
     SELECT xid AS x_id, yid AS y_id, cos AS cos_sim, margin
     FROM best WHERE rn = 1 AND margin >= 1.0
-    """,
+    """),
 )
 def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bi-corpus pair mining (Artetxe & Schwenk ratio
@@ -3799,7 +3799,7 @@ def _mmr_pool_exact_sql(n_cand: int = MMR_N_CAND) -> str:
     """The brute-force candidate-pool CTEs for the MMR oracle: exact
     cosine top-``n_cand`` of probe vec_id=0 (the ``cosine_topk``
     twin). Produces ``cand(c_id, cv, rel)``."""
-    return f"""
+    return ann_notnull(f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                WHERE vec_id = 0),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
@@ -3814,7 +3814,7 @@ def _mmr_pool_exact_sql(n_cand: int = MMR_N_CAND) -> str:
                           * sqrt(list_dot_product(cv, cv))), 6) DESC,
                    c_id ASC) AS rn
           FROM c CROSS JOIN q),
-    cand AS (SELECT c_id, cv, rel FROM s WHERE rn <= {n_cand})"""
+    cand AS (SELECT c_id, cv, rel FROM s WHERE rn <= {n_cand})""")
 
 
 def _mmr_pool_lsh_sql(n_cand: int = MMR_N_CAND, planes: int = 4) -> str:
@@ -3824,7 +3824,7 @@ def _mmr_pool_lsh_sql(n_cand: int = MMR_N_CAND, planes: int = 4) -> str:
     ``lsh_topk_embeddings`` plane literals via ``_lsh_bucket_sql``),
     then exact cosine ranks the in-bucket candidates. Produces the
     same ``cand(c_id, cv, rel)`` contract as the exact pool."""
-    return f"""
+    return ann_notnull(f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv,
                       {_lsh_bucket_sql("embedding::DOUBLE[]", 64, planes)}
                         AS bucket
@@ -3834,16 +3834,19 @@ def _mmr_pool_lsh_sql(n_cand: int = MMR_N_CAND, planes: int = 4) -> str:
                    AS bucket
           FROM embeddings WHERE vec_id <> 0),
     s AS (SELECT c_id, cv,
+                 -- + 0.0 mirrors lsh_topk's engine-side cos_sim
+                 -- canonicalization (bucket-mates can be anti-correlated,
+                 -- so the rounded rel is sign-indefinite)
                  ROUND(list_dot_product(qv, cv)
                        / (sqrt(list_dot_product(qv, qv))
-                          * sqrt(list_dot_product(cv, cv))), 6) AS rel,
+                          * sqrt(list_dot_product(cv, cv))), 6) + 0.0 AS rel,
                  row_number() OVER (
                    ORDER BY ROUND(list_dot_product(qv, cv)
                        / (sqrt(list_dot_product(qv, qv))
                           * sqrt(list_dot_product(cv, cv))), 6) DESC,
                    c_id ASC) AS rn
           FROM c JOIN q USING (bucket)),
-    cand AS (SELECT c_id, cv, rel FROM s WHERE rn <= {n_cand})"""
+    cand AS (SELECT c_id, cv, rel FROM s WHERE rn <= {n_cand})""")
 
 
 def _mmr_oracle(

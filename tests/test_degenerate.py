@@ -376,10 +376,13 @@ def _duck(sf_dir, tables, sql):
 
 def _cells(df_rows, cols):
     def canon(v):
-        if v is None or (isinstance(v, float) and v != v):
+        if v is None:
             return "<null>"
-        if isinstance(v, float):
-            return repr(v)
+        # repr the PYTHON float, never the NumPy scalar:
+        # repr(np.float64(0.5)) becomes 'np.float64(0.5)' under NumPy 2
+        if isinstance(v, float) or "float" in type(v).__name__:
+            f = float(v)
+            return "<null>" if f != f else repr(f)
         return str(v)
 
     return sorted(tuple(canon(r[c]) for c in cols) for r in df_rows)
