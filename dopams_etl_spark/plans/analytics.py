@@ -31,11 +31,16 @@ DEC = "decimal(18,2)"
     "customer_rfm_segments",
     """
     WITH cust AS (
+      -- portable cents quantizer: floor(x*100 + 0.5) is pure IEEE double
+      -- arithmetic, identical on both engines even when a fixture regen
+      -- narrows o_totalprice to float32 (a .625 tie rounds HALF_UP in
+      -- Spark's double->DECIMAL cast but half-even in DuckDB's)
       SELECT o_custkey AS custkey,
              MAX(o_orderdate) AS last_order,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-               AS monetary
+             CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                           / 100.0 AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS monetary
       FROM orders GROUP BY o_custkey),
     scored AS (
       SELECT custkey, last_order, frequency, monetary,
@@ -64,7 +69,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("monetary"),
+        # portable cents quantizer: floor(x*100 + 0.5) is pure IEEE
+        # double arithmetic, identical on both engines even on a
+        # float32-narrowed fixture (.625 cent ties round HALF_UP in
+        # Spark's double->DECIMAL cast but half-even in DuckDB's)
+        F.sum(
+            (
+                F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+                / F.lit(100.0)
+            ).cast(DEC)
+        )
+        .cast(DEC)
+        .alias("monetary"),
     )
     r_w = Window.orderBy(F.col("last_order").desc(), "custkey")
     f_w = Window.orderBy(F.col("frequency").desc(), "custkey")
@@ -87,9 +103,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_pareto_abc",
     """
     WITH cust AS (
+      -- portable cents quantizer: floor(x*100 + 0.5) is pure IEEE double
+      -- arithmetic, identical on both engines even when a fixture regen
+      -- narrows o_totalprice to float32 (.625 cent ties round HALF_UP in
+      -- Spark's double->DECIMAL cast but half-even in DuckDB's)
       SELECT o_custkey AS custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-               AS revenue
+             CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                           / 100.0 AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS revenue
       FROM orders GROUP BY o_custkey),
     tot AS (SELECT CAST(SUM(revenue) AS DECIMAL(18,2)) AS total FROM cust),
     ranked AS (
@@ -120,8 +141,19 @@ def revenue_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort of that aggregate for the running total, the corpus total as a
     one-row broadcast — nothing fact-sized is sorted."""
     o = t(spark, sf_dir, "orders")
+    # portable cents quantizer: floor(x*100 + 0.5) is pure IEEE double
+    # arithmetic, identical on both engines even on a float32-narrowed
+    # fixture (.625 cent ties round HALF_UP in Spark's double->DECIMAL
+    # cast but half-even in DuckDB's)
     cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("revenue")
+        F.sum(
+            (
+                F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+                / F.lit(100.0)
+            ).cast(DEC)
+        )
+        .cast(DEC)
+        .alias("revenue")
     )
     tot = cust.agg(F.sum("revenue").cast(DEC).alias("total"))
     w = (
@@ -151,14 +183,21 @@ def revenue_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_spend_gini",
     """
     WITH cust AS (
+      -- portable cents quantizer: floor(x*100 + 0.5) is pure IEEE double
+      -- arithmetic, identical on both engines even when a fixture regen
+      -- narrows o_totalprice to float32 (.625 cent ties round HALF_UP in
+      -- Spark's double->DECIMAL cast but half-even in DuckDB's)
       SELECT o_custkey AS custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-               AS spend
+             CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                           / 100.0 AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS spend
       FROM orders GROUP BY o_custkey),
     ranked AS (
+      -- spend IS NOT NULL: a customer with no priced orders has no rank
+      -- (Spark sorts NULL spend first, DuckDB last - it must not rank)
       SELECT spend,
              ROW_NUMBER() OVER (ORDER BY spend, custkey) AS i
-      FROM cust)
+      FROM cust WHERE spend IS NOT NULL)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(CAST(SUM(spend) AS DECIMAL(18,2)) AS VARCHAR) AS total_spend,
            ROUND(2.0 * SUM(i * spend) / (COUNT(*) * SUM(spend))
@@ -175,10 +214,23 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     floating. One customer-grain aggregate, one global sort of that
     aggregate — the fact table is never sorted."""
     o = t(spark, sf_dir, "orders")
+    # portable cents quantizer: floor(x*100 + 0.5) is pure IEEE double
+    # arithmetic, identical on both engines even on a float32-narrowed
+    # fixture (.625 cent ties round HALF_UP in Spark's double->DECIMAL
+    # cast but half-even in DuckDB's); spend IS NOT NULL: a customer
+    # with no priced orders has no rank (Spark sorts NULL spend first,
+    # DuckDB last — it must not rank)
     cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("spend")
+        F.sum(
+            (
+                F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+                / F.lit(100.0)
+            ).cast(DEC)
+        )
+        .cast(DEC)
+        .alias("spend")
     )
-    ranked = cust.select(
+    ranked = cust.filter(F.col("spend").isNotNull()).select(
         "spend",
         F.row_number().over(Window.orderBy("spend", "custkey")).alias("i"),
     )
@@ -1926,8 +1978,9 @@ def cross_corr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, quantile_cont(ad, 0.5) AS mad
       FROM dev GROUP BY event_type),
     scored AS (
+      -- + 0.0 canonicalizes IEEE -0.0 (robust_z is sign-indefinite)
       SELECT dev.event_type, d, n,
-             ROUND((n - med) / (1.4826 * mad), 4) AS robust_z
+             ROUND((n - med) / (1.4826 * mad), 4) + 0.0 AS robust_z
       FROM dev JOIN mad USING (event_type) WHERE mad > 0),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY event_type
@@ -1966,8 +2019,13 @@ def anomaly_days_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "d",
             "n",
-            F.round(
-                (F.col("n") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 4
+            # + 0.0 canonicalizes IEEE -0.0 (robust_z is sign-indefinite)
+            (
+                F.round(
+                    (F.col("n") - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
+                    4,
+                )
+                + 0.0
             ).alias("robust_z"),
         )
     )
@@ -1990,14 +2048,21 @@ def anomaly_days_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_sequence_trigrams",
     """
     WITH s AS (
+      -- ts IS NOT NULL: un-timestamped events have no sequence position
+      -- (Spark sorts NULL ts first, DuckDB last — they must not rank)
       SELECT user_id, event_type,
              lag(event_type, 2) OVER w AS t2,
              lag(event_type, 1) OVER w AS t1
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     g AS (
+      -- a trigram needs all three legs typed: Spark's concat_ws skips
+      -- NULL legs where || NULL-propagates, so NULL legs are filtered
       SELECT t2 || '>' || t1 || '>' || event_type AS trigram,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM s WHERE t2 IS NOT NULL GROUP BY 1),
+      FROM s WHERE t2 IS NOT NULL AND t1 IS NOT NULL
+               AND event_type IS NOT NULL
+      GROUP BY 1),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
     SELECT trigram, n, ROUND(n / CAST(total AS DOUBLE), 6) AS share
     FROM (SELECT *, row_number() OVER (ORDER BY n DESC, trigram ASC) AS rn
@@ -2012,13 +2077,21 @@ def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     product stories). One user-keyed window for the two lags, one hash
     aggregate over the 125-max trigram space, total as a one-row
     broadcast; the top-10 sorts the tiny aggregate only."""
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL: un-timestamped events have no sequence position
+    # (Spark sorts NULL ts first, DuckDB last — they must not rank); a
+    # trigram needs all three legs typed (concat_ws would silently skip
+    # a NULL leg where the oracle's || NULL-propagates)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
         "event_type",
         F.lag("event_type", 2).over(w).alias("t2"),
         F.lag("event_type", 1).over(w).alias("t1"),
-    ).filter(F.col("t2").isNotNull())
+    ).filter(
+        F.col("t2").isNotNull()
+        & F.col("t1").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     g = s.groupBy(
         F.concat_ws(">", "t2", "t1", "event_type").alias("trigram")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -2047,8 +2120,11 @@ def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     hy AS (SELECT -SUM((n_y / n) * ln(n_y / n)) AS h_y FROM my CROSS JOIN tot)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
            ROUND(SUM((n_xy / n) * ln((n_xy * n) / (n_x * n_y))), 6) AS mi,
+           -- NULLIF: a 1-row/1-column grid has zero marginal entropy —
+           -- NULL NMI on both engines
            ROUND(SUM((n_xy / n) * ln((n_xy * n) / (n_x * n_y)))
-                 / sqrt(ANY_VALUE(h_x) * ANY_VALUE(h_y)), 6) AS nmi
+                 / NULLIF(sqrt(ANY_VALUE(h_x) * ANY_VALUE(h_y)), 0.0), 6)
+             AS nmi
     FROM j JOIN mx USING (x) JOIN my USING (y)
     CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
     """,
@@ -2089,9 +2165,16 @@ def mutual_information_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
             F.round(F.sum(term), 6).alias("mi"),
+            # try_divide: zero marginal entropy (1-row/1-column grid)
+            # would ANSI-abort the bare '/' where the oracle's NULLIF
+            # yields NULL
             F.round(
-                F.sum(term)
-                / F.sqrt(F.any_value(F.col("h_x")) * F.any_value(F.col("h_y"))),
+                F.try_divide(
+                    F.sum(term),
+                    F.sqrt(
+                        F.any_value(F.col("h_x")) * F.any_value(F.col("h_y"))
+                    ),
+                ),
                 6,
             ).alias("nmi"),
         )
@@ -2102,8 +2185,10 @@ def mutual_information_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_histogram_equidepth",
     """
     WITH b AS (
+      -- value IS NOT NULL: a NULL measure has no histogram position
+      -- (Spark sorts NULLs first, DuckDB last - they must not bucket)
       SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS bucket
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(MIN(value), 6) AS lo,
            ROUND(MAX(value), 6) AS hi
@@ -2120,7 +2205,9 @@ def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, mergeable sketch) and assign map-side — same output schema,
     documented trade; ties pinned by event_id so both engines cut
     identical buckets."""
-    ev = t(spark, sf_dir, "events")
+    # value IS NOT NULL: a NULL measure has no histogram position (Spark
+    # sorts NULLs first, DuckDB last — they must not bucket)
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = ev.select(
         "value", F.ntile(10).over(Window.orderBy("value", "event_id")).alias("bucket")
     )
@@ -2141,9 +2228,12 @@ def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY 1, 2),
     tot AS (SELECT nationkey, SUM(r) AS total FROM rev GROUP BY nationkey)
+    -- NULLIF: a degenerate nation (every revenue 0, e.g. l_discount = 1
+    -- on all rows) zeroes the share denominator - NULL hhi on both engines
     SELECT n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           ROUND(SUM(power(CAST(r AS DOUBLE) / CAST(total AS DOUBLE), 2)), 6)
+           ROUND(SUM(power(CAST(r AS DOUBLE)
+                           / NULLIF(CAST(total AS DOUBLE), 0.0), 2)), 6)
              AS hhi
     FROM rev
     JOIN tot USING (nationkey)
@@ -2184,10 +2274,15 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
+            # try_divide: a zero nation total (all-zero revenue) would
+            # ANSI-abort the bare '/' where the oracle's NULLIF yields NULL
             F.round(
                 F.sum(
                     F.pow(
-                        F.col("r").cast("double") / F.col("total").cast("double"),
+                        F.try_divide(
+                            F.col("r").cast("double"),
+                            F.col("total").cast("double"),
+                        ),
                         2,
                     )
                 ),
@@ -2201,14 +2296,23 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clv_monthly_curve",
     """
     WITH first_m AS (
+      -- o_orderdate IS NOT NULL: an undated order has no cohort month
+      -- (a NULL month_idx would ride the engines' opposite NULL sort
+      -- through the cumulative window)
       SELECT o_custkey AS custkey,
              MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
-      FROM orders GROUP BY o_custkey),
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey),
     per_idx AS (
+      -- portable cents quantizer: floor(x*100 + 0.5) is pure IEEE double
+      -- arithmetic, identical on both engines even when a fixture regen
+      -- narrows o_totalprice to float32 (.625 cent ties round HALF_UP in
+      -- Spark's double->DECIMAL cast but half-even in DuckDB's)
       SELECT o_custkey AS custkey,
              (year(o_orderdate) * 12 + month(o_orderdate)) - m0 AS month_idx,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                      / 100.0 AS DECIMAL(18,2))) AS rev
       FROM orders JOIN first_m ON o_custkey = custkey
+      WHERE o_orderdate IS NOT NULL
       GROUP BY 1, 2),
     curve AS (
       SELECT month_idx,
@@ -2233,7 +2337,11 @@ def clv_monthly_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     order months come from one customer-grain aggregate joined back on
     the customer key; the cumulative window runs over the ≤ tens-of-
     rows curve."""
-    o = t(spark, sf_dir, "orders")
+    # o_orderdate IS NOT NULL: an undated order has no cohort month (a
+    # NULL month_idx would ride the engines' opposite NULL sort through
+    # the cumulative window); revenue goes through the portable cents
+    # quantizer so a float32-narrowed fixture still sums identical cents
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
     first_m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.min(ym).alias("m0")
@@ -2244,7 +2352,18 @@ def clv_monthly_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey",
             (ym - F.col("m0")).alias("month_idx"),
         )
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+        .agg(
+            # portable cents quantizer (see customer_spend_gini)
+            F.sum(
+                (
+                    F.floor(
+                        F.col("o_totalprice").cast("double") * 100
+                        + F.lit(0.5)
+                    )
+                    / F.lit(100.0)
+                ).cast(DEC)
+            ).alias("rev")
+        )
     )
     curve = per_idx.groupBy("month_idx").agg(
         F.count(F.lit(1)).alias("n_active_customers"),
@@ -2264,14 +2383,19 @@ def clv_monthly_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_join_mv",
     """
+    -- CAST DOUBLE first: both engines then quantize the same double to
+    -- cents even if a fixture regen narrows the measures to float32
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,2)))
+           CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(18,2))
+                    * CAST(1 - CAST(l_discount AS DOUBLE)
+                           AS DECIMAL(18,2)))
                 AS VARCHAR) AS revenue,
            CAST(MAX(l_shipdate) AS VARCHAR) AS latest_ship,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(1 - l_discount AS DECIMAL(18,2)))
+           ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                               AS DECIMAL(18,2))
+                          * CAST(1 - CAST(l_discount AS DOUBLE)
+                                 AS DECIMAL(18,2)))
                       AS DOUBLE) / COUNT(*), 4) AS avg_item_rev
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
@@ -2300,9 +2424,14 @@ def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
     )
+    # cast("double") first: both engines then quantize the same double
+    # to cents even on a float32-narrowed fixture
     rev = (
-        F.col("l_extendedprice").cast(DEC)
-        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        F.col("l_extendedprice").cast("double").cast(DEC)
+        * (
+            F.lit(1).cast(DEC)
+            - F.col("l_discount").cast("double").cast(DEC)
+        )
     ).alias("rev")
     base_f = li.filter(F.col("l_orderkey") % 5 != 0).select("l_orderkey", rev, "l_shipdate")
     delta_f = li.filter(F.col("l_orderkey") % 5 == 0).select("l_orderkey", rev, "l_shipdate")
@@ -2426,9 +2555,13 @@ def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_mix_decomposition",
     """
     WITH pb AS (
+      -- CAST DOUBLE first: both engines then quantize the same double
+      -- to cents even if a fixture regen narrows the measures to float32
       SELECT p_brand AS brand, year(o_orderdate) AS yr,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS q,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                           AS DECIMAL(18,2))) AS DOUBLE)
                AS rev
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -2443,11 +2576,12 @@ def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN yr = 1997 THEN rev END) AS r1
       FROM pb GROUP BY brand
       HAVING q0 IS NOT NULL AND q1 IS NOT NULL)
+    -- + 0.0 canonicalizes IEEE -0.0 (all four effects are sign-indefinite)
     SELECT brand,
-           ROUND(r1 - r0, 2) AS delta_rev,
-           ROUND((q1 - q0) * (r0 / q0), 2) AS volume_effect,
-           ROUND((r1 / q1 - r0 / q0) * q0, 2) AS price_effect,
-           ROUND((q1 - q0) * (r1 / q1 - r0 / q0), 2) AS interaction
+           ROUND(r1 - r0, 2) + 0.0 AS delta_rev,
+           ROUND((q1 - q0) * (r0 / q0), 2) + 0.0 AS volume_effect,
+           ROUND((r1 / q1 - r0 / q0) * q0, 2) + 0.0 AS price_effect,
+           ROUND((q1 - q0) * (r1 / q1 - r0 / q0), 2) + 0.0 AS interaction
     FROM wide
     """,
 )
@@ -2471,8 +2605,14 @@ def revenue_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"), F.year("o_orderdate").alias("yr"))
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("q"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("rev"),
+            # cast("double") first: both engines then quantize the same
+            # double to cents even on a float32-narrowed fixture
+            F.sum(F.col("l_quantity").cast("double").cast(DEC))
+            .cast("double")
+            .alias("q"),
+            F.sum(F.col("l_extendedprice").cast("double").cast(DEC))
+            .cast("double")
+            .alias("rev"),
         )
     )
     wide = (
@@ -2487,12 +2627,17 @@ def revenue_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p0 = F.col("r0") / F.col("q0")
     p1 = F.col("r1") / F.col("q1")
+    # + 0.0 canonicalizes IEEE -0.0 (all four effects are sign-indefinite)
     return wide.select(
         "brand",
-        F.round(F.col("r1") - F.col("r0"), 2).alias("delta_rev"),
-        F.round((F.col("q1") - F.col("q0")) * p0, 2).alias("volume_effect"),
-        F.round((p1 - p0) * F.col("q0"), 2).alias("price_effect"),
-        F.round((F.col("q1") - F.col("q0")) * (p1 - p0), 2).alias("interaction"),
+        (F.round(F.col("r1") - F.col("r0"), 2) + 0.0).alias("delta_rev"),
+        (F.round((F.col("q1") - F.col("q0")) * p0, 2) + 0.0).alias(
+            "volume_effect"
+        ),
+        (F.round((p1 - p0) * F.col("q0"), 2) + 0.0).alias("price_effect"),
+        (F.round((F.col("q1") - F.col("q0")) * (p1 - p0), 2) + 0.0).alias(
+            "interaction"
+        ),
     )
 
 
@@ -2505,8 +2650,9 @@ def revenue_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS d
             FROM sym GROUP BY u)
+    -- + 0.0 canonicalizes IEEE -0.0 (assortativity is sign-indefinite)
     SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
-           ROUND(corr(du.d, dv.d), 6) AS assortativity
+           ROUND(corr(du.d, dv.d), 6) + 0.0 AS assortativity
     FROM sym
     JOIN deg du ON du.node = sym.u
     JOIN deg dv ON dv.node = sym.v
@@ -2542,7 +2688,8 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dv, "v")
         .agg(
             (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
-            F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+            # + 0.0 canonicalizes IEEE -0.0 (assortativity is sign-indefinite)
+            (F.round(F.corr("du", "dv"), 6) + 0.0).alias("assortativity"),
         )
     )
 
@@ -2649,7 +2796,11 @@ def streaming_python_source_counts(spark: SparkSession, sf_dir: str) -> DataFram
     "user_lifecycle_states",
     """
     WITH uw AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      -- ts IS NOT NULL: an un-timestamped event is not weekly activity
+      -- (a NULL week would ride the engines' opposite NULL sort through
+      -- the prev-week lag and the churn ledger)
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      WHERE ts IS NOT NULL),
     seq AS (
       SELECT user_id, wk,
              MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
@@ -2688,7 +2839,10 @@ def user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag over the six-row weekly table. Churn is reported for observed
     weeks only (a fully-dark week would shift the ledger; the events
     span is continuous)."""
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL: an un-timestamped event is not weekly activity (a
+    # NULL week would ride the engines' opposite NULL sort through the
+    # prev-week lag and the churn ledger)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     uw = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
     ).distinct()
@@ -2947,7 +3101,8 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            ROUND(AVG(cos_own), 6) AS cohesion,
            ROUND(ANY_VALUE(nearest_other_cos), 6) AS nearest_other_cos,
-           ROUND(AVG(cos_own) - ANY_VALUE(nearest_other_cos), 6) AS margin
+           -- + 0.0 canonicalizes IEEE -0.0 (margin is sign-indefinite)
+           ROUND(AVG(cos_own) - ANY_VALUE(nearest_other_cos), 6) + 0.0 AS margin
     FROM vec_cos JOIN sep USING (label)
     GROUP BY vec_cos.label
     """,
@@ -3018,8 +3173,12 @@ def cluster_cohesion_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.any_value(F.col("nearest_other_cos")), 6).alias(
                 "nearest_other_cos"
             ),
-            F.round(
-                F.avg("cos_own") - F.any_value(F.col("nearest_other_cos")), 6
+            # + 0.0 canonicalizes IEEE -0.0 (margin is sign-indefinite)
+            (
+                F.round(
+                    F.avg("cos_own") - F.any_value(F.col("nearest_other_cos")), 6
+                )
+                + 0.0
             ).alias("margin"),
         )
     )
@@ -3053,10 +3212,12 @@ def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "order_value_iqr_outliers",
     """
+    -- CAST DOUBLE first: both engines then interpolate the quartiles in
+    -- double even if a fixture regen narrows o_totalprice to float32
     WITH q AS (
       SELECT o_orderpriority,
-             quantile_cont(o_totalprice, 0.25) AS q1,
-             quantile_cont(o_totalprice, 0.75) AS q3
+             quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
       FROM orders GROUP BY o_orderpriority)
     SELECT orders.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -3081,7 +3242,11 @@ def order_value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAD score). Exact interpolated quartiles fold per class, fences
     re-join broadcast-small, one counting pass — two scans total and
     both collapse map-side."""
-    o = t(spark, sf_dir, "orders")
+    # cast("double") first: both engines then interpolate the quartiles
+    # in double even on a float32-narrowed fixture
+    o = t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
     q = o.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
         F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
@@ -3360,11 +3525,16 @@ _SSE_SEQ = _itertools.count()
 @register(
     "population_stability_index",
     """
-    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    -- value/ts IS NOT NULL: a row without a measure or a period has no
+    -- PSI position (Spark NULL-propagates the bucket comparisons where
+    -- DuckDB's CASE would silently file NULLs into bucket 0 / period B)
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+               WHERE value IS NOT NULL AND ts IS NOT NULL),
     tagged AS (
       SELECT value,
              CAST(ts AS DATE) < d0 + 15 AS in_a
-      FROM events CROSS JOIN b),
+      FROM events CROSS JOIN b
+      WHERE value IS NOT NULL AND ts IS NOT NULL),
     cuts AS (
       SELECT quantile_cont(value, 0.1) AS c1, quantile_cont(value, 0.2) AS c2,
              quantile_cont(value, 0.3) AS c3, quantile_cont(value, 0.4) AS c4,
@@ -3412,7 +3582,11 @@ def population_stability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets finite identically on both engines. At gigarow scale the
     cut-points swap to approx_percentile per the established
     convention."""
-    ev = t(spark, sf_dir, "events")
+    # value/ts IS NOT NULL: a row without a measure or a period has no
+    # PSI position (NULL would bucket differently across the engines)
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     b = ev.agg(F.min(F.to_date("ts")).alias("d0"))
     tagged = ev.crossJoin(F.broadcast(b)).select(
         "value",
@@ -3731,8 +3905,9 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n1 AS BIGINT) AS n_purchase,
            CAST(n2 AS BIGINT) AS n_view,
            ROUND(r1 - n1 * (n1 + 1) / 2, 2) AS u_stat,
+           -- + 0.0 canonicalizes IEEE -0.0 (z_stat is sign-indefinite)
            ROUND(((r1 - n1 * (n1 + 1) / 2) - n1 * n2 / 2)
-                 / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 4) AS z_stat
+                 / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 4) + 0.0 AS z_stat
     FROM agg
     """,
 )
@@ -3774,12 +3949,19 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("bigint").alias("n_purchase"),
         F.col("n2").cast("bigint").alias("n_view"),
         F.round(u, 2).alias("u_stat"),
-        F.round(
-            (u - F.col("n1") * F.col("n2") / 2)
-            / F.sqrt(
-                F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0
-            ),
-            4,
+        # + 0.0 canonicalizes IEEE -0.0 (z_stat is sign-indefinite)
+        (
+            F.round(
+                (u - F.col("n1") * F.col("n2") / 2)
+                / F.sqrt(
+                    F.col("n1")
+                    * F.col("n2")
+                    * (F.col("n1") + F.col("n2") + 1)
+                    / 12.0
+                ),
+                4,
+            )
+            + 0.0
         ).alias("z_stat"),
     )
 
@@ -3796,11 +3978,14 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n_xy) AS n FROM j),
     dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mx) AS r,
                     (SELECT CAST(COUNT(*) AS BIGINT) FROM my) AS c)
+    -- NULLIF: a single-row/column grid (e.g. a 1-row fixture) makes the
+    -- Cramér denominator n * LEAST(r-1, c-1) zero — NULL V on both engines
     SELECT ROUND(SUM(power(n_xy - n_x * n_y / n, 2)
                      / (n_x * n_y / n)), 4) AS chi2,
            CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
            ROUND(sqrt(SUM(power(n_xy - n_x * n_y / n, 2) / (n_x * n_y / n))
-                      / (ANY_VALUE(n) * LEAST(dims.r - 1, dims.c - 1))), 6)
+                      / NULLIF(ANY_VALUE(n) * LEAST(dims.r - 1, dims.c - 1),
+                               0.0)), 6)
              AS cramers_v
     FROM j JOIN mx USING (x) JOIN my USING (y)
     CROSS JOIN tot CROSS JOIN dims
@@ -3837,12 +4022,15 @@ def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(chi2, 4).alias("chi2"),
             ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+            # try_divide: a 1-row/1-column grid zeroes the Cramér
+            # denominator — the bare '/' would ANSI-abort where the
+            # oracle's NULLIF yields NULL
             F.round(
                 F.sqrt(
-                    chi2
-                    / (
+                    F.try_divide(
+                        chi2,
                         F.any_value(F.col("n"))
-                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                        * F.least(F.col("r") - 1, F.col("c") - 1),
                     )
                 ),
                 6,
@@ -3856,18 +4044,21 @@ def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "woe_information_value",
     """
     WITH b AS (
+      -- o_totalprice IS NOT NULL: an unpriced order has no quintile
+      -- (Spark sorts NULLs first, DuckDB last - it must not bin)
       SELECT NTILE(5) OVER (ORDER BY o_totalprice, o_orderkey) AS bin,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                   THEN 1 ELSE 0 END AS pos
-      FROM orders),
+      FROM orders WHERE o_totalprice IS NOT NULL),
     c AS (SELECT bin,
                  CAST(SUM(pos) AS DOUBLE) AS np,
                  CAST(SUM(1 - pos) AS DOUBLE) AS nn,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM b GROUP BY bin),
     tot AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM c)
+    -- + 0.0 canonicalizes IEEE -0.0 (woe is sign-indefinite)
     SELECT bin, n, CAST(np AS BIGINT) AS n_pos,
-           ROUND(LN((np / tp) / (nn / tn)), 6) AS woe,
+           ROUND(LN((np / tp) / (nn / tn)), 6) + 0.0 AS woe,
            ROUND((np / tp - nn / tn) * LN((np / tp) / (nn / tn)), 6) AS iv_term
     FROM c CROSS JOIN tot
     WHERE np > 0 AND nn > 0
@@ -3882,7 +4073,9 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bounded global sort as the RFM grid — and the totals ride
     along as a one-row broadcast. Degenerate all-pos/all-neg bins are
     excluded identically on both sides (LN would diverge)."""
-    o = t(spark, sf_dir, "orders")
+    # o_totalprice IS NOT NULL: an unpriced order has no quintile (Spark
+    # sorts NULLs first, DuckDB last — it must not bin)
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     b = o.select(
         F.ntile(5)
         .over(Window.orderBy("o_totalprice", "o_orderkey"))
@@ -3905,7 +4098,8 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n",
             F.col("np").cast("bigint").alias("n_pos"),
-            F.round(F.log(share), 6).alias("woe"),
+            # + 0.0 canonicalizes IEEE -0.0 (woe is sign-indefinite)
+            (F.round(F.log(share), 6) + 0.0).alias("woe"),
             F.round(
                 (F.col("np") / F.col("tp") - F.col("nn") / F.col("tn"))
                 * F.log(share),

@@ -2452,11 +2452,14 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_metrics_unpivot",
     """
     WITH m AS (
-      SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+      -- CAST DOUBLE at unpivot: both engines then sum/average the same
+      -- doubles even if a fixture regen narrows the measures to float32
+      SELECT 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value
+      FROM lineitem
       UNION ALL
-      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
       UNION ALL
-      SELECT 'discount', l_discount FROM lineitem)
+      SELECT 'discount', CAST(l_discount AS DOUBLE) FROM lineitem)
     SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
                 AS VARCHAR) AS total,
@@ -2472,11 +2475,13 @@ def lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one hash aggregate; money totals in DECIMAL(18,2) per the
     engine's exact-sum convention."""
     li = t(spark, sf_dir, "lineitem")
+    # CAST DOUBLE at unpivot: both engines then sum/average the same
+    # doubles even on a float32-narrowed fixture
     melted = li.select(
         F.expr(
-            "stack(3, 'quantity', l_quantity, "
-            "'extendedprice', l_extendedprice, "
-            "'discount', l_discount) AS (metric, value)"
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), "
+            "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+            "'discount', CAST(l_discount AS DOUBLE)) AS (metric, value)"
         )
     )
     return melted.groupBy("metric").agg(

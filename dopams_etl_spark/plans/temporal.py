@@ -87,7 +87,10 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_weighted_avg_value",
     """
     WITH g AS (
-      SELECT user_id, CAST(ts AS DATE) AS d, value,
+      -- CAST DOUBLE first: both engines then weight the same doubles by
+      -- the BIGINT spans even if a fixture regen narrows value to float32
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(value AS DOUBLE) AS value,
              lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
                                       ORDER BY ts, event_id)
                - epoch_us(ts) AS dur_us
@@ -117,7 +120,10 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("d"),
         "ts",
         "event_id",
-        "value",
+        # cast("double") first: Spark would otherwise multiply a
+        # float32 value by the BIGINT span in the float lane on a
+        # float32-narrowed fixture
+        F.col("value").cast("double").alias("value"),
     )
     g = time_weighted_avg(e, ["user_id", "d"], "ts", "event_id", "value")
     return g.select(

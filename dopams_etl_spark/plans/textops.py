@@ -2738,10 +2738,11 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(i))
+    -- + 0.0 canonicalizes IEEE -0.0 (mean/vmin are sign-indefinite)
     SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(v), 6) AS mean,
+           ROUND(AVG(v), 6) + 0.0 AS mean,
            ROUND(STDDEV_SAMP(v), 6) AS sd,
-           ROUND(MIN(v), 6) AS vmin,
+           ROUND(MIN(v), 6) + 0.0 AS vmin,
            ROUND(MAX(v), 6) AS vmax
     FROM e GROUP BY dim
     """,
@@ -2761,11 +2762,12 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         F.posexplode("embedding").alias("dim", "v_raw")
     ).select("dim", F.col("v_raw").cast("double").alias("v"))
+    # + 0.0 canonicalizes IEEE -0.0 (mean/vmin are sign-indefinite)
     return e.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("v"), 6).alias("mean"),
+        (F.round(F.avg("v"), 6) + 0.0).alias("mean"),
         F.round(F.stddev_samp("v"), 6).alias("sd"),
-        F.round(F.min("v"), 6).alias("vmin"),
+        (F.round(F.min("v"), 6) + 0.0).alias("vmin"),
         F.round(F.max("v"), 6).alias("vmax"),
     ).select(F.col("dim").cast("int").alias("dim"), "n", "mean", "sd", "vmin", "vmax")
 
