@@ -115,11 +115,20 @@ def quality_score(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles (for MinHash/Jaccard dedup).
-    Blank/whitespace-only text → empty array (splitting '' yields [''])."""
+    NULL and blank/whitespace-only text → empty array — the shared
+    dedup-family null-text convention (r14): without the explicit NULL
+    branch the ``concat_ws`` fallback manufactures a ``''`` shingle
+    from NULL text that can exact-match/bloom-hit engine-side while
+    every SQL oracle's NULL-propagating ``||`` sees no shingle at all
+    (reference analog: every text operator guards blank input,
+    ``brief_facts_ai/main.py:136-144``)."""
     toks = tokens(col)
     count = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
-    return F.when(F.trim(_c(col)) == "", F.array().cast("array<string>")).when(
+    return F.when(
+        _c(col).isNull() | (F.trim(_c(col)) == ""),
+        F.array().cast("array<string>"),
+    ).when(
         count >= n,
         F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))),
     ).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -416,6 +416,10 @@ def winnow_fingerprints(
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     n = F.length(norm)
     gram_idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    # shared dedup-family null-text convention (r14, word_shingles):
+    # NULL text has no fingerprints — Spark's NULL-ignoring greatest()
+    # otherwise manufactures one all-NULL gram per NULL doc
+    df = df.filter(F.col(text_col).isNotNull())
     grams = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.transform(gram_idx, lambda i: F.md5(norm.substr(i, F.lit(k))))).alias(

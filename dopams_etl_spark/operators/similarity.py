@@ -436,11 +436,26 @@ def semantic_dedup(
     deduplicated corpus; determinism: the lowest id in each near-dup
     group within a cell is the survivor.
     """
-    rows = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+    # shared ANN null-vector convention (plans/catalog.py:ann_notnull):
+    # a NULL vector neither seeds the quantizer nor dedups — without the
+    # filter the md5-ordered seed sample can collect a NULL vector and
+    # poison the centroid literals (the ivf_topk failure mode, r13)
+    rows = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("v")
+    )
     sel = rows.orderBy(F.md5(F.col("cid").cast("string")).asc(), F.col("cid").asc()).limit(
         n_centroids
     )
     cents = [(r["cid"], [float(x) for x in r["v"]]) for r in sel.collect()]
+    if not cents:
+        # typed-empty guard (the pagerank empty-graph recipe): an empty
+        # or all-NULL-vector corpus dedups to zero rows, not a driver
+        # error — schema (id, cell, keep) preserved for downstream
+        return rows.select(
+            F.col("cid").alias("id"),
+            F.lit(None).cast("bigint").alias("cell"),
+            F.lit(True).alias("keep"),
+        ).limit(0)
     assign = _nearest_centroids("v", cents, 1).getItem(0)
     assigned = rows.select(F.col("cid").alias("id"), "v", assign.alias("cell"))
     a = assigned.alias("a")
@@ -480,6 +495,10 @@ def int8_quantize(
     is what ships to the ANN serving tier, and ``mean_abs_err`` per
     vector is the quantization-quality gate.
     """
+    # shared ANN null-vector convention (plans/catalog.py:ann_notnull):
+    # a NULL vector has no codes — without the filter Spark's concat_ws
+    # hashes '' where DuckDB's list ops yield NULL
+    df = df.filter(F.col(vec_col).isNotNull())
     # Widen to double BEFORE any arithmetic: float-lane subtraction would
     # round differently from the double-math SQL oracle at floor boundaries.
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -510,7 +529,8 @@ def int8_quantize(
     )
     return df.select(
         F.col(id_col),
-        F.round(qmin.cast("double"), 6).alias("qmin"),
+        # + 0.0 canonicalizes IEEE -0.0 (qmin is sign-indefinite)
+        (F.round(qmin.cast("double"), 6) + 0.0).alias("qmin"),
         F.round(scale.cast("double"), 6).alias("qscale"),
         F.md5(F.concat_ws(",", code)).alias("codes_md5"),
         F.round(err, 6).alias("mean_abs_err"),
@@ -611,7 +631,13 @@ def kmeans_assign(
     already-trained codebook, e.g. IVF cells or a prior ``kmeans_assign``
     run's centroids); ``k`` is ignored in favour of ``len(seeds)``.
     """
-    rows = corpus.select(F.col(id_col).alias("__kid"), F.col(vec_col).alias("__kv"))
+    # shared ANN null-vector convention (plans/catalog.py:ann_notnull):
+    # a NULL vector neither seeds nor assigns — without the filter the
+    # md5-ordered seed sample can collect a NULL vector and poison the
+    # centroid literals (the ivf_topk failure mode, r13)
+    rows = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__kid"), F.col(vec_col).alias("__kv")
+    )
     if seeds is not None:
         cents: list[tuple[int, list[float]]] = [
             (i, [float(x) for x in s]) for i, s in enumerate(seeds)
@@ -624,7 +650,13 @@ def kmeans_assign(
             (i, [float(x) for x in r["__kv"]]) for i, r in enumerate(sel.collect())
         ]
     if not cents:
-        raise ValueError("kmeans_assign: empty corpus")
+        # typed-empty guard (the pagerank empty-graph recipe): an empty
+        # or all-NULL-vector corpus clusters to zero rows, not a driver
+        # error — schema (id, cluster int) preserved for downstream
+        return rows.select(
+            F.col("__kid").alias(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+        ).limit(0)
     dim = len(cents[0][1])
     for _ in range(iters):
         assign = _nearest_centroids("__kv", cents, 1).getItem(0)
@@ -674,7 +706,11 @@ def random_projection(
         F.round(_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) * F.lit(scale), 6)
         for p in planes
     ]
-    return corpus.select(F.col(id_col), F.array(*comps).alias("proj"))
+    # shared ANN null-vector convention (plans/catalog.py:ann_notnull):
+    # a NULL vector has no projection
+    return corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.array(*comps).alias("proj")
+    )
 
 
 def margin_mined_pairs(

@@ -1667,13 +1667,16 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         MAX(CASE WHEN grp = 0 THEN conversions END) AS conv_a,
         MAX(CASE WHEN grp = 1 THEN conversions END) AS conv_b
       FROM pergrp)
+    -- NULLIF: a degenerate experiment (zero or all-converted pool) zeroes
+    -- the pooled variance - NULL z on both engines. + 0.0 canonicalizes
+    -- IEEE -0.0 (z_stat is sign-indefinite)
     SELECT n_a, n_b, conv_a, conv_b,
            ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS p_a,
            ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS p_b,
            ROUND((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
-                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                 / NULLIF(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
                         * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
-                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0), 4) + 0.0 AS z_stat
     FROM wide
     """.replace("__MD5_COHORT__", md5_cohort_sql("ab-v1", "user_id")),
 )
@@ -1725,12 +1728,26 @@ def ab_test_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         F.round(p_a, 6).alias("p_a"),
         F.round(p_b, 6).alias("p_b"),
-        F.round(
-            (p_b - p_a)
-            / F.sqrt(
-                pool * (1 - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-            ),
-            4,
+        # try_divide: a zero/all-converted pool zeroes the pooled
+        # variance — the bare '/' would ANSI-abort where the oracle's
+        # NULLIF yields NULL. + 0.0 canonicalizes IEEE -0.0 (z_stat is
+        # sign-indefinite)
+        (
+            F.round(
+                F.try_divide(
+                    p_b - p_a,
+                    F.sqrt(
+                        pool
+                        * (1 - pool)
+                        * (
+                            F.lit(1.0) / F.col("n_a")
+                            + F.lit(1.0) / F.col("n_b")
+                        )
+                    ),
+                ),
+                4,
+            )
+            + 0.0
         ).alias("z_stat"),
     )
 
@@ -2486,8 +2503,10 @@ def incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS reached_view,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS reached_click,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS reached_purchase,
+           -- NULLIF: a funnel with zero view-sessions (single-row/empty
+           -- fixture) zeroes the stage base - NULL rate on both engines
            ROUND((SELECT COUNT(*) FROM c)
-                 / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6)
+                 / NULLIF(CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 0.0), 6)
              AS click_rate,
            ROUND((SELECT COUNT(*) FROM p)
                  / CAST(GREATEST((SELECT COUNT(*) FROM c), 1) AS DOUBLE), 6)
@@ -2539,8 +2558,14 @@ def session_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reached_view",
             "reached_click",
             "reached_purchase",
+            # try_divide: zero view-sessions would ANSI-abort the bare
+            # '/' where the oracle's NULLIF yields NULL
             F.round(
-                F.col("reached_click") / F.col("reached_view").cast("double"), 6
+                F.try_divide(
+                    F.col("reached_click"),
+                    F.col("reached_view").cast("double"),
+                ),
+                6,
             ).alias("click_rate"),
             F.round(
                 F.col("reached_purchase")

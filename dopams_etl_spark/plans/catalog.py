@@ -48,22 +48,103 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # Round-13 budget (the VERDICT r12 consolidation plan, verified
-    # against the merged CORRECTNESS_r01-r12 staleness histogram:
-    # r6x42 is the oldest tail): 50-slot sample = the 42 remaining
-    # round-6 re-certification rows (after this sample no query's
-    # latest driver row predates round 7) + 8 free slots.
-    # Ten of the 42 double as zero-cost changed-query slots (changed +
-    # sampled same round): signed-zero migrations for
-    # event_value_robust_zscore, doc_readability_flesch,
-    # daily_autocorr_lags, event_type_trend, cusum_changepoint,
-    # corpus_zipf_slope, user_burstiness; robustness fixes for
-    # value_histogram_equiwidth (zero-width bins), xml_source_roundtrip
-    # + corpus_profile (empty-input); rrf_fused_search also rides its
-    # ANN null-vector oracle migration here for free.
-    # 1) the 42 round-6 rows, oldest-first in registry order:
-    "bloom_decontaminate_docs",
+    # Round-14 budget (the VERDICT r13 consolidation plan, verified
+    # against the merged CORRECTNESS_r01-r13 staleness histogram:
+    # r7x42 is the oldest tail): 50-slot sample = the 42 remaining
+    # round-7 re-certification rows (after this sample no query's
+    # latest driver row predates round 8) + 8 free slots.
+    # Sixteen of the 42 double as zero-cost changed-query slots
+    # (changed + sampled same round): signed-zero migrations for
+    # anomaly_days_mad, cluster_cohesion_separation,
+    # degree_assortativity, embedding_dim_stats, mann_whitney_value_test,
+    # revenue_mix_decomposition, woe_information_value; degenerate-census
+    # fixes for chi_square_type_dow + mutual_information_type_dow (tiny1
+    # zero Cramer/NMI denominators), supplier_hhi_by_nation (const
+    # zero-total share), value_histogram_equidepth + woe (NULL-measure
+    # NTILE), event_sequence_trigrams + user_lifecycle_states +
+    # population_stability_index (NULL ts/value positions),
+    # clv_monthly_curve (NULL cohort month); f32 type-drift widenings
+    # for clv/rfm/gini/incremental_join_mv/metrics_unpivot/iqr_outliers/
+    # revenue_mix/pareto_abc/time_weighted_avg (the cast("double")
+    # recipe, plus the portable floor(x*100+0.5) cents quantizer for the
+    # four o_totalprice money sums - Spark rounds half-cent ties HALF_UP
+    # where DuckDB rounds half-even).
+    # 1) the 42 round-7 rows, in their former deterministic order:
+    "knn_label_accuracy",
+    "lineitem_metrics_unpivot",
+    "customer_rfm_segments",
+    "revenue_pareto_abc",
+    "customer_spend_gini",
+    "tiered_dedup_docs",
+    "gender_infer",
+    "label_propagation_communities",
+    "seasonal_naive_backtest",
+    "embedding_minmax_scale",
+    "anomaly_days_mad",
+    "event_sequence_trigrams",
+    "mutual_information_type_dow",
+    "value_histogram_equidepth",
+    "supplier_hhi_by_nation",
+    "clv_monthly_curve",
+    "incremental_join_mv",
+    "revenue_mix_decomposition",
+    "degree_assortativity",
+    "python_datasource_scan",
+    "streaming_python_source_counts",
+    "user_lifecycle_states",
+    "brand_triple_itemsets",
+    "dedup_rate_by_source",
+    "cluster_cohesion_separation",
+    "dow_hour_heatmap",
+    "order_value_iqr_outliers",
+    "attribution_first_vs_last",
+    "join_key_skew_report",
+    "customer_setops_yoy",
+    "streaming_static_enrich",
+    "population_stability_index",
+    "expected_calibration_error",
+    "mann_whitney_value_test",
+    "chi_square_type_dow",
+    "ohlc_hourly_bars",
+    "time_weighted_avg_value",
+    "throttle_dedup_events",
+    "daily_new_vs_returning",
+    "woe_information_value",
+    "embedding_dim_stats",
+    "vocab_jaccard_sources",
+    # 2) the 8 free slots (the VERDICT r13 dual-exposure spend): each
+    #    changed this round - ab_test (pooled-variance try_divide +
+    #    z_stat signed-zero), int8_quantize (qmin signed-zero + NULL
+    #    vector), holt + seasonal_decompose (trend/seasonal/resid
+    #    signed-zero + NULL-day series), session_funnel (zero-base
+    #    stage rate), kmeans + semantic_dedup (NULL-vector seed
+    #    poisoning, typed-empty guards, and the kmeans oracle's
+    #    COALESCE/FILTER centroid update), random_projection (ann_notnull
+    #    extension) - and re-enters the sample here:
+    "ab_test_proportion_z",
+    "embedding_int8_quantize",
+    "holt_linear_daily",
+    "seasonal_decompose_daily",
+    "session_funnel_ordered",
+    "kmeans_embedding_clusters",
+    "semantic_dedup_embeddings",
+    "embedding_random_projection",
+    # --- the 50-slot driver sample line ---
+    # 3) changed this round but NOT in the 50-slot sample (first in
+    #    line if the driver ever oversamples; each verified strict
+    #    repr-identical at sf0.001 + sf0.01 + sf0.1 and 5-variant
+    #    fuzz-robust in-round, and each change is live-no-op by
+    #    construction): kmeans_fixed_seed_assign rides the shared
+    #    kmeans_assign NULL-vector entry filter; the four daily-series
+    #    estimators ride the shared _daily_revenue NULL-day convention:
     "kmeans_fixed_seed_assign",
+    "theil_sen_daily_trend",
+    "mann_kendall_trend",
+    "ses_level_daily",
+    "revenue_max_drawdown",
+    # 4) every remaining row in its former deterministic order (r15
+    #    re-certification continues here: the r8 tail first).
+    "bloom_decontaminate_docs",
     "interval_overlap_merge",
     "event_transition_matrix",
     "event_value_robust_zscore",
@@ -74,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "quality_score_auc",
     "supplier_customer_hits",
     "cms_user_counts",
-    "embedding_random_projection",
     "xml_source_roundtrip",
     "streaming_session_window_counts",
     "supplier_customer_bfs",
@@ -104,13 +184,6 @@ _PRIORITY: tuple[str, ...] = (
     "benford_order_totals",
     "order_cycle_percentiles",
     "binary_file_ingest",
-    # 2) the 8 free slots: 3 re-certs for the lsh_topk-on-lsh_candidates
-    #    single-sourcing refactor + the shared ANN null-vector convention
-    #    (lsh_topk_embeddings also gets its cos_sim signed-zero
-    #    migration); rolling_corr_view_purchase (signed-zero + window
-    #    ANSI-corr + null-day filter in one slot); the 4 dual-exposure
-    #    fixes (lineitem_corr_matrix / embedding_norm_outliers:
-    #    signed-zero + ANSI-throw; q8/q14: share-of-zero-total guards):
     "lsh_topk_embeddings",
     "ann_recall_report",
     "mmr_over_lsh",
@@ -119,19 +192,11 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_norm_outliers",
     "q8_market_share",
     "q14_promo_revenue_share",
-    # --- the 50-slot driver sample line ---
-    # 3) changed this round but NOT in the 50-slot sample (first in
-    #    line if the driver ever oversamples; each verified strict
-    #    repr-identical at sf0.001 + sf0.01 + sf0.1 and 4-variant
-    #    fuzz-robust in-round, and each change is live-no-op by
-    #    construction - null-vector convention / degenerate-only
-    #    guards / empty-input convention):
     "ann_cost_recall_tradeoff",
     "cosine_topk_embeddings",
     "ivf_topk_embeddings",
     "embedding_near_dup_pairs",
     "mutual_nn_pairs_embeddings",
-    "knn_label_accuracy",
     "hard_negative_mining",
     "mmr_diversified_search",
     "bitext_margin_pairs",
@@ -140,8 +205,6 @@ _PRIORITY: tuple[str, ...] = (
     "order_grouping_sets",
     "event_rollup_multigrain",
     "cube_region_priority_revenue",
-    # 4) every remaining row in its former deterministic order (r14
-    #    re-certification continues here: the r7 tail first).
     "advanced_search_accuseds",
     "entity_resolution_blocked",
     "view_click_purchase_funnel",
@@ -161,7 +224,6 @@ _PRIORITY: tuple[str, ...] = (
     "orc_sink_roundtrip",
     "text_corpus_ingest",
     "decontaminate_docs",
-    "semantic_dedup_embeddings",
     "hybrid_search_docs",
     "bpe_merge_pair_counts",
     "bpe_learned_merges",
@@ -205,7 +267,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_dedup_counts",
     "scd2_user_event_history",
     "frame_dup_videos",
-    "embedding_int8_quantize",
     "perplexity_tiers",
     "vocab_coverage",
     "doc_quality_model_score",
@@ -213,7 +274,6 @@ _PRIORITY: tuple[str, ...] = (
     "hourly_gapfill_interpolate",
     "partitioned_scan_prune",
     "weekly_cohort_retention",
-    "ab_test_proportion_z",
     "stratified_kfold_assign",
     "bootstrap_mean_ci",
     "train_val_test_split",
@@ -225,13 +285,11 @@ _PRIORITY: tuple[str, ...] = (
     "cusum_value_drift",
     "heaps_law_fit",
     "heavy_hitter_users",
-    "kmeans_embedding_clusters",
     "accuseds_mv",
     "advanced_search_firs",
     "nation_revenue_pct_of_parent",
     "nation_order_day_gaps",
     "mahalanobis_customer_outliers",
-    "revenue_max_drawdown",
     "dedup_threshold_sweep",
     "token_fertility_by_lang",
     "kruskal_wallis_value_by_type",
@@ -239,7 +297,6 @@ _PRIORITY: tuple[str, ...] = (
     "levene_brown_forsythe_value",
     "preference_pair_build",
     "user_sessions",
-    "session_funnel_ordered",
     "kaplan_meier_retention",
     "hourly_event_stats",
     "exact_dedup_docs",
@@ -280,7 +337,6 @@ _PRIORITY: tuple[str, ...] = (
     "capped_running_balance",
     "spearman_qty_discount_by_flag",
     "grouped_median_via_counts",
-    "holt_linear_daily",
     "phrase_search_docs",
     "order_due_dates",
     "sections_classify",
@@ -323,7 +379,6 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "criminal_profiles_mv",
     "queue_depth_daily",
-    "seasonal_decompose_daily",
     "multi_touch_attribution_linear",
     "funnel_time_to_convert",
     "time_weighted_median_value",
@@ -343,9 +398,6 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q21_suppliers_kept_waiting",
     "q22_dormant_customers",
-    "theil_sen_daily_trend",
-    "mann_kendall_trend",
-    "ses_level_daily",
     "attribution_time_decay",
     "precision_recall_deciles",
     "js_divergence_daily_drift",
@@ -358,47 +410,6 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     "fk_containment_profile",
     "user_active_day_streaks",
-    "lineitem_metrics_unpivot",
-    "customer_rfm_segments",
-    "revenue_pareto_abc",
-    "customer_spend_gini",
-    "tiered_dedup_docs",
-    "gender_infer",
-    "label_propagation_communities",
-    "seasonal_naive_backtest",
-    "embedding_minmax_scale",
-    "anomaly_days_mad",
-    "event_sequence_trigrams",
-    "mutual_information_type_dow",
-    "value_histogram_equidepth",
-    "supplier_hhi_by_nation",
-    "clv_monthly_curve",
-    "incremental_join_mv",
-    "revenue_mix_decomposition",
-    "degree_assortativity",
-    "python_datasource_scan",
-    "streaming_python_source_counts",
-    "user_lifecycle_states",
-    "brand_triple_itemsets",
-    "dedup_rate_by_source",
-    "cluster_cohesion_separation",
-    "dow_hour_heatmap",
-    "order_value_iqr_outliers",
-    "attribution_first_vs_last",
-    "join_key_skew_report",
-    "customer_setops_yoy",
-    "streaming_static_enrich",
-    "population_stability_index",
-    "expected_calibration_error",
-    "mann_whitney_value_test",
-    "chi_square_type_dow",
-    "ohlc_hourly_bars",
-    "time_weighted_avg_value",
-    "throttle_dedup_events",
-    "daily_new_vs_returning",
-    "woe_information_value",
-    "embedding_dim_stats",
-    "vocab_jaccard_sources",
 )
 
 
@@ -491,7 +502,18 @@ def ann_notnull(sql: str) -> str:
     silently drops or NULLS-LAST-ranks it while DuckDB's
     ``list_dot_product`` ABORTS on a NULL list. No live fixture carries
     NULL vectors, so wrapping an oracle changes no driver-data output
-    (strict-verified tri-SF when introduced)."""
+    (strict-verified tri-SF when introduced).
+
+    Raises at registration (import) time if the SQL contains no
+    verbatim ``FROM embeddings`` read — a line-broken or aliased read
+    would otherwise be silently left unwrapped, re-opening the
+    engine/oracle divergence with no error (r13 review find)."""
+    if "FROM embeddings" not in sql:
+        raise ValueError(
+            "ann_notnull: no verbatim 'FROM embeddings' read to wrap - "
+            "rewrite the oracle so each embeddings read matches, or the "
+            "null-vector convention silently will not apply"
+        )
     return sql.replace(
         "FROM embeddings",
         "FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"

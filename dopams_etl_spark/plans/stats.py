@@ -26,9 +26,16 @@ from dopams_etl_spark.plans.catalog import register, t
 def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rounded daily order revenue — the shared bounded (≤ |days|) input
     for the trend estimators below. Rounding BEFORE pairing keeps the
-    pairwise arithmetic identical across engines."""
+    pairwise arithmetic identical across engines. Undated or unpriced
+    orders contribute no day: a NULL day rides the engines' opposite
+    NULL sort through every row_number/lag/recursion downstream, and a
+    NULL rev NaN-poisons the sequential folds (nullhalf census, r14) —
+    one convention for all five daily-series estimators."""
     return (
         t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
     )
@@ -37,7 +44,9 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAILY_SQL = """
     SELECT CAST(o_orderdate AS DATE) AS day,
            ROUND(SUM(o_totalprice), 2) AS rev
-    FROM orders GROUP BY 1
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1
 """
 
 
@@ -1390,9 +1399,10 @@ def grouped_median_via_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              0.3 * i.rev + 0.7 * (h.l + h.b),
              0.1 * ((0.3 * i.rev + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
       FROM h JOIN idx i ON i.rn = h.rn + 1)
+    -- + 0.0 canonicalizes IEEE -0.0 (trend is sign-indefinite)
     SELECT CAST(MAX(rn) AS BIGINT) AS n_days,
            ROUND(arg_max(l, rn), 2) AS level,
-           ROUND(arg_max(b, rn), 4) AS trend,
+           ROUND(arg_max(b, rn), 4) + 0.0 AS trend,
            ROUND(arg_max(l, rn) + 7 * arg_max(b, rn), 2) AS forecast_7d
     FROM h
     HAVING (SELECT COUNT(*) FROM d) > 0
@@ -1440,7 +1450,8 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_days",
             F.round("l_raw", 2).alias("level"),
-            F.round("b_raw", 4).alias("trend"),
+            # + 0.0 canonicalizes IEEE -0.0 (trend is sign-indefinite)
+            (F.round("b_raw", 4) + 0.0).alias("trend"),
             F.round(F.col("l_raw") + 7 * F.col("b_raw"), 2).alias(
                 "forecast_7d"
             ),

@@ -269,9 +269,12 @@ def queue_depth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seasonal_decompose_daily",
     """
     WITH daily AS (
+      -- ts IS NOT NULL: an un-timestamped event has no day (a NULL day
+      -- would ride the engines' opposite NULL sort through the centered
+      -- moving-average frame)
       SELECT CAST(ts AS DATE) AS d, dayofweek(CAST(ts AS DATE)) AS dow,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     tr AS (
       SELECT d, dow, n,
              AVG(n) OVER w AS trend,
@@ -281,10 +284,11 @@ def queue_depth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     det AS (SELECT d, dow, n, trend, n - trend AS detr
             FROM tr WHERE w_n = 7),
     seas AS (SELECT dow, AVG(detr) AS seasonal FROM det GROUP BY dow)
+    -- + 0.0 canonicalizes IEEE -0.0 (seasonal/resid are sign-indefinite)
     SELECT CAST(det.d AS VARCHAR) AS day, det.n,
            ROUND(trend, 6) AS trend,
-           ROUND(seasonal, 6) AS seasonal,
-           ROUND(det.n - trend - seasonal, 6) AS resid
+           ROUND(seasonal, 6) + 0.0 AS seasonal,
+           ROUND(det.n - trend - seasonal, 6) + 0.0 AS resid
     FROM det JOIN seas ON det.dow = seas.dow
     """,
 )
@@ -296,7 +300,10 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecast sanity checks. The fact collapses to day grain first, so
     every window/join below runs on |days| rows; DOW normalized to
     DuckDB's 0=Sunday numbering per the dow_seasonality convention."""
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL: an un-timestamped event has no day (a NULL day
+    # would ride the engines' opposite NULL sort through the centered
+    # moving-average frame)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     from pyspark.sql import Window
 
     daily = ev.groupBy(
@@ -313,14 +320,15 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", "dow", "n", "trend", (F.col("n") - F.col("trend")).alias("detr")
     )
     seas = det.groupBy("dow").agg(F.avg("detr").alias("seasonal"))
+    # + 0.0 canonicalizes IEEE -0.0 (seasonal/resid are sign-indefinite)
     return det.join(F.broadcast(seas), "dow").select(
         F.col("d").cast("string").alias("day"),
         "n",
         F.round("trend", 6).alias("trend"),
-        F.round("seasonal", 6).alias("seasonal"),
-        F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6).alias(
-            "resid"
-        ),
+        (F.round("seasonal", 6) + 0.0).alias("seasonal"),
+        (
+            F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6) + 0.0
+        ).alias("resid"),
     )
 
 

@@ -712,8 +712,10 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_winnow_fingerprints",
     r"""
+    -- text IS NOT NULL: the shared dedup-family null-text convention
+    -- (NULL text has no fingerprints on either engine)
     WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s
-               FROM documents WHERE doc_id < 100),
+               FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
     g AS (SELECT doc_id,
                  list_transform(range(1, greatest(length(s) - 8 + 1, 1) + 1),
                                 i -> md5(substr(s, i, 8))) AS hs
@@ -1104,7 +1106,7 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_embeddings",
-    """
+    ann_notnull("""
     WITH base AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
@@ -1129,7 +1131,7 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * sqrt(list_dot_product(b2.v, b2.v))), 6) >= 0.99)
     SELECT c.id, c.cell, (d.id IS NULL) AS keep
     FROM cassign c LEFT JOIN dropped d ON d.id = c.id
-    """,
+    """),
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embedding corpus augmented with deterministic
@@ -1902,7 +1904,7 @@ def frame_dup_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_int8_quantize",
-    """
+    ann_notnull("""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     q AS (SELECT vec_id,
                  list_min(ev) AS qmin,
@@ -1919,14 +1921,15 @@ def frame_dup_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_sum(list_transform(range(1, len(ev) + 1),
                    i -> abs(ev[i] - (qmin + codes[i] * qscale)))) / len(ev) AS err
           FROM c)
+    -- + 0.0 canonicalizes IEEE -0.0 (qmin is sign-indefinite)
     SELECT vec_id,
-           ROUND(qmin, 6) AS qmin,
+           ROUND(qmin, 6) + 0.0 AS qmin,
            ROUND(qscale, 6) AS qscale,
            md5(array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ','))
              AS codes_md5,
            ROUND(err, 6) AS mean_abs_err
     FROM e
-    """,
+    """),
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-store compression (beyond-reference): per-vector int8
@@ -2095,7 +2098,12 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
     iteration's ROUND(mean, 6) centroid update are all unrolled as CTEs
     (same technique as ``_bpe_merges_oracle`` — a deterministic iterative
     algorithm restated as a fixed-depth SQL chain). Empty cells keep the
-    previous iteration's centroid, exactly as the engine does."""
+    previous iteration's centroid via COALESCE over a FILTERed list
+    aggregate — NOT a CASE over the LEFT JOIN's NULL row, which DuckDB's
+    correlated-subquery re-evaluation can mis-fold into a NULL-bearing
+    centroid list on a degenerate (all-identical-vector) corpus (r14
+    const census). Wrapped in ``ann_notnull``: NULL vectors neither
+    seed nor assign, mirroring the engine's entry filter."""
 
     def assign_cte(name: str, cents: str) -> str:
         return f"""{name} AS (
@@ -2126,14 +2134,14 @@ corpus AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
   GROUP BY cluster, dim),
 c{it} AS (
   SELECT p.cluster,
-         CASE WHEN COUNT(m.dim) = 0 THEN p.cv
-              ELSE list(m.mx ORDER BY m.dim) END AS cv
+         COALESCE(list(m.mx ORDER BY m.dim) FILTER (WHERE m.dim IS NOT NULL),
+                  p.cv) AS cv
   FROM c{it - 1} p LEFT JOIN m{it} m ON p.cluster = m.cluster
   GROUP BY p.cluster, p.cv),
 {assign_cte(f'a{it}', f'c{it}')}"""
         )
     parts.append(f"SELECT id AS vec_id, cluster FROM a{iters}")
-    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+    return ann_notnull(",\n".join(parts[:-1]) + "\n" + parts[-1])
 
 
 @register("kmeans_embedding_clusters", _kmeans_oracle(k=8, iters=2, dim=64))
@@ -2170,7 +2178,9 @@ def _fixed_seed_oracle() -> str:
         f"({j}, [{', '.join(str(v) for v in seed)}]::DOUBLE[])"
         for j, seed in enumerate(_FIXED_SEEDS)
     )
-    return f"""
+    # ann_notnull: a NULL vector has no cell (DuckDB's list_dot_product
+    # aborts on NULL lists; the engine filters at kmeans_assign entry)
+    return ann_notnull(f"""
     WITH cents AS (SELECT * FROM (VALUES {rows}) AS tc(cluster, cv)),
     corpus AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT id AS vec_id,
@@ -2181,7 +2191,7 @@ def _fixed_seed_oracle() -> str:
                       cluster ASC
              LIMIT 1) AS cluster
     FROM corpus
-    """
+    """)
 
 
 @register("kmeans_fixed_seed_assign", _fixed_seed_oracle())
@@ -2282,17 +2292,14 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.col("doc_id").cast("string"))
     bench = docs.filter(h.startswith("0"))
     corpus = docs.filter(~h.startswith("0"))
-    # NULL text -> no shingles on BOTH sides (r13 nullhalf census):
-    # word_shingles' concat_ws path turns a NULL text into a [''] shingle
-    # that md5-hashes and can bloom-hit; scoped here (the shared
-    # word_shingles change is the scheduled r14 dedup-family wave)
-    no_null = F.when(
-        F.col("text").isNotNull(), word_shingles("text", 3)
-    ).otherwise(F.array().cast("array<string>"))
-    bench_sh = bench.select(F.explode(no_null).alias("shingle")).distinct()
+    # NULL text -> no shingles on BOTH sides: since r14 the shared
+    # word_shingles convention handles NULL itself (functions/textfns.py)
+    bench_sh = bench.select(
+        F.explode(word_shingles("text", 3)).alias("shingle")
+    ).distinct()
     words = bloom_words(bench_sh, "shingle", m_bits, k)
 
-    corp = corpus.select("doc_id", no_null.alias("sh"))
+    corp = corpus.select("doc_id", word_shingles("text", 3).alias("sh"))
     ex = corp.select("doc_id", F.explode("sh").alias("shingle"))
     passed = bloom_probe(ex, "shingle", words, m_bits, k).filter("might_contain")
     hits = (
@@ -2523,13 +2530,15 @@ def _rp_oracle(in_dim: int = 64, out_dim: int = 16, seed: int = 42) -> str:
             "* 1000000.0 + 0.5) AS BIGINT)"
         )
     joined = ",\n             ".join(f"CAST({c} AS VARCHAR)" for c in comps)
-    return f"""
+    # ann_notnull: DuckDB's list_dot_product ABORTS on a NULL list — the
+    # shared ANN null-vector convention covers this projection too
+    return ann_notnull(f"""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT vec_id,
            concat_ws(',',
              {joined}) AS proj_micros
     FROM c
-    """
+    """)
 
 
 @register("embedding_random_projection", _rp_oracle())

@@ -376,6 +376,8 @@ def _duck(sf_dir, tables, sql):
 
 def _cells(df_rows, cols):
     def canon(v):
+        import datetime as _dt
+
         if v is None:
             return "<null>"
         # repr the PYTHON float, never the NumPy scalar:
@@ -383,6 +385,14 @@ def _cells(df_rows, cols):
         if isinstance(v, float) or "float" in type(v).__name__:
             f = float(v)
             return "<null>" if f != f else repr(f)
+        # a DuckDB DATE arrives through pandas as a midnight Timestamp
+        # while Spark hands back datetime.date — canon both to the date
+        if hasattr(v, "to_pydatetime"):
+            v = v.to_pydatetime()
+        if isinstance(v, _dt.datetime) and (
+            v.hour, v.minute, v.second, v.microsecond
+        ) == (0, 0, 0, 0):
+            v = v.date()
         return str(v)
 
     return sorted(tuple(canon(r[c]) for c in cols) for r in df_rows)
@@ -433,38 +443,315 @@ def test_null_ts_event_series_parity(spark, qs, tmp_path_factory, name):
     assert _cells(got_rows, cols) == _cells(want_rows, cols), name
 
 
-def test_bloom_decontaminate_null_text(spark, qs, tmp_path_factory):
-    """r13 nullhalf census, null-text class: a NULL document text used to
-    manufacture a '' shingle engine-side (concat_ws over a NULL token
-    array) that could bloom-hit while the oracle saw no shingle at all.
-    Pinned convention (both engines): NULL text produces NO shingles,
-    exactly like blank text."""
-    queries, oracles = qs
-    sf_dir = tmp_path_factory.mktemp("deg_bloom_null")
+def _write_documents_null_text(path, n_docs: int) -> None:
+    """documents.parquet at the driver schema with every 3rd text NULL —
+    the nullhalf census shape for the dedup/fingerprint family."""
     texts = [
-        None if i % 3 == 1 else f"alpha beta gamma delta token{i} epsilon zeta"
-        for i in range(30)
+        None if i % 3 == 1 else f"alpha beta gamma delta token{i % 11} epsilon zeta"
+        for i in range(n_docs)
     ]
     table = pa.table(
         {
-            "doc_id": pa.array(range(30), type=pa.int64()),
+            "doc_id": pa.array(range(n_docs), type=pa.int64()),
             "text": pa.array(texts, type=pa.string()),
-            "lang": pa.array(["en"] * 30, type=pa.string()),
-            "source": pa.array(["s0"] * 30, type=pa.string()),
+            "lang": pa.array(["en"] * n_docs, type=pa.string()),
+            "source": pa.array(
+                [f"s{i % 3}" for i in range(n_docs)], type=pa.string()
+            ),
             "n_chars": pa.array(
                 [0 if t is None else len(t) for t in texts], type=pa.int64()
             ),
         }
     )
-    pq.write_table(table, str(sf_dir / "documents.parquet"))
+    pq.write_table(table, str(path / "documents.parquet"))
 
-    got = queries["bloom_decontaminate_docs"](spark, str(sf_dir))
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "bloom_decontaminate_docs",
+        "decontaminate_docs",
+        "minhash_lsh_pairs",
+        "ngram_jaccard_dups",
+        "shingle_containment_pairs",
+        "doc_winnow_fingerprints",
+        "dedup_incremental_batch",
+        "train_test_overlap_report",
+        "dedup_rate_by_source",
+    ],
+)
+def test_dedup_family_null_text(spark, qs, tmp_path_factory, name):
+    """r13/r14 nullhalf census, null-text class: a NULL document text
+    used to manufacture a '' shingle engine-side (concat_ws over a NULL
+    token array) that could exact-match or bloom-hit while every SQL
+    oracle's NULL-propagating || saw no shingle at all — and winnowing's
+    NULL-ignoring greatest() manufactured an all-NULL gram. Pinned
+    convention (ONE shared rule, functions/textfns.py:word_shingles +
+    the winnow entry filter): NULL text produces NO shingles or
+    fingerprints on both engines, exactly like blank text."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp(f"deg_nulltext_{name}")
+    _write_documents_null_text(sf_dir, 30)
+
+    got = queries[name](spark, str(sf_dir))
     cols = got.columns
     got_rows = got.collect()
-    want = _duck(sf_dir, ["documents"], oracles["bloom_decontaminate_docs"])
-    assert len(want) == len(got_rows)
+    want = _duck(sf_dir, ["documents"], oracles[name])
+    assert len(want) == len(got_rows), name
     want_rows = [
         {c: (None if want[c].isna()[i] else want[c][i]) for c in cols}
         for i in range(len(want))
     ]
-    assert _cells(got_rows, cols) == _cells(want_rows, cols)
+    assert _cells(got_rows, cols) == _cells(want_rows, cols), name
+
+
+# --------------------------------------------------------------------------
+# r14 robustness-worklist pins (fuzz census classes, VERDICT r13)
+
+
+def _write_orders_nullable(path, n_rows: int) -> None:
+    """orders.parquet at the driver schema with the nullhalf census
+    shape: every 2nd row's non-key columns nulled (keys o_orderkey /
+    o_custkey stay populated)."""
+    import datetime
+
+    def null2(i, v):
+        return None if i % 2 == 1 else v
+
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(n_rows), type=pa.int64()),
+            "o_custkey": pa.array(
+                [i % 7 for i in range(n_rows)], type=pa.int64()
+            ),
+            "o_orderstatus": pa.array(
+                [null2(i, "F") for i in range(n_rows)], type=pa.string()
+            ),
+            "o_totalprice": pa.array(
+                [
+                    null2(i, round(100.0 + (i * 37.5) % 900, 2))
+                    for i in range(n_rows)
+                ],
+                type=pa.float64(),
+            ),
+            "o_orderdate": pa.array(
+                [
+                    null2(
+                        i,
+                        datetime.datetime(2024, 1, 1)
+                        + datetime.timedelta(days=i % 45),
+                    )
+                    for i in range(n_rows)
+                ],
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                [null2(i, prio[i % 5]) for i in range(n_rows)],
+                type=pa.string(),
+            ),
+        }
+    )
+    pq.write_table(table, str(path / "orders.parquet"))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "woe_information_value",
+        "customer_spend_gini",
+        "clv_monthly_curve",
+        "customer_rfm_segments",
+        "revenue_pareto_abc",
+        "order_value_iqr_outliers",
+        "holt_linear_daily",
+        "theil_sen_daily_trend",
+        "mann_kendall_trend",
+        "ses_level_daily",
+        "revenue_max_drawdown",
+    ],
+)
+def test_null_orders_parity(spark, qs, tmp_path_factory, name):
+    """r14 nullhalf census, orders-table class: NULL o_totalprice rows
+    used to rank at OPPOSITE ends of every NTILE/ORDER BY (Spark NULLS
+    FIRST, DuckDB NULLS LAST), and NULL o_orderdate rows used to create
+    a NULL day/cohort month that rode the same opposite sort through
+    lag windows and cumulative sums — NaN-poisoning the sequential
+    daily-series folds. Pinned convention (both engines): an unpriced
+    order has no rank/bin/revenue and an undated order has no
+    day/cohort — outputs agree cell-for-cell with nulls present."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp(f"deg_nullorders_{name}")
+    _write_orders_nullable(sf_dir, 90)
+
+    got = queries[name](spark, str(sf_dir))
+    cols = got.columns
+    got_rows = got.collect()
+    want = _duck(sf_dir, ["orders"], oracles[name])
+    assert len(want) == len(got_rows), name
+    want_rows = [
+        {c: (None if want[c].isna()[i] else want[c][i]) for c in cols}
+        for i in range(len(want))
+    ]
+    assert _cells(got_rows, cols) == _cells(want_rows, cols), name
+
+
+def test_money_cents_tie_quantization_parity(spark, qs, tmp_path_factory):
+    """r14 f32 census class: a float32-narrowed o_totalprice lands on
+    exact half-cent ties (.625-style values) that Spark's
+    double->DECIMAL cast rounds HALF_UP while DuckDB's rounds half-even
+    — money sums drifted cents apart. Pinned: the portable
+    floor(x*100 + 0.5) cents quantizer is pure IEEE double arithmetic,
+    so both engines sum identical cents on tie-laden input."""
+    import datetime
+
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp("deg_cents_ties")
+    n = 80
+    # .625 / .125 / .375 endings: exactly representable, all half-cent ties
+    prices = [float(1000 + i) + [0.625, 0.125, 0.375, 0.875][i % 4] for i in range(n)]
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), type=pa.int64()),
+            "o_custkey": pa.array([i % 5 for i in range(n)], type=pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n, type=pa.string()),
+            "o_totalprice": pa.array(prices, type=pa.float64()),
+            "o_orderdate": pa.array(
+                [
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i % 30)
+                    for i in range(n)
+                ],
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                [prio[i % 5] for i in range(n)], type=pa.string()
+            ),
+        }
+    )
+    pq.write_table(table, str(sf_dir / "orders.parquet"))
+
+    for name in (
+        "customer_spend_gini",
+        "revenue_pareto_abc",
+        "customer_rfm_segments",
+        "clv_monthly_curve",
+    ):
+        got = queries[name](spark, str(sf_dir))
+        cols = got.columns
+        got_rows = got.collect()
+        want = _duck(sf_dir, ["orders"], oracles[name])
+        assert len(want) == len(got_rows), name
+        want_rows = [
+            {c: (None if want[c].isna()[i] else want[c][i]) for c in cols}
+            for i in range(len(want))
+        ]
+        assert _cells(got_rows, cols) == _cells(want_rows, cols), name
+
+
+def test_single_event_contingency_stats_null_not_abort(
+    spark, qs, tmp_path_factory
+):
+    """r14 tiny1 census class: a 1-row events table makes a 1x1
+    contingency grid — the Cramér denominator n*LEAST(r-1, c-1) and
+    both marginal entropies are zero, and the ordered funnel has zero
+    view-sessions. The bare '/' ANSI-aborted Spark-side where DuckDB
+    yielded NULL. Pinned: chi2/MI/funnel return their row with the NULL
+    ratio on BOTH engines."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp("deg_tiny_contingency")
+    _write_events(sf_dir, [(0, 3, 1, "click", 5.0)])
+
+    got = queries["chi_square_type_dow"](spark, str(sf_dir)).collect()
+    assert len(got) == 1 and got[0]["cramers_v"] is None
+    want = _duck(sf_dir, ["events"], oracles["chi_square_type_dow"])
+    assert len(want) == 1 and want["cramers_v"].isna()[0]
+
+    got = queries["mutual_information_type_dow"](spark, str(sf_dir)).collect()
+    assert len(got) == 1 and got[0]["nmi"] is None
+    want = _duck(sf_dir, ["events"], oracles["mutual_information_type_dow"])
+    assert len(want) == 1 and want["nmi"].isna()[0]
+
+    got = queries["session_funnel_ordered"](spark, str(sf_dir)).collect()
+    assert len(got) == 1 and got[0]["click_rate"] is None
+    want = _duck(sf_dir, ["events"], oracles["session_funnel_ordered"])
+    assert len(want) == 1 and want["click_rate"].isna()[0]
+
+
+def test_ab_test_degenerate_pool_null_z(spark, qs, tmp_path_factory):
+    """r14 nullhalf census class: an experiment where NO user converts
+    (or every user does) zeroes the pooled variance — the z denominator
+    ANSI-aborted Spark-side where DuckDB yielded NULL. Pinned: zero
+    conversions -> NULL z_stat on both engines."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp("deg_ab_zero_pool")
+    # every user well below the >=14-purchase conversion threshold
+    rows = [(i, i % 9, i % 6, "purchase" if i % 3 == 0 else "view", 1.0) for i in range(36)]
+    _write_events(sf_dir, rows)
+
+    got = queries["ab_test_proportion_z"](spark, str(sf_dir)).collect()
+    assert len(got) == 1 and got[0]["z_stat"] is None
+    want = _duck(sf_dir, ["events"], oracles["ab_test_proportion_z"])
+    assert len(want) == 1 and want["z_stat"].isna()[0]
+
+
+@pytest.mark.parametrize(
+    "name,id_cols",
+    [
+        ("embedding_int8_quantize", ("vec_id",)),
+        ("embedding_random_projection", ("vec_id",)),
+        ("kmeans_embedding_clusters", ("vec_id",)),
+        ("kmeans_fixed_seed_assign", ("vec_id",)),
+        ("semantic_dedup_embeddings", ("id",)),
+    ],
+)
+def test_ann_null_vector_convention_extended(
+    spark, qs, tmp_path_factory, name, id_cols
+):
+    """r14 extension of the shared ANN null-vector convention to the
+    quantize/project/cluster/dedup family: a NULL vector used to poison
+    the md5-ordered seed collects (TypeError engine-side), hash '' codes
+    where the oracle saw NULL, or abort DuckDB's list_dot_product.
+    Pinned: NULL vectors are excluded at entry on both engines, outputs
+    agree cell-for-cell, and no null-vector id ever surfaces."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp(f"deg_ann_null_{name}")
+    _write_embeddings_nullable(sf_dir, 40, null_every=2)
+    null_ids = {i for i in range(40) if i % 2 == 1}
+
+    got = queries[name](spark, str(sf_dir))
+    cols = got.columns
+    got_rows = got.collect()
+    assert got_rows, name
+    for idc in id_cols:
+        # semantic_dedup's perturbed copies sit at id + 1e6
+        ids = {r[idc] % 1_000_000 for r in got_rows}
+        assert not (ids & null_ids), name
+    want = _duck(sf_dir, ["embeddings"], oracles[name])
+    assert len(want) == len(got_rows), name
+    want_rows = [
+        {c: (None if want[c].isna()[i] else want[c][i]) for c in cols}
+        for i in range(len(want))
+    ]
+    assert _cells(got_rows, cols) == _cells(want_rows, cols), name
+
+
+@pytest.mark.parametrize(
+    "name", ["kmeans_embedding_clusters", "semantic_dedup_embeddings"]
+)
+def test_embedding_ops_empty_corpus_typed_empty(
+    spark, qs, tmp_path_factory, name
+):
+    """r14 empty census class: an empty embeddings table used to raise
+    driver-side (ValueError: empty corpus / an untyped-lambda
+    AnalysisException) because the seed collect came back empty. Pinned
+    (the pagerank empty-graph recipe): both return the typed EMPTY
+    result, matching the oracle's zero rows."""
+    queries, oracles = qs
+    sf_dir = tmp_path_factory.mktemp(f"deg_emb_empty_{name}")
+    _empty_tables(sf_dir, ["embeddings"])
+
+    out = queries[name](spark, str(sf_dir))
+    assert out.count() == 0
+    want = _duck(sf_dir, ["embeddings"], oracles[name])
+    assert len(want) == 0

@@ -350,9 +350,7 @@ def test_kmeans_assign_matches_numpy_lloyd(spark):
     assert out == assign_all()
 
 
-def test_kmeans_assign_deterministic_and_raises_on_empty(spark):
-    import pytest as _pytest
-
+def test_kmeans_assign_deterministic_and_empty_typed(spark):
     from dopams_etl_spark.operators.similarity import kmeans_assign
 
     rows = _vecs(25, 8, seed=5)
@@ -361,9 +359,13 @@ def test_kmeans_assign_deterministic_and_raises_on_empty(spark):
     r2 = sorted(map(tuple, kmeans_assign(df.repartition(7), "vec_id", k=3, iters=1).collect()))
     assert r1 == r2  # partition-invariant
 
+    # r14 typed-empty convention (the pagerank empty-graph recipe): an
+    # empty corpus clusters to zero rows with the (id, cluster) schema,
+    # never a driver-side ValueError
     empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
-    with _pytest.raises(ValueError):
-        kmeans_assign(empty, "vec_id")
+    out = kmeans_assign(empty, "vec_id")
+    assert out.columns == ["vec_id", "cluster"]
+    assert out.count() == 0
 
 
 def test_kmeans_assign_explicit_seeds_lazy_and_consistent(spark):
