@@ -25,9 +25,16 @@ _DEC = "decimal(18,2)"
 
 
 def money_cents(col: Column | str) -> Column:
-    """2-dp money column → exact integer cents (long)."""
+    """2-dp money column → exact integer cents (long).
+
+    cast("double") before scaling (r14 f32 census): identity on the live
+    float64 fixtures, but on a float32-narrowed fixture the bare
+    ``c * 100`` multiplies in the float32 lane (24-bit rounding loses
+    whole cents above ~2^18 dollars) while every DECIMAL-summing oracle
+    promotes through double — q1's sum_base_price drifted 4 cents until
+    both sides scaled the same promoted double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100, 0).cast("long")
+    return F.round(c.cast("double") * 100, 0).cast("long")
 
 
 def cents_to_money_string(col: Column | str) -> Column:

@@ -576,7 +576,11 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_histogram_equiwidth",
     """
-    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    -- CAST DOUBLE (r14 f32 census): bin edges and the (value - lo)
+    -- subtraction must run in the same lane on both engines — float32
+    -- edges flip boundary rows into the neighboring bucket
+    WITH ev AS (SELECT CAST(value AS DOUBLE) AS value FROM events),
+    b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ev),
     bucketed AS (
       -- hi = lo (constant or single-row value column) makes the bin
       -- width 0: everything lands in bucket 0 instead of dividing by
@@ -586,7 +590,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   AS INT), 19)
                   ELSE 0 END AS bucket,
              lo, hi
-      FROM events CROSS JOIN b)
+      FROM ev CROSS JOIN b)
     SELECT bucket,
            ROUND(ANY_VALUE(lo) + bucket * (ANY_VALUE(hi) - ANY_VALUE(lo))
                  / 20.0, 6) AS bucket_lo,
@@ -604,7 +608,10 @@ def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, structurally whitelisted), bucketing is map-only arithmetic,
     and the result is one 20-row hash aggregate; the share denominator
     is a window over those 20 rows, not the fact."""
-    ev = t(spark, sf_dir, "events")
+    # cast("double") at first use (r14 f32 census) — see the oracle note
+    ev = t(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("value")
+    )
     b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
     # zero-width guard (r13, fuzz census tiny1/const): hi = lo would
@@ -1203,9 +1210,17 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bucketed_order_revenue",
     """
+    -- portable 4-dp quantizer (r14 f32 census): the per-row product of
+    -- two 2-dp measures sits exactly on the 1e-4 grid, so
+    -- floor(x*10000 + 0.5) on the promoted double recovers it exactly
+    -- on both engines — the old per-side DECIMAL casts reached Spark
+    -- through the shortest float repr but DuckDB through the exact
+    -- float value on a float32-narrowed fixture
     SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * CAST(1 - l_discount AS DECIMAL(18,2)))
+           CAST(CAST(CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                                          * (1 - CAST(l_discount AS DOUBLE))
+                                          * 10000 + 0.5) AS BIGINT))
+                          AS DECIMAL(38,0)) / 10000
                      AS DECIMAL(18,4)) AS VARCHAR) AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderkey
@@ -1259,15 +1274,28 @@ def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleanup_bucketed_at_exit(spark, base, (t_o, t_l))
     sweep_stale_bucketed_dirs(os.path.dirname(base), keep=base)
     joined = bucketed_equijoin(spark, t_o, t_l, "o_orderkey", "l_orderkey")
-    return joined.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(
-            F.col("l_extendedprice").cast(DEC)
-            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    # portable 4-dp quantizer (r14 f32 census) — see the oracle note;
+    # integer sums are also partitioning-invariant, like money_cents
+    dmc = F.floor(
+        F.col("l_extendedprice").cast("double")
+        * (1 - F.col("l_discount").cast("double"))
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dmc).alias("_rc"),
         )
-        .cast("decimal(18,4)")
-        .cast("string")
-        .alias("revenue"),
+        .select(
+            "o_orderkey",
+            "n_items",
+            (F.col("_rc").cast("decimal(38,0)") / 10000)
+            .cast("decimal(18,4)")
+            .cast("string")
+            .alias("revenue"),
+        )
     )
 
 
@@ -4248,7 +4276,9 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH nrev AS (
       SELECT r_name AS region_name, n_name AS nation_name,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             -- CAST DOUBLE first (r14 f32 census) — matches the widened
+             -- money_cents scaling lane
+             CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
                AS cents
       FROM orders
       JOIN customer ON o_custkey = c_custkey

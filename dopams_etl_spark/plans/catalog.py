@@ -142,13 +142,57 @@ _PRIORITY: tuple[str, ...] = (
     "mann_kendall_trend",
     "ses_level_daily",
     "revenue_max_drawdown",
+    # 3b) the r14 session-2 waves, changed but NOT in the 50-slot
+    #     sample (first in line if the driver oversamples; every one
+    #     verified CHECK_STRICT=1 at sf0.001+sf0.01+sf0.1 AND 5-variant
+    #     census-robust in-round, and each engine change is live-no-op
+    #     by construction - cast("double") is an identity on float64):
+    #     the f32 type-drift widening wave (28 measured rows + the
+    #     _rev()/money_cents helper riders q7/q8/q14/firs_mv/
+    #     criminal_profiles_mv) and the MV nullhalf wave (dates as
+    #     VARCHAR, NULL-linestatus entries dropped, NULLS FIRST tie
+    #     order stated in the accused_details oracle):
+    "q1_pricing_summary",
+    "regional_revenue",
+    "customer_order_stats",
+    "upsert_latest_wins",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue_delta",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "salted_event_totals",
+    "event_rollup_multigrain",
+    "user_rolling_event_value",
+    "sliding_event_stats",
+    "event_value_percentiles",
+    "event_value_robust_zscore",
+    "rolling_median_event_value",
+    "user_value_ewma",
+    "value_histogram_equiwidth",
+    "bucketed_order_revenue",
+    "nation_revenue_pct_of_parent",
+    "mahalanobis_customer_outliers",
+    "allocate_order_totals",
+    "orc_sink_roundtrip",
+    "order_status_pivot",
+    "cdc_orders_snapshot",
+    "firs_mv",
+    "criminal_profiles_mv",
+    "accuseds_mv",
+    "advanced_search_firs",
+    "advanced_search_accuseds",
     # 4) every remaining row in its former deterministic order (r15
     #    re-certification continues here: the r8 tail first).
     "bloom_decontaminate_docs",
     "interval_overlap_merge",
     "event_transition_matrix",
-    "event_value_robust_zscore",
-    "rolling_median_event_value",
     "skyline_orders_pareto",
     "supplier_cooccur_triangles",
     "tfidf_keyword_extract",
@@ -159,7 +203,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_session_window_counts",
     "supplier_customer_bfs",
     "user_event_entropy",
-    "user_value_ewma",
     "doc_readability_flesch",
     "cluster_representatives",
     "corpus_profile",
@@ -168,7 +211,6 @@ _PRIORITY: tuple[str, ...] = (
     "daily_autocorr_lags",
     "event_type_trend",
     "cusum_changepoint",
-    "value_histogram_equiwidth",
     "rolling_weekly_active_users",
     "doc_lexical_diversity",
     "corpus_zipf_slope",
@@ -178,7 +220,6 @@ _PRIORITY: tuple[str, ...] = (
     "rrf_fused_search",
     "sorted_neighborhood_pairs",
     "graph_degree_histogram",
-    "bucketed_order_revenue",
     "part_affinity_topk",
     "user_burstiness",
     "benford_order_totals",
@@ -190,8 +231,6 @@ _PRIORITY: tuple[str, ...] = (
     "rolling_corr_view_purchase",
     "lineitem_corr_matrix",
     "embedding_norm_outliers",
-    "q8_market_share",
-    "q14_promo_revenue_share",
     "ann_cost_recall_tradeoff",
     "cosine_topk_embeddings",
     "ivf_topk_embeddings",
@@ -203,25 +242,16 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_customer_pagerank",
     "lineitem_quality_report",
     "order_grouping_sets",
-    "event_rollup_multigrain",
     "cube_region_priority_revenue",
-    "advanced_search_accuseds",
     "entity_resolution_blocked",
     "view_click_purchase_funnel",
     "streaming_hourly_counts",
     "asof_purchase_last_view",
     "fuzzy_match_event_types",
     "trigram_match_event_types",
-    "salted_event_totals",
     "range_error_click_pairs",
-    "user_rolling_event_value",
     "salted_join_user_enrich",
-    "sliding_event_stats",
-    "event_value_percentiles",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "snapshot_diff_orders",
-    "orc_sink_roundtrip",
     "text_corpus_ingest",
     "decontaminate_docs",
     "hybrid_search_docs",
@@ -233,7 +263,6 @@ _PRIORITY: tuple[str, ...] = (
     "label_embedding_centroids",
     "stratified_sample_docs",
     "approx_distinct_users",
-    "order_status_pivot",
     "event_value_rank_stats",
     "variant_props_stats",
     "event_value_moments",
@@ -258,7 +287,6 @@ _PRIORITY: tuple[str, ...] = (
     "shapley_channel_attribution",
     "cross_doc_substring_runs",
     "nelson_aalen_hazard",
-    "firs_mv",
     "lm_perplexity_docs",
     "incremental_pricing_summary",
     "pack_training_sequences",
@@ -285,11 +313,7 @@ _PRIORITY: tuple[str, ...] = (
     "cusum_value_drift",
     "heaps_law_fit",
     "heavy_hitter_users",
-    "accuseds_mv",
-    "advanced_search_firs",
-    "nation_revenue_pct_of_parent",
     "nation_order_day_gaps",
-    "mahalanobis_customer_outliers",
     "dedup_threshold_sweep",
     "token_fertility_by_lang",
     "kruskal_wallis_value_by_type",
@@ -330,7 +354,6 @@ _PRIORITY: tuple[str, ...] = (
     "transliterate_names",
     "markov_next_event_accuracy",
     "running_distinct_parts_per_customer",
-    "allocate_order_totals",
     "customer_golden_record",
     "ks_test_two_sample",
     "ols_value_trend_by_type",
@@ -349,7 +372,6 @@ _PRIORITY: tuple[str, ...] = (
     "strip_alias_names",
     "point_lookup_enrich",
     "extraction_branch_detect",
-    "regional_revenue",
     "customers_with_orders",
     "customers_without_orders",
     "latest_order_per_customer",
@@ -360,7 +382,6 @@ _PRIORITY: tuple[str, ...] = (
     "order_flags_distinct",
     "customer_status_map",
     "orders_union_branches",
-    "customer_order_stats",
     "top50_orders",
     "smart_merge_customers",
     "merge_classify_stats",
@@ -373,11 +394,7 @@ _PRIORITY: tuple[str, ...] = (
     "accused_status_parse",
     "json_props_read",
     "ist_timestamps",
-    "upsert_latest_wins",
     "watermark_incremental_events",
-    "cdc_orders_snapshot",
-    "q1_pricing_summary",
-    "criminal_profiles_mv",
     "queue_depth_daily",
     "multi_touch_attribution_linear",
     "funnel_time_to_convert",
@@ -386,16 +403,10 @@ _PRIORITY: tuple[str, ...] = (
     "bigram_pmi_topk",
     "minhash_jaccard_estimate_error",
     "q4_priority_late_exists",
-    "q6_forecast_revenue_delta",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
     "q12_late_shipment_priority",
     "q13_customer_order_distribution",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
     "q21_suppliers_kept_waiting",
     "q22_dormant_customers",
     "attribution_time_decay",
@@ -403,7 +414,6 @@ _PRIORITY: tuple[str, ...] = (
     "js_divergence_daily_drift",
     "trailing_week_range_frame",
     "asof_nearest_tolerance_join",
-    "q2_min_cost_supplier",
     "q11_important_parts",
     "q16_parts_supplier_counts",
     "q20_dominant_part_suppliers",

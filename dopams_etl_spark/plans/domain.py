@@ -573,7 +573,9 @@ def strip_alias_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(l.l_orderkey AS VARCHAR) || ':' || CAST(l.l_linenumber AS VARCHAR)
              || ':' || CAST(l.l_partkey AS VARCHAR) AS accused_id,
            l.l_orderkey AS crime_id,
-           CAST(o.o_orderdate AS DATE) AS fir_date,
+           -- dates as VARCHAR (r14 nullhalf census): NULL dates bridge
+           -- as 'NaT' vs None otherwise
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS fir_date,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS fir_year,
            c.c_name AS ps_name,
            n.n_name AS district,
@@ -626,7 +628,8 @@ def accuseds_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").cast("string"),
         ).alias("accused_id"),
         F.col("l_orderkey").alias("crime_id"),
-        F.col("o_orderdate").cast("date").alias("fir_date"),
+        # dates as strings (r14 nullhalf census) — see the oracle note
+        F.col("o_orderdate").cast("date").cast("string").alias("fir_date"),
         F.year("o_orderdate").alias("fir_year"),
         F.col("c_name").alias("ps_name"),
         F.col("n_name").alias("district"),
@@ -652,7 +655,7 @@ def accuseds_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
     latest AS (
       SELECT l_partkey, o_orderkey AS latest_crime_id,
-             CAST(o_orderdate AS DATE) AS latest_crime_date
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS latest_crime_date
       FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
                  ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC) AS rn
             FROM person_crimes)
@@ -661,10 +664,12 @@ def accuseds_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.p_name AS person_name,
            CAST((SELECT COUNT(DISTINCT pc.l_orderkey) FROM person_crimes pc
                  WHERE pc.l_partkey = p.p_partkey) AS BIGINT) AS crime_count,
-           (SELECT CAST(MIN(pc.o_orderdate) AS DATE) FROM person_crimes pc
+           -- dates surfaced as VARCHAR (r14 nullhalf census): NULL
+           -- dates bridge as 'NaT' vs None otherwise
+           (SELECT CAST(CAST(MIN(pc.o_orderdate) AS DATE) AS VARCHAR) FROM person_crimes pc
             WHERE pc.l_partkey = p.p_partkey) AS first_crime_date,
            l.latest_crime_id, l.latest_crime_date,
-           (SELECT CAST(MAX(pc.o_orderdate) AS DATE) FROM person_crimes pc
+           (SELECT CAST(CAST(MAX(pc.o_orderdate) AS DATE) AS VARCHAR) FROM person_crimes pc
             WHERE pc.l_partkey = p.p_partkey AND pc.l_returnflag = 'R') AS last_arrest_date,
            COALESCE((SELECT string_agg(f, ',' ORDER BY f)
                      FROM (SELECT DISTINCT upper(pc.l_returnflag) AS f FROM person_crimes pc
@@ -694,9 +699,11 @@ def criminal_profiles_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = pc.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("crime_count"),
-        F.min("o_orderdate").cast("date").alias("first_crime_date"),
+        # dates as strings (r14 nullhalf census) — see the oracle note
+        F.min("o_orderdate").cast("date").cast("string").alias("first_crime_date"),
         F.max(F.when(F.col("l_returnflag") == "R", F.col("o_orderdate")))
         .cast("date")
+        .cast("string")
         .alias("last_arrest_date"),
         F.array_join(F.array_sort(F.collect_set(F.upper("l_returnflag"))), ",").alias(
             "crime_flags"
@@ -706,7 +713,7 @@ def criminal_profiles_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = latest_per_key(pc, "l_partkey", "o_orderdate", tiebreak="o_orderkey").select(
         "l_partkey",
         F.col("o_orderkey").alias("latest_crime_id"),
-        F.col("o_orderdate").cast("date").alias("latest_crime_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("latest_crime_date"),
     )
     persons = semi_join(part, pc.select(F.col("l_partkey").alias("p_partkey")), "p_partkey")
     return (
@@ -758,13 +765,15 @@ def criminal_profiles_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey AS id,
            c.c_name AS ps_name,
            n.n_name AS dist_name,
-           CAST(o.o_orderdate AS DATE) AS fir_date,
+           -- dates as VARCHAR (r14 nullhalf census): NULL dates bridge
+           -- as 'NaT' vs None otherwise
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS fir_date,
            b.case_class,
            CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS BIGINT)
              AS n_accused,
            CASE WHEN b.case_class = 'commercial'
-                THEN CAST(o.o_orderdate AS DATE) + 180
-                ELSE CAST(o.o_orderdate AS DATE) + 60 END AS chargesheet_due_date,
+                THEN CAST(CAST(o.o_orderdate AS DATE) + 180 AS VARCHAR)
+                ELSE CAST(CAST(o.o_orderdate AS DATE) + 60 AS VARCHAR) END AS chargesheet_due_date,
            CASE WHEN b.case_class = 'commercial' THEN
                   CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), DATE '2026-01-01') <= 180
                        THEN 'Within Limit (180 Days)' ELSE 'Overdue (Beyond 180 Days)' END
@@ -818,12 +827,13 @@ def advanced_search_firs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("id"),
             F.col("c_name").alias("ps_name"),
             F.col("n_name").alias("dist_name"),
-            F.col("o_orderdate").cast("date").alias("fir_date"),
+            # dates as strings (r14 nullhalf census) — see the oracle note
+            F.col("o_orderdate").cast("date").cast("string").alias("fir_date"),
             "case_class",
             F.coalesce("n_accused", F.lit(0)).alias("n_accused"),
             F.when(is_comm, due_date("o_orderdate", 180))
             .otherwise(due_date("o_orderdate", 60))
-            .alias("chargesheet_due_date"),
+            .cast("string").alias("chargesheet_due_date"),
             F.when(
                 is_comm,
                 F.when(d <= 180, F.lit("Within Limit (180 Days)")).otherwise(
@@ -1310,7 +1320,10 @@ def file_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey AS fir_id,
            c.c_name AS ps_name,
            n.n_name AS district,
-           CAST(o.o_orderdate AS DATE) AS fir_date,
+           -- dates surfaced as VARCHAR (r14 nullhalf census): a NULL
+           -- date in a datetime64 pandas column bridges as the string
+           -- 'NaT' where Spark's date objects bridge as None
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS fir_date,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS fir_year,
            CASE WHEN o.o_orderstatus = 'O' THEN 'Absconding'
                 WHEN o.o_orderstatus = 'F' THEN 'Arrested'
@@ -1322,7 +1335,10 @@ def file_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        || CASE WHEN l_returnflag = 'R' THEN 'Arrested'
                                                WHEN l_returnflag = 'A' THEN 'Absconding'
                                                ELSE 'Issued Notice' END,
-                                       ';' ORDER BY l_linenumber, l_partkey, l_returnflag)
+                                       -- NULLS FIRST (r14 nullhalf census): Spark's
+                                       -- array_sort puts a NULL struct field first on ASC
+                                       -- where DuckDB's ORDER BY defaults NULLS LAST
+                                       ';' ORDER BY l_linenumber, l_partkey, l_returnflag NULLS FIRST)
                      FROM lineitem l WHERE l.l_orderkey = o.o_orderkey), '') AS accused_details,
            COALESCE((SELECT string_agg(pn, ',' ORDER BY pn)
                      FROM (SELECT DISTINCT upper(p.p_name) AS pn
@@ -1356,7 +1372,7 @@ def file_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                            FROM lineitem l
                            WHERE l.l_orderkey = o.o_orderkey AND l_returnflag = 'R')), '')
              AS documents,
-           CAST(o.o_orderdate AS DATE) + 180 AS due_180,
+           CAST(CAST(o.o_orderdate AS DATE) + 180 AS VARCHAR) AS due_180,
            CAST(date_diff('day', CAST(o.o_orderdate AS DATE), DATE '2026-01-01') AS INT)
              AS days_pending
     FROM orders o
@@ -1445,7 +1461,16 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_union(F.collect_set(doc1), F.collect_set(doc2))), ","
         ).alias("documents"),
     )
-    ls_sorted = F.array_sort(F.array_distinct(F.transform(F.col("_pairs"), lambda x: x["ls"])))
+    # NULL linestatus contributes no disposal/chargesheet entry (r14
+    # nullhalf census): the oracle's string_agg skips the NULL group's
+    # NULL concat naturally; without this filter the engine rendered it
+    # as a dangling '0' / trailing separator fragment
+    ls_sorted = F.array_sort(
+        F.filter(
+            F.array_distinct(F.transform(F.col("_pairs"), lambda x: x["ls"])),
+            lambda v: v.isNotNull(),
+        )
+    )
     li_agg = li_agg.withColumns(
         {
             "disposal_counts": F.array_join(
@@ -1508,7 +1533,8 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("fir_id"),
         "ps_name",
         "district",
-        F.col("o_orderdate").cast("date").alias("fir_date"),
+        # dates as strings (r14 nullhalf census) — see the oracle note
+        F.col("o_orderdate").cast("date").cast("string").alias("fir_date"),
         F.year("o_orderdate").alias("fir_year"),
         "fir_status",
         F.coalesce("n_accused", F.lit(0)).alias("n_accused"),
@@ -1520,7 +1546,7 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(cents_to_money_string("_tq_cents"), F.lit("0.00")).alias("total_qty"),
         F.coalesce("chargesheets", F.lit("")).alias("chargesheets"),
         F.coalesce("documents", F.lit("")).alias("documents"),
-        due_date("o_orderdate", 180).alias("due_180"),
+        due_date("o_orderdate", 180).cast("string").alias("due_180"),
         days_since("o_orderdate", F.lit("2026-01-01").cast("date")).cast("int").alias("days_pending"),
     )
 
@@ -1583,7 +1609,9 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.p_name AS person_name,
            c.c_name AS ps_name,
            n.n_name AS dist_name,
-           CAST(o.o_orderdate AS DATE) AS fir_date,
+           -- dates as VARCHAR (r14 nullhalf census): NULL dates bridge
+           -- as 'NaT' vs None otherwise
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS fir_date,
            a.role AS accused_role,
            CASE WHEN s ILIKE 'Arrest%' AND s NOT ILIKE 'Arrest Related%' THEN 'Arrested'
                 WHEN s ILIKE 'Surrendered%' THEN 'Arrested'
@@ -1598,8 +1626,8 @@ def firs_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(ct.drug_type, '') AS drug_type,
            COALESCE(cd.drug_details, '') AS drug_details,
            CASE WHEN o.o_orderkey % 4 = 0 THEN 'Commercial' ELSE 'Small' END AS case_class,
-           CASE WHEN o.o_orderkey % 4 = 0 THEN CAST(o.o_orderdate AS DATE) + 180
-                ELSE CAST(o.o_orderdate AS DATE) + 60 END AS chargesheet_due_date,
+           CASE WHEN o.o_orderkey % 4 = 0 THEN CAST(CAST(o.o_orderdate AS DATE) + 180 AS VARCHAR)
+                ELSE CAST(CAST(o.o_orderdate AS DATE) + 60 AS VARCHAR) END AS chargesheet_due_date,
            CASE WHEN o.o_orderkey % 4 = 0 THEN
                   CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), DATE '2026-01-01') <= 180
                        THEN 'Within Limit (180 Days)' ELSE 'Overdue (Beyond 180 Days)' END
@@ -1733,7 +1761,8 @@ def advanced_search_accuseds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("person_name"),
         F.col("c_name").alias("ps_name"),
         F.col("n_name").alias("dist_name"),
-        F.col("o_orderdate").cast("date").alias("fir_date"),
+        # dates as strings (r14 nullhalf census) — see the oracle note
+        F.col("o_orderdate").cast("date").cast("string").alias("fir_date"),
         F.col("role").alias("accused_role"),
         normalize_status(F.col("s")).alias("accused_status"),
         F.col("s").alias("accused_status_raw"),
@@ -1748,7 +1777,7 @@ def advanced_search_accuseds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_comm, "Commercial").otherwise("Small").alias("case_class"),
         F.when(is_comm, due_date("o_orderdate", 180))
         .otherwise(due_date("o_orderdate", 60))
-        .alias("chargesheet_due_date"),
+        .cast("string").alias("chargesheet_due_date"),
         F.when(
             is_comm,
             F.when(d <= 180, F.lit("Within Limit (180 Days)")).otherwise(

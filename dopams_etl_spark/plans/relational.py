@@ -46,9 +46,20 @@ DEC = "decimal(18,2)"
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           -- cents scaling mirrors money_cents (r14 f32 census): a
+           -- float32-narrowed price lands on exact half-cent ties
+           -- (m/128 grid) where the old DECIMAL cast rounds half-even
+           -- but Spark's ROUND goes half-up
+           CAST(CAST(CAST(SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT))
+                          AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS VARCHAR)
+             AS sum_qty,
+           CAST(CAST(CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT))
+                          AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS VARCHAR)
+             AS sum_base_price,
+           -- CAST DOUBLE first (r14 f32 census): both engines then
+           -- multiply the same promoted doubles on a narrowed fixture
+           ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                     * (1 - CAST(l_discount AS DOUBLE))), 2) AS sum_disc_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -72,8 +83,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # double sum + round(2): the product has 3-4 decimals, and casting
             # each to decimal hits .005 ties where the engines' rounding modes
             # differ; the rounded total is stable (error ~1e-8 vs 0.01 grain).
+            # cast("double") first (r14 f32 census) — identity on live
+            # fixtures, double-lane product on a float32-narrowed one.
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.col("l_extendedprice").cast("double")
+                    * (1 - F.col("l_discount").cast("double"))
+                ),
+                2,
             ).alias("sum_disc_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -94,7 +111,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_revenue",
     """
     SELECT r_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           -- CAST DOUBLE first (r14 f32 census): double-lane product on
+           -- a float32-narrowed fixture, identity on the live one
+           ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                     * (1 - CAST(l_discount AS DOUBLE))), 2) AS revenue,
            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -119,7 +139,11 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgrows the threshold."""
     li = t(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
+        # cast("double") first (r14 f32 census) — see the oracle note
+        F.sum(
+            F.col("l_extendedprice").cast("double")
+            * (1 - F.col("l_discount").cast("double"))
+        ).alias("order_rev")
     )
     fact = per_order.join(
         t(spark, sf_dir, "orders"), per_order.l_orderkey == F.col("o_orderkey")
@@ -349,7 +373,12 @@ def orders_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name,
            CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT)
              AS order_count,
-           CAST(COALESCE((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           -- portable cents quantizer (r14 f32 census): floor(x*100+0.5)
+           -- on the promoted double — a float32-narrowed o_totalprice
+           -- otherwise reaches Spark's decimal cast through the shortest
+           -- float repr but DuckDB's through the exact float value
+           CAST(COALESCE((SELECT SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                                          / 100.0 AS DECIMAL(18,2)))
                           FROM orders o WHERE o.o_custkey = c.c_custkey), 0) AS VARCHAR)
              AS total_spent
     FROM customer c
@@ -364,7 +393,13 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         {
             "order_count": F.count(F.lit(1)),
-            "total_spent": F.sum(F.col("o_totalprice").cast(DEC)),
+            # portable cents quantizer (r14 f32 census) — see the oracle
+            "total_spent": F.sum(
+                (
+                    F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+                    / F.lit(100.0)
+                ).cast(DEC)
+            ).cast(DEC),
         },
     )
     return cust.join(stats, "c_custkey", "left").select(
@@ -396,8 +431,11 @@ def top50_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "upsert_latest_wins",
     """
-    WITH existing AS (SELECT event_id, ts, value FROM events WHERE ts < TIMESTAMP '2024-01-15'),
-    incoming AS (SELECT event_id, ts, value * 2 AS value FROM events WHERE ts >= TIMESTAMP '2024-01-10'),
+    -- CAST DOUBLE at first use (r14 f32 census): DuckDB's ROUND(FLOAT, 2)
+    -- stays float32 where Spark rounds the promoted double
+    WITH ev AS (SELECT event_id, ts, CAST(value AS DOUBLE) AS value FROM events),
+    existing AS (SELECT event_id, ts, value FROM ev WHERE ts < TIMESTAMP '2024-01-15'),
+    incoming AS (SELECT event_id, ts, value * 2 AS value FROM ev WHERE ts >= TIMESTAMP '2024-01-10'),
     u AS (SELECT *, 0 AS src FROM existing UNION ALL SELECT *, 1 AS src FROM incoming),
     r AS (SELECT *, row_number() OVER (PARTITION BY event_id
                                        ORDER BY ts DESC NULLS LAST, src DESC) AS rn FROM u)
@@ -407,7 +445,10 @@ def top50_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def upsert_latest_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/I2: dedup-union MERGE, latest version wins, incoming wins ties
     (overlapping-chunk semantics, ``etl_crimes.py:853–871``)."""
-    ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # cast("double") at first use (r14 f32 census) — see the oracle note
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.col("value").cast("double").alias("value")
+    )
     existing = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
     incoming = ev.filter(F.col("ts") >= F.lit("2024-01-10").cast("timestamp")).withColumn(
         "value", F.col("value") * 2
@@ -810,7 +851,7 @@ def nation_soundex_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            MAX(value) AS max_value
     FROM events
     GROUP BY event_type
@@ -832,7 +873,7 @@ def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         {
             "n": F.count(F.lit(1)),
-            "total_cents": F.sum(F.floor(F.col("value") * 100).cast("long")),
+            "total_cents": F.sum(F.floor(F.col("value").cast("double") * 100).cast("long")),
             "max_value": F.max("value"),
         },
         salt_buckets=16,
@@ -907,7 +948,7 @@ def range_error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,
            CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE), event_type) AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS total_cents
     -- Empty-input grouping-set convention (r13): no rows in, no rows
     -- out. Over ZERO input rows the SQL standard (and DuckDB) still
     -- emits the grand-total () row while Spark emits none; HAVING
@@ -931,7 +972,7 @@ def event_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents"),
+            F.sum(F.floor(F.col("value").cast("double") * 100).cast("long")).alias("total_cents"),
         )
         .select(F.col("day").cast("string").alias("day"), "event_type", "gid", "n", "total_cents")
     )
@@ -940,10 +981,16 @@ def event_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_rolling_event_value",
     """
+    -- ts IS NOT NULL (r14 nullhalf census): a null-time event has no
+    -- position in the 3-row frame (Spark sorts it NULLS FIRST, DuckDB
+    -- NULLS LAST, silently shifting every frame); COALESCE 0: an
+    -- all-null-value frame has zero measured cents on both engines
+    -- (a bare NULL sum also flips the pandas dtype bridge to float)
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
-           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS moving_cents
-    FROM events
+           CAST(COALESCE(SUM(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)) OVER w, 0)
+                AS BIGINT) AS moving_cents
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
@@ -953,18 +1000,19 @@ def user_rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     event value (integer cents — partition-order-independent and exactly
     comparable). One window pass, shuffle on user_id only; the full
     (ts, event_id) sort key makes the frame deterministic."""
-    ev = t(spark, sf_dir, "events")
+    # ts non-null + COALESCE 0 (r14 nullhalf census) — see the oracle note
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(-2, Window.currentRow)
     )
-    cents = F.floor(F.col("value") * 100).cast("long")
+    cents = F.floor(F.col("value").cast("double") * 100).cast("long")
     return ev.select(
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).cast("long").alias("n_frame"),
-        F.sum(cents).over(w).cast("long").alias("moving_cents"),
+        F.coalesce(F.sum(cents).over(w), F.lit(0)).cast("long").alias("moving_cents"),
     )
 
 
@@ -999,17 +1047,22 @@ def salted_join_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sliding_event_stats",
     """
+    -- ts IS NOT NULL (r14 nullhalf census): a null-time event belongs
+    -- to no time window; COALESCE 0: an all-null-value window has zero
+    -- measured cents on both engines (a bare NULL sum also flips the
+    -- pandas dtype bridge to float)
     WITH w AS (
       SELECT event_type, value,
              date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
                   THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     x AS (
       SELECT event_type, value, ws AS window_start
       FROM w, LATERAL (SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS ws))
     SELECT window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+           CAST(COALESCE(SUM(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)), 0)
+                AS BIGINT) AS total_cents
     FROM x GROUP BY window_start, event_type
     """,
 )
@@ -1019,12 +1072,16 @@ def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-assignment projection. The oracle decomposes the slide into
     half-width buckets and a 2-element unnest — same window set, same
     exact integer-cent sums."""
-    ev = t(spark, sf_dir, "events")
+    # ts non-null + COALESCE 0 (r14 nullhalf census) — see the oracle note
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value").cast("double") * 100).cast("long")),
+                F.lit(0),
+            ).alias("total_cents"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_cents")
     )
@@ -1035,9 +1092,9 @@ def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.5), 6) AS p50_cents,
-           ROUND(quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.9), 6) AS p90_cents,
-           ROUND(quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.99), 6) AS p99_cents
+           ROUND(quantile_cont(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT), 0.5), 6) AS p50_cents,
+           ROUND(quantile_cont(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT), 0.9), 6) AS p90_cents,
+           ROUND(quantile_cont(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT), 0.99), 6) AS p99_cents
     FROM events
     GROUP BY event_type
     """,
@@ -1052,7 +1109,7 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable partials); that approx variant is deliberately NOT the
     oracled path since its sketch is engine-specific."""
     ev = t(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100).cast("long")
+    cents = F.floor(F.col("value").cast("double") * 100).cast("long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.percentile(cents, F.lit(0.5)), 6).alias("p50_cents"),
@@ -1066,11 +1123,11 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(SUM(CASE WHEN o_orderstatus = 'O'
-                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS status_o_cents,
+                    THEN CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) END) AS BIGINT) AS status_o_cents,
            CAST(SUM(CASE WHEN o_orderstatus = 'F'
-                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS status_f_cents,
+                    THEN CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) END) AS BIGINT) AS status_f_cents,
            CAST(SUM(CASE WHEN o_orderstatus = 'P'
-                    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS status_p_cents
+                    THEN CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) END) AS BIGINT) AS status_p_cents
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -1082,7 +1139,7 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: never let a pivot infer its columns from a full scan.
     The oracle is the standard conditional-aggregation rewrite."""
     orders = t(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100).cast("long")
     return (
         orders.withColumn("cents", cents)
         .groupBy("o_orderpriority")
@@ -1098,7 +1155,7 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)) AS BIGINT)
              AS revenue_cents,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
     FROM customer
@@ -1119,7 +1176,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered minority; top-10 is TakeOrderedAndProject (per-partition
     heap + driver merge), never a full sort. Integer-cent revenue keeps
     the double product deterministic under any partitioning."""
-    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    cents = F.floor(
+        F.col("l_extendedprice").cast("double")
+        * (1 - F.col("l_discount").cast("double"))
+        * 100
+    ).cast("long")
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
@@ -1141,7 +1202,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT)) AS BIGINT)
              AS revenue_cents
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -1169,7 +1230,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    cents = F.floor(
+        F.col("l_extendedprice").cast("double")
+        * (1 - F.col("l_discount").cast("double"))
+        * 100
+    ).cast("long")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -2043,11 +2108,17 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_value_robust_zscore",
     """
-    WITH med AS (SELECT event_type, ROUND(median(value), 6) AS med
-                 FROM events GROUP BY event_type),
+    -- CAST DOUBLE at first use (r14 f32 census): DuckDB otherwise keeps
+    -- the whole score expression in the float32 lane (DECIMAL-literal
+    -- 0.6745 * FLOAT stays FLOAT) where Spark's percentile/arithmetic
+    -- promote to double
+    WITH ev AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+                FROM events),
+    med AS (SELECT event_type, ROUND(median(value), 6) AS med
+                 FROM ev GROUP BY event_type),
     mad AS (SELECT e.event_type,
                    ROUND(median(abs(e.value - m.med)), 6) AS mad
-            FROM events e JOIN med m USING (event_type)
+            FROM ev e JOIN med m USING (event_type)
             GROUP BY e.event_type),
     s AS (SELECT med.event_type, med.med, mad.mad FROM med JOIN mad USING (event_type))
     SELECT e.event_id, e.event_type,
@@ -2055,7 +2126,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CASE WHEN s.mad > 0
                       THEN 0.6745 * (e.value - s.med) / s.mad END, 6) + 0.0
              AS rz
-    FROM events e JOIN s USING (event_type)
+    FROM ev e JOIN s USING (event_type)
     """,
 )
 def event_value_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2109,9 +2180,12 @@ def event_value_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- ts IS NOT NULL (r13 nullhalf census): a null-time event has no
     -- position in the 5-row frame (Spark sorts it NULLS FIRST, DuckDB
     -- NULLS LAST, silently shifting every frame)
+    -- CAST DOUBLE (r14 f32 census): DuckDB's median/ROUND otherwise stay
+    -- in the float32 lane where Spark's percentile promotes to double
     SELECT event_id, user_id,
-           ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+           ROUND(median(CAST(value AS DOUBLE))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
              AS med5
     FROM events WHERE ts IS NOT NULL
     """,
@@ -2517,7 +2591,10 @@ def _ewma_oracle() -> str:
     return f"""
     SELECT event_id, user_id,
            ROUND(({num}) / NULLIF(({den}), 0.0), 6) AS ewma
-    FROM events WHERE ts IS NOT NULL
+    -- CAST DOUBLE (r14 f32 census): lag(FLOAT) * decay-literal otherwise
+    -- stays in DuckDB's float32 lane where Spark promotes to double
+    FROM (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value
+          FROM events WHERE ts IS NOT NULL)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
 

@@ -1051,10 +1051,13 @@ def running_distinct_parts_per_customer(
     "allocate_order_totals",
     """
     WITH base AS (
+      -- CAST DOUBLE first (r14 f32 census): the share division and its
+      -- FLOOR/frac split must run in the same lane on both engines
       SELECT l_orderkey, l_linenumber,
-             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
-             l_extendedprice,
-             SUM(l_extendedprice) OVER (PARTITION BY l_orderkey) AS order_ext
+             CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS total_cents,
+             CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+             SUM(CAST(l_extendedprice AS DOUBLE))
+               OVER (PARTITION BY l_orderkey) AS order_ext
       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       WHERE o_orderkey % 97 = 0),
     shares AS (
@@ -1092,14 +1095,16 @@ def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
+    # cast("double") at first use (r14 f32 census) — see the oracle note
+    ext = F.col("l_extendedprice").cast("double")
     base = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
-        "l_extendedprice",
-        F.sum("l_extendedprice")
-        .over(Window.partitionBy("l_orderkey"))
-        .alias("order_ext"),
+        F.round(F.col("o_totalprice").cast("double") * 100)
+        .cast("long")
+        .alias("total_cents"),
+        ext.alias("l_extendedprice"),
+        F.sum(ext).over(Window.partitionBy("l_orderkey")).alias("order_ext"),
     )
     raw = F.col("total_cents") * F.col("l_extendedprice") / F.col("order_ext")
     shares = base.select(
@@ -1465,7 +1470,9 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cust AS (
       SELECT o_custkey AS custkey,
              CAST(COUNT(*) AS DOUBLE) AS x,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             -- CAST DOUBLE first (r14 f32 census) — matches the widened
+             -- money_cents scaling lane
+             CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS DOUBLE)
                / 100.0 AS y
       FROM orders GROUP BY 1),
     m AS (SELECT AVG(x) AS mx, AVG(y) AS my,

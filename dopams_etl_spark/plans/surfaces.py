@@ -179,7 +179,9 @@ def sink_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+           -- CAST DOUBLE first (r14 f32 census): double-lane cents on a
+           -- float32-narrowed fixture, identity on the live one
+           CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS price_cents
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -195,9 +197,12 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_extendedprice"
     ).write.mode("overwrite").orc(path)
     li = spark.read.orc(path)
+    # cast("double") first (r14 f32 census) — see the oracle note
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+        F.sum(
+            F.floor(F.col("l_extendedprice").cast("double") * 100).cast("long")
+        ).alias("price_cents"),
     )
 
 
@@ -670,16 +675,19 @@ def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_orders_snapshot",
     """
+    -- CAST DOUBLE (r14 f32 census): DuckDB's ROUND(FLOAT, 2) stays on
+    -- the float32 grid (nearest f32 to x.03 can be x.03125) where
+    -- Spark rounds the promoted double
     WITH latest AS (
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 11 = 0 THEN 'D'
                   WHEN o_orderkey % 7 = 0 THEN 'U' END AS op,
-             o_totalprice + 10 AS new_price
+             CAST(o_totalprice AS DOUBLE) + 10 AS new_price
       FROM orders WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 = 0),
     ins AS (SELECT o_orderkey + 20000000 AS o_orderkey, 'I' AS op,
-                   o_totalprice AS new_price
+                   CAST(o_totalprice AS DOUBLE) AS new_price
             FROM orders WHERE o_orderkey % 13 = 0)
-    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    SELECT o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
     FROM orders
     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
       AND o_orderkey NOT IN (SELECT o_orderkey FROM ins)
@@ -700,7 +708,11 @@ def cdc_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash."""
     from dopams_etl_spark.operators.merge import apply_changelog
 
-    o = t(spark, sf_dir, "orders").select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    # cast("double") first (r14 f32 census) — see the oracle note
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("price"),
+    )
     k = F.col("o_orderkey")
     # The synthetic changelog's four branches (2 update versions, the
     # tombstones, the shifted re-inserts) come out of ONE pass: each row

@@ -29,7 +29,15 @@ from dopams_etl_spark.plans.catalog import register, t
 
 
 def _rev() -> F.Column:
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # cast("double") at first use (r14 f32 census): identity on the live
+    # float64 fixtures, but on a float32-narrowed fixture it keeps the
+    # product in the double lane — Spark otherwise multiplies in float32
+    # (24-bit rounding per row) while DuckDB promotes to double first,
+    # drifting revenue sums in the cents. Every oracle that restates
+    # this product carries the matching CAST(... AS DOUBLE).
+    return F.col("l_extendedprice").cast("double") * (
+        1 - F.col("l_discount").cast("double")
+    )
 
 
 @register(
@@ -72,13 +80,18 @@ def q4_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue_delta",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    -- CAST DOUBLE first (r14 f32 census): the BETWEEN boundaries decide
+    -- inclusion in the comparison lane — float32 0.07 sits ABOVE the
+    -- double literal 0.07, so the engines disagreed on the row set
+    -- (n_lines 106 vs 152) until both compare the same promoted double
+    SELECT ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE)), 2)
+             AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
+      AND CAST(l_discount AS DOUBLE) BETWEEN 0.05 AND 0.07
+      AND CAST(l_quantity AS DOUBLE) < 24
     """,
 )
 def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,16 +102,22 @@ def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials). At 100 TB this is the pattern where min/max row-group
     pruning on l_shipdate does the heavy lifting."""
     li = t(spark, sf_dir, "lineitem")
+    # cast("double") before comparing/multiplying (r14 f32 census): both
+    # engines then decide the BETWEEN boundaries and compute the product
+    # in the same double lane; identity on the live float64 fixtures.
+    # The casts wrap pushdown-eligible columns, but parquet min/max
+    # pruning on l_shipdate (the selective predicate) is unaffected.
+    disc = F.col("l_discount").cast("double")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
+        & (disc >= 0.05)
+        & (disc <= 0.07)
+        & (F.col("l_quantity").cast("double") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("double") * disc), 2
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -110,7 +129,7 @@ def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) AS volume
       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -187,7 +206,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / NULLIF(SUM(volume), 0.0), 6) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) AS volume,
              n2.n_name AS supp_nation
       FROM part JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -266,9 +285,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
     FROM (
+      -- CAST DOUBLE on the cost term too (r14 f32 census): DuckDB's
+      -- DECIMAL-literal 0.6 * FLOAT stays in the float32 lane
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.6 * p_retailprice * l_quantity AS amount
+             CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE))
+               - 0.6 * CAST(p_retailprice AS DOUBLE)
+                     * CAST(l_quantity AS DOUBLE) AS amount
       FROM part JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
@@ -299,7 +321,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("sn_key"))
         .select("s_suppkey", "nation")
     )
-    amount = _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    # cast("double") on the cost factors (r14 f32 census) — identity on
+    # live fixtures, matches the oracle's double-lane cost term
+    amount = _rev() - 0.6 * F.col("p_retailprice").cast("double") * F.col(
+        "l_quantity"
+    ).cast("double")
     return (
         t(spark, sf_dir, "lineitem")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
@@ -317,7 +343,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE))), 2) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -431,9 +457,9 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     -- NULLIF: a month whose revenue is all zero (l_discount = 1 on
     -- every row) makes the denominator 0 - NULL share on both engines
     SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
+                                  THEN CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE))
                                   ELSE 0 END)
-                 / NULLIF(SUM(l_extendedprice * (1 - l_discount)), 0.0), 6)
+                 / NULLIF(SUM(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE))), 0.0), 6)
              AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -476,7 +502,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE))), 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -600,7 +626,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT ROUND(SUM(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE))), 2) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -768,8 +794,13 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q2_min_cost_supplier",
     """
     WITH offers AS (
+      -- CAST DOUBLE first (r14 f32 census): DuckDB otherwise divides and
+      -- ROUNDs in the float32 lane (ROUND(FLOAT, 2) stays FLOAT), so the
+      -- rounded cost reaches the comparator as float32 where Spark's is
+      -- the rounded double
       SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-             ROUND(MIN(l_extendedprice / l_quantity), 2) AS unit_cost
+             ROUND(MIN(CAST(l_extendedprice AS DOUBLE)
+                       / CAST(l_quantity AS DOUBLE)), 2) AS unit_cost
       FROM lineitem GROUP BY 1, 2),
     eligible AS (
       SELECT o.partkey, o.suppkey, o.unit_cost, s_name
@@ -802,8 +833,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("suppkey"),
         )
         .agg(
+            # cast("double") first (r14 f32 census) — identity on live
+            # fixtures, keeps the division in the double lane on a
+            # float32-narrowed one (matches the oracle's CASTs)
             F.round(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2
+                F.min(
+                    F.col("l_extendedprice").cast("double")
+                    / F.col("l_quantity").cast("double")
+                ),
+                2,
             ).alias("unit_cost")
         )
     )

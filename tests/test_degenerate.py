@@ -406,6 +406,10 @@ def _cells(df_rows, cols):
         "interval_overlap_merge",
         "user_value_ewma",
         "streaming_session_window_counts",
+        # r14: frame/window cents sums joined the convention (plus
+        # COALESCE 0 for all-null-value frames)
+        "user_rolling_event_value",
+        "sliding_event_stats",
     ],
 )
 def test_null_ts_event_series_parity(spark, qs, tmp_path_factory, name):
@@ -755,3 +759,145 @@ def test_embedding_ops_empty_corpus_typed_empty(
     assert out.count() == 0
     want = _duck(sf_dir, ["embeddings"], oracles[name])
     assert len(want) == 0
+
+
+_F32_QUERIES = [
+    # one per r14 f32-census mechanism: money_cents tie grid, filter-
+    # boundary lane, product lane, decimal-cast shortest-repr, share
+    # division lane, cents floor, float-lane statistic, pass-through
+    "q1_pricing_summary",
+    "q6_forecast_revenue_delta",
+    "regional_revenue",
+    "customer_order_stats",
+    "allocate_order_totals",
+    "sliding_event_stats",
+    "event_value_robust_zscore",
+    "upsert_latest_wins",
+]
+
+
+@pytest.fixture(scope="module")
+def f32_sf_dir(tmp_path_factory):
+    """The driver sf0.001 tables with every float64 column physically
+    narrowed to float32 — the r14 type-drift census shape (the embedding
+    column already ships as float32 in the real fixtures)."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("deg_f32")
+    from dopams_etl_spark.catalog import TABLES
+
+    for name in TABLES:
+        table = pq.read_table(f"{src}/{name}.parquet")
+        for i, field in enumerate(table.schema):
+            if pa.types.is_float64(field.type):
+                table = table.set_column(
+                    i,
+                    pa.field(field.name, pa.float32(), field.nullable),
+                    table.column(i).cast(pa.float32()),
+                )
+        pq.write_table(table, str(dst / f"{name}.parquet"))
+    return dst
+
+
+@pytest.mark.parametrize("name", _F32_QUERIES)
+def test_f32_narrowed_fixture_parity(spark, qs, f32_sf_dir, name):
+    """r14 f32 census class: a float32-narrowed measure column used to
+    split the engines' arithmetic lanes — Spark multiplied/floored in
+    float32 (24-bit rounding loses whole cents) while DuckDB promoted to
+    double, and DuckDB's ROUND/median on FLOAT stayed on the float32
+    grid while Spark rounded the promoted double. Pinned convention:
+    cast("double") at first use on BOTH sides, so the engines compute
+    identical double math from the same float32 bit patterns."""
+    queries, oracles = qs
+    from dopams_etl_spark.catalog import TABLES
+
+    got = queries[name](spark, str(f32_sf_dir))
+    cols = got.columns
+    got_rows = got.collect()
+    want = _duck(f32_sf_dir, TABLES, oracles[name])
+    assert len(want) == len(got_rows), name
+    want_rows = [
+        {c: (None if want[c].isna()[i] else want[c][i]) for c in cols}
+        for i in range(len(want))
+    ]
+    assert _cells(got_rows, cols) == _cells(want_rows, cols), name
+
+
+@pytest.fixture(scope="module")
+def nullhalf_sf_dir(tmp_path_factory):
+    """The driver sf0.001 tables with every NON-KEY column nulled on
+    every 2nd row — the census nullhalf shape (keys stay intact so the
+    MV joins keep their rows and the probe measures null-VALUE
+    semantics)."""
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("deg_nullhalf_mv")
+    from dopams_etl_spark.catalog import TABLES
+
+    def is_key(name):
+        return name.endswith(("_id", "key")) or name == "l_linenumber"
+
+    for name in TABLES:
+        table = pq.read_table(f"{src}/{name}.parquet")
+        for i, field in enumerate(table.schema):
+            if is_key(field.name):
+                continue
+            vals = table.column(i).to_pylist()
+            table = table.set_column(
+                i,
+                field,
+                pa.array(
+                    [None if j % 2 == 1 else v for j, v in enumerate(vals)],
+                    type=field.type,
+                ),
+            )
+        pq.write_table(table, str(dst / f"{name}.parquet"))
+    return dst
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "firs_mv",
+        "criminal_profiles_mv",
+        "accuseds_mv",
+        "advanced_search_firs",
+        "advanced_search_accuseds",
+    ],
+)
+def test_mv_nullhalf_parity(spark, qs, nullhalf_sf_dir, name):
+    """r14 nullhalf census, MV-family class: three divergences used to
+    split the engines on half-null fixtures — (1) a NULL date in a
+    datetime64 pandas column bridges as the string 'NaT' from DuckDB
+    where Spark's date objects bridge as None (fixed: nullable date
+    outputs surfaced as VARCHAR on both sides); (2) the NULL-linestatus
+    group rendered as a dangling '0'/trailing-separator fragment in the
+    engine's disposal/chargesheet strings where the oracle's string_agg
+    skipped its NULL concat (fixed: NULL linestatus contributes no
+    entry); (3) Spark's array_sort puts a NULL struct field FIRST on
+    ASC where DuckDB's ORDER BY defaults NULLS LAST, flipping
+    accused_details tie order (fixed: NULLS FIRST stated in the
+    oracle)."""
+    queries, oracles = qs
+    from dopams_etl_spark.catalog import TABLES
+
+    got = queries[name](spark, str(nullhalf_sf_dir))
+    cols = got.columns
+    got_rows = got.collect()
+    want = _duck(nullhalf_sf_dir, TABLES, oracles[name])
+    assert len(want) == len(got_rows), name
+    # pandas bridges an int column holding NULLs as float64 ('1997.0');
+    # fold integral floats back to int where Spark's schema says integer
+    int_cols = {
+        f.name for f in got.schema.fields if f.dataType.typeName() in
+        ("integer", "long", "short", "byte")
+    }
+
+    def unbridge(c, v):
+        if c in int_cols and isinstance(v, float) and v.is_integer():
+            return int(v)
+        return v
+
+    want_rows = [
+        {c: (None if want[c].isna()[i] else unbridge(c, want[c][i])) for c in cols}
+        for i in range(len(want))
+    ]
+    assert _cells(got_rows, cols) == _cells(want_rows, cols), name
