@@ -69,12 +69,20 @@ def decode_media(
     in the JVM expression path."""
     schema = f"{id_col} long, {meta_schema}"
 
+    meta_cols = [c.split()[0] for c in meta_schema.split(", ")]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            metas = [decoder(bytes(v)) for v in batch[binary_col]]
+            # NULL payload -> NULL metadata row (r14 nullhalf census):
+            # bytes(None) otherwise aborts the whole Arrow batch; the
+            # oracle's strlen(NULL) keeps the row with NULL fields
+            metas = [
+                dict.fromkeys(meta_cols) if v is None else decoder(bytes(v))
+                for v in batch[binary_col]
+            ]
             out = pd.DataFrame(metas)
             out[id_col] = batch[id_col].values
-            yield out[[id_col] + [c.split()[0] for c in meta_schema.split(", ")]]
+            yield out[[id_col] + meta_cols]
 
     return df.select(id_col, binary_col).mapInPandas(run, schema)
 
@@ -105,14 +113,23 @@ def resize_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            resized = [resizer(bytes(v), width, height) for v in batch[binary_col]]
+            # NULL payload -> NULL bytes/size, target dims kept (r14
+            # nullhalf census) — mirrors the oracle's NULL strlen/md5
+            # beside its literal out_w/out_h
+            resized = [
+                None if v is None else resizer(bytes(v), width, height)
+                for v in batch[binary_col]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: batch[id_col].values,
                     "resized": resized,
                     "out_w": width,
                     "out_h": height,
-                    "n_bytes": [len(r) for r in resized],
+                    # 0 (not NULL) so the int column never NaN-floats
+                    # through the pandas bridge; the NULL resized/md5
+                    # still marks the missing payload
+                    "n_bytes": [0 if r is None else len(r) for r in resized],
                 }
             )
 
@@ -139,6 +156,10 @@ def sample_frames(
         for batch in batches:
             ids, idxs, sizes, sums = [], [], [], []
             for rid, v in zip(batch[id_col].values, batch[binary_col]):
+                if v is None:
+                    # NULL payload has no frames (r14 nullhalf census) —
+                    # the oracle's range(0, NULL) unnests to zero rows
+                    continue
                 payload = bytes(v)
                 n_frames = stub_frame_count(payload)
                 chunk = len(payload) // n_frames

@@ -62,7 +62,11 @@ def pack_sequences(
             % shards
         ).alias("shard"),
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(token_count_col).cast("long").alias("tok"),
+        # NULL-safe (r14 nullhalf census): a doc with no token count
+        # (NULL text upstream) packs as zero tokens — int(NaN) otherwise
+        # aborts the Arrow fold; the oracle's fold carries the same
+        # COALESCE so bin boundaries still replay exactly
+        F.coalesce(F.col(token_count_col).cast("long"), F.lit(0)).alias("tok"),
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:

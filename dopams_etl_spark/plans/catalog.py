@@ -188,6 +188,17 @@ _PRIORITY: tuple[str, ...] = (
     "accuseds_mv",
     "advanced_search_firs",
     "advanced_search_accuseds",
+    # 3c) the r14 session-2 abort-class wave (nullhalf SPARK_ERR rows,
+    #     same verification bar as 3b): NULL payloads/token-counts/
+    #     event-times no longer hard-abort the Python stages - media
+    #     decode/resize/frame-sample, the packing fold, and the
+    #     stateful sessionizer all carry the shared null conventions:
+    "pack_training_sequences",
+    "streaming_user_sessions",
+    "frame_dup_videos",
+    "media_decode_meta",
+    "media_resize",
+    "media_frame_sample",
     # 4) every remaining row in its former deterministic order (r15
     #    re-certification continues here: the r8 tail first).
     "bloom_decontaminate_docs",
@@ -289,12 +300,9 @@ _PRIORITY: tuple[str, ...] = (
     "nelson_aalen_hazard",
     "lm_perplexity_docs",
     "incremental_pricing_summary",
-    "pack_training_sequences",
-    "streaming_user_sessions",
     "streaming_view_purchase_join",
     "streaming_dedup_counts",
     "scd2_user_event_history",
-    "frame_dup_videos",
     "perplexity_tiers",
     "vocab_coverage",
     "doc_quality_model_score",
@@ -340,9 +348,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mixture_sample",
     "training_shard_pack",
     "llm_extract_docs",
-    "media_decode_meta",
-    "media_resize",
-    "media_frame_sample",
     "training_corpus_build",
     "json_dump_roundtrip",
     "csv_reference_roundtrip",

@@ -369,7 +369,10 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_user_sessions",
     """
-    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+    -- ts IS NOT NULL (r14 nullhalf census): the shared null-ts
+    -- convention — an event with no time has no session position
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+               FROM events WHERE ts IS NOT NULL),
     g AS (SELECT user_id, s,
                  CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
                       THEN 1 ELSE 0 END AS ns

@@ -640,7 +640,12 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_resize",
     """
     SELECT doc_id,
-           CAST(least(strlen(text), 600) AS BIGINT) AS n_bytes,
+           -- explicit NULL->0 (r14 nullhalf census): a NULL payload
+           -- resizes to zero bytes (NULL md5 marks it; DuckDB's least()
+           -- IGNORES the NULL strlen, so COALESCE alone would give 600,
+           -- and a bare NULL would NaN-float the int pandas bridge)
+           CAST(CASE WHEN text IS NULL THEN 0
+                     ELSE least(strlen(text), 600) END AS BIGINT) AS n_bytes,
            80 AS out_w, 60 AS out_h,
            md5(substr(text, 1, 600)) AS resized_md5
     FROM documents
@@ -1470,8 +1475,10 @@ def doc_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE src AS (
       SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 16 AS shard,
              doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS tok
+             -- COALESCE 0 (r14 nullhalf census): a NULL text packs as
+             -- zero tokens on both engines (operators/packing.py)
+             COALESCE(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END, 0) AS tok
       FROM documents),
     d AS (SELECT shard, doc_id, tok,
                  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn

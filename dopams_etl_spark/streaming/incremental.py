@@ -99,7 +99,9 @@ def stateful_sessionize(
         out: list[tuple] = []
         ts_all: list = []
         for pdf in pdfs:
-            ts_all.extend(pdf[ts_col].tolist())
+            # an event with no time has no position in a session (the
+            # shared null-ts convention; NaT.timestamp() aborts the fold)
+            ts_all.extend(pdf[ts_col].dropna().tolist())
         for t in sorted(ts_all):
             sec = int(pd.Timestamp(t).timestamp())
             if start is None:

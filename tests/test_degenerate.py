@@ -901,3 +901,49 @@ def test_mv_nullhalf_parity(spark, qs, nullhalf_sf_dir, name):
         for i in range(len(want))
     ]
     assert _cells(got_rows, cols) == _cells(want_rows, cols), name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pack_training_sequences",
+        "media_decode_meta",
+        "media_resize",
+        "media_frame_sample",
+        "frame_dup_videos",
+        "streaming_user_sessions",
+    ],
+)
+def test_null_payload_abort_class(spark, qs, nullhalf_sf_dir, name):
+    """r14 nullhalf census, the SPARK_ERR abort class: a NULL text/ts row
+    used to hard-abort the Python stage — bytes(None) in the media
+    mapInPandas operators, int(NaN) in the packing fold, and
+    NaT.timestamp() in the stateful sessionizer. Pinned conventions: a
+    NULL payload decodes to NULL metadata / resizes to zero bytes (NULL
+    md5 marks it) / yields no frames; a doc with no token count packs as
+    zero tokens; an event with no time has no session position. Each
+    query returns (never stack-traces) and matches its oracle
+    cell-for-cell on the half-null fixture."""
+    queries, oracles = qs
+    from dopams_etl_spark.catalog import TABLES
+
+    got = queries[name](spark, str(nullhalf_sf_dir))
+    cols = got.columns
+    got_rows = got.collect()
+    want = _duck(nullhalf_sf_dir, TABLES, oracles[name])
+    assert len(want) == len(got_rows), name
+    int_cols = {
+        f.name for f in got.schema.fields if f.dataType.typeName() in
+        ("integer", "long", "short", "byte")
+    }
+
+    def unbridge(c, v):
+        if c in int_cols and isinstance(v, float) and v.is_integer():
+            return int(v)
+        return v
+
+    want_rows = [
+        {c: (None if want[c].isna()[i] else unbridge(c, want[c][i])) for c in cols}
+        for i in range(len(want))
+    ]
+    assert _cells(got_rows, cols) == _cells(want_rows, cols), name
