@@ -199,6 +199,12 @@ _PRIORITY: tuple[str, ...] = (
     "media_decode_meta",
     "media_resize",
     "media_frame_sample",
+    # 3d) the r14 session-2 scale pass (same verification bar as 3b,
+    #     plus an engine-vs-naive A/B pin in test_resolution.py): the
+    #     ER blocked join now scores DISTINCT attribute tuples instead
+    #     of row pairs - result-identical, sf0.1 engine time 600+ s
+    #     -> 12 s, and the quadratic is now in |distinct tuples|:
+    "entity_resolution_blocked",
     # 4) every remaining row in its former deterministic order (r15
     #    re-certification continues here: the r8 tail first).
     "bloom_decontaminate_docs",
@@ -254,7 +260,6 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_quality_report",
     "order_grouping_sets",
     "cube_region_priority_revenue",
-    "entity_resolution_blocked",
     "view_click_purchase_funnel",
     "streaming_hourly_counts",
     "asof_purchase_last_view",

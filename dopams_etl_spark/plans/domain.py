@@ -1138,10 +1138,75 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alias").alias("alias_b"),
         F.concat(F.lit("canon_"), F.col("pid").cast("string")).alias("canonical_person_id"),
     )
-    pairs = soundex_blocked_candidates(probe, cand, "name_a", "name_b").filter(
-        F.col("pid") != F.col("cand_id")
+    # --- skew-collapse rewrite (r14 scale pass) ---------------------------
+    # The naive blocked join is quadratic in block size: with few distinct
+    # names (this fixture has 8; production dedup corpora have hot blocks
+    # too) sf0.01->sf0.1 blew up 16 s -> ~20 min engine-side. The score is
+    # a pure function of the two ATTRIBUTE TUPLES, so score distinct
+    # (probe-tuple x cand-tuple) pairs once — the quadratic shrinks from
+    # |rows|^2 to |distinct tuples|^2 — and re-expand per probe. Identity
+    # of results is preserved exactly:
+    #   * per cand tuple keep the two smallest canonical ids (min1/min2)
+    #     and min1's cand_id, so the original pid != cand_id self-pair
+    #     exclusion becomes "if min1 is the probe itself, use min2";
+    #   * per probe tuple keep the TOP-2 cand tuples by (score DESC,
+    #     min1_canon ASC): the original winner — max score then min
+    #     canonical over surviving candidates — is always the adjusted
+    #     top-1 or the untouched top-2, because at most ONE tuple holds
+    #     the probe's own row;
+    #   * a tuple whose only member IS the probe yields NULL effective
+    #     canonical and drops, exactly like the original self-pair filter.
+    from pyspark.sql import Window
+
+    def _tkey(cols: list[str]):
+        return F.md5(
+            F.concat_ws(
+                "\x01",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+            )
+        )
+
+    pcols = ["name_a", "addr_a", "age_a", "alias_a", "par_a"]
+    ccols = ["name_b", "addr_b", "age_b", "alias_b", "par_b"]
+    probe = probe.withColumn("par_a", (F.col("pid") % 2).cast("int")).withColumn(
+        "pt", _tkey(pcols)
     )
-    scored = score_pairs(pairs, same_ps=F.col("pid") % 2 == F.col("cand_id") % 2)
+    cand = cand.withColumn("par_b", (F.col("cand_id") % 2).cast("int")).withColumn(
+        "ct", _tkey(ccols)
+    )
+
+    probe_t = probe.select("pt", *pcols).dropDuplicates(["pt"])
+    m1 = cand.groupBy("ct", *ccols).agg(
+        F.min("canonical_person_id").alias("min1_canon"),
+        F.min_by("cand_id", "canonical_person_id").alias("min1_pid"),
+    )
+    m2 = (
+        cand.select("ct", "canonical_person_id")
+        .join(m1.select("ct", "min1_canon"), "ct")
+        .filter(F.col("canonical_person_id") > F.col("min1_canon"))
+        .groupBy("ct")
+        .agg(F.min("canonical_person_id").alias("min2_canon"))
+    )
+    cand_t = m1.join(m2, "ct", "left")
+
+    pairs_t = soundex_blocked_candidates(probe_t, cand_t, "name_a", "name_b")
+    scored_t = score_pairs(pairs_t, same_ps=F.col("par_a") == F.col("par_b"))
+    w2 = Window.partitionBy("pt").orderBy(
+        F.col("score").desc(), F.col("min1_canon").asc()
+    )
+    top2 = (
+        scored_t.withColumn("__tr", F.row_number().over(w2))
+        .filter(F.col("__tr") <= 2)
+        .select("pt", "score", "min1_canon", "min1_pid", "min2_canon")
+    )
+
+    expanded = probe.select("pid", "pt", "name_a", "addr_a", "age_a").join(top2, "pt")
+    eff = F.when(F.col("min1_pid") == F.col("pid"), F.col("min2_canon")).otherwise(
+        F.col("min1_canon")
+    )
+    scored = expanded.withColumn("canonical_person_id", eff).filter(
+        F.col("canonical_person_id").isNotNull()
+    )
     resolved = resolve_canonical(
         scored, "pid", "canonical_person_id", ("name_a", "addr_a", "age_a")
     )

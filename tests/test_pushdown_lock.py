@@ -63,7 +63,12 @@ EXPECTED_MIN = {
     "weekly_cohort_retention": (2, 0, 2, 0),
     "attribution_time_decay": (2, 0, 6, 0),
     # dedup / similarity / ER
-    "entity_resolution_blocked": (2, 0, 2, 0),
+    # entity_resolution_blocked dropped from this table in r14: the
+    # skew-collapse rewrite scores distinct attribute tuples, so the
+    # old pushable self-pair filter no longer exists — the reduction
+    # happens in the tuple groupBy, not at the scan. Its result parity
+    # is locked by test_resolution.py::test_skew_collapse_matches_
+    # naive_pipeline and the oracle gate instead.
     "lsh_topk_embeddings": (2, 0, 3, 0),
     "simhash_dups": (1, 0, 1, 0),
     "decontaminate_docs": (3, 0, 3, 0),

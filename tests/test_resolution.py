@@ -106,3 +106,89 @@ def test_weighted_score_hand_computed(spark):
     assert abs(got[1] - 0.98) <= 0.011
     assert abs(got[2] - 0.81) <= 0.011
     assert abs(got[3] - 0.765) <= 0.011
+
+
+def test_skew_collapse_matches_naive_pipeline(spark, tmp_path):
+    """r14 scale pass: entity_resolution_blocked collapses duplicate
+    attribute tuples before pairwise scoring (the naive blocked join is
+    quadratic in block size — sf0.01→sf0.1 blew up 16 s → ~20 min). The
+    collapse must be RESULT-IDENTICAL to the naive pipeline, including
+    the pid != cand_id self-exclusion and the (score DESC, canonical
+    ASC) tie-break — both exercised here because the synthetic roster
+    maps many pids onto the same attribute tuple."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as se
+    from dopams_etl_spark.operators.joins import soundex_blocked_candidates
+    from dopams_etl_spark.operators.resolution import (
+        resolve_canonical,
+        score_pairs,
+    )
+    from dopams_etl_spark.plans.domain import _NAMES
+
+    n = 150
+    table = pa.table(
+        {
+            "c_custkey": pa.array(range(1, n + 1), type=pa.int64()),
+            "c_name": pa.array([f"Customer#{i}" for i in range(1, n + 1)]),
+            "c_acctbal": pa.array([float(i) for i in range(1, n + 1)]),
+            "c_mktsegment": pa.array(["BUILDING"] * n),
+            "c_nationkey": pa.array([i % 25 for i in range(1, n + 1)], type=pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "customer.parquet"))
+
+    got = (
+        se.queries()["entity_resolution_blocked"](spark, str(tmp_path))
+        .orderBy("pid")
+        .collect()
+    )
+
+    # the naive pipeline, verbatim pre-rewrite
+    cust = spark.read.parquet(str(tmp_path / "customer.parquet"))
+    names = F.array(*[F.lit(x) for x in _NAMES])
+    k = F.col("c_custkey")
+    base = cust.select(
+        k.alias("pid"),
+        names[(k % 8).cast("int")].alias("name"),
+        F.concat(
+            F.lit("district_"), (k % 5).cast("string"),
+            F.lit(" ward "), (k % 11).cast("string"),
+        ).alias("addr"),
+        (k % 40 + 18).cast("int").alias("age"),
+        F.when(k % 3 == 0, F.lit("chotu")).alias("alias"),
+    )
+    probe = base.select(
+        "pid",
+        F.expr("substring(name, 1, length(name) - 1)").alias("name_a"),
+        F.col("addr").alias("addr_a"),
+        F.col("age").alias("age_a"),
+        F.col("alias").alias("alias_a"),
+    )
+    cand = base.select(
+        F.col("pid").alias("cand_id"),
+        F.col("name").alias("name_b"),
+        F.col("addr").alias("addr_b"),
+        F.col("age").alias("age_b"),
+        F.col("alias").alias("alias_b"),
+        F.concat(F.lit("canon_"), F.col("pid").cast("string")).alias(
+            "canonical_person_id"
+        ),
+    )
+    pairs = soundex_blocked_candidates(probe, cand, "name_a", "name_b").filter(
+        F.col("pid") != F.col("cand_id")
+    )
+    scored = score_pairs(pairs, same_ps=F.col("pid") % 2 == F.col("cand_id") % 2)
+    want = (
+        resolve_canonical(
+            scored, "pid", "canonical_person_id", ("name_a", "addr_a", "age_a")
+        )
+        .select("pid", "canonical_id", "best_score", "tier", "needs_review")
+        .orderBy("pid")
+        .collect()
+    )
+
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g.asDict() == w.asDict(), (g, w)
