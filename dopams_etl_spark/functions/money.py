@@ -43,3 +43,17 @@ def cents_to_money_string(col: Column | str) -> Column:
     group-count rows."""
     c = F.col(col) if isinstance(col, str) else col
     return (c.cast("decimal(38,0)") / 100).cast(_DEC).cast("string")
+
+
+def money_quantize(col: Column | str) -> Column:
+    """2-dp money column → exact DECIMAL(18,2) via the PORTABLE cents
+    quantizer: ``floor(x*100 + 0.5)`` on the promoted double is pure
+    IEEE arithmetic, identical on both engines even when a fixture
+    regen narrows the column to float32 (a .625 half-cent tie rounds
+    HALF_UP in Spark's double→DECIMAL cast but half-even in DuckDB's).
+    One implementation for every engine restatement — the SQL twins
+    spell the same ``floor(CAST(x AS DOUBLE) * 100 + 0.5) / 100.0``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.floor(c.cast("double") * 100 + F.lit(0.5)) / F.lit(100.0)).cast(_DEC)
+    )

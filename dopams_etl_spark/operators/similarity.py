@@ -639,6 +639,12 @@ def kmeans_assign(
         F.col(id_col).alias("__kid"), F.col(vec_col).alias("__kv")
     )
     if seeds is not None:
+        if not seeds:
+            # an explicit empty codebook is a CALLER bug, not an empty
+            # corpus — fail loudly instead of falling through to the
+            # typed-empty guard and silently discarding the corpus
+            # (r14 review)
+            raise ValueError("kmeans_assign: seeds=[] (empty explicit codebook)")
         cents: list[tuple[int, list[float]]] = [
             (i, [float(x) for x in s]) for i, s in enumerate(seeds)
         ]

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dopams_etl_spark.functions.ids import md5_bucket32, md5_cohort
+from dopams_etl_spark.functions.money import money_quantize
 from dopams_etl_spark.operators.sessionize import with_session_num
 from dopams_etl_spark.plans.catalog import (
     ann_notnull,
@@ -74,10 +75,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # float32-narrowed fixture (.625 cent ties round HALF_UP in
         # Spark's double->DECIMAL cast but half-even in DuckDB's)
         F.sum(
-            (
-                F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
-                / F.lit(100.0)
-            ).cast(DEC)
+            money_quantize("o_totalprice")
         )
         .cast(DEC)
         .alias("monetary"),
@@ -147,10 +145,7 @@ def revenue_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast but half-even in DuckDB's)
     cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(
-            (
-                F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
-                / F.lit(100.0)
-            ).cast(DEC)
+            money_quantize("o_totalprice")
         )
         .cast(DEC)
         .alias("revenue")
@@ -222,10 +217,7 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB last — it must not rank)
     cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(
-            (
-                F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
-                / F.lit(100.0)
-            ).cast(DEC)
+            money_quantize("o_totalprice")
         )
         .cast(DEC)
         .alias("spend")
@@ -2164,11 +2156,13 @@ def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     hx AS (SELECT -SUM((n_x / n) * ln(n_x / n)) AS h_x FROM mx CROSS JOIN tot),
     hy AS (SELECT -SUM((n_y / n) * ln(n_y / n)) AS h_y FROM my CROSS JOIN tot)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-           ROUND(SUM((n_xy / n) * ln((n_xy * n) / (n_x * n_y))), 6) AS mi,
+           -- + 0.0 canonicalizes IEEE -0.0 (near-independent grids sum
+           -- tiny-negative; r14 review)
+           ROUND(SUM((n_xy / n) * ln((n_xy * n) / (n_x * n_y))), 6) + 0.0 AS mi,
            -- NULLIF: a 1-row/1-column grid has zero marginal entropy —
            -- NULL NMI on both engines
            ROUND(SUM((n_xy / n) * ln((n_xy * n) / (n_x * n_y)))
-                 / NULLIF(sqrt(ANY_VALUE(h_x) * ANY_VALUE(h_y)), 0.0), 6)
+                 / NULLIF(sqrt(ANY_VALUE(h_x) * ANY_VALUE(h_y)), 0.0), 6) + 0.0
              AS nmi
     FROM j JOIN mx USING (x) JOIN my USING (y)
     CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
@@ -2209,18 +2203,23 @@ def mutual_information_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hy))
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
-            F.round(F.sum(term), 6).alias("mi"),
+            # + 0.0 canonicalizes IEEE -0.0 (the FP-term sum of a
+            # near-independent grid can land tiny-negative; r14 review)
+            (F.round(F.sum(term), 6) + 0.0).alias("mi"),
             # try_divide: zero marginal entropy (1-row/1-column grid)
             # would ANSI-abort the bare '/' where the oracle's NULLIF
             # yields NULL
-            F.round(
-                F.try_divide(
-                    F.sum(term),
-                    F.sqrt(
-                        F.any_value(F.col("h_x")) * F.any_value(F.col("h_y"))
+            (
+                F.round(
+                    F.try_divide(
+                        F.sum(term),
+                        F.sqrt(
+                            F.any_value(F.col("h_x")) * F.any_value(F.col("h_y"))
+                        ),
                     ),
-                ),
-                6,
+                    6,
+                )
+                + 0.0
             ).alias("nmi"),
         )
     )
@@ -2399,15 +2398,7 @@ def clv_monthly_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             # portable cents quantizer (see customer_spend_gini)
-            F.sum(
-                (
-                    F.floor(
-                        F.col("o_totalprice").cast("double") * 100
-                        + F.lit(0.5)
-                    )
-                    / F.lit(100.0)
-                ).cast(DEC)
-            ).alias("rev")
+            F.sum(money_quantize("o_totalprice")).alias("rev")
         )
     )
     curve = per_idx.groupBy("month_idx").agg(

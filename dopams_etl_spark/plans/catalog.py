@@ -525,13 +525,19 @@ def ann_notnull(sql: str) -> str:
     (strict-verified tri-SF when introduced).
 
     Raises at registration (import) time if the SQL contains no
-    verbatim ``FROM embeddings`` read — a line-broken or aliased read
-    would otherwise be silently left unwrapped, re-opening the
-    engine/oracle divergence with no error (r13 review find)."""
-    if "FROM embeddings" not in sql:
+    verbatim ``FROM embeddings`` read, or if ANY embeddings read does
+    not match the verbatim form (a line-broken read would otherwise be
+    silently left unwrapped, re-opening the engine/oracle divergence
+    with no error — r13 + r14 review finds)."""
+    import re
+
+    verbatim = sql.count("FROM embeddings")
+    total = len(re.findall(r"FROM\s+embeddings\b", sql))
+    if verbatim == 0 or total != verbatim:
         raise ValueError(
-            "ann_notnull: no verbatim 'FROM embeddings' read to wrap - "
-            "rewrite the oracle so each embeddings read matches, or the "
+            "ann_notnull: every embeddings read must be the verbatim "
+            f"'FROM embeddings' form to be wrapped (found {total} reads, "
+            f"{verbatim} verbatim) - rewrite the oracle, or the "
             "null-vector convention silently will not apply"
         )
     return sql.replace(

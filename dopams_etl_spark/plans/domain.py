@@ -728,7 +728,11 @@ def criminal_profiles_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latest_crime_date",
             "last_arrest_date",
             "crime_flags",
-            cents_to_money_string("_tq_cents").alias("total_qty"),
+            # COALESCE '0.00' mirrors the oracle (r14 review): a part
+            # whose every lineitem quantity is NULL sums to NULL cents
+            F.coalesce(cents_to_money_string("_tq_cents"), F.lit("0.00")).alias(
+                "total_qty"
+            ),
         )
     )
 

@@ -28,6 +28,7 @@ from dopams_etl_spark.operators.joins import (
     soundex_blocked_candidates,
     top1_by_score,
 )
+from dopams_etl_spark.functions.money import money_quantize
 from dopams_etl_spark.operators.merge import (
     classify_merge,
     merge_stats,
@@ -395,10 +396,7 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_count": F.count(F.lit(1)),
             # portable cents quantizer (r14 f32 census) — see the oracle
             "total_spent": F.sum(
-                (
-                    F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
-                    / F.lit(100.0)
-                ).cast(DEC)
+                money_quantize("o_totalprice")
             ).cast(DEC),
         },
     )

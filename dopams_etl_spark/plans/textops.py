@@ -2626,6 +2626,9 @@ def doc_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cluster_representatives",
+    # ann_notnull (r14 review): the engine rides kmeans_assign's shared
+    # NULL-vector entry filter; the oracle must skip NULL vectors too
+    ann_notnull(
     "WITH cents AS (SELECT * FROM (VALUES "
     + ", ".join(
         f"({j}, [{', '.join(str(v) for v in seed)}]::DOUBLE[])"
@@ -2649,7 +2652,8 @@ def doc_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM a)
     SELECT cluster, id AS vec_id, l2, CAST(rnk AS INT) AS rnk
     FROM s WHERE rnk <= 3
-    """,
+    """
+    ),
 )
 def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster representative selection — the curation step after

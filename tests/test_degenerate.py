@@ -707,6 +707,9 @@ def test_ab_test_degenerate_pool_null_z(spark, qs, tmp_path_factory):
         ("kmeans_embedding_clusters", ("vec_id",)),
         ("kmeans_fixed_seed_assign", ("vec_id",)),
         ("semantic_dedup_embeddings", ("id",)),
+        # r14 review: rides the same kmeans_assign entry filter; its
+        # oracle now reads through ann_notnull like every sibling
+        ("cluster_representatives", ("vec_id",)),
     ],
 )
 def test_ann_null_vector_convention_extended(

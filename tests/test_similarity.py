@@ -451,3 +451,37 @@ def test_margin_mining_demotes_hub_vectors(spark):
         y_id, margin = mined[i]
         assert y_id == 10 + i, (i, mined[i])
         assert margin >= 1.0
+
+
+def test_kmeans_assign_empty_seed_list_raises(spark):
+    """r14 review: an explicit seeds=[] is a caller bug and must fail
+    loudly — it used to fall through to the typed-empty guard and
+    silently discard a non-empty corpus."""
+    import pytest as _pytest
+
+    from dopams_etl_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="empty explicit codebook"):
+        kmeans_assign(df, "vec_id", seeds=[])
+
+
+def test_ann_notnull_rejects_unwrappable_reads():
+    """r14 review: the guard must reject an oracle whose embeddings read
+    is line-broken (regex-visible but not verbatim-replaceable) — it
+    would otherwise stay silently unwrapped."""
+    import pytest as _pytest
+
+    from dopams_etl_spark.plans.catalog import ann_notnull
+
+    ok = ann_notnull("SELECT * FROM embeddings")
+    assert "embedding IS NOT NULL" in ok
+    with _pytest.raises(ValueError, match="verbatim"):
+        ann_notnull("SELECT * FROM\nembeddings")
+    with _pytest.raises(ValueError, match="verbatim"):
+        # one verbatim read must not excuse a second line-broken one
+        ann_notnull(
+            "SELECT * FROM embeddings UNION ALL SELECT * FROM\nembeddings"
+        )
