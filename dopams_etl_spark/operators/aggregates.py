@@ -25,13 +25,20 @@ def count_if(cond: Column) -> Column:
 
 
 def collect_sorted_structs(
-    sort_cols: Sequence[Column | str], payload: dict[str, Column | str], descending: bool = False
+    sort_cols: Sequence[Column | str],
+    payload: dict[str, Column | str],
+    descending: bool = False,
+    keep: Column | None = None,
 ) -> Column:
     """A6: ordered struct-collect — ``jsonb_agg(jsonb_build_object(...)
     ORDER BY ...)`` (``firs_mv.sql:43–54``).
 
     Builds structs with the sort key(s) as the leading fields, collects,
     and ``array_sort``s — deterministic regardless of partitioning.
+    ``keep``: optional predicate; rows failing it contribute NO entry
+    (``collect_list`` skips the NULL struct) while the group itself
+    survives — the ``string_agg``-over-NULL-element shape, the shared
+    null-payload convention.
     """
     fields = []
     for i, sc in enumerate(sort_cols):
@@ -39,7 +46,10 @@ def collect_sorted_structs(
         fields.append(c.alias(f"_sort{i}"))
     for name, c in payload.items():
         fields.append((F.col(c) if isinstance(c, str) else c).alias(name))
-    arr = F.array_sort(F.collect_list(F.struct(*fields)))
+    entry = F.struct(*fields)
+    if keep is not None:
+        entry = F.when(keep, entry)
+    arr = F.array_sort(F.collect_list(entry))
     if descending:
         arr = F.reverse(arr)
     # Strip the sort prefix, keep the payload fields.
@@ -58,10 +68,13 @@ def collect_distinct_sorted(col: Column | str) -> Column:
 def map_agg_entries(key: Column | str, value: Column | str) -> Column:
     """A9: ``jsonb_object_agg(k, v)`` (``firs_mv.sql:90–95``) as a
     key-sorted array of (k, v) structs — order-canonical and
-    oracle-comparable (a MapType has no stable order for hashing)."""
+    oracle-comparable (a MapType has no stable order for hashing).
+    A NULL key contributes no entry (``jsonb_object_agg`` and
+    ``string_agg`` both skip it) — the shared null-payload convention."""
     k = F.col(key) if isinstance(key, str) else key
     v = F.col(value) if isinstance(value, str) else value
-    return F.array_sort(F.collect_list(F.struct(k.alias("key"), v.alias("value"))))
+    entry = F.when(k.isNotNull(), F.struct(k.alias("key"), v.alias("value")))
+    return F.array_sort(F.collect_list(entry))
 
 
 def decorrelated_agg(

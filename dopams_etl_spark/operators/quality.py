@@ -311,7 +311,9 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(ll), 6).alias("avg_ll"),
+            # + 0.0 canonicalizes IEEE -0.0 (a ~zero mean log-prob —
+            # every bigram near-certain — rounds sign-indefinitely)
+            (F.round(F.avg(ll), 6) + 0.0).alias("avg_ll"),
             F.round(F.exp(-F.avg(ll)), 6).alias("ppl_proxy"),
         )
     )

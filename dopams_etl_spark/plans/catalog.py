@@ -48,28 +48,78 @@ def register(name: str, oracle: str | None):
 # never driver-checked, then the newest operators by distinctiveness.
 # Anything not listed keeps registration order after these.
 _PRIORITY: tuple[str, ...] = (
-    # Round-14 budget (the VERDICT r13 consolidation plan, verified
-    # against the merged CORRECTNESS_r01-r13 staleness histogram:
-    # r7x42 is the oldest tail): 50-slot sample = the 42 remaining
-    # round-7 re-certification rows (after this sample no query's
-    # latest driver row predates round 8) + 8 free slots.
-    # Sixteen of the 42 double as zero-cost changed-query slots
-    # (changed + sampled same round): signed-zero migrations for
-    # anomaly_days_mad, cluster_cohesion_separation,
-    # degree_assortativity, embedding_dim_stats, mann_whitney_value_test,
-    # revenue_mix_decomposition, woe_information_value; degenerate-census
-    # fixes for chi_square_type_dow + mutual_information_type_dow (tiny1
-    # zero Cramer/NMI denominators), supplier_hhi_by_nation (const
-    # zero-total share), value_histogram_equidepth + woe (NULL-measure
-    # NTILE), event_sequence_trigrams + user_lifecycle_states +
-    # population_stability_index (NULL ts/value positions),
-    # clv_monthly_curve (NULL cohort month); f32 type-drift widenings
-    # for clv/rfm/gini/incremental_join_mv/metrics_unpivot/iqr_outliers/
-    # revenue_mix/pareto_abc/time_weighted_avg (the cast("double")
-    # recipe, plus the portable floor(x*100+0.5) cents quantizer for the
-    # four o_totalprice money sums - Spark rounds half-cent ties HALF_UP
-    # where DuckDB rounds half-even).
-    # 1) the 42 round-7 rows, in their former deterministic order:
+    # Round-15 budget (the VERDICT r14 plan, pre-computed on the final
+    # r14 tree: merged CORRECTNESS r1-r14 staleness histogram has r8x39
+    # as the oldest tail): 50-slot sample = the 39 round-8
+    # re-certification rows + 11 free slots. Thirteen of the 39 double
+    # as r14-changed certification (q1/q2/q6/q7/q9/q10/q15/q19,
+    # cdc_orders_snapshot, criminal_profiles_mv, mann_kendall_trend,
+    # theil_sen_daily_trend, ses_level_daily); six more are zero-cost
+    # doubles for this round's fixes: nullhalf-divergence repairs for
+    # js_divergence_daily_drift / queue_depth_daily /
+    # trailing_week_range_frame and signed-zero migrations for
+    # dsir_importance_weights / mann_kendall_trend /
+    # theil_sen_daily_trend.
+    # 1) the 39 round-8 rows, alphabetical (their COVERAGE.md order):
+    "asof_nearest_tolerance_join",
+    "attribution_time_decay",
+    "bigram_pmi_topk",
+    "cdc_orders_snapshot",
+    "criminal_profiles_mv",
+    "cube_region_priority_revenue",
+    "dsir_importance_weights",
+    "fk_containment_profile",
+    "funnel_time_to_convert",
+    "js_divergence_daily_drift",
+    "lang_id_confusion_matrix",
+    "mann_kendall_trend",
+    "minhash_jaccard_estimate_error",
+    "multi_touch_attribution_linear",
+    "precision_recall_deciles",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_dominant_part_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_late_exists",
+    "q6_forecast_revenue_delta",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "queue_depth_daily",
+    "ses_level_daily",
+    "theil_sen_daily_trend",
+    "time_weighted_median_value",
+    "trailing_week_range_frame",
+    "user_active_day_streaks",
+    # 2) the 11 free slots (the VERDICT r14 dual-exposure spend): the
+    #    4 remaining signed-zero-latent rows, then the highest-traffic
+    #    rows of the nullhalf-divergence FAIL list - each changed this
+    #    round and re-enters the sample here:
+    "lm_perplexity_docs",
+    "ols_value_trend_by_type",
+    "smart_merge_customers",
+    "spearman_qty_discount_by_flag",
+    "latest_order_per_customer",
+    "order_lineitems_sorted",
+    "customer_status_map",
+    "hourly_event_stats",
+    "scd2_user_event_history",
+    "deterministic_ids",
+    "parse_dates_multi",
+    # --- the 50-slot driver sample line ---
+    # 3) every remaining row in its former deterministic order (r16
+    #    re-certification continues here: the r9 tail first; queries
+    #    changed this round but not sampled are verified
+    #    CHECK_STRICT=1 tri-SF + 5-variant census-robust in-round).
     "knn_label_accuracy",
     "lineitem_metrics_unpivot",
     "customer_rfm_segments",
@@ -112,15 +162,6 @@ _PRIORITY: tuple[str, ...] = (
     "woe_information_value",
     "embedding_dim_stats",
     "vocab_jaccard_sources",
-    # 2) the 8 free slots (the VERDICT r13 dual-exposure spend): each
-    #    changed this round - ab_test (pooled-variance try_divide +
-    #    z_stat signed-zero), int8_quantize (qmin signed-zero + NULL
-    #    vector), holt + seasonal_decompose (trend/seasonal/resid
-    #    signed-zero + NULL-day series), session_funnel (zero-base
-    #    stage rate), kmeans + semantic_dedup (NULL-vector seed
-    #    poisoning, typed-empty guards, and the kmeans oracle's
-    #    COALESCE/FILTER centroid update), random_projection (ann_notnull
-    #    extension) - and re-enters the sample here:
     "ab_test_proportion_z",
     "embedding_int8_quantize",
     "holt_linear_daily",
@@ -129,44 +170,15 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_embedding_clusters",
     "semantic_dedup_embeddings",
     "embedding_random_projection",
-    # --- the 50-slot driver sample line ---
-    # 3) changed this round but NOT in the 50-slot sample (first in
-    #    line if the driver ever oversamples; each verified strict
-    #    repr-identical at sf0.001 + sf0.01 + sf0.1 and 5-variant
-    #    fuzz-robust in-round, and each change is live-no-op by
-    #    construction): kmeans_fixed_seed_assign rides the shared
-    #    kmeans_assign NULL-vector entry filter; the four daily-series
-    #    estimators ride the shared _daily_revenue NULL-day convention:
     "kmeans_fixed_seed_assign",
-    "theil_sen_daily_trend",
-    "mann_kendall_trend",
-    "ses_level_daily",
     "revenue_max_drawdown",
-    # 3b) the r14 session-2 waves, changed but NOT in the 50-slot
-    #     sample (first in line if the driver oversamples; every one
-    #     verified CHECK_STRICT=1 at sf0.001+sf0.01+sf0.1 AND 5-variant
-    #     census-robust in-round, and each engine change is live-no-op
-    #     by construction - cast("double") is an identity on float64):
-    #     the f32 type-drift widening wave (28 measured rows + the
-    #     _rev()/money_cents helper riders q7/q8/q14/firs_mv/
-    #     criminal_profiles_mv) and the MV nullhalf wave (dates as
-    #     VARCHAR, NULL-linestatus entries dropped, NULLS FIRST tie
-    #     order stated in the accused_details oracle):
-    "q1_pricing_summary",
     "regional_revenue",
     "customer_order_stats",
     "upsert_latest_wins",
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue_delta",
-    "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
     "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
     "salted_event_totals",
     "event_rollup_multigrain",
     "user_rolling_event_value",
@@ -182,31 +194,17 @@ _PRIORITY: tuple[str, ...] = (
     "allocate_order_totals",
     "orc_sink_roundtrip",
     "order_status_pivot",
-    "cdc_orders_snapshot",
     "firs_mv",
-    "criminal_profiles_mv",
     "accuseds_mv",
     "advanced_search_firs",
     "advanced_search_accuseds",
-    # 3c) the r14 session-2 abort-class wave (nullhalf SPARK_ERR rows,
-    #     same verification bar as 3b): NULL payloads/token-counts/
-    #     event-times no longer hard-abort the Python stages - media
-    #     decode/resize/frame-sample, the packing fold, and the
-    #     stateful sessionizer all carry the shared null conventions:
     "pack_training_sequences",
     "streaming_user_sessions",
     "frame_dup_videos",
     "media_decode_meta",
     "media_resize",
     "media_frame_sample",
-    # 3d) the r14 session-2 scale pass (same verification bar as 3b,
-    #     plus an engine-vs-naive A/B pin in test_resolution.py): the
-    #     ER blocked join now scores DISTINCT attribute tuples instead
-    #     of row pairs - result-identical, sf0.1 engine time 600+ s
-    #     -> 12 s, and the quadratic is now in |distinct tuples|:
     "entity_resolution_blocked",
-    # 4) every remaining row in its former deterministic order (r15
-    #    re-certification continues here: the r8 tail first).
     "bloom_decontaminate_docs",
     "interval_overlap_merge",
     "event_transition_matrix",
@@ -259,7 +257,6 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_customer_pagerank",
     "lineitem_quality_report",
     "order_grouping_sets",
-    "cube_region_priority_revenue",
     "view_click_purchase_funnel",
     "streaming_hourly_counts",
     "asof_purchase_last_view",
@@ -303,11 +300,9 @@ _PRIORITY: tuple[str, ...] = (
     "shapley_channel_attribution",
     "cross_doc_substring_runs",
     "nelson_aalen_hazard",
-    "lm_perplexity_docs",
     "incremental_pricing_summary",
     "streaming_view_purchase_join",
     "streaming_dedup_counts",
-    "scd2_user_event_history",
     "perplexity_tiers",
     "vocab_coverage",
     "doc_quality_model_score",
@@ -335,7 +330,6 @@ _PRIORITY: tuple[str, ...] = (
     "preference_pair_build",
     "user_sessions",
     "kaplan_meier_retention",
-    "hourly_event_stats",
     "exact_dedup_docs",
     "minhash_lsh_pairs",
     "ngram_jaccard_dups",
@@ -366,34 +360,26 @@ _PRIORITY: tuple[str, ...] = (
     "running_distinct_parts_per_customer",
     "customer_golden_record",
     "ks_test_two_sample",
-    "ols_value_trend_by_type",
     "capped_running_balance",
-    "spearman_qty_discount_by_flag",
     "grouped_median_via_counts",
     "phrase_search_docs",
     "order_due_dates",
     "sections_classify",
     "domicile_classify",
     "drug_unit_totals",
-    "deterministic_ids",
     "clean_coerce",
-    "parse_dates_multi",
     "regex_extract_codes",
     "strip_alias_names",
     "point_lookup_enrich",
     "extraction_branch_detect",
     "customers_with_orders",
     "customers_without_orders",
-    "latest_order_per_customer",
     "best_order_per_customer",
     "order_priority_stats",
     "latest_finished_order_date",
-    "order_lineitems_sorted",
     "order_flags_distinct",
-    "customer_status_map",
     "orders_union_branches",
     "top50_orders",
-    "smart_merge_customers",
     "merge_classify_stats",
     "fk_validate_lineitems",
     "quarantine_retry_stats",
@@ -405,31 +391,6 @@ _PRIORITY: tuple[str, ...] = (
     "json_props_read",
     "ist_timestamps",
     "watermark_incremental_events",
-    "queue_depth_daily",
-    "multi_touch_attribution_linear",
-    "funnel_time_to_convert",
-    "time_weighted_median_value",
-    "lang_id_confusion_matrix",
-    "bigram_pmi_topk",
-    "minhash_jaccard_estimate_error",
-    "q4_priority_late_exists",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    "attribution_time_decay",
-    "precision_recall_deciles",
-    "js_divergence_daily_drift",
-    "trailing_week_range_frame",
-    "asof_nearest_tolerance_join",
-    "q11_important_parts",
-    "q16_parts_supplier_counts",
-    "q20_dominant_part_suppliers",
-    "dsir_importance_weights",
-    "fk_containment_profile",
-    "user_active_day_streaks",
 )
 
 

@@ -116,10 +116,11 @@ def accused_status_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_due_dates",
     """
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) + 180 AS due_180,
+           CAST(CAST(o_orderdate AS DATE) + 180 AS VARCHAR) AS due_180,
            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INT)
              AS days_pending,
-           CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') <= 60
+           CASE WHEN o_orderdate IS NULL THEN 'unknown'
+                WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') <= 60
                 THEN 'within_60'
                 WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') <= 180
                 THEN 'within_180'
@@ -134,7 +135,9 @@ def order_due_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = days_since("o_orderdate", F.lit("2026-01-01").cast("date"))
     return o.select(
         "o_orderkey",
-        due_date("o_orderdate", 180).alias("due_180"),
+        # nullable date bridge: NULL order dates surface a NULL due date
+        # as VARCHAR on both sides (catalog convention).
+        due_date("o_orderdate", 180).cast("string").alias("due_180"),
         d.cast("int").alias("days_pending"),
         overdue_bucket(d, (60, 180)).alias("pending_bucket"),
     )
@@ -380,8 +383,9 @@ def drug_unit_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic_ids",
     """
     WITH d AS (SELECT c_custkey,
-                      md5(lower(trim(c_name)) || '|' || lower(trim(c_mktsegment))) AS fp,
-                      md5('dopams|' || lower(trim(c_name))) AS dig
+                      md5(COALESCE(lower(trim(c_name)), '') || '|'
+                          || COALESCE(lower(trim(c_mktsegment)), '')) AS fp,
+                      md5('dopams|' || COALESCE(lower(trim(c_name)), '')) AS dig
                FROM customer)
     SELECT c_custkey, fp,
            substr(dig, 1, 8) || '-' || substr(dig, 9, 4) || '-5' || substr(dig, 14, 3)
@@ -471,12 +475,13 @@ def clean_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE strftime(o_orderdate, '%d-%m-%Y') END AS raw
       FROM orders)
     SELECT o_orderkey,
-           CAST(COALESCE(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+           CAST(CAST(COALESCE(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
                          try_strptime(raw, '%Y-%m-%d'),
                          try_strptime(raw, '%d/%m/%Y %H:%M:%S'),
                          try_strptime(raw, '%d/%m/%Y'),
                          try_strptime(raw, '%d-%m-%Y %H:%M:%S'),
-                         try_strptime(raw, '%d-%m-%Y')) AS DATE) AS parsed_date
+                         try_strptime(raw, '%d-%m-%Y')) AS DATE) AS VARCHAR)
+             AS parsed_date
     FROM synth
     """,
 )
@@ -490,8 +495,11 @@ def parse_dates_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 3 == 1, F.date_format("o_orderdate", "dd/MM/yyyy"))
         .otherwise(F.date_format("o_orderdate", "dd-MM-yyyy"))
     )
+    # nullable date bridge: an unparseable/NULL raw string surfaces a
+    # NULL parsed date as VARCHAR on both sides (catalog convention).
     return o.select(
-        "o_orderkey", parse_date_multi(raw).cast("date").alias("parsed_date")
+        "o_orderkey",
+        parse_date_multi(raw).cast("date").cast("string").alias("parsed_date"),
     )
 
 

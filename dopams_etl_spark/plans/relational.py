@@ -194,7 +194,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "latest_order_per_customer",
     """
     SELECT o_custkey, o_orderkey AS latest_orderkey,
-           CAST(o_orderdate AS DATE) AS latest_orderdate
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS latest_orderdate
     FROM (SELECT *, row_number() OVER (
             PARTITION BY o_custkey
             ORDER BY o_orderdate DESC NULLS LAST, o_orderkey ASC) AS rn
@@ -210,7 +210,9 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_custkey",
         F.col("o_orderkey").alias("latest_orderkey"),
-        F.col("o_orderdate").cast("date").alias("latest_orderdate"),
+        # nullable date bridge: a customer whose only orders carry NULL
+        # dates surfaces a NULL latest date as VARCHAR on both sides.
+        F.col("o_orderdate").cast("date").cast("string").alias("latest_orderdate"),
     )
 
 
@@ -278,8 +280,12 @@ def latest_finished_order_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_lineitems_sorted",
     """
     SELECT l_orderkey,
+           -- null-payload convention: a NULL-quantity line contributes no
+           -- entry (string_agg would skip the NULL concat anyway); an
+           -- all-NULL group surfaces NULL, not ''
            string_agg(CAST(l_linenumber AS VARCHAR) || ':' || CAST(CAST(l_quantity AS INT) AS VARCHAR),
-                      ';' ORDER BY l_linenumber, CAST(l_quantity AS INT)) AS items
+                      ';' ORDER BY l_linenumber, CAST(l_quantity AS INT))
+             FILTER (WHERE l_quantity IS NOT NULL) AS items
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -292,10 +298,16 @@ def order_lineitems_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = collect_sorted_structs(
         ["l_linenumber", F.col("l_quantity").cast("int")],
         {"ln": F.col("l_linenumber"), "qty": F.col("l_quantity").cast("int")},
+        keep=F.col("l_quantity").isNotNull(),
     )
     return li.groupBy("l_orderkey").agg(
-        F.array_join(
-            F.transform(arr, lambda s: F.concat_ws(":", s["ln"], s["qty"])), ";"
+        # all entries dropped (all-NULL qty) → NULL, the string_agg shape
+        F.nullif(
+            F.array_join(
+                F.transform(arr, lambda s: F.concat_ws(":", s["ln"], s["qty"])),
+                ";",
+            ),
+            F.lit(""),
         ).alias("items")
     )
 
@@ -326,7 +338,10 @@ def order_flags_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_status_map",
     """
     SELECT o_custkey,
-           string_agg(s || '=' || CAST(n AS VARCHAR), ';' ORDER BY s) AS status_counts
+           -- null-payload convention: the NULL-status group contributes no
+           -- entry (jsonb_object_agg skips NULL keys); all-NULL → NULL
+           string_agg(s || '=' || CAST(n AS VARCHAR), ';' ORDER BY s)
+             FILTER (WHERE s IS NOT NULL) AS status_counts
     FROM (SELECT o_custkey, o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS n
           FROM orders GROUP BY o_custkey, o_orderstatus)
     GROUP BY o_custkey
@@ -342,8 +357,15 @@ def customer_status_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     entries = map_agg_entries("o_orderstatus", "n")
     return counts.groupBy("o_custkey").agg(
-        F.array_join(
-            F.transform(entries, lambda e: F.concat_ws("=", e["key"], e["value"])), ";"
+        # all-NULL statuses → NULL, the string_agg shape
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    entries, lambda e: F.concat_ws("=", e["key"], e["value"])
+                ),
+                ";",
+            ),
+            F.lit(""),
         ).alias("status_counts")
     )
 
@@ -464,7 +486,9 @@ def upsert_latest_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey % 3 = 0)
     SELECT e.c_custkey,
            COALESCE(i.c_name, e.c_name) AS c_name,
-           ROUND(COALESCE(i.c_acctbal, e.c_acctbal), 2) AS c_acctbal,
+           -- + 0.0 canonicalizes IEEE -0.0 (acctbal is signed; a stored
+           -- near-zero negative rounds sign-indefinitely)
+           ROUND(COALESCE(i.c_acctbal, e.c_acctbal), 2) + 0.0 AS c_acctbal,
            CASE WHEN i.c_custkey IS NOT NULL THEN i.c_mktsegment ELSE e.c_mktsegment END
              AS c_mktsegment
     FROM customer e LEFT JOIN incoming i ON e.c_custkey = i.c_custkey
@@ -483,7 +507,11 @@ def smart_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = smart_merge(cust, incoming, "c_custkey", always_take_new=("c_mktsegment",))
     return merged.select(
-        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+        "c_custkey",
+        "c_name",
+        # + 0.0 canonicalizes IEEE -0.0 (acctbal is signed)
+        (F.round("c_acctbal", 2) + 0.0).alias("c_acctbal"),
+        "c_mktsegment",
     )
 
 
@@ -703,7 +731,11 @@ def insert_if_absent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value), 2) AS total_value
-    FROM events GROUP BY date_trunc('hour', ts), event_type
+    FROM events
+    -- shared null-ts convention: an event with no event-time cannot be
+    -- windowed (Spark's time-window plans this exact isnotnull filter)
+    WHERE ts IS NOT NULL
+    GROUP BY date_trunc('hour', ts), event_type
     """,
 )
 def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1695,7 +1727,10 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT user_id, event_id, event_type,
                       CAST(floor(epoch(ts)) AS BIGINT) AS s
-               FROM events),
+               FROM events
+               -- shared null-ts convention: an event with no timestamp
+               -- cannot open or order a version
+               WHERE ts IS NOT NULL),
     chg AS (SELECT user_id, event_type, s,
                    lag(event_type) OVER w AS prev_type
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
@@ -1718,7 +1753,9 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_current flag on the open version. Two window passes over ONE
     per-user ordering — at 100 TB the shuffle key is the dimension key,
     exactly like the latest-per-key family."""
-    ev = t(spark, sf_dir, "events")
+    # shared null-ts convention: an event with no timestamp cannot open
+    # or order a version (oracle states ts IS NOT NULL)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").cast("long"), "event_id"
     )

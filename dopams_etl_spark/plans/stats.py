@@ -128,7 +128,8 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (b.rev - a.rev) / date_diff('day', a.day, b.day) AS slope
       FROM d a JOIN d b ON b.day > a.day)
     SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
-           ROUND(MEDIAN(slope), 6) AS sen_slope
+           -- + 0.0 canonicalizes IEEE -0.0 (sign-indefinite slope)
+           ROUND(MEDIAN(slope), 6) + 0.0 AS sen_slope
     FROM pairs
     """,
 )
@@ -157,7 +158,8 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.agg(F.count(F.lit(1)).alias("n_days"))
     return pairs.agg(
-        F.round(F.median("slope"), 6).alias("sen_slope")
+        # + 0.0 canonicalizes IEEE -0.0 (sign-indefinite slope)
+        (F.round(F.median("slope"), 6) + 0.0).alias("sen_slope")
     ).crossJoin(F.broadcast(n)).select("n_days", "sen_slope")
 
 
@@ -175,7 +177,7 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / sqrt(n_days*(n_days-1)*(2*n_days+5)/18.0)
                       WHEN s_stat < 0 THEN (s_stat + 1)
                            / sqrt(n_days*(n_days-1)*(2*n_days+5)/18.0)
-                      ELSE 0.0 END, 4) AS z_stat
+                      ELSE 0.0 END, 4) + 0.0 AS z_stat
     FROM s CROSS JOIN n
     """,
 )
@@ -205,7 +207,10 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var))
         .otherwise(0.0)
     )
-    return joined.select("n_days", "s_stat", F.round(z, 4).alias("z_stat"))
+    # + 0.0 canonicalizes IEEE -0.0 (z is sign-indefinite)
+    return joined.select(
+        "n_days", "s_stat", (F.round(z, 4) + 0.0).alias("z_stat")
+    )
 
 
 @register(
@@ -409,7 +414,7 @@ def precision_recall_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 0 END
              + 0.5 * q * log2(q / ((p + q) / 2)) AS term
       FROM grid)
-    SELECT day, CAST(nd AS BIGINT) AS n_events,
+    SELECT CAST(day AS VARCHAR) AS day, CAST(nd AS BIGINT) AS n_events,
            ROUND(SUM(term), 6) AS jsd
     FROM terms GROUP BY day, nd
     """,
@@ -463,7 +468,13 @@ def js_divergence_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.select("day", "nd", term.alias("term"))
         .groupBy("day", "nd")
         .agg(F.round(F.sum("term"), 6).alias("jsd"))
-        .select("day", F.col("nd").cast("long").alias("n_events"), "jsd")
+        # nullable date bridge: NULL-day group (null ts) surfaces as
+        # VARCHAR on both sides, NULL staying NULL (catalog convention).
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("nd").cast("long").alias("n_events"),
+            "jsd",
+        )
     )
 
 
@@ -547,7 +558,7 @@ def cohens_kappa_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROUND(SUM(o_totalprice), 2) AS rev,
                       CAST(COUNT(*) AS BIGINT) AS n_orders
                FROM orders GROUP BY 1)
-    SELECT day, rev,
+    SELECT CAST(day AS VARCHAR) AS day, rev,
            ROUND(SUM(rev) OVER (ORDER BY day
                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
              AS rev_7d,
@@ -575,8 +586,11 @@ def trailing_week_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day_ord", F.datediff(F.col("day"), F.lit("1970-01-01")))
     )
     w = Window.orderBy("day_ord").rangeBetween(-6, 0)
+    # nullable date bridge: the NULL-day group (null o_orderdate)
+    # surfaces as VARCHAR on both sides; its frame is itself on both
+    # engines (NULL is its own RANGE peer group).
     return d.select(
-        "day",
+        F.col("day").cast("string").alias("day"),
         "rev",
         F.round(F.sum("rev").over(w), 2).alias("rev_7d"),
         F.sum("n_orders").over(w).alias("orders_7d"),
@@ -654,8 +668,9 @@ def asof_nearest_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE value IS NOT NULL AND ts IS NOT NULL)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(regr_slope(y, x), 6) AS slope,
-           ROUND(regr_intercept(y, x), 4) AS intercept,
+           -- + 0.0 canonicalizes IEEE -0.0 (slope/intercept signed)
+           ROUND(regr_slope(y, x), 6) + 0.0 AS slope,
+           ROUND(regr_intercept(y, x), 4) + 0.0 AS intercept,
            ROUND(regr_r2(y, x), 6) AS r2
     FROM d GROUP BY event_type
     """,
@@ -704,8 +719,9 @@ def ols_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        # + 0.0 canonicalizes IEEE -0.0 (slope/intercept signed)
+        (F.round(slope, 6) + 0.0).alias("slope"),
+        (F.round(F.avg("y") - slope * F.avg("x"), 4) + 0.0).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
 
@@ -866,8 +882,8 @@ def user_active_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS last_status,
            first(pri ORDER BY vday DESC, vkey DESC)
              FILTER (WHERE pri IS NOT NULL) AS last_known_priority,
-           CAST(MIN(o_orderdate) AS DATE) AS first_order_day,
-           CAST(MAX(o_orderdate) AS DATE) AS last_order_day,
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_order_day,
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS last_order_day,
            ROUND(SUM(o_totalprice), 2) AS lifetime_value,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM customer JOIN o2 ON c_custkey = o_custkey
@@ -911,8 +927,14 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by(
                 "pri", F.when(F.col("pri").isNotNull(), F.col("ver"))
             ).alias("last_known_priority"),
-            F.min(F.col("o_orderdate").cast("date")).alias("first_order_day"),
-            F.max(F.col("o_orderdate").cast("date")).alias("last_order_day"),
+            # nullable date bridge: an all-null-date customer surfaces
+            # NULL first/last day as VARCHAR on both sides.
+            F.min(F.col("o_orderdate").cast("date"))
+            .cast("string")
+            .alias("first_order_day"),
+            F.max(F.col("o_orderdate").cast("date"))
+            .cast("string")
+            .alias("last_order_day"),
             F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"),
             F.count(F.lit(1)).alias("n_orders"),
         )
@@ -1249,8 +1271,9 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(n * rq * rd) AS sxy
           FROM j GROUP BY flag)
     SELECT flag AS l_returnflag, CAST(nn AS BIGINT) AS n,
+           -- + 0.0 canonicalizes IEEE -0.0 (correlation is signed)
            ROUND((nn * sxy - sx * sy)
-                 / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 6)
+                 / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 6) + 0.0
              AS spearman
     FROM m
     """,
@@ -1311,7 +1334,8 @@ def spearman_qty_discount_by_flag(
     return m.select(
         F.col("flag").alias("l_returnflag"),
         F.col("nn").cast("long").alias("n"),
-        F.round(F.try_divide(num, den), 6).alias("spearman"),
+        # + 0.0 canonicalizes IEEE -0.0 (correlation is signed)
+        (F.round(F.try_divide(num, den), 6) + 0.0).alias("spearman"),
     )
 
 

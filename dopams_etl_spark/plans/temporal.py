@@ -223,7 +223,10 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans AS (
       SELECT o_orderkey, CAST(o_orderdate AS DATE) AS open_d,
              COALESCE(close_d, CAST(o_orderdate AS DATE)) AS close_d
-      FROM orders LEFT JOIN closes ON o_orderkey = okey),
+      FROM orders LEFT JOIN closes ON o_orderkey = okey
+      -- an order with no order date never enters the sweep (a NULL day
+      -- would ride the engines' opposite NULL sort through the running sum)
+      WHERE o_orderdate IS NOT NULL),
     deltas AS (
       SELECT open_d AS d, 1 AS delta FROM spans
       UNION ALL
@@ -246,8 +249,12 @@ def queue_depth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate to day grain, then a running sum over only |days| rows —
     the classic event-sweep rewrite that keeps 100 TB of spans out of
     the window."""
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_orderdate").cast("date").alias("open_d")
+    # an order with no order date never enters the sweep (oracle states
+    # o_orderdate IS NOT NULL — the shared null-date convention)
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("open_d"))
     )
     li = t(spark, sf_dir, "lineitem")
     closes = li.groupBy(F.col("l_orderkey").alias("okey")).agg(

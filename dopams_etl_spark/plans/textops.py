@@ -1360,7 +1360,9 @@ def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM p2 GROUP BY w1, w2),
     scored AS (
       SELECT p2.id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             ROUND(AVG(ln((bigrams.c2 + 1.0) / (unigrams.c1 + vocab.v))), 6) AS avg_ll,
+             -- + 0.0 canonicalizes IEEE -0.0 (sign-indefinite near zero)
+             ROUND(AVG(ln((bigrams.c2 + 1.0) / (unigrams.c1 + vocab.v))), 6) + 0.0
+               AS avg_ll,
              ROUND(exp(-AVG(ln((bigrams.c2 + 1.0) / (unigrams.c1 + vocab.v)))), 6)
                AS ppl_proxy
       FROM p2 JOIN bigrams USING (w1, w2) JOIN unigrams USING (w1)
@@ -3180,7 +3182,9 @@ def minhash_jaccard_estimate_error(spark: SparkSession, sf_dir: str) -> DataFram
                   - ln((cr + 1) / (n_r + 256)) AS logratio
            FROM raw LEFT JOIN tgt ON raw.b = tgt.b
            CROSS JOIN nt CROSS JOIN nr),
-    dw AS (SELECT doc_id, ROUND(SUM(logratio), 4) AS dsir_weight,
+    dw AS (SELECT doc_id,
+                  -- + 0.0 canonicalizes IEEE -0.0 (signed log-ratio sum)
+                  ROUND(SUM(logratio), 4) + 0.0 AS dsir_weight,
                   CAST(COUNT(*) AS BIGINT) AS n_tokens
            FROM tok JOIN lr ON tok.b = lr.b
            WHERE lang <> 'en'
@@ -3249,7 +3253,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum("logratio"), 4).alias("dsir_weight"),
+            # + 0.0 canonicalizes IEEE -0.0 (signed log-ratio sum)
+            (F.round(F.sum("logratio"), 4) + 0.0).alias("dsir_weight"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
