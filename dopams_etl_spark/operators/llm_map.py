@@ -60,8 +60,10 @@ def regex_extract_stub(pattern: str, text_col: str, out_col: str = "extracted") 
     rx = re.compile(pattern)
 
     def provider(batch: pd.DataFrame) -> pd.DataFrame:
+        # NULL text extracts '' — the no-matches shape, so downstream
+        # consumers never see an extraction-side NULL (oracle: COALESCE)
         vals = [
-            ",".join(sorted(set(rx.findall(str(v).lower())))) if v is not None else None
+            ",".join(sorted(set(rx.findall(str(v).lower())))) if v is not None else ""
             for v in batch[text_col]
         ]
         return pd.DataFrame({out_col: vals})

@@ -34,11 +34,12 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     at 100 TB each document's state stays proportional to its own length.
     """
     txt = F.trim(F.lower(F.col(text_col)))
+    # NULL text scores like an empty doc: 0 tokens, 0.0 fractions
     base = df.select(
         F.col(id_col).alias("id"),
-        F.when(txt == "", F.array().cast("array<string>")).otherwise(
-            F.split(txt, r"\s+")
-        ).alias("tk"),
+        F.when(
+            txt.isNull() | (txt == ""), F.array().cast("array<string>")
+        ).otherwise(F.split(txt, r"\s+")).alias("tk"),
     ).withColumn("n", F.size("tk"))
 
     def gram(start, width):
@@ -117,11 +118,12 @@ def chunk_documents(
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
     txt = F.trim(F.lower(F.col(text_col)))
+    # NULL text chunks like an empty doc: zero chunks (shared convention)
     base = df.select(
         F.col(id_col).alias("id"),
-        F.when(txt == "", F.array().cast("array<string>")).otherwise(
-            F.split(txt, r"\s+")
-        ).alias("tk"),
+        F.when(
+            txt.isNull() | (txt == ""), F.array().cast("array<string>")
+        ).otherwise(F.split(txt, r"\s+")).alias("tk"),
     ).withColumn("n", F.size("tk"))
     # number of chunks: 1 + ceil(max(0, n - chunk) / stride); empty doc -> 0
     n_chunks = F.when(F.col("n") <= 0, F.lit(0)).otherwise(

@@ -913,9 +913,11 @@ def ist_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "trigram_match_event_types",
     """
-    WITH dict AS (SELECT DISTINCT event_type AS matched FROM events),
+    -- event_type IS NOT NULL: a NULL name has no trigrams to match
+    WITH dict AS (SELECT DISTINCT event_type AS matched FROM events
+                  WHERE event_type IS NOT NULL),
     probe AS (SELECT DISTINCT substr(event_type, 1, 2) || substr(event_type, 4) AS token
-              FROM events),
+              FROM events WHERE event_type IS NOT NULL),
     pt AS (SELECT token,
                   CASE WHEN length(lower(token)) >= 3
                        THEN list_distinct(list_transform(range(1, length(lower(token)) - 1),
@@ -945,7 +947,8 @@ def trigram_match_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe by trigram Jaccard (``update-state-country.py:288–348``)."""
     from dopams_etl_spark.operators.joins import trigram_join
 
-    ev = t(spark, sf_dir, "events")
+    # a NULL event type has no trigrams to match (oracle states it)
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     probe = ev.select(
         F.expr("substring(event_type, 1, 2) || substring(event_type, 4)").alias("token")
     ).distinct()

@@ -1939,23 +1939,33 @@ def approx_percentile_rank_contract(spark: SparkSession, sf_dir: str) -> DataFra
     grouped sketch (mergeable partials), then a broadcast join back to
     count values ≤ the approx median."""
     ev = t(spark, sf_dir, "events")
-    ap = ev.groupBy("event_type").agg(
+    ap = ev.groupBy(F.col("event_type").alias("a_type")).agg(
         F.count("value").alias("n"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
     )
     eps_slack = F.col("n").cast("double") / 10000.0 + 1.0
     target = F.ceil(F.col("n").cast("double") * 0.5).cast("double")
-    joined = ev.join(F.broadcast(ap), "event_type")
+    # null-safe join: the NULL-event-type group is a real group
+    joined = ev.join(
+        F.broadcast(ap), F.col("event_type").eqNullSafe(F.col("a_type"))
+    )
     ranks = joined.groupBy("event_type").agg(
         F.max("n").alias("n"),
         F.count(F.when(F.col("value") <= F.col("ap50"), 1)).cast("double").alias("rank_le"),
+        F.count(F.when(F.col("value") < F.col("ap50"), 1)).cast("double").alias("rank_lt"),
     )
+    # Tie-aware rank contract (decided r15): a value tied many times
+    # occupies the whole rank interval [count(<v)+1, count(<=v)] — the
+    # GK guarantee holds iff that interval INTERSECTS the envelope
+    # target ± slack (under total ties rank_le = n, and the upper rank
+    # alone would sit far outside the envelope while the returned value
+    # is still an exact median).
     return ranks.select(
         "event_type",
         F.col("n"),
         (
-            (F.col("rank_le") >= target - eps_slack)
-            & (F.col("rank_le") <= target + eps_slack)
+            (F.col("rank_lt") + 1 <= target + eps_slack)
+            & (F.col("rank_le") >= target - eps_slack)
         ).alias("rank_ok"),
     )
 

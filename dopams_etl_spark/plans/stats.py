@@ -947,7 +947,11 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (SELECT user_id, event_type,
                         lag(event_type) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id) AS prev
-                 FROM events),
+                 FROM events
+                 -- shared null conventions: an un-timestamped event has
+                 -- no sequence position; an untyped event can neither
+                 -- be predicted nor scored
+                 WHERE ts IS NOT NULL AND event_type IS NOT NULL),
     trans AS (SELECT prev, event_type AS next,
                      CAST(COUNT(*) AS BIGINT) AS cnt
               FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
@@ -972,7 +976,11 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     resubstitution baseline every sequence model must beat). The
     |event_types|-row predictor broadcasts back over the transitions;
     everything else is the same one lag window."""
-    ev = t(spark, sf_dir, "events")
+    # shared null conventions: un-timestamped events have no sequence
+    # position; untyped events can neither be predicted nor scored
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
@@ -1009,20 +1017,23 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     flagged AS (
       SELECT o_custkey, o_orderdate, o_orderkey,
+             -- NULLS FIRST states Spark's ASC shape: an undated order
+             -- sorts before recorded history (live no-op)
              CASE WHEN row_number() OVER (
                     PARTITION BY o_custkey, l_partkey
-                    ORDER BY o_orderdate, o_orderkey, l_partkey) = 1
+                    ORDER BY o_orderdate NULLS FIRST, o_orderkey, l_partkey) = 1
                   THEN 1 ELSE 0 END AS first_seen
       FROM li),
     per_order AS (
       SELECT o_custkey, o_orderdate, o_orderkey,
              CAST(SUM(first_seen) AS BIGINT) AS new_parts
       FROM flagged GROUP BY 1, 2, 3)
-    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
            new_parts,
            CAST(SUM(new_parts) OVER (
                   PARTITION BY o_custkey
-                  ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                  ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS BIGINT)
              AS distinct_parts_to_date
     FROM per_order
     """,
@@ -1063,7 +1074,8 @@ def running_distinct_parts_per_customer(
     return per_order.select(
         "o_custkey",
         "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("order_day"),
+        # nullable date bridge: VARCHAR on both sides, NULL stays NULL
+        F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
         "new_parts",
         F.sum("new_parts").over(w_run).alias("distinct_parts_to_date"),
     )
@@ -1167,8 +1179,10 @@ def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE o2 AS (
       SELECT o_custkey AS custkey,
-             CASE WHEN o_orderstatus = 'O' THEN o_totalprice
-                  ELSE -o_totalprice END AS delta,
+             -- COALESCE: an order with no total moves the balance by 0
+             -- (a NULL delta would poison the whole remaining fold)
+             COALESCE(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+                           ELSE -o_totalprice END, 0.0) AS delta,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY CAST(o_orderdate AS DATE),
                                          o_orderkey) AS rn
@@ -1208,9 +1222,14 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderdate").cast("date").alias("oday"),
         "o_orderkey",
-        F.when(
-            F.col("o_orderstatus") == "O", F.col("o_totalprice")
-        ).otherwise(-F.col("o_totalprice")).alias("delta"),
+        # COALESCE: an order with no total moves the balance by 0 (a
+        # NULL delta would poison the whole remaining pandas fold)
+        F.coalesce(
+            F.when(
+                F.col("o_orderstatus") == "O", F.col("o_totalprice")
+            ).otherwise(-F.col("o_totalprice")),
+            F.lit(0.0),
+        ).alias("delta"),
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:

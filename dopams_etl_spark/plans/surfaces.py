@@ -209,12 +209,15 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_corpus_ingest",
     r"""
+    -- COALESCE(text, ''): the one-doc-per-line .txt landing format has
+    -- no NULL representation — a NULL document lands as an empty line
+    WITH lines AS (SELECT COALESCE(text, '') AS text FROM documents)
     SELECT md5(text) AS text_md5,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(CASE WHEN trim(text) = '' THEN 0
                      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS INT)
              AS n_tokens
-    FROM documents
+    FROM lines
     GROUP BY text
     """,
 )
@@ -358,8 +361,14 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     out = spark.table(name)
-    delivered = ev.groupBy("event_type").agg((F.count(F.lit(1)) * 2).alias("n_delivered"))
-    return out.join(delivered, "event_type").select(
+    delivered = ev.groupBy(
+        F.col("event_type").alias("d_type")
+    ).agg((F.count(F.lit(1)) * 2).alias("n_delivered"))
+    # null-safe join: the NULL-event-type group is a real group on both
+    # engines; a bare equi-join would silently drop it
+    return out.join(
+        delivered, out["event_type"].eqNullSafe(delivered["d_type"])
+    ).select(
         "event_type",
         F.col("n_unique").cast("long").alias("n_unique"),
         F.col("n_delivered").cast("long").alias("n_delivered"),
@@ -455,13 +464,16 @@ def csv_badrecord_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     nat = t(spark, sf_dir, "nation")
+    # NULL fields land as EMPTY csv fields (coalesce ''): concat_ws would
+    # silently drop the field and shift every later column one slot left
+    name_f = F.coalesce(F.col("n_name"), F.lit(""))
+    region_f = F.coalesce(F.col("n_regionkey").cast("string"), F.lit(""))
     line = F.when(
         F.col("n_nationkey") % 5 == 0,
         F.concat_ws(",", F.concat(F.lit("BAD_"), F.col("n_nationkey").cast("string")),
-                    F.col("n_name"), F.col("n_regionkey").cast("string")),
+                    name_f, region_f),
     ).otherwise(
-        F.concat_ws(",", F.col("n_nationkey").cast("string"), F.col("n_name"),
-                    F.col("n_regionkey").cast("string"))
+        F.concat_ws(",", F.col("n_nationkey").cast("string"), name_f, region_f)
     )
     path = tempfile.mkdtemp(prefix="dopams_badcsv_") + "/nation"
     nat.select(line.alias("value")).write.mode("overwrite").text(path)

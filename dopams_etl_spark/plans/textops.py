@@ -777,7 +777,8 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slices at stride 40.
 _CHUNK_CTES = r"""
     b AS (SELECT doc_id,
-                 CASE WHEN trim(text) = '' THEN []
+                 -- NULL text chunks like an empty doc: zero chunks
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN []
                       ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
           FROM documents),
     nn AS (SELECT doc_id, tk, len(tk) AS n FROM b),
@@ -966,7 +967,8 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_repetition_stats",
     r"""
     WITH b AS (SELECT doc_id,
-                      CASE WHEN trim(text) = '' THEN []
+                      -- NULL text scores like an empty doc (0 tokens)
+                      CASE WHEN text IS NULL OR trim(text) = '' THEN []
                            ELSE string_split_regex(lower(trim(text)), '\s+') END AS tk
                FROM documents),
     nn AS (SELECT doc_id, tk, len(tk) AS n FROM b),
@@ -988,7 +990,10 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY doc_id)
     SELECT nn.doc_id,
            CAST(nn.n AS INT) AS n_tokens,
-           COALESCE(ROUND(LEAST(1.0, c2.mc * 2.0 / nn.n), 6), 0.0) AS top2_frac,
+           -- explicit NULL guard: DuckDB's LEAST IGNORES a NULL arg
+           -- (LEAST(1.0, NULL) = 1.0), so a gram-less doc needs the CASE
+           CASE WHEN c2.mc IS NULL THEN 0.0
+                ELSE ROUND(LEAST(1.0, c2.mc * 2.0 / nn.n), 6) END AS top2_frac,
            COALESCE(ROUND(cov.covered / CAST(nn.n AS DOUBLE), 6), 0.0) AS dup5_frac
     FROM nn LEFT JOIN c2 USING (doc_id) LEFT JOIN cov USING (doc_id)
     """,
