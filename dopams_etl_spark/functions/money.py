@@ -52,7 +52,15 @@ def money_quantize(col: Column | str) -> Column:
     regen narrows the column to float32 (a .625 half-cent tie rounds
     HALF_UP in Spark's double→DECIMAL cast but half-even in DuckDB's).
     One implementation for every engine restatement — the SQL twins
-    spell the same ``floor(CAST(x AS DOUBLE) * 100 + 0.5) / 100.0``."""
+    spell the same ``floor(CAST(x AS DOUBLE) * 100 + 0.5) / 100.0``.
+
+    POSITIVE-DOMAIN ONLY: ``floor(x*100 + 0.5)`` rounds a NEGATIVE
+    half-cent toward +infinity (-1.005 → -1.00), not the HALF_UP that
+    DECIMAL casts apply (-1.01). Engine/oracle parity still holds
+    (both sides share the formula), but for signed money (refunds,
+    adjustments) use ``floor(abs(x)*100 + 0.5) * sign(x)`` on BOTH
+    sides instead. All current callers quantize TPC-H prices/revenues,
+    which are strictly positive."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         (F.floor(c.cast("double") * 100 + F.lit(0.5)) / F.lit(100.0)).cast(_DEC)

@@ -69,7 +69,10 @@ def decode_media(
     in the JVM expression path."""
     schema = f"{id_col} long, {meta_schema}"
 
-    meta_cols = [c.split()[0] for c in meta_schema.split(", ")]
+    # split on ',' + strip, not ', ': a caller writing 'w int,h int'
+    # (no space) must not silently produce wrong column names for the
+    # NULL-row dict and the output projection (r14 ADVICE)
+    meta_cols = [c.strip().split()[0] for c in meta_schema.split(",")]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

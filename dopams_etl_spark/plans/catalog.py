@@ -492,7 +492,10 @@ def ann_notnull(sql: str) -> str:
     with no error — r13 + r14 review finds)."""
     import re
 
-    verbatim = sql.count("FROM embeddings")
+    # \b on both counts and the rewrite: a prefixed identifier like
+    # 'FROM embeddings_v2' is a DIFFERENT table — it must neither count
+    # as a verbatim read nor be wrapped (r14 ADVICE)
+    verbatim = len(re.findall(r"FROM embeddings\b", sql))
     total = len(re.findall(r"FROM\s+embeddings\b", sql))
     if verbatim == 0 or total != verbatim:
         raise ValueError(
@@ -501,8 +504,9 @@ def ann_notnull(sql: str) -> str:
             f"{verbatim} verbatim) - rewrite the oracle, or the "
             "null-vector convention silently will not apply"
         )
-    return sql.replace(
-        "FROM embeddings",
+    return re.sub(
+        r"FROM embeddings\b",
         "FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)"
         " embeddings",
+        sql,
     )

@@ -1171,6 +1171,13 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     the probe's own row;
     #   * a tuple whose only member IS the probe yields NULL effective
     #     canonical and drops, exactly like the original self-pair filter.
+    # PRECONDITION (r14 ADVICE): canonical_person_id must be UNIQUE per
+    # cand row ('canon_' + pid with unique pids here). min_by('cand_id',
+    # 'canonical_person_id') is only deterministic, and the min1/min2
+    # self-exclusion only excludes exactly one row, under that
+    # uniqueness. A roster with duplicate canonicals must dedupe or
+    # re-key before entering this rewrite (pinned in
+    # tests/test_resolution.py::test_er_cand_canonical_ids_unique).
     from pyspark.sql import Window
 
     def _tkey(cols: list[str]):

@@ -768,7 +768,9 @@ def ols_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events LEFT JOIN customer ON user_id = c_custkey)
     SELECT p.child_table, p.child_col, p.parent_table, p.parent_col,
            s.n_child, s.n_contained,
-           ROUND(s.n_contained / CAST(s.n_child AS DOUBLE), 6)
+           -- NULLIF: an empty child table (n_child = 0) profiles as NULL
+           -- containment, matching the engine's try_divide
+           ROUND(s.n_contained / NULLIF(CAST(s.n_child AS DOUBLE), 0), 6)
              AS containment
     FROM pairs p JOIN stats s
       ON p.child_table = s.ct AND p.child_col = s.cc
@@ -809,8 +811,13 @@ def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(pc).alias("parent_col"),
                 "n_child",
                 "n_contained",
+                # try_divide: an empty child table has n_child = 0 — NULL
+                # containment like the oracle, not an ANSI abort
                 F.round(
-                    F.col("n_contained") / F.col("n_child").cast("double"), 6
+                    F.try_divide(
+                        F.col("n_contained"), F.col("n_child").cast("double")
+                    ),
+                    6,
                 ).alias("containment"),
             )
         )

@@ -54,6 +54,18 @@ def json_dump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("SOURCE_SYSTEM"),
         F.col("n_chars").alias("N_CHARS"),
     )
+    if docs.isEmpty():
+        # Empty source (fuzz census): the JSON dump writes zero data
+        # files, so the re-ingest has nothing to infer a schema from and
+        # aborts with UNABLE_TO_INFER_SCHEMA — degrade to the typed
+        # empty frame the round-trip would produce (xml_source recipe).
+        return docs.select(
+            F.col("DOC_ID").cast("long").alias("doc_id"),
+            F.col("TEXT_CONTENT").alias("content"),
+            F.col("LANG_CODE").alias("lang"),
+            F.col("SOURCE_SYSTEM").alias("source"),
+            F.col("N_CHARS").cast("long").alias("n_chars"),
+        ).limit(0)
     dump = tempfile.mkdtemp(prefix="dopams_json_dump_") + "/docs"
     docs.write.mode("overwrite").json(dump)
     mapped = read_json_dump(
@@ -307,6 +319,17 @@ def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the date predicate as a PartitionFilter with no data filter — at
     100 TB this is the difference between scanning 2 days and 2 years."""
     ev = t(spark, sf_dir, "events").withColumn("event_date", F.col("ts").cast("date"))
+    if ev.isEmpty():
+        # Empty source (fuzz census): a partitioned write of zero rows
+        # creates no partition directories, so the re-read aborts with
+        # UNABLE_TO_INFER_SCHEMA — degrade to the typed empty result
+        # (xml_source recipe).
+        return ev.select(
+            "event_date",
+            "event_type",
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("total_value"),
+        ).limit(0)
     path = tempfile.mkdtemp(prefix="dopams_part_") + "/events"
     ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
     part = spark.read.parquet(path)

@@ -192,3 +192,24 @@ def test_skew_collapse_matches_naive_pipeline(spark, tmp_path):
     assert len(got) == len(want) > 0
     for g, w in zip(got, want):
         assert g.asDict() == w.asDict(), (g, w)
+
+
+def test_er_cand_canonical_ids_unique(spark):
+    """r14 ADVICE precondition pin: the skew-collapse rewrite's
+    min_by('cand_id', 'canonical_person_id') and min1/min2 self-pair
+    exclusion are only deterministic/correct because each cand row
+    carries a UNIQUE canonical id ('canon_' + pid over unique pids).
+    Assert that invariant on the real roster construction so any future
+    re-keying (e.g. a roster joining in canonicals from a prior run)
+    trips this test instead of silently going nondeterministic."""
+    from dopams_etl_spark.catalog import load_table
+
+    cust = load_table(spark, "customer", "/root/testdata/sf0.001")
+    cand = cust.select(
+        F.concat(F.lit("canon_"), F.col("c_custkey").cast("string")).alias(
+            "canonical_person_id"
+        )
+    )
+    total = cand.count()
+    distinct = cand.distinct().count()
+    assert total == distinct > 0
