@@ -950,3 +950,75 @@ def test_null_payload_abort_class(spark, qs, nullhalf_sf_dir, name):
         for i in range(len(want))
     ]
     assert _cells(got_rows, cols) == _cells(want_rows, cols), name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # date-bridge class (NaT vs None): nullable dates as VARCHAR
+        "order_due_dates",
+        "parse_dates_multi",
+        "latest_order_per_customer",
+        "customer_golden_record",
+        "js_divergence_daily_drift",
+        "trailing_week_range_frame",
+        "running_distinct_parts_per_customer",
+        # null-payload collect class: NULL element contributes no entry
+        "order_lineitems_sorted",
+        "customer_status_map",
+        "deterministic_ids",
+        # shared null-ts / null-date timeline class
+        "hourly_event_stats",
+        "scd2_user_event_history",
+        "queue_depth_daily",
+        "markov_next_event_accuracy",
+        "capped_running_balance",
+        # null-text doc class + landing-format classes
+        "doc_chunks",
+        "doc_repetition_stats",
+        "llm_extract_docs",
+        "text_corpus_ingest",
+        "trigram_match_event_types",
+        "csv_badrecord_quarantine",
+        "streaming_dedup_counts",
+        "approx_percentile_rank_contract",
+    ],
+)
+def test_nullhalf_divergence_class(spark, qs, nullhalf_sf_dir, name):
+    """r15 nullhalf census burn-down — the 23-row FAIL (divergence)
+    class, closed this round. Pinned conventions: nullable date outputs
+    surface as VARCHAR on both engines (NaT-vs-None bridge); a NULL
+    collect element contributes no entry and all-NULL groups surface
+    NULL (the string_agg shape); un-timestamped/untyped events have no
+    timeline position; undated orders sort before recorded history
+    (NULLS FIRST stated in the oracle) or never enter the sweep; a NULL
+    order total moves the running balance by 0; NULL text chunks/scores
+    like an empty doc and extracts ''; the .txt/.csv landing formats
+    have no NULL representation (empty line / empty field); NULL group
+    keys survive via null-safe joins; and the approx-median rank
+    contract is tie-aware (the rank INTERVAL must intersect the GK
+    envelope). Each query matches its oracle cell-for-cell on the
+    half-null fixture."""
+    queries, oracles = qs
+    from dopams_etl_spark.catalog import TABLES
+
+    got = queries[name](spark, str(nullhalf_sf_dir))
+    cols = got.columns
+    got_rows = got.collect()
+    want = _duck(nullhalf_sf_dir, TABLES, oracles[name])
+    assert len(want) == len(got_rows), name
+    int_cols = {
+        f.name for f in got.schema.fields if f.dataType.typeName() in
+        ("integer", "long", "short", "byte")
+    }
+
+    def unbridge(c, v):
+        if c in int_cols and isinstance(v, float) and v.is_integer():
+            return int(v)
+        return v
+
+    want_rows = [
+        {c: (None if want[c].isna()[i] else unbridge(c, want[c][i])) for c in cols}
+        for i in range(len(want))
+    ]
+    assert _cells(got_rows, cols) == _cells(want_rows, cols), name
