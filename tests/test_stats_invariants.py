@@ -100,14 +100,20 @@ def test_time_decay_credit_sums_to_purchases(spark, qs):
 def test_trailing_range_frame_bounds_rows_frame(spark, qs):
     """The RANGE-frame 7-day sum can never exceed the sum of ALL rows in
     the trailing week and always includes the current day itself."""
+    import datetime as _dt
+
     rows = qs["trailing_week_range_frame"](spark, SF).collect()
-    by_day = {r["day"]: r for r in rows}
+    # day is a 'yyyy-MM-dd' VARCHAR (the r15 nullable-date bridge)
+    parse = lambda s: _dt.date.fromisoformat(s)  # noqa: E731
+    by_day = {parse(r["day"]): r for r in rows if r["day"] is not None}
     for r in rows:
         assert r["rev_7d"] >= r["rev"] - 1e-6
+        if r["day"] is None:
+            continue
         week = [
             by_day[d]["rev"]
             for d in by_day
-            if 0 <= (r["day"] - d).days <= 6
+            if 0 <= (parse(r["day"]) - d).days <= 6
         ]
         assert abs(r["rev_7d"] - round(sum(week), 2)) < 0.05
 
