@@ -31,6 +31,13 @@ on each variant, comparing with the check.py harness:
   vs COUNT(*), GROUP BY NULL keys, null-safe joins, watermarks over
   null event times. The other variants never inject nulls, so this is
   the only probe of the null-handling class.
+- ``dup2``   — every row EXACTLY duplicated (r15): the at-least-once
+  upstream axis — a replayed batch or retried load lands the same rows
+  twice. Probes PK-uniqueness assumptions (merge/upsert incoming keys,
+  ER canonical ids, latest-per-key over exact ties) and COUNT vs
+  COUNT DISTINCT conflation. Exact duplicates are value-identical, so
+  tie-breaks among them cannot diverge — a FAIL is real
+  duplicate-sensitivity, not sort noise.
 - ``f32``    — full row counts, every float64 column physically
   rewritten as float32 (values round-tripped through float32, schema
   narrowed): the TYPE-DRIFT parity axis. A query that does arithmetic
@@ -84,7 +91,7 @@ from dopams_etl_spark.catalog import TABLES  # noqa: E402
 BASE = os.environ.get("FUZZ_BASE_SF_DIR", "/root/testdata/sf0.001")
 ROOT = os.path.join(os.path.dirname(__file__), "..", ".fuzz")
 
-VARIANTS = ("tiny1", "const", "empty", "nullhalf", "f32")
+VARIANTS = ("tiny1", "const", "empty", "nullhalf", "f32", "dup2")
 
 
 def _is_key(name: str) -> bool:
@@ -160,6 +167,15 @@ def build_variant(variant: str) -> str:
             dst = _nullify_half(src)
         elif variant == "f32":
             dst = _f32_narrow(src)
+        elif variant == "dup2":
+            # every row EXACTLY duplicated — the at-least-once-upstream
+            # shape (a replayed batch, a retried load): probes PK-unique
+            # assumptions (merge/upsert incoming keys, ER canonical ids,
+            # latest-per-key over exact ties) and COUNT vs COUNT DISTINCT
+            # conflation. Exact duplicates are value-identical, so
+            # tie-breaks among them cannot diverge — a FAIL here is a
+            # real duplicate-sensitivity, not sort noise.
+            dst = pa.concat_tables([src, src])
         else:
             raise ValueError(variant)
         pq.write_table(dst, os.path.join(out, f"{t}.parquet"))
