@@ -420,14 +420,23 @@ def winnow_fingerprints(
     # NULL text has no fingerprints — Spark's NULL-ignoring greatest()
     # otherwise manufactures one all-NULL gram per NULL doc
     df = df.filter(F.col(text_col).isNotNull())
-    grams = ensure_parallelism(df, id_col).select(
+    # per-ROW window key (dup2 census): partitioning the sliding min by
+    # id alone interleaves the gram streams of duplicated-id rows (a
+    # replayed batch) and corrupts the winnow selection; each input row
+    # winnows independently, then the distinct-set merge below collapses
+    # identical duplicates. The uid never reaches the output, so its
+    # nondeterminism across retries is invisible.
+    grams = ensure_parallelism(df, id_col).withColumn(
+        "__row_uid", F.monotonically_increasing_id()
+    ).select(
         F.col(id_col).alias("id"),
+        "__row_uid",
         F.posexplode(F.transform(gram_idx, lambda i: F.md5(norm.substr(i, F.lit(k))))).alias(
             "pos", "h"
         ),
         F.greatest(F.size(gram_idx) - window + 1, F.lit(1)).alias("n_win"),
     )
-    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    w = Window.partitionBy("__row_uid").orderBy("pos").rowsBetween(0, window - 1)
     return (
         grams.withColumn("fp", F.min("h").over(w))
         .filter(F.col("pos") < F.col("n_win"))  # pos is 0-based; windows start 1..n_win

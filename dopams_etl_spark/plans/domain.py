@@ -875,7 +875,10 @@ def _stub_person_fetcher(pid):
     """
     SELECT c_custkey, 'p' || CAST(c_custkey AS VARCHAR) AS name,
            CAST(c_custkey % 7 AS INT) AS score
-    FROM customer WHERE c_custkey % 10 <> 0
+    -- DISTINCT ids (dup2 census): point lookups are keyed — one fetch,
+    -- one enriched row per distinct id
+    FROM (SELECT DISTINCT c_custkey FROM customer)
+    WHERE c_custkey % 10 <> 0
     """,
 )
 def point_lookup_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:

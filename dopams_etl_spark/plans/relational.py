@@ -694,7 +694,9 @@ def replace_children_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT o_orderkey + 20000000 AS o_orderkey, 1.0 AS o_totalprice
       FROM orders WHERE o_orderkey % 4 = 1),
-    fresh AS (SELECT * FROM incoming i
+    -- DISTINCT (dup2 census): insert-if-absent collapses in-batch
+    -- duplicate keys — a replayed batch inserts each absent key ONCE
+    fresh AS (SELECT DISTINCT * FROM incoming i
               WHERE NOT EXISTS (SELECT 1 FROM orders e WHERE e.o_orderkey = i.o_orderkey)),
     merged AS (SELECT o_orderkey, o_totalprice FROM orders UNION ALL SELECT * FROM fresh)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

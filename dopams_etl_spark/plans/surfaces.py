@@ -162,7 +162,9 @@ def nlq_search_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CASE WHEN o_orderkey % 3 = 0 THEN 'NEW' ELSE 'OLD' END AS batch_tag,
            CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS version
-    FROM orders
+    -- DISTINCT keys (dup2 census): the upsert sink is keyed — a
+    -- replayed batch collapses to ONE row per key
+    FROM (SELECT DISTINCT o_orderkey FROM orders)
     """,
 )
 def sink_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,9 +732,12 @@ def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
       AND o_orderkey NOT IN (SELECT o_orderkey FROM ins)
     UNION ALL
-    SELECT o_orderkey, ROUND(new_price, 2) FROM latest WHERE op = 'U'
+    -- DISTINCT (dup2 census): a changed key is replaced WHOLESALE by
+    -- its single highest-seq change row — replayed identical changelog
+    -- rows collapse (unchanged base rows above keep their multiplicity)
+    SELECT DISTINCT o_orderkey, ROUND(new_price, 2) FROM latest WHERE op = 'U'
     UNION ALL
-    SELECT o_orderkey, ROUND(new_price, 2) FROM ins
+    SELECT DISTINCT o_orderkey, ROUND(new_price, 2) FROM ins
     """,
 )
 def cdc_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

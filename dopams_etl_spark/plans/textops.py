@@ -730,7 +730,10 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    range(1, greatest(len(hs) - 8 + 1, 1) + 1),
                    w -> list_min(list_slice(hs, w, w + 7)))) AS fps
           FROM g)
-    SELECT doc_id, unnest(fps) AS fp FROM f
+    -- DISTINCT (dup2 census): the operator returns the distinct
+    -- fingerprint SET per id — duplicated rows collapse
+    SELECT DISTINCT doc_id, fp
+    FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
     """,
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1919,18 +1922,21 @@ def frame_dup_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_int8_quantize",
     ann_notnull("""
+    -- per-ROW quantization, no self-join (dup2 census): a USING(vec_id)
+    -- join fans out on a replayed/duplicated id where the engine's
+    -- map-only pass emits one output per input row
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-    q AS (SELECT vec_id,
+    q AS (SELECT vec_id, ev,
                  list_min(ev) AS qmin,
                  (list_max(ev) - list_min(ev)) / 255.0 AS qscale
           FROM v),
-    c AS (SELECT v.vec_id, q.qmin, q.qscale,
-                 list_transform(ev, x -> CASE WHEN q.qscale > 0
+    c AS (SELECT vec_id, qmin, qscale,
+                 list_transform(ev, x -> CASE WHEN qscale > 0
                       THEN CAST(greatest(0, least(255,
-                             CAST(floor((x - q.qmin) / q.qscale + 0.5) AS INT))) AS INT)
+                             CAST(floor((x - qmin) / qscale + 0.5) AS INT))) AS INT)
                       ELSE 0 END) AS codes,
                  ev
-          FROM v JOIN q USING (vec_id)),
+          FROM q),
     e AS (SELECT vec_id, qmin, qscale, codes,
                  list_sum(list_transform(range(1, len(ev) + 1),
                    i -> abs(ev[i] - (qmin + codes[i] * qscale)))) / len(ev) AS err
@@ -1984,16 +1990,21 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p2 JOIN bigrams USING (w1, w2) JOIN unigrams USING (w1)
       CROSS JOIN vocab
       GROUP BY p2.id),
+    -- cut over the per-ROW population (dup2 census): a duplicated doc
+    -- counts twice in the tercile boundaries, exactly as it does in the
+    -- bigram counts and in the engine's per-row scored frame
+    joined AS (SELECT b2.id, s.ppl
+               FROM b2 LEFT JOIN scored s USING (id)),
     cut AS (SELECT quantile_cont(ppl, 0.3333) AS lo,
                    quantile_cont(ppl, 0.6667) AS hi
-            FROM scored)
-    SELECT b2.id AS doc_id,
-           CASE WHEN s.ppl IS NULL THEN 'unscored'
-                WHEN s.ppl <= cut.lo THEN 'head'
-                WHEN s.ppl <= cut.hi THEN 'middle'
+            FROM joined WHERE ppl IS NOT NULL)
+    SELECT id AS doc_id,
+           CASE WHEN ppl IS NULL THEN 'unscored'
+                WHEN ppl <= cut.lo THEN 'head'
+                WHEN ppl <= cut.hi THEN 'middle'
                 ELSE 'tail' END AS tier,
-           s.ppl AS ppl_proxy
-    FROM b2 LEFT JOIN scored s USING (id) CROSS JOIN cut
+           ppl AS ppl_proxy
+    FROM joined CROSS JOIN cut
     """,
 )
 def perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2675,7 +2686,13 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dopams_etl_spark.operators.similarity import _norm, kmeans_assign
 
     emb = t(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, "vec_id", "embedding", iters=0, seeds=_FIXED_SEEDS)
+    # dropDuplicates (dup2 census): assignment is a deterministic
+    # function of the vector, so the re-join must not fan out on a
+    # duplicated vec_id (2x2=4 copies where the input carries 2); the
+    # dedupe is a map-side-combinable aggregate on the join key
+    assigned = kmeans_assign(
+        emb, "vec_id", "embedding", iters=0, seeds=_FIXED_SEEDS
+    ).dropDuplicates(["vec_id"])
     scored = emb.join(assigned, "vec_id").select(
         "vec_id",
         "cluster",
@@ -3560,8 +3577,12 @@ def train_test_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         "WITH " + _QUALITY_CTES + """,
     scored AS (
+      -- DISTINCT q (dup2 census): quality is a deterministic function of
+      -- the doc, so the re-join must not fan out on a duplicated doc_id
+      -- (the engine scores per ROW, one output per input row)
       SELECT d.doc_id, d.source, d.lang, q.quality
-      FROM documents d JOIN q ON d.doc_id = q.doc_id
+      FROM documents d
+      JOIN (SELECT DISTINCT doc_id, quality FROM q) q ON d.doc_id = q.doc_id
       WHERE q.quality IS NOT NULL),
     pairs AS (
       SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
