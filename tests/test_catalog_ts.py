@@ -42,3 +42,33 @@ def test_windowed_counts_accepts_ntz_event_time(spark):
     # would raise EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE without the cast guard
     counts = windowed_event_counts(stream, "ts", "event_type", window="1 hour")
     assert dict(counts.dtypes)["window_start"] == "timestamp"
+
+
+def test_table_pks_unique_on_driver_fixture(spark):
+    """PK-integrity contract (r15 dup2 census): the analytical queries
+    whose rewrites assume dim/index PK uniqueness (regional_revenue's
+    degraded COUNT, firs_mv's child collects, the ANN family's keyed
+    index) rely on the load path guaranteeing it — which the merge
+    family implements (PK upsert) and the dup2 census verifies. This
+    pins the precondition on the driver fixtures themselves: every
+    table's natural key is unique. lineitem's PK is composite and NOT
+    unique in this testdata (documented in order_lineitems_sorted), so
+    it is deliberately absent."""
+    from dopams_etl_spark.catalog import load_table
+
+    pks = {
+        "region": "r_regionkey",
+        "nation": "n_nationkey",
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    for name, pk in pks.items():
+        df = load_table(spark, name, "/root/testdata/sf0.001")
+        total = df.count()
+        distinct = df.select(pk).distinct().count()
+        assert total == distinct > 0, (name, pk, total, distinct)
