@@ -119,7 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     # 3) every remaining row in its former deterministic order (r16
     #    re-certification continues here: the r9 tail first; queries
     #    changed this round but not sampled are verified
-    #    CHECK_STRICT=1 tri-SF + 5-variant census-robust in-round).
+    #    CHECK_STRICT=1 tri-SF + full-census-robust in-round).
     "knn_label_accuracy",
     "lineitem_metrics_unpivot",
     "customer_rfm_segments",
