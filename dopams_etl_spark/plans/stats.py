@@ -1214,15 +1214,24 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     can never go below zero: balₜ = max(0, balₜ₋₁ + Δₜ). The clamp
     makes this NON-LINEAR — no window frame or prefix-sum identity
     exists (unlike a plain running SUM), which is exactly the class of
-    per-key sequential state Spark expresses with ``applyInPandas``
-    (batch twin of ``applyInPandasWithState``). Cost is one keyed
-    shuffle + a linear pass per customer's own history — the same
-    posture as any window, with no cross-key state. The oracle states
-    the identical recursion as a recursive CTE, so the driver proves
-    the sequential fold, clamp tests, and tie-breaks match exactly
-    (additions happen in the same order on both engines → identical
-    doubles). Floor hits count the clamped steps (an order the credit
-    couldn't cover)."""
+    per-key sequential state Spark expresses on the Python side. Cost
+    is one keyed shuffle + a linear pass per customer's own history —
+    the same posture as any window, with no cross-key state. The oracle
+    states the identical recursion as a recursive CTE, so the driver
+    proves the sequential fold, clamp tests, and tie-breaks match
+    exactly (additions happen in the same order on both engines →
+    identical doubles). Floor hits count the clamped steps (an order
+    the credit couldn't cover).
+
+    r15 optimization (guide §4.1/§4.5): the per-group ``applyInPandas``
+    fold invoked Python once per customer (15k calls at sf0.1, each
+    building a 1-row pandas frame — 16.6s of pure call overhead). Same
+    shuffle, same per-group addition order, now ONE ``mapInPandas``
+    streaming fold over repartition(custkey) + sortWithinPartitions:
+    groups are contiguous within a sorted partition, state carries
+    across Arrow batch boundaries, results stay bit-identical because
+    every group folds the same doubles in the same order."""
+    import numpy as np
     import pandas as pd
 
     o = t(spark, sf_dir, "orders").select(
@@ -1239,29 +1248,58 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delta"),
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["oday", "o_orderkey"])
-        bal, hits = 0.0, 0
-        for delta in pdf["delta"]:
-            nxt = bal + delta
-            if nxt < 0:
-                hits += 1
-                bal = 0.0
-            else:
-                bal = nxt
-        return pd.DataFrame(
-            {
-                "custkey": [pdf["custkey"].iloc[0]],
-                "n_orders": [len(pdf)],
-                "bal_raw": [bal],
-                "n_floor_hits": [hits],
-            }
-        )
+    def fold_stream(batches):
+        cur = None
+        bal, hits, n = 0.0, 0, 0
+        keys: list = []
+        counts: list = []
+        bals: list = []
+        hit_counts: list = []
+        for pdf in batches:
+            ck = pdf["custkey"].to_numpy()
+            dl = pdf["delta"].to_numpy()
+            for k, d in zip(ck, dl):
+                if cur is None:
+                    cur = k
+                elif k != cur:
+                    keys.append(cur)
+                    counts.append(n)
+                    bals.append(bal)
+                    hit_counts.append(hits)
+                    cur, bal, hits, n = k, 0.0, 0, 0
+                nxt = bal + d
+                if nxt < 0:
+                    hits += 1
+                    bal = 0.0
+                else:
+                    bal = nxt
+                n += 1
+            if keys:  # flush finished groups per input batch
+                yield pd.DataFrame(
+                    {
+                        "custkey": np.asarray(keys, dtype="int64"),
+                        "n_orders": np.asarray(counts, dtype="int64"),
+                        "bal_raw": np.asarray(bals, dtype="float64"),
+                        "n_floor_hits": np.asarray(hit_counts, dtype="int64"),
+                    }
+                )
+                keys, counts, bals, hit_counts = [], [], [], []
+        if cur is not None:
+            yield pd.DataFrame(
+                {
+                    "custkey": np.asarray([cur], dtype="int64"),
+                    "n_orders": np.asarray([n], dtype="int64"),
+                    "bal_raw": np.asarray([bal], dtype="float64"),
+                    "n_floor_hits": np.asarray([hits], dtype="int64"),
+                }
+            )
 
     # rounding happens JVM-side (F.round, like every other query) so the
     # parity surface never sees Python's banker's rounding
-    return o.groupBy("custkey").applyInPandas(
-        fold,
+    return o.repartition("custkey").sortWithinPartitions(
+        "custkey", "oday", "o_orderkey"
+    ).mapInPandas(
+        fold_stream,
         "custkey long, n_orders long, bal_raw double, n_floor_hits long",
     ).select(
         "custkey",
