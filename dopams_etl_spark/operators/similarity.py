@@ -42,6 +42,16 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cos_pre(a: Column | str, b: Column | str, na: Column, nb: Column) -> Column:
+    """``cosine`` with both operand norms precomputed per ROW (r15, guide
+    §2.3): the expression tree is the same ``_dot / (norm_a * norm_b)``,
+    so values are bit-identical — but a pair join that scores |cell|²
+    candidates no longer re-aggregates each side's self-norm once per
+    PAIR (3 array folds/pair → 1). Callers materialize ``_norm(v)`` as a
+    column before the join and pass it here."""
+    return _dot(a, b) / (na * nb)
+
+
 MAX_BROADCAST_CORPUS_ROWS = 2_000_000
 
 
@@ -88,8 +98,16 @@ def cosine_topk(
         )
     from dopams_etl_spark.partitioning import ensure_parallelism
 
-    p_cols = [F.col(probe_id).alias("p_id"), F.col(vec_col).alias("p_vec")]
-    c_cols = [F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec")]
+    p_cols = [
+        F.col(probe_id).alias("p_id"),
+        F.col(vec_col).alias("p_vec"),
+        _norm(F.col(vec_col)).alias("p_nrm"),
+    ]
+    c_cols = [
+        F.col(corpus_id).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_nrm"),
+    ]
     if exclude_same is not None:
         p_cols.append(F.col(exclude_same).alias("p_excl"))
         c_cols.append(F.col(exclude_same).alias("c_excl"))
@@ -101,7 +119,8 @@ def cosine_topk(
         # disqualifies no candidate
         cond = cond & ~F.col("p_excl").eqNullSafe(F.col("c_excl"))
     scored = p.join(F.broadcast(c), cond).withColumn(
-        "cos_sim", F.round(cosine("p_vec", "c_vec"), 6)
+        "cos_sim",
+        F.round(_cos_pre("p_vec", "c_vec", F.col("p_nrm"), F.col("c_nrm")), 6),
     )
     w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
@@ -151,14 +170,28 @@ def embedding_near_dups(
                 ]
             )
         ).alias("tb"),
-    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    a = exploded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
-    b = exploded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
+    ).select(
+        "id",
+        "v",
+        _norm("v").alias("nrm"),
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "tbl", "bucket",
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "tbl", "bucket",
+    )
     return (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
+        .withColumn(
+            "cos_sim", F.round(_cos_pre("va", "vb", F.col("na"), F.col("nb")), 6)
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -186,14 +219,22 @@ def lsh_bucket(vec_col: Column | str, dim: int, planes: int = 12, seed: int = 42
     return bucket
 
 
-def _nearest_centroids(vec_col: Column | str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+def _nearest_centroids(
+    vec_col: Column | str,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    norm_col: Column | None = None,
+) -> Column:
     """Array of the ``nprobe`` nearest centroid ids by cosine.
 
     ONE literal array of (cid, cvec, cnorm) structs traversed by a single
     ``transform`` — unrolling a per-centroid cosine expression instead
     made the plan tree ~n_centroids× bigger (measured 12.7 s → ~1 s of
     analysis/codegen at 32 centroids). Centroid norms are Python-side
-    constants; only the dot products run per row.
+    constants; only the dot products run per row. Pass ``norm_col`` (a
+    materialized ``_norm(v)`` column) to skip re-folding the row's own
+    norm once per centroid (r15, guide §2.3 — bit-identical, same
+    division tree).
     """
     import math
 
@@ -208,7 +249,7 @@ def _nearest_centroids(vec_col: Column | str, centroids: list[tuple[int, list[fl
             for cid, cvec in centroids
         ]
     )
-    vn = _norm(v)
+    vn = _norm(v) if norm_col is None else norm_col
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(
@@ -288,19 +329,37 @@ def ivf_topk(
         )
         by_cell = {r["cell"]: [float(x) for x in r["mv"]] for r in means.collect()}
         cents = [(cid, by_cell.get(cid, vec)) for cid, vec in cents]
-    assign = _nearest_centroids(vec_col, cents, 1).getItem(0)
+    # r15 (guide §2.3): materialize each side's norm once — the centroid
+    # assignment stops re-folding the row norm per centroid and the
+    # cell-join re-rank folds one dot per candidate (bit-identical).
+    nrm = _norm(F.col(vec_col))
     c = corpus.select(
-        F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec"), assign.alias("cell")
+        F.col(corpus_id).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        nrm.alias("c_nrm"),
+    ).withColumn(
+        "cell",
+        _nearest_centroids("c_vec", cents, 1, norm_col=F.col("c_nrm")).getItem(0),
     )
     p = probe.select(
         F.col(probe_id).alias("p_id"),
         F.col(vec_col).alias("p_vec"),
-        F.explode(_nearest_centroids(vec_col, cents, nprobe)).alias("cell"),
+        nrm.alias("p_nrm"),
+    ).select(
+        "p_id",
+        "p_vec",
+        "p_nrm",
+        F.explode(
+            _nearest_centroids("p_vec", cents, nprobe, norm_col=F.col("p_nrm"))
+        ).alias("cell"),
     )
     scored = (
         p.join(c, "cell")
         .filter(F.col("p_id") != F.col("c_id"))
-        .withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(_cos_pre("p_vec", "c_vec", F.col("p_nrm"), F.col("c_nrm")), 6),
+        )
     )
     w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
@@ -344,7 +403,8 @@ def lsh_topk(
         probe, corpus, probe_id, corpus_id, vec_col, dim, planes, tables, seed
     )
     scored = pairs.withColumn(
-        "cos_sim", F.round(cosine("p_vec", "c_vec"), 6) + 0.0
+        "cos_sim",
+        F.round(_cos_pre("p_vec", "c_vec", F.col("p_nrm"), F.col("c_nrm")), 6) + 0.0,
     )
     w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
@@ -385,10 +445,15 @@ def lsh_candidates(
     ``tables``× explode."""
     from dopams_etl_spark.partitioning import ensure_parallelism
 
-    def bucketed(df: DataFrame, id_col: str, id_out: str, vec_out: str) -> DataFrame:
+    def bucketed(
+        df: DataFrame, id_col: str, id_out: str, vec_out: str, nrm_out: str
+    ) -> DataFrame:
         return ensure_parallelism(df.filter(F.col(vec_col).isNotNull())).select(
             F.col(id_col).alias(id_out),
             F.col(vec_col).alias(vec_out),
+            # r15 (guide §2.3): norm materialized once per bucketed row so
+            # the re-rank folds one dot per candidate pair (bit-identical)
+            _norm(F.col(vec_col)).alias(nrm_out),
             F.explode(
                 F.array(
                     *[
@@ -400,14 +465,20 @@ def lsh_candidates(
                     ]
                 )
             ).alias("tb"),
-        ).select(id_out, vec_out, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        ).select(
+            id_out,
+            vec_out,
+            nrm_out,
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
 
-    p = bucketed(probe, probe_id, "p_id", "p_vec")
-    c = bucketed(corpus, corpus_id, "c_id", "c_vec")
+    p = bucketed(probe, probe_id, "p_id", "p_vec", "p_nrm")
+    c = bucketed(corpus, corpus_id, "c_id", "c_vec", "c_nrm")
     pairs = p.join(c, ["tbl", "bucket"]).filter(F.col("p_id") != F.col("c_id"))
     if tables > 1:
         pairs = pairs.dropDuplicates(["p_id", "c_id"])
-    return pairs.select("p_id", "c_id", "p_vec", "c_vec")
+    return pairs.select("p_id", "c_id", "p_vec", "c_vec", "p_nrm", "c_nrm")
 
 
 def semantic_dedup(
@@ -456,8 +527,15 @@ def semantic_dedup(
             F.lit(None).cast("bigint").alias("cell"),
             F.lit(True).alias("keep"),
         ).limit(0)
-    assign = _nearest_centroids("v", cents, 1).getItem(0)
-    assigned = rows.select(F.col("cid").alias("id"), "v", assign.alias("cell"))
+    # r15 (guide §2.3): materialize each row's norm once; the per-cell
+    # pair join then folds ONE dot product per candidate pair instead of
+    # re-aggregating both self-norms per pair — bit-identical cosines
+    # (same division tree), ~3× less per-pair arithmetic.
+    with_norm = rows.select("cid", "v", _norm("v").alias("nrm"))
+    assign = _nearest_centroids("v", cents, 1, norm_col=F.col("nrm")).getItem(0)
+    assigned = with_norm.select(
+        F.col("cid").alias("id"), "v", "nrm", assign.alias("cell")
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
     dropped = (
@@ -465,7 +543,15 @@ def semantic_dedup(
             b,
             (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")),
         )
-        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .filter(
+            F.round(
+                _cos_pre(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("a.id").alias("id"))
         .distinct()
     )

@@ -4436,7 +4436,7 @@ def ann_cost_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays 3 rows at any corpus scale; the ground-truth arm is the
     size-gated exact baseline, exactly as in ``ann_recall_report``."""
     from dopams_etl_spark.operators.similarity import (
-        cosine,
+        _cos_pre,
         cosine_topk,
         lsh_candidates,
     )
@@ -4471,7 +4471,14 @@ def ann_cost_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos_sim").desc(), F.col("c_id").asc()
         )
         lsh3 = (
-            cand.withColumn("cos_sim", F.round(cosine("p_vec", "c_vec"), 6))
+            # r15: lsh_candidates now carries both row norms — one dot
+            # per candidate instead of three array folds (bit-identical)
+            cand.withColumn(
+                "cos_sim",
+                F.round(
+                    _cos_pre("p_vec", "c_vec", F.col("p_nrm"), F.col("c_nrm")), 6
+                ),
+            )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("p_id", "c_id")
