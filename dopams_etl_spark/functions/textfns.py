@@ -124,24 +124,55 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ``brief_facts_ai/main.py:136-144``)."""
     toks = tokens(col)
     count = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    # r15 (guide §4.1): shingles assemble via a zip_with chain over
+    # shifted slices instead of transform(idx, i -> slice(toks, ...)).
+    # A lambda body re-evaluates every embedded subexpression PER
+    # ELEMENT (no subexpression elimination inside higher-order
+    # functions), so the old form re-ran trim+lower+regex-split of the
+    # whole document once per shingle — O(tokens²) per row. zip_with
+    # evaluates its array operands once per ROW; the lambda touches only
+    # its own variables. Output strings are byte-identical
+    # (concat(x,' ',y) ≡ concat_ws(' ', [x, y]) for the non-NULL tokens
+    # split produces; zip_with's NULL padding past the shorter slice is
+    # cut by the final slice to count-n+1 entries).
+    sh = toks
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, j + 1, F.greatest(count - j, F.lit(1))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     return F.when(
         _c(col).isNull() | (F.trim(_c(col)) == ""),
         F.array().cast("array<string>"),
     ).when(
         count >= n,
-        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))),
+        F.array_distinct(F.slice(sh, 1, count - n + 1)),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
-    """Array of distinct character n-grams of normalized text."""
+    """Array of distinct character n-grams of normalized text.
+
+    r15 (guide §4.1): built from a per-character split + zip_with chain,
+    not transform(idx, i -> norm.substr(i, n)) — a lambda body
+    re-evaluates embedded subexpressions per ELEMENT, so the old form
+    re-ran the whitespace regex_replace of the whole document once per
+    character position (O(len²) per row). Outputs are identical:
+    concat of n consecutive single-character splits ≡ substr(i, n)."""
     norm = F.lower(F.regexp_replace(_c(col), r"\s+", " "))
     length = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
-    return F.when(length >= n, F.array_distinct(
-        F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
-    )).otherwise(F.array(norm))
+    cs = F.split(norm, "")
+    sh = cs
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(cs, j + 1, F.greatest(length - j, F.lit(1))),
+            lambda x, y: F.concat(x, y),
+        )
+    return F.when(
+        length >= n, F.array_distinct(F.slice(sh, 1, length - n + 1))
+    ).otherwise(F.array(norm))
 
 
 def doc_fingerprint(col: Column | str) -> Column:

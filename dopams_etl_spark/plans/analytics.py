@@ -3784,7 +3784,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-deterministic
     (replicate-salted, same inverse-CDF table as repr literals on both
     engines), so the oracle reproduces every replicate exactly."""
-    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    # r15 (guide §2): the events parquet scans as ONE partition at bench
+    # scale, serializing the 50× fan-out + 5M md5 draws onto one core.
+    ev = ensure_parallelism(
+        t(spark, sf_dir, "events").select("event_id", "value")
+    )
     u = md5_bucket32(
         F.concat(
             F.col("r").cast("string"),
