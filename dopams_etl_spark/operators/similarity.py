@@ -538,21 +538,31 @@ def semantic_dedup(
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
+    # r15 (guide §3.1): EXISTS via left-semi instead of inner-join +
+    # DISTINCT — the hash-join probe stops at the FIRST lower-id
+    # neighbor that clears the threshold (a duplicate's scan ends at
+    # its match instead of folding a dot product against every
+    # remaining cell-mate). Same result set: ids with ≥1 qualifying
+    # neighbor. The trailing distinct stays REQUIRED: a semi join emits
+    # one row per matching left ROW, so duplicated input rows (the dup2
+    # at-least-once axis) would fan the final keep-join without it.
     dropped = (
         a.join(
             b,
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.id") < F.col("a.id"))
+            & (
+                F.round(
+                    _cos_pre(
+                        F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                    ),
+                    6,
+                )
+                >= threshold
+            ),
+            "leftsemi",
         )
-        .filter(
-            F.round(
-                _cos_pre(
-                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
-                ),
-                6,
-            )
-            >= threshold
-        )
-        .select(F.col("a.id").alias("id"))
+        .select(F.col("id"))
         .distinct()
     )
     return (
@@ -587,38 +597,59 @@ def int8_quantize(
     df = df.filter(F.col(vec_col).isNotNull())
     # Widen to double BEFORE any arithmetic: float-lane subtraction would
     # round differently from the double-math SQL oracle at floor boundaries.
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    qmin = F.array_min(v)
-    qmax = F.array_max(v)
-    scale = (qmax - qmin) / F.lit(255.0)
-    code = F.transform(
-        v,
-        lambda x: F.when(
-            scale > 0,
-            F.greatest(
-                F.lit(0),
-                F.least(F.lit(255), F.floor((x - qmin) / scale + F.lit(0.5)).cast("int")),
+    #
+    # r15 (guide §4.1): qmin/scale/code materialize as COLUMNS in staged
+    # projections so the transform lambdas reference attributes, not
+    # embedded expressions — a lambda body re-evaluates embedded
+    # subexpressions PER ELEMENT, so the old single-select form recomputed
+    # array_min/array_max(transform(v)) for every element of `code` and
+    # the ENTIRE `code` transform for every element of `deq` (O(d³) per
+    # row). Same arithmetic per element ⇒ bit-identical outputs.
+    staged = (
+        df.withColumn("__v", F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .withColumn("__qmin", F.array_min("__v"))
+        .withColumn(
+            "__scale", (F.array_max("__v") - F.col("__qmin")) / F.lit(255.0)
+        )
+        .withColumn(
+            "__code",
+            F.transform(
+                "__v",
+                lambda x: F.when(
+                    F.col("__scale") > 0,
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(255),
+                            F.floor(
+                                (x - F.col("__qmin")) / F.col("__scale") + F.lit(0.5)
+                            ).cast("int"),
+                        ),
+                    ),
+                ).otherwise(F.lit(0)),
             ),
-        ).otherwise(F.lit(0)),
+        )
     )
-    deq = F.transform(code, lambda c: qmin + c.cast("double") * scale)
+    deq = F.transform(
+        "__code", lambda c: F.col("__qmin") + c.cast("double") * F.col("__scale")
+    )
     # Guard the division: an empty embedding would divide by zero (a hard
     # error under ANSI mode); surface it as NULL error instead.
     err = F.when(
-        F.size(v) > 0,
+        F.size("__v") > 0,
         F.aggregate(
-            F.zip_with(v, deq, lambda a, b: F.abs(a - b)),
+            F.zip_with("__v", deq, lambda a, b: F.abs(a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / F.size(v),
+        / F.size("__v"),
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         # + 0.0 canonicalizes IEEE -0.0 (qmin is sign-indefinite)
-        (F.round(qmin.cast("double"), 6) + 0.0).alias("qmin"),
-        F.round(scale.cast("double"), 6).alias("qscale"),
-        F.md5(F.concat_ws(",", code)).alias("codes_md5"),
+        (F.round(F.col("__qmin").cast("double"), 6) + 0.0).alias("qmin"),
+        F.round(F.col("__scale").cast("double"), 6).alias("qscale"),
+        F.md5(F.concat_ws(",", "__code")).alias("codes_md5"),
         F.round(err, 6).alias("mean_abs_err"),
     )
 
