@@ -531,7 +531,16 @@ def semantic_dedup(
     # pair join then folds ONE dot product per candidate pair instead of
     # re-aggregating both self-norms per pair — bit-identical cosines
     # (same division tree), ~3× less per-pair arithmetic.
-    with_norm = rows.select("cid", "v", _norm("v").alias("nrm"))
+    #
+    # r15 (guide §2): ensure_parallelism before the pairwise probe — a
+    # small/compacted parquet scans as ONE task (one row group), which
+    # serializes the Σ|cell|² dot-product probe on a single core; a
+    # no-op whenever the input is already at least default-parallel
+    # (the 100 TB case). Set semantics of the semi-join + distinct are
+    # partitioning-invariant, so results are unchanged.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    with_norm = ensure_parallelism(rows).select("cid", "v", _norm("v").alias("nrm"))
     assign = _nearest_centroids("v", cents, 1, norm_col=F.col("nrm")).getItem(0)
     assigned = with_norm.select(
         F.col("cid").alias("id"), "v", "nrm", assign.alias("cell")

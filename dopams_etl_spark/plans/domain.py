@@ -1215,6 +1215,17 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_t = m1.join(m2, "ct", "left")
 
     pairs_t = soundex_blocked_candidates(probe_t, cand_t, "name_a", "name_b")
+    # r15 (guide §2): the distinct-tuple pair table is tiny in BYTES
+    # (~10⁵ skinny rows) but each row pays heavy regex/edit-distance
+    # scoring, so AQE's size-based coalescing collapses the stage to ONE
+    # task and serializes the round's dominant compute (measured 3.8 s →
+    # 1.6 s warm at sf0.1 with the stage spread). An explicit round-robin
+    # repartition to default parallelism is exempt from AQE coalescing,
+    # distributes the per-pair work evenly regardless of block skew, and
+    # costs one exchange of the lightweight pair rows. Scoring is
+    # per-row and the top-2 window is keyed by pt with a total ordering,
+    # so results are partitioning-invariant.
+    pairs_t = pairs_t.repartition(spark.sparkContext.defaultParallelism)
     scored_t = score_pairs(pairs_t, same_ps=F.col("par_a") == F.col("par_b"))
     w2 = Window.partitionBy("pt").orderBy(
         F.col("score").desc(), F.col("min1_canon").asc()
@@ -1752,6 +1763,16 @@ def advanced_search_accuseds(spark: SparkSession, sf_dir: str) -> DataFrame:
     left to AQE; no row explosion — output grain stays one row per accused.
     """
     li = t(spark, sf_dir, "lineitem")
+    # r15 (guide §2): a single-row-group parquet scans as ONE task, and
+    # every join here is broadcast, so the whole 600 k-row wide
+    # string-building pipeline would run at scan parallelism. Hash-
+    # repartitioning the spine ON THE CRIME KEY both spreads the compute
+    # and pre-satisfies the two child aggregates and the accused→crime
+    # joins (same key ⇒ the groupBy exchanges collapse into this one).
+    # No-op whenever the scan is already default-parallel (real scale).
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    li = ensure_parallelism(li, "l_orderkey")
     o = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     nat = t(spark, sf_dir, "nation")
