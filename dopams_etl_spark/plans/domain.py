@@ -357,6 +357,16 @@ def drug_unit_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/A5: unit standardization (liquid reclassification included) +
     per-group sums + display-unit cascade (``firs_mv.sql:58–71``)."""
     li = t(spark, sf_dir, "lineitem")
+    # r15 (guide §2): the unit-standardization map + partial aggregation
+    # ran at single-row-group scan parallelism (one task over 600 k
+    # rows). Round-robin spread first (3 group keys ⇒ hashing on them
+    # would bound parallelism at ~9); the sums stay exact under any
+    # addition order because every standardized quantity is an
+    # integer-valued double (l_quantity integral 1–50 × integral
+    # factors 1/1000) ⇒ bit-identical. No-op at real scan parallelism.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    li = ensure_parallelism(li)
     unit = (
         F.when(F.col("l_returnflag") == "N", F.lit("Kgs."))
         .when(F.col("l_returnflag") == "A", F.lit("grams"))
@@ -702,8 +712,21 @@ def criminal_profiles_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     part = t(spark, sf_dir, "part")
-    pc = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_partkey", "l_orderkey", "l_returnflag", "l_quantity", "o_orderdate", "o_orderkey"
+    # r15 (guide §2): the person-crime fact would otherwise inherit the
+    # one-row-group lineitem scan's single task through the broadcast
+    # join, serializing the partial aggregation / window / semi-join
+    # pipeline. Hash-repartitioning on the person key pre-satisfies the
+    # groupBy AND the latest-per-key window (both keyed l_partkey), so
+    # no further exchange on that key; aggregates are order-safe
+    # (countDistinct, min/max, sorted collect_set, integer-cents sum)
+    # ⇒ bit-identical. No-op at real scan parallelism.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    pc = ensure_parallelism(
+        li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_partkey", "l_orderkey", "l_returnflag", "l_quantity", "o_orderdate", "o_orderkey"
+        ),
+        "l_partkey",
     )
     stats = pc.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("crime_count"),
