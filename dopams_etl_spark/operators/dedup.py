@@ -656,9 +656,16 @@ def repeated_ngram_spans(
     Documents shorter than ``span_words`` words have no spans and are
     absent from the output (same as the SQL restatement).
     """
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
     ws = tokens(text_col)
+    # r15 (guide §2.4): the span subtree is referenced twice (the
+    # distinct-doc-count aggregate and the join back) and a small corpus
+    # scans as one task — spread on the doc id so the tokenize + per-span
+    # md5 work parallelizes and the final per-doc aggregate is
+    # pre-partitioned. Counts are order-invariant; no-op at real scale.
     spans = (
-        df.filter(F.trim(text_col) != "")
+        ensure_parallelism(df.filter(F.trim(text_col) != ""), id_col)
         .select(F.col(id_col).alias("id"), ws.alias("ws"))
         .filter(F.size("ws") >= span_words)
         .select(

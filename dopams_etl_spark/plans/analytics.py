@@ -2959,33 +2959,56 @@ def brand_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate space is bounded by the dimension's own cardinality;
     min-support 2 prunes before ranking, top-20 with full-name
     tie-break."""
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(part, li["l_partkey"] == part["p_partkey"])
-        .select(
-            F.col("l_orderkey").alias("orderkey"), F.col("p_brand").alias("brand")
-        )
-        .distinct()
+    base = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("orderkey"), F.col("p_brand").alias("brand")
     )
-    n = ob.agg(F.count_distinct("orderkey").alias("n_orders"))
-    a, b, c = ob.alias("a"), ob.alias("b"), ob.alias("c")
+    # r15 (guide §2.3/§2.4): generate i<j<k triples from each order's
+    # SORTED distinct brand set instead of the 3-way self-join — one
+    # orderkey exchange replaces the distinct + two SMJs (A/B: 1.95 →
+    # 1.58 s warm at sf0.1, identical rows). NULL handling matches the
+    # old join chain exactly: the equi-join dropped NULL orderkeys (the
+    # filter), `<` dropped NULL brands (collect_set skips NULLs), and
+    # n_orders = count_distinct(orderkey) = one sets row per non-NULL
+    # order (empty brand arrays still count, as they did in ob).
+    sets = (
+        ensure_parallelism(base.filter(F.col("orderkey").isNotNull()), "orderkey")
+        .groupBy("orderkey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
+    )
+    n = sets.agg(F.count(F.lit(1)).alias("n_orders"))
     triples = (
-        a.join(
-            b,
-            (F.col("a.orderkey") == F.col("b.orderkey"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "bs",
+                        lambda x, i: F.flatten(
+                            F.transform(
+                                F.slice("bs", i + F.lit(2), F.size("bs") - i - 1),
+                                lambda y, j: F.transform(
+                                    F.slice(
+                                        "bs",
+                                        i + j + F.lit(3),
+                                        F.size("bs") - i - j - 2,
+                                    ),
+                                    lambda z: F.struct(
+                                        x.alias("brand_a"),
+                                        y.alias("brand_b"),
+                                        z.alias("brand_c"),
+                                    ),
+                                ),
+                            )
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .join(
-            c,
-            (F.col("b.orderkey") == F.col("c.orderkey"))
-            & (F.col("b.brand") < F.col("c.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
-            F.col("c.brand").alias("brand_c"),
-        )
+        .select("p.*")
+        .groupBy("brand_a", "brand_b", "brand_c")
         .agg(F.count(F.lit(1)).alias("support_count"))
         .filter(F.col("support_count") >= 2)
     )

@@ -499,6 +499,12 @@ def parse_dates_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/F2 multi-format timestamp parsing — first-match try list, NULL on
     failure (``etl_properties.py:578–657``, ``etl_crimes.py:76–101``)."""
     o = t(spark, sf_dir, "orders")
+    # r15 (guide §2.4): map-only query — without an exchange the whole
+    # multi-format try-parse chain runs on the single row-group scan
+    # task. Per-row deterministic values ⇒ partitioning-invariant.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    o = ensure_parallelism(o)
     k = F.col("o_orderkey")
     raw = (
         F.when(k % 3 == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))

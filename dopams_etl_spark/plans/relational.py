@@ -139,6 +139,15 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small scale and switches to shuffle join when the measured size
     outgrows the threshold."""
     li = t(spark, sf_dir, "lineitem")
+    # r15 (guide §2.4): hash-repartition on the order key so the
+    # per-order revenue products run at full width off a one-row-group
+    # scan; the groupBy reuses the partitioning (still one exchange).
+    # Bitwise-safe: each order's rows stay in scan order within one
+    # partition, so the per-order float sum accumulates identically
+    # (A/B verified exact). No-op at real scan parallelism.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    li = ensure_parallelism(li, "l_orderkey")
     per_order = li.groupBy("l_orderkey").agg(
         # cast("double") first (r14 f32 census) — see the oracle note
         F.sum(
@@ -2359,13 +2368,46 @@ def supplier_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dopams_etl_spark.operators.graph import triangle_stats
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    # r15 (guide §2.3/§2.4): pair generation via per-order sorted supplier
+    # sets instead of the lineitem self-join — one scan + one exchange on
+    # the order key replaces two scans, two exchanges and an SMJ; the
+    # ≤7-item order bound caps the explode at C(7,2)=21 pairs. The sorted
+    # collect_set makes every emitted pair src<dst (exactly the old join
+    # predicate), and triangle_stats canonicalizes+distincts, so the
+    # wrapper's own distinct is dropped rather than paid twice.
+    # NULL keys: the old equi-join dropped NULL order keys and the `<`
+    # predicate dropped NULL suppkeys — filter + collect_set (which skips
+    # NULLs) reproduce both, so degenerate null fixtures stay identical.
+    # The hash repartition on the order key spreads the one-row-group
+    # scan AND pre-satisfies the groupBy (guide §2.4); no-op at real
+    # scan parallelism, AQE-exempt so tiny shuffle bytes can't collapse
+    # the pair-generation stage to one task.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    sups = (
+        ensure_parallelism(li.filter(F.col("l_orderkey").isNotNull()), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
     )
     edges = (
-        li.join(l2, (li["l_orderkey"] == l2["o2"]) & (li["l_suppkey"] < l2["s2"]))
-        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
-        .distinct()
+        sups.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ss",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "ss", i + F.lit(2), F.size("ss") - i - 1
+                            ),
+                            lambda y: F.struct(
+                                x.alias("src"), y.alias("dst")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
     )
     return triangle_stats(edges)
 

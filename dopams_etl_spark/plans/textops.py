@@ -1062,6 +1062,12 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window over the fingerprint — the filters run BEFORE the dedup
     shuffle, so at 100 TB the exchange only carries surviving documents."""
     docs = t(spark, sf_dir, "documents")
+    # r15 (guide §2.4): the quality/lang scoring is map-side work ahead
+    # of the dedup exchange — spread the one-row-group scan so it isn't
+    # pinned to one task. Per-row deterministic ⇒ identical results.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     kept = docs.withColumn("quality", quality_score("text")).withColumn(
         "pred_lang", lang_id("text")
     ).filter((F.col("quality") >= 0.7) & (F.col("pred_lang") == "en"))
@@ -2017,8 +2023,14 @@ def perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents land in an explicit 'unscored' tier instead of biasing the
     cut points."""
     from dopams_etl_spark.operators.quality import lm_score
+    from dopams_etl_spark.partitioning import ensure_parallelism
 
     docs = t(spark, sf_dir, "documents")
+    # r15 (guide §2.4): the bigram-LM scoring subtree is referenced
+    # twice (tercile cuts + the tiering projection) and otherwise runs
+    # per reference on the single scan task. Percentile sorts
+    # internally ⇒ partitioning-invariant. No-op at real parallelism.
+    docs = ensure_parallelism(docs, "doc_id")
     scored = lm_score(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
     cuts = scored.filter(F.col("ppl_proxy").isNotNull()).agg(
         F.percentile("ppl_proxy", F.lit(0.3333)).alias("lo"),
@@ -2324,6 +2336,14 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     words = bloom_words(bench_sh, "shingle", m_bits, k)
 
+    # r15 (guide §2.4): every join below is broadcast and the documents
+    # parquet is one row group, so the shingle explode + k bloom-hash
+    # probes otherwise run on ONE scan task. Hash-repartitioning on
+    # doc_id spreads the map work and pre-satisfies the per-doc
+    # aggregate; counts are order-invariant. No-op at real parallelism.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus, "doc_id")
     corp = corpus.select("doc_id", word_shingles("text", 3).alias("sh"))
     ex = corp.select("doc_id", F.explode("sh").alias("shingle"))
     passed = bloom_probe(ex, "shingle", words, m_bits, k).filter("might_contain")
@@ -3780,6 +3800,15 @@ def cross_doc_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    # r15 (guide §2.4): the documents parquet is one row group ⇒ one scan
+    # task, and the span subtree below is referenced three times (df-cap
+    # side + both self-join sides), so ~500 k span-md5s ran serially per
+    # reference. Spread the doc rows first; every downstream result is
+    # integer counts over a deterministic per-(pair,diag) ordering ⇒
+    # partitioning-invariant. No-op at real scan parallelism.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     ws = tokens("text")
     g = (
         docs.select("doc_id", ws.alias("ws"))
