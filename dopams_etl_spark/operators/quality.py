@@ -33,7 +33,15 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bounded by 5× the token count. All whole-stage-codegen expressions;
     at 100 TB each document's state stays proportional to its own length.
     """
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
     txt = F.trim(F.lower(F.col(text_col)))
+    # r15 (guide §2.4): the tokenized base is referenced three times
+    # (top2 branch, dup5 branch, final join) and a small corpus scans as
+    # one task — spread on the doc id so the per-branch tokenize+gram
+    # work parallelizes. Per-doc aggregates are order-invariant (counts,
+    # max, first over a per-doc constant). No-op at real parallelism.
+    df = ensure_parallelism(df, id_col)
     # NULL text scores like an empty doc: 0 tokens, 0.0 fractions
     base = df.select(
         F.col(id_col).alias("id"),
@@ -276,8 +284,14 @@ def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     scalar. Everything is JVM expressions; sums of a few hundred doubles
     round to 6 well inside IEEE noise.
     """
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
     txt = F.trim(F.lower(F.col(text_col)))
-    base = df.select(
+    # r15 (guide §2.4): the tokenized base feeds four references
+    # (positions, unigrams, the scoring join, the final left join) —
+    # spread on the doc id so each branch's tokenize runs at full
+    # width off a one-row-group scan. No-op at real parallelism.
+    base = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.when(txt == "", F.array().cast("array<string>")).otherwise(
             F.split(txt, r"\s+")

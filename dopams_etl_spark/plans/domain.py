@@ -306,6 +306,9 @@ def gender_infer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D11 gender inference: API-gender normalization, name-validity gate,
     rule map + suffix heuristics (``etl_persons.py:158–283``)."""
     cust = t(spark, sf_dir, "customer")
+    # r15: measured a round-robin spread of the one-row-group scan at
+    # 0.65 → 0.85 s — the customer exchange costs more than the rule
+    # cascade it would parallelize. Left map-only on the scan task.
     names = F.array(*[F.lit(x) for x in _NAMES])
     api = F.when(F.col("c_custkey") % 6 == 0, F.lit("M"))
     for idx, g in enumerate(_API_G[1:], start=1):
@@ -632,6 +635,14 @@ def accuseds_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = t(spark, sf_dir, "nation")
     part = t(spark, sf_dir, "part")
     sup = t(spark, sf_dir, "supplier")
+    # r15 (guide §2.4): every join here is broadcast at test scale
+    # (measured plan: 5 BHJ, ZERO exchanges), so the wide per-accused
+    # string assembly ran entirely on the single row-group scan task.
+    # Round-robin spread — the query is a map-only projection after the
+    # joins, per-row deterministic ⇒ identical. No-op at real scale.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    li = ensure_parallelism(li)
     acc_status = (
         F.when(F.col("l_returnflag") == "R", F.lit("Arrested on 12/01/2024"))
         .when(F.col("l_returnflag") == "A", F.lit("Absconding"))

@@ -49,6 +49,7 @@ from dopams_etl_spark.operators.similarity import (
     embedding_near_dups,
     lsh_topk,
 )
+from dopams_etl_spark.partitioning import ensure_parallelism
 from dopams_etl_spark.plans.catalog import (
     ann_notnull,
     md5_bucket32_sql,
@@ -135,7 +136,9 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + punctuation / stopword ratios — pure JVM expressions
     inside whole-stage codegen."""
-    docs = t(spark, sf_dir, "documents")
+    # r15 (guide §2.4): map-only — spread the one-row-group scan
+    # (per-row deterministic ⇒ identical). No-op at real scale.
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count("text").cast("int").alias("n_tokens"),
@@ -167,7 +170,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: per-language stopword hits, argmax with a
     deterministic key-order tie-break."""
-    docs = t(spark, sf_dir, "documents")
+    # r15 (guide §2.4): map-only — spread (per-row ⇒ identical)
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", lang_id("text").alias("pred_lang"))
 
 
@@ -204,7 +208,8 @@ _QUALITY_CTES = r"""b AS (
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style composite quality score (length sweet-spot, punctuation,
     stopword density)."""
-    docs = t(spark, sf_dir, "documents")
+    # r15 (guide §2.4): map-only — spread (per-row ⇒ identical)
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
@@ -814,7 +819,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_frame_sample, zero Python boundary)."""
     from dopams_etl_spark.operators.quality import chunk_documents
 
-    docs = t(spark, sf_dir, "documents")
+    # r15 (guide §2.4): map-only fan-out — spread (per-row ⇒ identical)
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=50, overlap=10).select(
         F.col("id").alias("doc_id"), "chunk_idx", "n_tokens", "chunk"
     )
@@ -940,7 +946,8 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lookahead-free so Java regex and RE2 agree span-for-span."""
     from dopams_etl_spark.functions.textfns import pii_count, redact_pii
 
-    docs = t(spark, sf_dir, "documents")
+    # r15 (guide §2.4): map-only regex scrub — spread (per-row ⇒ identical)
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     aug = docs.withColumn(
         "txt",
@@ -1479,7 +1486,10 @@ def doc_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight list. At 100 TB this is a map-only scan."""
     from dopams_etl_spark.functions.textfns import hashed_model_score
 
-    docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    # r15 (guide §2.4): map-only inference — spread (per-row ⇒ identical)
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )
     return docs.select(
         "doc_id", F.round(hashed_model_score("text"), 6).alias("quality_score")
     )
@@ -2599,7 +2609,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/similarity.py:random_projection`)."""
     from dopams_etl_spark.operators.similarity import random_projection
 
-    emb = t(spark, sf_dir, "embeddings")
+    # r15 (guide §2.4): map-only projection — spread (per-row, plan-
+    # literal Gaussian matrix ⇒ identical). No-op at real scale.
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     proj = random_projection(emb, "vec_id", "embedding", in_dim=64, out_dim=16, seed=42)
     return proj.select(
         "vec_id",
