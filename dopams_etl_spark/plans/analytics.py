@@ -955,8 +955,14 @@ def trigram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle family) and the verdict re-joins on the same key — cost
     linear in total trigrams, never pairwise in documents."""
     from dopams_etl_spark.functions.textfns import tokens
+    from dopams_etl_spark.partitioning import ensure_parallelism
 
-    docs = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    # r15 (guide §2.4): the tokenize + gram explode feeds two references
+    # (first-seen aggregate + the verdict join) at one-task scan
+    # parallelism. Keyed spread; min/count aggregates order-invariant.
+    docs = ensure_parallelism(
+        t(spark, sf_dir, "documents").filter(F.trim("text") != ""), "doc_id"
+    )
     tk = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= 3
     )

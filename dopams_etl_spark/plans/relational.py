@@ -302,6 +302,13 @@ def order_lineitems_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 ordered struct-collect (``jsonb_agg(... ORDER BY seq)``,
     ``firs_mv.sql:43–54``), surfaced as a canonical string for hashing."""
     li = t(spark, sf_dir, "lineitem")
+    # r15 (guide §2.4): keyed spread of the one-row-group scan — the
+    # groupBy reuses the partitioning (one exchange) and the struct
+    # building runs at full width; the collect is explicitly sorted ⇒
+    # partitioning-invariant. Measured 1.08 → 0.62 s. No-op at scale.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    li = ensure_parallelism(li, "l_orderkey")
     # (l_orderkey, l_linenumber) is NOT unique in the testdata — qty joins
     # the sort key so tie order is deterministic on both engines.
     arr = collect_sorted_structs(
