@@ -2033,14 +2033,10 @@ def perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents land in an explicit 'unscored' tier instead of biasing the
     cut points."""
     from dopams_etl_spark.operators.quality import lm_score
-    from dopams_etl_spark.partitioning import ensure_parallelism
 
     docs = t(spark, sf_dir, "documents")
-    # r15 (guide §2.4): the bigram-LM scoring subtree is referenced
-    # twice (tercile cuts + the tiering projection) and otherwise runs
-    # per reference on the single scan task. Percentile sorts
-    # internally ⇒ partitioning-invariant. No-op at real parallelism.
-    docs = ensure_parallelism(docs, "doc_id")
+    # r15: lm_score spreads its token base internally (quality.py); a
+    # query-level spread here measured neutral and only added exchanges.
     scored = lm_score(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
     cuts = scored.filter(F.col("ppl_proxy").isNotNull()).agg(
         F.percentile("ppl_proxy", F.lit(0.3333)).alias("lo"),
