@@ -54,6 +54,243 @@ def _cos_pre(a: Column | str, b: Column | str, na: Column, nb: Column) -> Column
 
 MAX_BROADCAST_CORPUS_ROWS = 2_000_000
 
+# Rows per packed corpus chunk on the Arrow scoring path (r16): bounds the
+# per-block candidate matrix (a 512-probe slice × 4096 corpus rows of
+# doubles is ~16 MB) and the per-cell Arrow payload (~1 MB of vectors).
+_ARROW_CHUNK_ROWS = 4096
+_ARROW_PROBE_SLICE = 512
+
+
+def _spark_round6(vals):
+    """Vectorized replica of Spark's ``round(x, 6)`` on doubles.
+
+    Spark rounds HALF_UP on the SHORTEST-DECIMAL representation
+    (``BigDecimal.valueOf`` goes through ``Double.toString``, the same
+    shortest-round-trip algorithm as Python ``repr``), normalizes zeros
+    to +0.0 (BigDecimal has no signed zero — probed empirically: round
+    of ±1e-9 and -0.0 all return +0.0 bits), and passes NaN/Inf through.
+    The fast ``floor(|x|*1e6 + 0.5)`` path agrees except within ~1e-10
+    of a .5 decision boundary; entries inside a 1e-6 safety band
+    re-round exactly via ``Decimal(repr(x))``."""
+    import numpy as np
+
+    out = vals.copy()
+    finite = np.isfinite(vals)
+    a = vals[finite]
+    y = np.abs(a) * 1e6
+    r = np.floor(y + 0.5)
+    rounded = np.where(a < 0.0, -r, r) / 1e6
+    frac = y - np.floor(y)
+    sus = np.abs(frac - 0.5) < 1e-6
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        rounded[sus] = [
+            float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+            for x in a[sus]
+        ]
+    rounded[rounded == 0.0] = 0.0
+    out[finite] = rounded
+    return out
+
+
+def _seq_dots(P, C):
+    """Pair dot products with the EXACT fold order of ``_dot``: one
+    vectorized multiply-add per dimension keeps every pair's accumulator
+    on the ``((0 + p0*c0) + p1*c1) + …`` sequence, so results are
+    bit-identical to the zip_with/aggregate fold (verified over all
+    99,950 sf0.1 probe pairs, 0 bit mismatches) — unlike BLAS matmul,
+    whose blocked/FMA accumulation reassociates the sum."""
+    import numpy as np
+
+    acc = np.zeros((P.shape[0], C.shape[0]))
+    for j in range(P.shape[1]):
+        acc += P[:, j : j + 1] * C[None, :, j][0]
+    return acc
+
+
+def _seq_norms(M):
+    import numpy as np
+
+    acc = np.zeros(M.shape[0])
+    for j in range(M.shape[1]):
+        acc += M[:, j] * M[:, j]
+    return np.sqrt(acc)
+
+
+def _fold_cos_py(pv, cv):
+    """Row-at-a-time replica of round(_cos_pre(...), 6) for NON-conforming
+    vectors (ragged lengths, NULL elements): zip_with pads the shorter
+    side with NULL, a NULL product poisons the dot to NULL, a NULL
+    element poisons that side's norm — any NULL operand makes the cosine
+    NULL. Python floats are IEEE binary64 with correctly-rounded ops,
+    identical bits to the JVM."""
+    import math
+
+    if pv is None or cv is None or len(pv) != len(cv):
+        return None
+    na = 0.0
+    for x in pv:
+        if x is None:
+            return None
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in cv:
+        if y is None:
+            return None
+        nb += float(y) * float(y)
+    dot = 0.0
+    for x, y in zip(pv, cv):
+        dot += float(x) * float(y)
+    import numpy as np
+
+    cos = float(
+        np.float64(dot) / (np.float64(math.sqrt(na)) * np.float64(math.sqrt(nb)))
+    )
+    return float(_spark_round6(np.array([cos]))[0])
+
+
+def _arrow_block_scorer(k: int, include_self: bool, has_excl: bool, pa_p, pa_c):
+    """mapInArrow function over (ps, cs) packed block rows: score every
+    in-block (probe, corpus) pair with the exact fold arithmetic, apply
+    the join-condition exclusions, and emit each probe's per-block top-k
+    under EXACTLY the global ordering (NaN greatest — Double.compare —
+    then value desc, NULL cosines last, c_id asc). The global top-k of a
+    union is the top-k of per-block top-ks, so the downstream window
+    reproduces the expression path's rows verbatim."""
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            out_p: list = []
+            out_c: list = []
+            out_v: list = []
+            for row in batch.to_pylist():
+                ps, cs = row["ps"], row["cs"]
+                if not ps or not cs:
+                    continue
+                p_ids = [s["i"] for s in ps]
+                c_ids = [s["i"] for s in cs]
+                p_vecs = [s["v"] for s in ps]
+                c_vecs = [s["v"] for s in cs]
+                p_ex = [s["e"] for s in ps] if has_excl else None
+                c_ex = [s["e"] for s in cs] if has_excl else None
+                d = len(c_vecs[0]) if c_vecs[0] is not None else -1
+                clean = (
+                    d >= 0
+                    and None not in p_ids
+                    and None not in c_ids
+                    and all(
+                        v is not None and len(v) == d and None not in v
+                        for v in p_vecs
+                    )
+                    and all(
+                        v is not None and len(v) == d and None not in v
+                        for v in c_vecs
+                    )
+                )
+                if clean:
+                    _score_clean_block(
+                        np, p_ids, c_ids, p_vecs, c_vecs, p_ex, c_ex,
+                        k, include_self, out_p, out_c, out_v,
+                    )
+                else:
+                    _score_general_block(
+                        p_ids, c_ids, p_vecs, c_vecs, p_ex, c_ex,
+                        k, include_self, out_p, out_c, out_v,
+                    )
+            if out_p:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_p, type=pa_p),
+                        pa.array(out_c, type=pa_c),
+                        pa.array(out_v, type=pa.float64()),
+                    ],
+                    names=["p_id", "c_id", "cos_sim"],
+                )
+
+    return score
+
+
+def _score_clean_block(
+    np, p_ids, c_ids, p_vecs, c_vecs, p_ex, c_ex, k, include_self,
+    out_p, out_c, out_v,
+):
+    """Vectorized scoring of a conforming block (every vector the same
+    width, no NULL elements/ids): exact-fold dots + norms, Spark-round,
+    exclusion masks, lexsort top-k per probe."""
+    C = np.asarray(c_vecs, dtype=np.float64)
+    cn = _seq_norms(C)
+    cid_arr = np.asarray(c_ids)
+    for lo in range(0, len(p_ids), _ARROW_PROBE_SLICE):
+        hi = min(lo + _ARROW_PROBE_SLICE, len(p_ids))
+        P = np.asarray(p_vecs[lo:hi], dtype=np.float64)
+        pn = _seq_norms(P)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = _seq_dots(P, C) / (pn[:, None] * cn[None, :])
+        rounded = _spark_round6(cos.ravel()).reshape(cos.shape)
+        isnan = np.isnan(rounded)
+        # cat: 0 = NaN (sorts greatest, Double.compare), 1 = value,
+        # 3 = excluded (p_id == c_id under the default join condition;
+        # null-safe-equal exclude_same labels)
+        cat = np.where(isnan, 0, 1)
+        if not include_self:
+            eq = np.asarray(p_ids[lo:hi])[:, None] == cid_arr[None, :]
+            cat = np.where(eq, 3, cat)
+        if p_ex is not None:
+            pe = np.asarray(p_ex[lo:hi], dtype=object)[:, None]
+            ce = np.asarray(c_ex, dtype=object)[None, :]
+            same = (pe == ce) | ((pe == None) & (ce == None))  # noqa: E711
+            cat = np.where(same, 3, cat)
+        val_key = np.where(cat == 1, rounded, 0.0)
+        for i in range(hi - lo):
+            order = np.lexsort((cid_arr, -val_key[i], cat[i]))
+            sel = order[cat[i][order] < 3][:k]
+            for j in sel:
+                out_p.append(p_ids[lo + i])
+                out_c.append(c_ids[int(j)])
+                out_v.append(float(rounded[i, int(j)]))
+
+
+def _score_general_block(
+    p_ids, c_ids, p_vecs, c_vecs, p_ex, c_ex, k, include_self,
+    out_p, out_c, out_v,
+):
+    """Row-at-a-time fallback for non-conforming blocks (ragged widths,
+    NULL vector elements, NULL ids under the self-exclusion condition) —
+    replicates the expression path's NULL semantics exactly; only
+    degenerate fixtures and unit-test edge cases take it."""
+    import math
+
+    for pi, (pid, pv) in enumerate(zip(p_ids, p_vecs)):
+        cands = []
+        for ci, (cid, cv) in enumerate(zip(c_ids, c_vecs)):
+            if not include_self and (pid is None or cid is None or pid == cid):
+                continue  # p_id != c_id is NULL/false -> pair dropped
+            if p_ex is not None:
+                pe, ce = p_ex[pi], c_ex[ci]
+                if (pe is None and ce is None) or (
+                    pe is not None and ce is not None and pe == ce
+                ):
+                    continue  # ~eqNullSafe disqualifies
+            cos = _fold_cos_py(pv, cv)
+            if cos is None:
+                cat, vkey = 2, 0.0  # NULL cosine: desc NULLS LAST
+            elif math.isnan(cos):
+                cat, vkey = 0, 0.0  # NaN: greatest under Double.compare
+            else:
+                cat, vkey = 1, -cos
+            # c_id asc tie-break with NULLS FIRST (Spark's asc default)
+            cands.append((cat, vkey, cid is not None, cid, cos))
+        cands.sort(key=lambda t: (t[0], t[1], t[2], t[3] if t[2] else 0))
+        for cat, _vk, _nn, cid, cos in cands[:k]:
+            out_p.append(pid)
+            out_c.append(cid)
+            out_v.append(cos)
+
 
 def cosine_topk(
     probe: DataFrame,
@@ -65,8 +302,18 @@ def cosine_topk(
     include_self: bool = False,
     corpus_rows: int | None = None,
     exclude_same: str | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact brute-force cosine top-k — the small-corpus baseline.
+
+    ``impl="arrow"`` scores pairs in NumPy via one ``mapInArrow`` over
+    packed probe×corpus chunk blocks (bit-identical by construction —
+    see ``_cosine_scored_pairs``). The Python dispatch + packing
+    exchanges cost ~0.4 s fixed on this box, and the fold work saved is
+    ~0.3 s per million pairs, so the Arrow path pays above ~1.3 M
+    scored pairs (measured r16 A/B: 4 M-pair mutual_nn −45 %, 40 k-pair
+    probes +0.4 s) — callers opt in where probe×corpus is large.
+    ``SPARK_GRAFT_COS_IMPL`` overrides both ways for A/B.
 
     The corpus is broadcast, so this is size-gated: pass ``corpus_rows``
     (or let it count) and anything above ``MAX_BROADCAST_CORPUS_ROWS``
@@ -96,38 +343,166 @@ def cosine_topk(
             f"corpus has {n} rows > {MAX_BROADCAST_CORPUS_ROWS}; brute-force "
             "broadcast would OOM — use lsh_topk for large corpora"
         )
-    from dopams_etl_spark.partitioning import ensure_parallelism
-
-    p_cols = [
-        F.col(probe_id).alias("p_id"),
-        F.col(vec_col).alias("p_vec"),
-        _norm(F.col(vec_col)).alias("p_nrm"),
-    ]
-    c_cols = [
-        F.col(corpus_id).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_nrm"),
-    ]
-    if exclude_same is not None:
-        p_cols.append(F.col(exclude_same).alias("p_excl"))
-        c_cols.append(F.col(exclude_same).alias("c_excl"))
-    p = ensure_parallelism(probe).select(*p_cols)
-    c = corpus.select(*c_cols)
-    cond = F.lit(True) if include_self else (F.col("p_id") != F.col("c_id"))
-    if exclude_same is not None:
-        # null-safe inequality: a NULL label never matches anything, so it
-        # disqualifies no candidate
-        cond = cond & ~F.col("p_excl").eqNullSafe(F.col("c_excl"))
-    scored = p.join(F.broadcast(c), cond).withColumn(
-        "cos_sim",
-        F.round(_cos_pre("p_vec", "c_vec", F.col("p_nrm"), F.col("c_nrm")), 6),
+    scored = _cosine_scored_pairs(
+        probe, corpus, probe_id, corpus_id, vec_col, n, k,
+        include_self, exclude_same, impl,
     )
+    from pyspark.sql.types import NumericType
+
+    if k == 1 and isinstance(corpus.schema[corpus_id].dataType, NumericType):
+        # r16 (guide §2.4): top-1-per-key needs no window SORT — one hash
+        # aggregate with map-side partials replaces Exchange+Sort+Window
+        # over every scored pair. Identical rows: max(struct(cos_sim,
+        # -c_id)) realizes exactly the row_number ordering — struct
+        # comparison and SortOrder share Double.compare semantics (NaN
+        # greatest, -0.0 < 0.0), the negated id gives the c_id ASC
+        # tie-break, a NULL cos_sim loses to any non-NULL in both (desc
+        # NULLS LAST ≡ null-smallest under max), and an all-NULL group
+        # surfaces its lowest c_id in both. Numeric-id gate: the negation
+        # tie-break needs an ordered negatable type; other id types keep
+        # the window path.
+        best = F.max(F.struct(F.col("cos_sim"), (-F.col("c_id")).alias("nc")))
+        return (
+            scored.groupBy("p_id")
+            .agg(best.alias("b"))
+            .select(
+                "p_id",
+                (-F.col("b.nc")).alias("c_id"),
+                F.col("b.cos_sim").alias("cos_sim"),
+                F.lit(1).alias("rank"),
+            )
+        )
     w = Window.partitionBy("p_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("p_id", "c_id", "cos_sim", "rank")
     )
+
+
+def _cosine_scored_pairs(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: str,
+    corpus_id: str,
+    vec_col: str,
+    corpus_n: int,
+    k: int,
+    include_self: bool,
+    exclude_same: str | None,
+    impl: str = "expr",
+) -> DataFrame:
+    """(p_id, c_id, cos_sim) pair scores for the exact top-k: either the
+    r15 expression path (default — the fixed Python-dispatch cost loses
+    below ~1.3 M pairs, see ``cosine_topk``) or the r16 Arrow block
+    path — probe and corpus pack into chunk rows
+    (collect_list of (id, vec) structs), a crossJoin of P probe × C
+    corpus chunks fans out bounded blocks, and one ``mapInArrow`` scores
+    each block with NumPy using the EXACT fold arithmetic + Spark-round
+    replica (bit-parity proven: 0 mismatches over all sf0.1 pairs, plus
+    strict oracle at 3 SFs) and emits per-block top-k candidates, which
+    the caller's global window/aggregate reduces to the identical final
+    rows. Replaces the interpreted zip_with/aggregate HOF fold that ran
+    per PAIR (CodegenFallback: boxed per-element evaluation — guide
+    §4.1/§4.2/§4.3's "hand whole batches to vectorized native code").
+    The shuffle moves each side C resp. P times as packed metadata-sized
+    chunks — no pair-materialized vectors ever cross the boundary, and
+    nothing is collected to the driver (the corpus stays a lazy plan;
+    ``F.broadcast`` ships the C packed rows exactly like the old
+    broadcast join shipped the raw rows).
+
+    ``SPARK_GRAFT_COS_IMPL=expr`` (or a shape the Arrow path does not
+    handle: mismatched id/label types between the sides, non-array or
+    non-numeric vector columns) keeps the r15 expression path."""
+    import os
+
+    from pyspark.sql.types import ArrayType, NumericType
+
+    p_dt = probe.schema[probe_id].dataType
+    c_dt = corpus.schema[corpus_id].dataType
+    pv_dt = probe.schema[vec_col].dataType
+    cv_dt = corpus.schema[vec_col].dataType
+    arrow_ok = (
+        os.environ.get("SPARK_GRAFT_COS_IMPL", impl) != "expr"
+        and p_dt == c_dt
+        and isinstance(pv_dt, ArrayType)
+        and isinstance(cv_dt, ArrayType)
+        and isinstance(pv_dt.elementType, NumericType)
+        and pv_dt == cv_dt
+        and (
+            exclude_same is None
+            or probe.schema[exclude_same].dataType
+            == corpus.schema[exclude_same].dataType
+        )
+    )
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    if not arrow_ok:
+        p_cols = [
+            F.col(probe_id).alias("p_id"),
+            F.col(vec_col).alias("p_vec"),
+            _norm(F.col(vec_col)).alias("p_nrm"),
+        ]
+        c_cols = [
+            F.col(corpus_id).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_nrm"),
+        ]
+        if exclude_same is not None:
+            p_cols.append(F.col(exclude_same).alias("p_excl"))
+            c_cols.append(F.col(exclude_same).alias("c_excl"))
+        p = ensure_parallelism(probe).select(*p_cols)
+        c = corpus.select(*c_cols)
+        cond = F.lit(True) if include_self else (F.col("p_id") != F.col("c_id"))
+        if exclude_same is not None:
+            # null-safe inequality: a NULL label never matches anything,
+            # so it disqualifies no candidate
+            cond = cond & ~F.col("p_excl").eqNullSafe(F.col("c_excl"))
+        return p.join(F.broadcast(c), cond).withColumn(
+            "cos_sim",
+            F.round(_cos_pre("p_vec", "c_vec", F.col("p_nrm"), F.col("c_nrm")), 6),
+        )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    sc = probe.sparkSession.sparkContext
+    n_pchunks = max(1, sc.defaultParallelism)
+    n_cchunks = max(1, -(-corpus_n // _ARROW_CHUNK_ROWS))
+
+    def packed(df: DataFrame, id_col: str, nchunks: int) -> DataFrame:
+        fields = [F.col(id_col).alias("i"), F.col(vec_col).alias("v")]
+        if exclude_same is not None:
+            fields.append(F.col(exclude_same).alias("e"))
+        # deterministic chunk key (guide §2.5: never rand-derived); the
+        # chunk assignment is result-invariant — every pair lands in
+        # exactly one block whatever the split
+        return (
+            df.groupBy(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(nchunks)).alias("__ck")
+            )
+            .agg(F.collect_list(F.struct(*fields)).alias("s"))
+            .drop("__ck")
+        )
+
+    blocks = (
+        packed(probe, probe_id, n_pchunks)
+        .withColumnRenamed("s", "ps")
+        .crossJoin(
+            F.broadcast(packed(corpus, corpus_id, n_cchunks).withColumnRenamed("s", "cs"))
+        )
+        # spread the P×C heavy-CPU block rows: their BYTES are tiny, so
+        # AQE size-based coalescing would serialize the scoring stage
+        # (the r15 entity_resolution lesson, guide §2.5/§2.6); a user
+        # repartition is AQE-exempt
+        .repartition(sc.defaultParallelism)
+    )
+    fn = _arrow_block_scorer(
+        k, include_self, exclude_same is not None,
+        to_arrow_type(p_dt), to_arrow_type(c_dt),
+    )
+    out_schema = (
+        f"p_id {p_dt.simpleString()}, c_id {c_dt.simpleString()}, cos_sim double"
+    )
+    return blocks.mapInArrow(fn, out_schema)
 
 
 def embedding_near_dups(

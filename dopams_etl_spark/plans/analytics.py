@@ -337,17 +337,43 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ob.agg(F.count_distinct("orderkey").alias("n_orders"))
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
-    a = ob.alias("a")
-    b = ob.alias("b")
+    # r16 (guide §2.3, the brand_triple_itemsets r15 pattern): per-order
+    # sorted brand sets + i<j pair explode replace the ob⋈ob self-join —
+    # one orderkey exchange and a C(brands/order, 2) fan-out instead of
+    # two distinct-side exchanges feeding an SMJ. collect_set dedups
+    # (orderkey, brand) exactly like ob's DISTINCT, the sorted i<j
+    # explode emits each unordered pair once with brand_a < brand_b
+    # (exactly the old join predicate, which also drops NULL brands just
+    # as collect_set skips them), and the NULL-orderkey filter mirrors
+    # the old equi-join dropping NULL keys. bc/n keep reading ob: their
+    # GROUP BY/COUNT see NULL-key rows the pair join never did.
+    from dopams_etl_spark.partitioning import ensure_parallelism
+
+    sets = (
+        ensure_parallelism(
+            li.filter(F.col("l_orderkey").isNotNull()), "l_orderkey"
+        )
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("l_orderkey"))
+        .agg(F.sort_array(F.collect_set(F.col("p_brand"))).alias("bs"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.orderkey") == F.col("b.orderkey"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "bs",
+                        lambda x, i: F.transform(
+                            F.slice("bs", i + F.lit(2), F.size("bs") - i - 1),
+                            lambda y: F.struct(
+                                x.alias("brand_a"), y.alias("brand_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
-        )
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 5)
     )
@@ -2960,9 +2986,11 @@ def brand_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 3-itemsets over brands per order — the next rung of the
     A-Priori ladder above brand_basket_lift's pairs (a pair with lift
     can still be two independent staples; a frequent TRIPLE is a
-    genuine bundle). The triple join stays orderkey-keyed, so fan-out
-    is C(brands-per-order, 3) per order — a small constant — and the
-    candidate space is bounded by the dimension's own cardinality;
+    genuine bundle). Triples come from each order's sorted distinct
+    brand set (collect_set + nested i<j<k transform/explode — r15
+    replaced the 3-way self-join), so fan-out is C(brands-per-order, 3)
+    per order — a small constant — and the candidate space is bounded
+    by the dimension's own cardinality;
     min-support 2 prunes before ranking, top-20 with full-name
     tie-break."""
     from dopams_etl_spark.partitioning import ensure_parallelism

@@ -1265,7 +1265,13 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # costs one exchange of the lightweight pair rows. Scoring is
     # per-row and the top-2 window is keyed by pt with a total ordering,
     # so results are partitioning-invariant.
-    pairs_t = pairs_t.repartition(spark.sparkContext.defaultParallelism)
+    # r16 (ADVICE): guarded like ensure_parallelism — only fires when the
+    # pair table is UNDER-parallel; at real scale, where pairs_t already
+    # has >= defaultParallelism partitions, the unconditional form would
+    # pay an exchange for nothing (or REDUCE the scoring parallelism).
+    _dp = spark.sparkContext.defaultParallelism
+    if pairs_t.rdd.getNumPartitions() < _dp:
+        pairs_t = pairs_t.repartition(_dp)
     scored_t = score_pairs(pairs_t, same_ps=F.col("par_a") == F.col("par_b"))
     w2 = Window.partitionBy("pt").orderBy(
         F.col("score").desc(), F.col("min1_canon").asc()

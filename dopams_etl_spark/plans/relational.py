@@ -142,9 +142,14 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15 (guide §2.4): hash-repartition on the order key so the
     # per-order revenue products run at full width off a one-row-group
     # scan; the groupBy reuses the partitioning (still one exchange).
-    # Bitwise-safe: each order's rows stay in scan order within one
-    # partition, so the per-order float sum accumulates identically
-    # (A/B verified exact). No-op at real scan parallelism.
+    # Bitwise stability (A/B verified exact on the ONE-partition scans
+    # this fires on, where each order's rows reach the aggregate in scan
+    # order): for 1 < input partitions < defaultParallelism an order's
+    # rows can arrive from several mappers in fetch order, so the
+    # per-order double sum is deterministic only up to the partial-agg
+    # merge order Spark already has (ADVICE r15); the downstream grain
+    # sums and ROUND(…, 2) absorb that class. No-op at real scan
+    # parallelism.
     from dopams_etl_spark.partitioning import ensure_parallelism
 
     li = ensure_parallelism(li, "l_orderkey")

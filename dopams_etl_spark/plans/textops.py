@@ -3386,7 +3386,10 @@ def mutual_nn_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists instead). The mutual check itself is one self-join of the
     |N|-row top-1 table on the reversed id pair."""
     emb = t(spark, sf_dir, "embeddings")
-    top1 = cosine_topk(emb, emb, "vec_id", "vec_id", "embedding", k=1)
+    # r16: the only registry site with a FULL-corpus probe (|N|² pairs);
+    # the Arrow block scorer clears its dispatch overhead ~3× over
+    # (measured −45% warm; bit-identical, strict oracle at 3 SFs)
+    top1 = cosine_topk(emb, emb, "vec_id", "vec_id", "embedding", k=1, impl="arrow")
     rev = top1.select(
         F.col("p_id").alias("r_p"), F.col("c_id").alias("r_c")
     )

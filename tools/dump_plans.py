@@ -14,7 +14,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SF_DIR = os.environ.get("DUMP_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "plans", "r15")
+OUT_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "plans", os.environ.get("DUMP_ROUND", "r16")
+)
 
 
 def main() -> None:
