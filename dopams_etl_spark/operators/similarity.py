@@ -588,7 +588,12 @@ def lsh_bucket(vec_col: Column | str, dim: int, planes: int = 12, seed: int = 42
     hp = _hyperplanes(dim, planes, seed)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(hp):
-        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        # r16: ONE array literal per plane instead of dim F.lit() py4j
+        # round-trips — ann_cost_recall_tradeoff's build spent 19.5 s of
+        # 21 s in per-element lit calls (50 lsh_bucket invocations x
+        # planes x dim sockets). Same schema, same values (CreateArray
+        # of foldable literals constant-folds to this Literal anyway).
+        plane_arr = F.lit([float(x) for x in plane])
         d = _dot(v, plane_arr)
         bucket = bucket + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
     return bucket
@@ -618,7 +623,7 @@ def _nearest_centroids(
         *[
             F.struct(
                 F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cvec]).alias("cv"),
+                F.lit([float(x) for x in cvec]).alias("cv"),
                 F.lit(math.sqrt(sum(x * x for x in cvec))).alias("cn"),
             )
             for cid, cvec in centroids
@@ -1210,7 +1215,7 @@ def random_projection(
     planes = _hyperplanes(in_dim, out_dim, seed)
     scale = 1.0 / (out_dim ** 0.5)
     comps = [
-        F.round(_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) * F.lit(scale), 6)
+        F.round(_dot(F.col(vec_col), F.lit([float(x) for x in p])) * F.lit(scale), 6)
         for p in planes
     ]
     # shared ANN null-vector convention (plans/catalog.py:ann_notnull):

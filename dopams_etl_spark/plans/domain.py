@@ -1269,8 +1269,10 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair table is UNDER-parallel; at real scale, where pairs_t already
     # has >= defaultParallelism partitions, the unconditional form would
     # pay an exchange for nothing (or REDUCE the scoring parallelism).
+    from dopams_etl_spark.partitioning import probed_num_partitions
+
     _dp = spark.sparkContext.defaultParallelism
-    if pairs_t.rdd.getNumPartitions() < _dp:
+    if probed_num_partitions(pairs_t) < _dp:
         pairs_t = pairs_t.repartition(_dp)
     scored_t = score_pairs(pairs_t, same_ps=F.col("par_a") == F.col("par_b"))
     w2 = Window.partitionBy("pt").orderBy(

@@ -1685,14 +1685,24 @@ def hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_prev = Window.partitionBy("user_id").orderBy("h").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_next = Window.partitionBy("user_id").orderBy("h").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    # r16 (guide §1/§2): the next-observation lookups ran over a
+    # CurrentRow..UnboundedFollowing frame, which Spark executes as
+    # UnboundedFollowingWindowFunctionFrame — the aggregate recomputes
+    # over the whole remaining frame PER ROW, O(rows²) per user (0.7 s
+    # of the 1.0 s warm total on 35k grid rows). first_value(x IGNORE
+    # NULLS) over (CURRENT ROW .. UNBOUNDED FOLLOWING, h ASC) is
+    # value-identical to last_value over the RUNNING frame of the h DESC
+    # ordering (grid hours are unique per user, so the reversed order is
+    # total) — an O(rows) incremental frame. Costs one extra in-partition
+    # sort (desc then back asc for w_prev); no new exchange.
+    w_next_rev = Window.partitionBy("user_id").orderBy(F.col("h").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     ts_obs = F.when(F.col("v").isNotNull(), F.col("h"))
     pv = F.last("v", ignorenulls=True).over(w_prev)
     pt = F.last(ts_obs, ignorenulls=True).over(w_prev)
-    nv = F.first("v", ignorenulls=True).over(w_next)
-    nt = F.first(ts_obs, ignorenulls=True).over(w_next)
+    nv = F.last("v", ignorenulls=True).over(w_next_rev)
+    nt = F.last(ts_obs, ignorenulls=True).over(w_next_rev)
     # multiply-then-divide, matching the oracle's left-to-right float
     # evaluation — computing the fraction first rounds differently in the
     # last ulp and can flip the 6-decimal rounding at a half boundary
