@@ -925,40 +925,89 @@ def semantic_dedup(
     assigned = with_norm.select(
         F.col("cid").alias("id"), "v", "nrm", assign.alias("cell")
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    # r15 (guide §3.1): EXISTS via left-semi instead of inner-join +
-    # DISTINCT — the hash-join probe stops at the FIRST lower-id
-    # neighbor that clears the threshold (a duplicate's scan ends at
-    # its match instead of folding a dot product against every
-    # remaining cell-mate). Same result set: ids with ≥1 qualifying
-    # neighbor. The trailing distinct stays REQUIRED: a semi join emits
-    # one row per matching left ROW, so duplicated input rows (the dup2
-    # at-least-once axis) would fan the final keep-join without it.
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("b.id") < F.col("a.id"))
-            & (
-                F.round(
-                    _cos_pre(
-                        F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
-                    ),
-                    6,
-                )
-                >= threshold
-            ),
-            "leftsemi",
-        )
-        .select(F.col("id"))
-        .distinct()
-    )
+    # r16 (guide §4.1/§4.2, replacing the r15 left-semi + keep-join): the
+    # whole per-cell EXISTS probe is one grouped Arrow map — ONE exchange
+    # on the cell key, one Python call per CELL (cells are few by design,
+    # never the per-group-overhead trap), and the Σ|cell|² cosine folds
+    # run vectorized in NumPy with the EXACT fold-order accumulation +
+    # Spark-round(6) replica the cosine_topk Arrow path proved
+    # bit-identical. Replaces: two more recomputations of the
+    # norm+assignment projection (the self-join's probe/build sides), a
+    # per-pair interpreted zip_with/aggregate fold in the join condition,
+    # the DISTINCT, and the final keep-join — the (id, cell, keep) result
+    # comes straight out of the grouped map (duplicated input rows emit
+    # duplicated output rows, exactly as the old left keep-join did).
+    # Spark comparison semantics replicated per pair: keep(a) = NOT
+    # EXISTS b in cell with b.id < a.id (NULL ids never match) and
+    # round6(cos) >= threshold, where NaN >= x is TRUE (Spark's total
+    # NaN ordering, probed) and a NULL cosine (ragged/NULL-element
+    # vectors) never matches.
+    idt = corpus.schema[id_col].dataType.simpleString()
+    fn = _semantic_dedup_cell_fn(threshold)
     return (
-        assigned.select("id", "cell")
-        .join(dropped.withColumn("is_dup", F.lit(True)), "id", "left")
-        .select("id", "cell", F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"))
+        assigned.select("id", "v", "cell")
+        .groupBy("cell")
+        .applyInPandas(fn, f"id {idt}, cell {idt}, keep boolean")
     )
+
+
+def _semantic_dedup_cell_fn(threshold: float):
+    """Per-cell grouped-map body for ``semantic_dedup``: emit every input
+    row with its keep flag. Conforming cells (equal-width vectors, no
+    NULL elements/ids) vectorize; anything else replays the expression
+    semantics row-at-a-time via ``_fold_cos_py``."""
+
+    def per_cell(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        ids = list(pdf["id"])
+        vecs = [None if v is None else list(v) for v in pdf["v"]]
+        n = len(ids)
+        d = len(vecs[0]) if n and vecs[0] is not None else -1
+        clean = (
+            n > 0
+            and d >= 0
+            and not any(i is None for i in ids)
+            and all(v is not None and len(v) == d and None not in v for v in vecs)
+        )
+        if clean:
+            M = np.asarray(vecs, dtype=np.float64)
+            nrm = _seq_norms(M)
+            id_arr = np.asarray(ids)
+            lower = id_arr[None, :] < id_arr[:, None]  # [a, b]: b.id < a.id
+            drop = np.zeros(n, dtype=bool)
+            for lo in range(0, n, _ARROW_PROBE_SLICE):
+                hi = min(lo + _ARROW_PROBE_SLICE, n)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = _seq_dots(M[lo:hi], M) / (
+                        nrm[lo:hi, None] * nrm[None, :]
+                    )
+                r = _spark_round6(cos.ravel()).reshape(cos.shape)
+                hit = (r >= threshold) | np.isnan(r)  # Spark: NaN >= x is TRUE
+                drop[lo:hi] = (hit & lower[lo:hi]).any(axis=1)
+            keep = ~drop
+        else:
+            keep_l = []
+            for i in range(n):
+                dropped = False
+                if ids[i] is not None:
+                    for j in range(n):
+                        if ids[j] is None or not (ids[j] < ids[i]):
+                            continue
+                        cos = _fold_cos_py(vecs[i], vecs[j])
+                        if cos is not None and (math.isnan(cos) or cos >= threshold):
+                            dropped = True
+                            break
+                keep_l.append(not dropped)
+            keep = keep_l
+        return pd.DataFrame(
+            {"id": pdf["id"], "cell": pdf["cell"], "keep": keep}
+        )
+
+    return per_cell
 
 
 def int8_quantize(
